@@ -1,0 +1,83 @@
+"""Order-insensitive table content hashing (SURVEY.md §4.2).
+
+The reference's table identity IS the SHA-256 of its canonical trie root
+(``/root/reference/messdb-base/src/MessDB/Trie.hs:203-212``): the same
+row multiset always hashes identically, regardless of build order. We
+reproduce the *property* (content → deterministic id, independent of
+partitioning/insertion order) with a commutative combine over per-row
+hashes — all JVM-side, one pass, map-side partial aggregation:
+
+    row_digest  = xxhash64(canonical per-column encoding)
+    table_hash  = sha256(count ‖ sum(row_digest) ‖ bit_xor(row_digest)
+                         ‖ sum(rot(row_digest)) ‖ schema_fingerprint)
+
+sum+xor+rotated-sum over 64-bit row digests makes collisions require a
+deliberate attack, which is outside the threat model (the reference's
+memo cache trusts SHA-256 similarly but this cache is advisory).
+
+Canonical per-column encoding: every column is cast to string with fixed
+formatting (timestamps → ISO micros, floats → repr via cast to string in
+Spark's UTC session, binary → hex, arrays/structs → to_json), with a
+NULL sentinel that cannot collide with data. This keeps the digest
+stable across partitioning, shuffle order, and parquet file layout.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NULL = "\x00N"
+_SEP = "\x00|"
+
+
+def _canon_col(field: T.StructField) -> F.Column:
+    c = F.col(field.name)
+    dt = field.dataType
+    if isinstance(dt, T.BinaryType):
+        s = F.hex(c)
+    elif isinstance(dt, T.TimestampType):
+        s = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    elif isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        s = F.to_json(c)
+    elif isinstance(dt, T.DoubleType) or isinstance(dt, T.FloatType):
+        # cast to double first so float32 widens deterministically
+        s = c.cast("double").cast("string")
+    else:
+        s = c.cast("string")
+    return F.coalesce(s, F.lit(_NULL))
+
+
+def schema_fingerprint(df: DataFrame) -> str:
+    fields = [(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema.fields]
+    return hashlib.sha256(json.dumps(fields, sort_keys=True).encode()).hexdigest()
+
+
+def table_content_hash(df: DataFrame, sort_columns: bool = True) -> str:
+    """Deterministic, partition-order-insensitive content hash.
+
+    One aggregation job: row xxhash64 → {count, sum, xor, rotated sum}.
+    Scale: map-side partials, single-row shuffle — O(rows) scan, O(1)
+    result. Safe at 100 TB.
+    """
+    fields = sorted(df.schema.fields, key=lambda f: f.name) if sort_columns else df.schema.fields
+    canon = F.concat_ws(_SEP, *[_canon_col(f) for f in fields])
+    agg = df.select(canon.alias("c"))
+    agg = agg.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("c")).alias("s1"),
+        F.expr("bit_xor(xxhash64(c))").alias("x1"),
+        F.sum(F.xxhash64("c", F.lit(1))).alias("s2"),
+        F.expr("bit_xor(xxhash64(c, 1))").alias("x2"),
+    )
+    row = agg.collect()[0]
+    payload = json.dumps({
+        "n": row["n"], "s1": str(row["s1"]), "x1": str(row["x1"]),
+        "s2": str(row["s2"]), "x2": str(row["x2"]),
+        "schema": schema_fingerprint(df),
+    }, sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()

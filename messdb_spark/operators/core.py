@@ -1,0 +1,208 @@
+"""Core dataflow operators — Spark re-expression of the reference's
+engine proper (SURVEY.md §2.1; ``/root/reference/messdb-base/src/MessDB/Trie.hs``).
+
+The reference's table is a sorted key→value relation; its three real
+operators are merge-with-fold (O1, ``Trie.hs:297-430``), transform+resort
+(O2, ``Trie.hs:433-470``) and key-range filter (O3, ``Trie.hs:472-510``).
+Here a table is a ``KeyedTable``: a DataFrame plus declared key columns.
+Sorted-ness is *logical* — we never force a physical global sort until an
+ordered export/scan (O6) asks for one; Catalyst keeps plans shuffle-minimal.
+
+Scale notes (100 TB):
+
+- O1 merge = unionByName (no shuffle) + groupBy(key) hash-agg (one
+  shuffle on the key, map-side partial agg free for commutative folds;
+  ``max_by`` folds also partial-aggregate since max_by is an ordinary
+  declarative aggregate).
+- Fold order: the reference folds equal keys left-to-right in input
+  order (``Trie.hs:396-401``). Spark aggregation is unordered, so each
+  input carries a precedence ordinal; folds consume (value, ordinal)
+  pairs. No global row_number — the ordinal is a constant per input
+  (O1) or the old key tuple (O2), both shuffle-free.
+- O3 range filter is a plain Catalyst filter → parquet min/max row-group
+  skipping + partition pruning, the direct analog of the reference's
+  subtree pruning (``Trie.hs:492-510``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import REGISTRY, FOLD_TO_LAST, FoldFunc, TransformFunc
+
+_ORD = "__messdb_ord"
+
+
+@dataclass(frozen=True)
+class KeyedTable:
+    """A relation with declared key columns (``Table k v`` analog,
+    ``messdb-schema/src/MessDB/Table.hs:38-40``). Key uniqueness is an
+    invariant maintained by the constructors below (merge folds
+    collisions), mirroring the trie's one-value-per-key shape."""
+
+    df: DataFrame
+    key_cols: tuple[str, ...]
+
+    @property
+    def value_cols(self) -> tuple[str, ...]:
+        return tuple(c for c in self.df.columns if c not in self.key_cols)
+
+    def sorted_df(self) -> DataFrame:
+        """Globally key-ordered view (O6 ordered scan,
+        ``Trie.hs:261-278``). Range-partitioned sort — the only place
+        a total order is materialized."""
+        return self.df.orderBy(*self.key_cols)
+
+
+def _with_ord(df: DataFrame, ordinal: Column) -> DataFrame:
+    return df.withColumn(_ORD, ordinal)
+
+
+def merge_tables(tables: Sequence[KeyedTable], fold: FoldFunc = FOLD_TO_LAST) -> KeyedTable:
+    """O1 ``mergeTables`` (``Trie.hs:297-430``): n-way merge; equal keys
+    folded left-to-right in input order. UNION ALL + upsert + reduce in
+    one operator.
+
+    Plan shape: unionByName (narrow) → single hash-agg shuffle on the
+    key. Later inputs win for ``fold_to_last`` via the per-input
+    constant ordinal.
+    """
+    if not tables:
+        raise ValueError("merge_tables needs >= 1 input")
+    keys = tables[0].key_cols
+    for t in tables:
+        if t.key_cols != keys:
+            raise ValueError(f"key mismatch: {t.key_cols} != {keys}")
+    value_cols = list(tables[0].value_cols)
+    dfs = [_with_ord(t.df.select(*keys, *value_cols), F.lit(i).cast("long"))
+           for i, t in enumerate(tables)]
+    u = dfs[0]
+    for d in dfs[1:]:
+        u = u.unionByName(d)
+    agg_cols = fold.agg(value_cols, F.col(_ORD))
+    out = u.groupBy(*[F.col(k) for k in keys]).agg(*agg_cols)
+    return KeyedTable(out.select(*keys, *value_cols), keys)
+
+
+def sort_table(table: KeyedTable, transform: TransformFunc | str,
+               fold: FoldFunc | str = FOLD_TO_LAST) -> KeyedTable:
+    """O2 ``sortTable`` (``Trie.hs:433-470``): re-key/re-map every row
+    with a named transform, rebuild keyed by the new key, folding
+    collisions — the engine's projection + GROUP BY + re-sort in one.
+
+    Fold order under the new key = order of appearance = old key order
+    (the input is key-sorted), so the precedence ordinal is the old key
+    tuple itself — constant-space, no windowing, no extra shuffle.
+    Plan: project (narrow) → hash-agg shuffle on the new key.
+    """
+    if isinstance(transform, str):
+        transform = REGISTRY.get_transform(transform)
+    if isinstance(fold, str):
+        fold = REGISTRY.get_fold(fold)
+    old_key_struct = F.struct(*[F.col(k) for k in table.key_cols])
+    new_keys = transform.new_key_cols
+    # ordinal column: the old key tuple (struct compares lexicographically)
+    transformed = transform.fn(table.df.withColumn(_ORD, old_key_struct))
+    if _ORD not in transformed.columns:
+        raise ValueError(f"transform {transform.key!r} must preserve pass-through columns")
+    value_cols = [c for c in transformed.columns if c not in new_keys and c != _ORD]
+    agg_cols = fold.agg(value_cols, F.col(_ORD))
+    out = transformed.groupBy(*[F.col(k) for k in new_keys]).agg(*agg_cols)
+    return KeyedTable(out.select(*new_keys, *value_cols), tuple(new_keys))
+
+
+@dataclass(frozen=True)
+class KeyBound:
+    """One end of a key range (``KeyRange`` analog, ``Trie.hs:540-568``).
+    ``value`` is a tuple matching a key-column prefix; None = unbounded."""
+    value: tuple[Any, ...] | None
+    inclusive: bool = True
+
+
+def _bound_expr(key_cols: Sequence[str], bound: KeyBound, lower: bool) -> Column | None:
+    """Lexicographic tuple comparison as a Catalyst expression.
+
+    Emitted as nested OR/AND of per-column comparisons so each leading-
+    column predicate stays eligible for parquet min/max pushdown; a
+    single-column bound compiles to one pushable comparison."""
+    if bound.value is None:
+        return None
+    vals = bound.value
+    cols = list(key_cols)[: len(vals)]
+    # struct comparison: (k1,k2) >= (v1,v2) lexicographic
+    expr = None
+    for i in range(len(vals) - 1, -1, -1):
+        c, v = F.col(cols[i]), F.lit(vals[i])
+        if i == len(vals) - 1:
+            if lower:
+                leaf = (c >= v) if bound.inclusive else (c > v)
+            else:
+                leaf = (c <= v) if bound.inclusive else (c < v)
+            expr = leaf
+        else:
+            strict = (c > v) if lower else (c < v)
+            expr = strict | ((c == v) & expr)
+    return expr
+
+
+def range_filter(table: KeyedTable, lo: KeyBound = KeyBound(None),
+                 hi: KeyBound = KeyBound(None)) -> KeyedTable:
+    """O3 ``rangeFilterTable`` (``Trie.hs:472-510``): keep rows with key
+    in [lo, hi]. Compiles to a pushed-down Catalyst filter — parquet
+    row-group min/max skipping is the direct analog of the reference's
+    prefix-range subtree pruning (``Trie/Path.hs:117-145``)."""
+    df = table.df
+    lo_e = _bound_expr(table.key_cols, lo, lower=True)
+    hi_e = _bound_expr(table.key_cols, hi, lower=False)
+    if lo_e is not None:
+        df = df.filter(lo_e)
+    if hi_e is not None:
+        df = df.filter(hi_e)
+    return KeyedTable(df, table.key_cols)
+
+
+def table_from_rows(spark: SparkSession, rows: Iterable[tuple], schema,
+                    key_cols: Sequence[str],
+                    fold: FoldFunc = FOLD_TO_LAST) -> KeyedTable:
+    """O4 ``tableFromRows`` (``Table.hs:125-140``): bulk load with
+    duplicate-key folding in input order. The reference's 1024-way
+    hierarchical merge is a trie artifact; here one createDataFrame +
+    one fold-merge agg does it (Spark's shuffle-sort is the bulk path).
+    """
+    rows = list(rows)
+    df = spark.createDataFrame(rows, schema=schema)
+    # input-order ordinal via a zipWithIndex-free trick: rows are local
+    # here (bulk load API); attach ordinal before parallelizing.
+    from pyspark.sql import types as T
+    base = spark.createDataFrame(
+        [(*r, i) for i, r in enumerate(rows)],
+        schema=T.StructType(list(df.schema.fields) + [T.StructField(_ORD, T.LongType(), False)]),
+    )
+    keys = tuple(key_cols)
+    value_cols = [c for c in df.columns if c not in keys]
+    agg_cols = fold.agg(value_cols, F.col(_ORD))
+    out = base.groupBy(*keys).agg(*agg_cols)
+    return KeyedTable(out.select(*df.columns), keys)
+
+
+def table_insert(table: KeyedTable, row: dict[str, Any],
+                 fold: FoldFunc = FOLD_TO_LAST) -> KeyedTable:
+    """O5 ``tableInsert`` (``Table.hs:142-143``): point upsert = merge
+    with a singleton table, new row wins. At warehouse scale this is the
+    MERGE INTO pattern; as a dataflow op it is O1 with a 1-row right side
+    (which Catalyst will broadcast… but the agg path keeps exact fold
+    semantics)."""
+    spark = table.df.sparkSession
+    single = spark.createDataFrame([row], schema=table.df.schema)
+    return merge_tables([table, KeyedTable(single, table.key_cols)], fold)
+
+
+def table_to_rows(table: KeyedTable) -> list[tuple]:
+    """O6 ``tableToRows`` (``Trie.hs:261-278``): ordered full scan.
+    Driver-side by definition (it returns rows) — use only on small
+    results; large exports go through the sinks module."""
+    return [tuple(r) for r in table.sorted_df().collect()]

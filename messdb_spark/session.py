@@ -1,0 +1,69 @@
+"""SparkSession factory tuned for the engine.
+
+Local test profile: ``local[N]`` with shuffle partitions ~ cores.
+At cluster scale the same builder is used with ``master`` unset (inherit
+from spark-submit) and shuffle partitions sized to data volume; every
+knob here is safe for both.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # AQE: runtime coalescing, skew-join splitting — essential at 100 TB,
+    # harmless locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Pin timezone so timestamps compare exactly against the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for any pandas_udf / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: keep permissive casts like Spark's classic mode (oracle
+    # queries avoid relying on either behavior).
+    "spark.sql.ansi.enabled": "false",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "messdb_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``SPARK_GRAFT_CPUS`` drives local parallelism; shuffle partitions
+    default to the same so tiny local runs don't fan out to 200 empty
+    tasks while cluster submits can override via spark-submit conf.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    b = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _DEFAULTS.items():
+        b = b.config(k, v)
+    b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    b = b.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Read the driver testdata parquet tables and register temp views.
+
+    Returns dict name -> DataFrame. Parquet scans get column pruning and
+    predicate pushdown from Catalyst for free.
+    """
+    if names is None:
+        names = ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings"]
+    out = {}
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out

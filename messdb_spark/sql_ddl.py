@@ -1,0 +1,123 @@
+"""CREATE TABLE DDL parsing — the reference's entire SQL write surface
+(``/root/reference/messdb-sql/src/MessDB/SQL.hs:21-35``;
+type mapping ``messdb-sql/src/MessDB/SQL/Schema.hs:59-76``).
+
+Accepts:  CREATE TABLE name (col TYPE [PRIMARY KEY] [NOT NULL], ...)
+Key = PRIMARY KEY columns (>=1 required, matching ``SQL/Schema.hs:44``);
+non-key columns are nullable unless NOT NULL (``SQL/Schema.hs:49``).
+
+Type names follow the reference's postgres-ish mapping with Spark types:
+smallint/int2/int16 → short;  integer/int/int4/int32 → int;
+bigint/int8/int64 → long;     real/float4 → float;
+"double precision"/float8/double → double;  bytes/bytea → binary;
+text/varchar/string → string; plus (our superset, for the driver data)
+date, timestamp, boolean, decimal(p,s).
+
+Unsigned word types: the reference's Word8-32 widen to the next signed
+Spark type; word64 maps to decimal(20,0) (SURVEY.md §7 risk 4).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+
+_TYPE_MAP: dict[str, T.DataType] = {
+    "smallint": T.ShortType(), "int2": T.ShortType(), "int16": T.ShortType(),
+    "integer": T.IntegerType(), "int": T.IntegerType(), "int4": T.IntegerType(),
+    "int32": T.IntegerType(),
+    "bigint": T.LongType(), "int8": T.LongType(), "int64": T.LongType(),
+    "tinyint": T.ByteType(),
+    "word8": T.ShortType(), "word16": T.IntegerType(), "word32": T.LongType(),
+    "word64": T.DecimalType(20, 0),
+    "real": T.FloatType(), "float4": T.FloatType(), "float": T.FloatType(),
+    "double precision": T.DoubleType(), "float8": T.DoubleType(),
+    "double": T.DoubleType(),
+    "bytes": T.BinaryType(), "bytea": T.BinaryType(), "binary": T.BinaryType(),
+    "text": T.StringType(), "varchar": T.StringType(), "string": T.StringType(),
+    "date": T.DateType(), "timestamp": T.TimestampType(),
+    "boolean": T.BooleanType(), "bool": T.BooleanType(),
+}
+
+_CREATE_RE = re.compile(
+    r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_][\w.]*)\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_DECIMAL_RE = re.compile(r"^(?:decimal|numeric)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", re.IGNORECASE)
+
+
+@dataclass(frozen=True)
+class CreateTable:
+    name: str
+    schema: T.StructType
+    key_cols: list[str]
+
+
+class SqlError(ValueError):
+    """``SqlException`` analog (``SQL.hs:41-44``)."""
+
+
+def _split_columns(body: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _resolve_type(type_str: str) -> T.DataType:
+    t = re.sub(r"\s+", " ", type_str.strip().lower())
+    m = _DECIMAL_RE.match(t)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    # varchar(n) → string
+    t = re.sub(r"^(varchar|char)\s*\(\s*\d+\s*\)$", r"\1", t)
+    if t in _TYPE_MAP:
+        return _TYPE_MAP[t]
+    raise SqlError(f"unsupported type: {type_str!r}")
+
+
+def parse_create_table(statement: str) -> CreateTable:
+    m = _CREATE_RE.match(statement)
+    if not m:
+        raise SqlError(f"unsupported statement (only CREATE TABLE): {statement[:80]!r}")
+    name, body = m.group(1), m.group(2)
+    fields: list[T.StructField] = []
+    key_cols: list[str] = []
+    for coldef in _split_columns(body):
+        low = coldef.lower()
+        if low.startswith(("primary key", "unique", "check", "foreign key", "constraint")):
+            tm = re.match(r"primary\s+key\s*\(([^)]*)\)", low)
+            if tm:
+                key_cols.extend(c.strip().strip('"') for c in tm.group(1).split(","))
+                continue
+            raise SqlError(f"unsupported constraint: {coldef!r}")
+        cm = re.match(r'^("?[\w]+"?)\s+(.*?)(\s+primary\s+key)?(\s+not\s+null)?\s*$',
+                      coldef, re.IGNORECASE)
+        if not cm:
+            raise SqlError(f"cannot parse column def: {coldef!r}")
+        col = cm.group(1).strip('"')
+        dtype = _resolve_type(cm.group(2))
+        is_key = cm.group(3) is not None
+        not_null = cm.group(4) is not None or is_key
+        if is_key:
+            key_cols.append(col)
+        fields.append(T.StructField(col, dtype, nullable=not not_null))
+    if not key_cols:
+        # the reference requires a key (``SQL/Schema.hs:44`` errors on
+        # keyless tables); we follow it.
+        raise SqlError("table needs at least one PRIMARY KEY column")
+    # key columns are non-null by construction
+    fields = [T.StructField(f.name, f.dataType, nullable=f.nullable and f.name not in key_cols)
+              for f in fields]
+    return CreateTable(name=name, schema=T.StructType(fields), key_cols=key_cols)

@@ -1,0 +1,140 @@
+"""Content-addressed object store + memo manifest + catalog root.
+
+Re-expression of the reference's three storage interfaces
+(``/root/reference/messdb-base/src/MessDB/Store.hs:28-37``,
+``messdb-repo/src/MessDB/Repo.hs:75-77``):
+
+- ``Store``      → ``<warehouse>/objects/<table_hash>/`` parquet dirs,
+                   write-once (a save to an existing hash is a no-op,
+                   mirroring ``Store/File.hs:16-23``).
+- ``MemoStore``  → ``<warehouse>/memo.json``: op-digest → table-hash
+                   (the op-hash cache of ``Trie.hs:280-295``).
+- ``RepoStore``  → ``<warehouse>/root.json``: the single mutable cell —
+                   catalog name → {table_hash, schema, key_cols};
+                   atomic tmp+rename swap (``Repo.hs:85-98``).
+
+Local filesystem here; on a cluster the same layout lives on object
+storage (S3/HDFS) — parquet dirs are already the cloud-native unit, and
+the two small JSON manifests would move to a transactional KV (the
+reference itself uses sqlite for exactly this role).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # atomic on POSIX — the root-pointer swap
+
+
+def _read_json(path: str, default):
+    if not os.path.exists(path):
+        return default
+    with open(path) as f:
+        return json.load(f)
+
+
+class ObjectStore:
+    """Write-once CAS of parquet tables keyed by content hash."""
+
+    def __init__(self, warehouse: str) -> None:
+        self.warehouse = warehouse
+        self.objects_dir = os.path.join(warehouse, "objects")
+        os.makedirs(self.objects_dir, exist_ok=True)
+        self.saves = 0          # StatStore-style counters (Store/Stat.hs)
+        self.save_skips = 0
+        self.loads = 0
+
+    def path(self, table_hash: str) -> str:
+        return os.path.join(self.objects_dir, table_hash)
+
+    def exists(self, table_hash: str) -> bool:
+        return os.path.exists(os.path.join(self.path(table_hash), "_SUCCESS"))
+
+    def save(self, table_hash: str, df: DataFrame) -> str:
+        """Write-once: existing hash → no job runs (``Store.hs:28-30``
+        contract: the value action must not execute on a duplicate save).
+        """
+        if self.exists(table_hash):
+            self.save_skips += 1
+            return self.path(table_hash)
+        self.saves += 1
+        df.write.mode("overwrite").parquet(self.path(table_hash))
+        return self.path(table_hash)
+
+    def load(self, spark: SparkSession, table_hash: str) -> DataFrame:
+        self.loads += 1
+        return spark.read.parquet(self.path(table_hash))
+
+
+class MemoStore:
+    """Op-digest → result table-hash manifest (``MemoStore`` analog)."""
+
+    def __init__(self, warehouse: str) -> None:
+        self.path = os.path.join(warehouse, "memo.json")
+        self._cache: dict[str, str] = _read_json(self.path, {})
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, op_digest: str) -> str | None:
+        got = self._cache.get(op_digest)
+        if got is None:
+            self.misses += 1
+        else:
+            self.hits += 1
+        return got
+
+    def put(self, op_digest: str, table_hash: str) -> None:
+        self._cache[op_digest] = table_hash
+        _atomic_write_json(self.path, self._cache)
+
+
+@dataclass
+class CatalogEntry:
+    table_hash: str
+    schema_json: str      # Spark StructType json — self-describing like
+    key_cols: list[str]   # the reference's reified StandardSchema
+
+
+class Catalog:
+    """Name → table catalog with atomic root swap (``RepoRoot`` +
+    ``RepoStore`` analog, ``Repo.hs:42-43,75-98``). A missing root file
+    is an empty catalog (``Repo.hs:85-89``)."""
+
+    def __init__(self, warehouse: str) -> None:
+        self.root_path = os.path.join(warehouse, "root.json")
+
+    def _load_root(self) -> dict:
+        return _read_json(self.root_path, {})
+
+    def names(self) -> list[str]:
+        return sorted(self._load_root().keys())
+
+    def get(self, name: str) -> CatalogEntry | None:
+        e = self._load_root().get(name)
+        if e is None:
+            return None
+        return CatalogEntry(e["table_hash"], e["schema_json"], e["key_cols"])
+
+    def put(self, name: str, entry: CatalogEntry) -> None:
+        root = self._load_root()
+        root[name] = {"table_hash": entry.table_hash,
+                      "schema_json": entry.schema_json,
+                      "key_cols": entry.key_cols}
+        _atomic_write_json(self.root_path, root)
+
+    def drop(self, name: str) -> None:
+        root = self._load_root()
+        root.pop(name, None)
+        _atomic_write_json(self.root_path, root)

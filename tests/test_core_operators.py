@@ -1,0 +1,159 @@
+"""Model-based tests for the core operators, mirroring the reference's
+TrieSpec strategy (SURVEY.md §5): random/constructed row sets → our
+merge/sort/range vs a pure-Python dict model
+(``/root/reference/messdb-base/test/MessDB/Test/TrieSpec.hs:80-94``)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from messdb_spark.operators.core import (KeyBound, KeyedTable, merge_tables,
+                                         range_filter, sort_table,
+                                         table_from_rows, table_insert,
+                                         table_to_rows)
+from messdb_spark.registry import FOLD_SUM, FOLD_TO_FIRST, FOLD_TO_LAST, REGISTRY
+
+
+def kv(spark, rows):
+    df = spark.createDataFrame(rows, schema="k string, v string")
+    return KeyedTable(df, ("k",))
+
+
+def rand_rows(rng, n, alphabet="abc"):
+    def s():
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 6)))
+    return [(s(), s()) for _ in range(n)]
+
+
+# ---- O1 merge ---------------------------------------------------------
+
+def model_merge_last(tables):
+    out = {}
+    for rows in tables:
+        for k, v in rows:
+            out[k] = v
+    return sorted(out.items())
+
+
+def test_merge_fold_last_matches_model(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        t1, t2, t3 = (rand_rows(rng, n) for n in (40, 25, 10))
+        # model folds duplicates *within* one input too (input order);
+        # our inputs are keyed tables (unique keys), so pre-dedup inputs
+        # last-wins like tableFromRows does.
+        def dedup(rows):
+            d = {}
+            for k, v in rows:
+                d[k] = v
+            return list(d.items())
+        tabs = [kv(spark, dedup(t)) for t in (t1, t2, t3)]
+        got = table_to_rows(merge_tables(tabs, FOLD_TO_LAST))
+        assert got == model_merge_last([dedup(t) for t in (t1, t2, t3)])
+
+
+def test_merge_idempotent(spark):
+    rng = random.Random(11)
+    rows = list({k: v for k, v in rand_rows(rng, 50)}.items())
+    t = kv(spark, rows)
+    m = merge_tables([t, t, t], FOLD_TO_LAST)
+    assert table_to_rows(m) == sorted(rows)
+
+
+def test_merge_fold_first(spark):
+    a = kv(spark, [("x", "1"), ("y", "1")])
+    b = kv(spark, [("x", "2"), ("z", "2")])
+    got = table_to_rows(merge_tables([a, b], FOLD_TO_FIRST))
+    assert got == [("x", "1"), ("y", "1"), ("z", "2")]
+
+
+def test_merge_multi_value_cols(spark):
+    df1 = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "k long, s string, x double")
+    df2 = spark.createDataFrame([(2, "B", 20.0), (3, "c", 3.0)], "k long, s string, x double")
+    got = table_to_rows(merge_tables([KeyedTable(df1, ("k",)), KeyedTable(df2, ("k",))]))
+    assert got == [(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0)]
+
+
+# ---- O2 sort/transform ------------------------------------------------
+
+REGISTRY.transforms.pop("test_rekey_by_v", None)
+
+
+@REGISTRY.transform("test_rekey_by_v", new_key_cols=("v",))
+def _rekey_by_v(df):
+    # swap key and value: new key = v, value = k
+    return df.select(F.col("v"), F.col("k"), *( [F.col("__messdb_ord")] if "__messdb_ord" in df.columns else []))
+
+
+def test_sort_transform_fold_matches_model(spark):
+    rng = random.Random(13)
+    rows = list({k: v for k, v in rand_rows(rng, 80)}.items())
+    t = kv(spark, rows)
+    got = table_to_rows(sort_table(t, "test_rekey_by_v", FOLD_TO_LAST))
+    # model: iterate in old-key order; last occurrence wins per new key
+    model = {}
+    for k, v in sorted(rows):
+        model[v] = k
+    assert got == sorted(model.items())
+
+
+# ---- O3 range filter --------------------------------------------------
+
+def test_range_filter_matches_model(spark):
+    rng = random.Random(17)
+    rows = list({k: v for k, v in rand_rows(rng, 100, "abcde")}.items())
+    t = kv(spark, rows)
+    cases = [
+        (KeyBound(("b",), True), KeyBound(("d",), False)),
+        (KeyBound(None), KeyBound(("c",), True)),
+        (KeyBound(("ca",), False), KeyBound(None)),
+        (KeyBound(("",), True), KeyBound(("",), True)),
+    ]
+    for lo, hi in cases:
+        got = table_to_rows(range_filter(t, lo, hi))
+        def inc(k):
+            if lo.value is not None:
+                if lo.inclusive and k < lo.value[0]:
+                    return False
+                if not lo.inclusive and k <= lo.value[0]:
+                    return False
+            if hi.value is not None:
+                if hi.inclusive and k > hi.value[0]:
+                    return False
+                if not hi.inclusive and k >= hi.value[0]:
+                    return False
+            return True
+        assert got == sorted((k, v) for k, v in rows if inc(k))
+
+
+def test_range_filter_composite_key(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "y"), (2, "a", "z"), (2, "c", "w"), (3, "a", "q")],
+        "k1 long, k2 string, v string")
+    t = KeyedTable(df, ("k1", "k2"))
+    got = table_to_rows(range_filter(t, KeyBound((1, "b"), True), KeyBound((2, "b"), False)))
+    assert got == [(1, "b", "y"), (2, "a", "z")]
+
+
+# ---- O4/O5/O6 ---------------------------------------------------------
+
+def test_table_from_rows_folds_duplicates_last_wins(spark):
+    rows = [("a", "1"), ("b", "2"), ("a", "3"), ("a", "4"), ("c", "5")]
+    t = table_from_rows(spark, rows, "k string, v string", ("k",))
+    assert table_to_rows(t) == [("a", "4"), ("b", "2"), ("c", "5")]
+
+
+def test_table_insert_upserts(spark):
+    t = kv(spark, [("a", "1"), ("b", "2")])
+    t2 = table_insert(t, {"k": "b", "v": "20"})
+    t3 = table_insert(t2, {"k": "c", "v": "3"})
+    assert table_to_rows(t3) == [("a", "1"), ("b", "20"), ("c", "3")]
+
+
+def test_fold_sum_merge(spark):
+    df1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, x double")
+    df2 = spark.createDataFrame([("a", 10.0), ("c", 3.0)], "k string, x double")
+    got = table_to_rows(merge_tables([KeyedTable(df1, ("k",)), KeyedTable(df2, ("k",))], FOLD_SUM))
+    assert got == [("a", 11.0), ("b", 2.0), ("c", 3.0)]
