@@ -1,0 +1,327 @@
+"""Analytics parity set (SURVEY.md §2.8): joins, aggregations, windows,
+set ops, top-k — absent in the reference, provided as built-in Spark
+capability per the north star. All DataFrame-API (Catalyst plans:
+broadcast joins for dims, partial aggregation, pushed filters).
+
+FP-parity discipline: the testdata money columns are exact 2-decimal
+values stored as double, so money aggregates go through DECIMAL
+arithmetic (exact, engine-independent) and cast to double at the end;
+averages are computed as exact-sum / count so both engines perform one
+identical double division. See tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import query, load
+
+D = "DECIMAL(18,2)"
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast(D)
+
+
+def _dsum(expr: F.Column, alias: str, nd: int = 2) -> F.Column:
+    """Exact decimal sum → double → round: identical in Spark/DuckDB."""
+    return F.round(F.sum(expr).cast("double"), nd).alias(alias)
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS {D})) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS {D})) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D})) * (1 + CAST(l_tax AS {D}))) AS DOUBLE), 2) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS {D})) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS {D})) AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS {D})) AS DOUBLE) / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single scan + hash agg; filter + the needed
+    columns push to the parquet scan; partial agg before the (tiny,
+    6-group) shuffle — the canonical 100 TB-safe plan."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    n = F.count(F.lit(1))
+    return (li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(_dsum(_dec("l_quantity"), "sum_qty"),
+                   _dsum(_dec("l_extendedprice"), "sum_base_price"),
+                   _dsum(disc_price, "sum_disc_price"),
+                   _dsum(disc_price * (1 + _dec("l_tax")), "sum_charge"),
+                   F.round(F.sum(_dec("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
+                   F.round(F.sum(_dec("l_extendedprice")).cast("double") / n, 6).alias("avg_price"),
+                   F.round(F.sum(_dec("l_discount")).cast("double") / n, 6).alias("avg_disc"),
+                   n.alias("count_order")))
+
+
+_REV = f"CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))"
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, round(CAST(sum({_REV}) AS DOUBLE), 2) AS revenue, o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY sum({_REV}) DESC, l_orderkey
+    LIMIT 10
+    """)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered customer broadcast into orders,
+    join to lineitem on the fact key, agg, top-10 (exact decimal rank
+    key + unique orderkey tiebreaker → deterministic selection;
+    TakeOrderedAndProject — no global sort materialized)."""
+    c, o, li = load(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    j = (o.filter(F.col("o_orderdate") < cutoff)
+          .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+          .join(li.filter(F.col("l_shipdate") > cutoff),
+                F.col("o_orderkey") == F.col("l_orderkey")))
+    rev = F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+    return (j.groupBy("l_orderkey", "o_orderdate")
+             .agg(rev.alias("_rev"))
+             .orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
+             .limit(10)
+             .select("l_orderkey", F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+                     "o_orderdate"))
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, round(CAST(sum({_REV}) AS DOUBLE), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — every dim (customer/supplier/nation/
+    region) broadcast against the lineitem fact; one agg shuffle on
+    n_name."""
+    c, o, li, s, n, r = load(spark, sf_dir, "customer", "orders", "lineitem",
+                             "supplier", "nation", "region")
+    j = (li.join(o.filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) &
+                          (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey")) &
+                                 (F.col("c_nationkey") == F.col("s_nationkey")))
+           .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")))
+    return (j.groupBy("n_name")
+             .agg(_dsum(_dec("l_extendedprice") * (1 - _dec("l_discount")), "revenue")))
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS {D}) * CAST(l_discount AS {D})) AS DOUBLE), 2)
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.02 AND l_discount <= 0.09
+      AND l_quantity < 24
+    """)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+global agg; every predicate
+    pushes to parquet row-group stats. Single pass, 1-row result."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    f = li.filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) &
+                  (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")) &
+                  (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.09) &
+                  (F.col("l_quantity") < 24))
+    return f.agg(_dsum(_dec("l_extendedprice") * _dec("l_discount"), "revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, round(CAST(sum({_REV}) AS DOUBLE), 2) AS revenue, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY sum({_REV}) DESC, c_custkey
+    LIMIT 20
+    """)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c, o, li, n = load(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    j = (li.filter(F.col("l_returnflag") == "R")
+           .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")))
+    rev = F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+    return (j.groupBy("c_custkey", "c_name", "n_name")
+             .agg(rev.alias("_rev"))
+             .orderBy(F.col("_rev").desc(), F.col("c_custkey"))
+             .limit(20)
+             .select("c_custkey", "c_name",
+                     F.round(F.col("_rev").cast("double"), 2).alias("revenue"), "n_name"))
+
+
+@query(
+    "topk_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rk
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rk <= 3
+    """)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: the window row_number pattern; Spark pushes a
+    per-partition rank limit before the shuffle (WindowGroupLimit)."""
+    c, o = load(spark, sf_dir, "customer", "orders")
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (j.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= 3)
+             .select("c_mktsegment", "o_orderkey",
+                     F.round("o_totalprice", 2).alias("o_totalprice"), "rk"))
+
+
+@query(
+    "window_running_spend",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           round(CAST(sum(CAST(o_totalprice AS {D}))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+             AS running_spend,
+           lag(o_orderkey) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+    FROM orders
+    """)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running (exact decimal) sum + lag per customer
+    over a deterministic (orderdate, orderkey) total order."""
+    (o,) = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum(_dec("o_totalprice")).over(w.rowsBetween(W.unboundedPreceding, 0))
+                 .cast("double"), 2).alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"))
+
+
+@query(
+    "rollup_lineitem_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS {D})) AS DOUBLE), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP — partial agg + expand, one shuffle."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(_dsum(_dec("l_quantity"), "sum_qty"),
+                   F.count(F.lit(1)).alias("n")))
+
+
+@query(
+    "cube_orders_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS {D})) AS DOUBLE), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """)
+def cube_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = load(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  _dsum(_dec("o_totalprice"), "total")))
+
+
+@query(
+    "distinct_stats_per_segment",
+    oracle=f"""
+    SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+           count(*) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS {D})) AS DOUBLE) / count(*), 6) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """)
+def distinct_stats_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (c,) = load(spark, sf_dir, "customer")
+    return (c.groupBy("c_mktsegment")
+             .agg(F.countDistinct("c_nationkey").alias("n_nations"),
+                  F.count(F.lit(1)).alias("n_customers"),
+                  F.round(F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)), 6)
+                   .alias("avg_bal")))
+
+
+@query(
+    "set_ops_repeat_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    """)
+def set_ops_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: INTERSECT (distinct semantics) of two epoch cohorts."""
+    (o,) = load(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    early = o.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    late = o.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    return early.intersect(late)
+
+
+@query(
+    "anti_join_quiet_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    """)
+def anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no recent orders (NOT EXISTS)."""
+    c, o = load(spark, sf_dir, "customer", "orders")
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (c.join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+             .select("c_custkey", "c_name"))
+
+
+@query(
+    "semi_join_active_parts",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts
+    FROM part
+    WHERE p_size > 40 AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    GROUP BY p_brand
+    """)
+def semi_join_active_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) + agg."""
+    p, li = load(spark, sf_dir, "part", "lineitem")
+    return (p.filter(F.col("p_size") > 40)
+             .join(li, p.p_partkey == li.l_partkey, "left_semi")
+             .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts")))

@@ -1,0 +1,159 @@
+"""Similarity search over the ``embeddings`` table (64-dim float32
+vectors) — north-star ANN set (SURVEY.md §2.9).
+
+FP parity discipline: dot products and norms are computed as an
+in-order fold over the list on BOTH engines (Spark ``aggregate`` /
+DuckDB ``list_aggregate('sum')``), every element cast to double first,
+results rounded to 4 decimals — summation order is identical, so value
+hashes match."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import query, load
+
+_N_QUERIES = 10
+_TOP_K = 5
+
+# in-order double dot product of two float arrays (Spark SQL expr)
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _norm_col(arr: str) -> F.Column:
+    return F.sqrt(F.expr(_DOT.format(a=arr, b=arr)))
+
+
+@query(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                    'sum') / (q.nrm * c.nrm) AS sim
+      FROM n q JOIN n c ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, cand_id, round(sim, 4) AS sim, rk
+    FROM (SELECT query_id, cand_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, cand_id) AS rk
+          FROM sims)
+    WHERE rk <= {_TOP_K}
+    """)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exactness baseline. Queries are
+    broadcast (tiny side), candidates stream — one pass over the
+    corpus, no shuffle of the big side; top-k via per-query window on
+    the small result. 100 TB path: broadcast-nested-loop with the
+    query side always the broadcast one."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    withn = emb.withColumn("nrm", _norm_col("embedding"))
+    q = (withn.filter(F.col("vec_id") < _N_QUERIES)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("q_emb"),
+                      F.col("nrm").alias("q_nrm")))
+    c = withn.select(F.col("vec_id").alias("cand_id"),
+                     F.col("embedding").alias("c_emb"),
+                     F.col("nrm").alias("c_nrm"))
+    sim = (F.expr(_DOT.format(a="q_emb", b="c_emb")) /
+           (F.col("q_nrm") * F.col("c_nrm")))
+    pairs = (c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+              .withColumn("sim", sim))
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (pairs.withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") <= _TOP_K)
+                 .select("query_id", "cand_id", F.round("sim", 4).alias("sim"), "rk"))
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, dim,
+           round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE)
+                 / count(*), 6) AS centroid
+    FROM (SELECT label, unnest(range(1, len(embedding) + 1)) AS dim,
+                 unnest(embedding) AS v
+          FROM embeddings)
+    GROUP BY label, dim
+    """)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dim): posexplode + hash
+    agg. Float values go through exact decimal summation (engine-
+    order-independent) then one double division. Scale: shuffle is
+    O(rows × dims) of small scalars with map-side partial agg."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    dv = F.col("val").cast("double").cast("decimal(25,12)")
+    return (emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+               .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+               .agg(F.round(F.sum(dv).cast("double") / F.count(F.lit(1)), 6)
+                     .alias("centroid")))
+
+
+_N_PLANES = 8   # LSH: 8 hyperplane sign bits → 256 buckets
+
+# Deterministic pseudo-random hyperplanes shared with the oracle:
+# plane p, dim i has weight +1 iff the first hex nibble of
+# md5('plane<p>_<i>') is < '8' (top bit clear), else -1.
+_NIBBLES = "('0','1','2','3','4','5','6','7')"
+
+
+def _duck_sign_bit(p: int) -> str:
+    return (f"CASE WHEN list_aggregate(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * "
+            f"(CASE WHEN substring(md5('plane{p}_' || i), 1, 1) IN {_NIBBLES} "
+            f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)), 'sum') >= 0 "
+            f"THEN '1' ELSE '0' END")
+
+
+@query(
+    "lsh_bucket_cosine_topk",
+    oracle=f"""
+    SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+    FROM (SELECT vec_id,
+                 {" || ".join(_duck_sign_bit(p) for p in range(_N_PLANES))} AS bucket
+          FROM embeddings)
+    GROUP BY bucket
+    """)
+def lsh_bucket_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing — the ANN scale path: vectors
+    hash to sign-bit buckets; search then probes only same-bucket
+    candidates (O(n·k/2^bits) pairs instead of O(n²)). This query
+    materializes the bucket histogram (deterministic md5-derived
+    planes, identical in the oracle).
+
+    Scale: plane weights are a tiny broadcast table; the projection is
+    a map-side zip_with per vector — no shuffle until the final
+    histogram agg."""
+    import hashlib
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    ndims = emb.select(F.size("embedding").alias("n")).first()["n"]
+    # plane weights are PLAN CONSTANTS (md5-derived ±1 per (plane, dim));
+    # compute them driver-side and embed as array literals so the
+    # per-row work is just a 64-wide multiply-add fold — no per-row md5.
+    # hashlib.md5 == Spark md5 == DuckDB md5, so the oracle derives the
+    # identical weights from SQL.
+    sign_bits = []
+    for p in range(_N_PLANES):
+        ws = [1.0 if hashlib.md5(f"plane{p}_{i}".encode()).hexdigest()[0] < "8"
+              else -1.0 for i in range(1, ndims + 1)]
+        arr = "array(" + ", ".join(f"CAST({w} AS DOUBLE)" for w in ws) + ")"
+        dot = (f"aggregate(zip_with(embedding, {arr}, "
+               f"(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+        sign_bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    bucket = F.expr("concat(" + ", ".join(sign_bits) + ")")
+    par = spark.sparkContext.defaultParallelism
+    return (emb.repartition(par).select("vec_id", bucket.alias("bucket"))
+               .groupBy("bucket")
+               .agg(F.count(F.lit(1)).alias("n_vecs"),
+                    F.min("vec_id").alias("min_vec_id")))

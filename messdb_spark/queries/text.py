@@ -1,0 +1,256 @@
+"""Text-analysis + deduplication operators over ``documents`` —
+north-star LLM-pipeline set (SURVEY.md §2.9). All JVM-side column
+expressions (no Python UDFs): tokenization via split/filter,
+hashing via md5 (bit-identical to the DuckDB oracle).
+
+Scale notes: exact dedup = one hash-agg shuffle on the fingerprint.
+N-gram Jaccard is quadratic in colliding shingles, so the exact
+variant runs on a deterministic sample; the scale path is MinHash-LSH
+(``minhash_lsh_candidates``), which only joins within signature-band
+buckets — that is the 100 TB design, the exact-Jaccard query is its
+verification oracle on the sample."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query, load
+
+# tokenization shared by the text queries: whitespace split, drop empties
+_TOKENS = "filter(split(text, '\\\\s+'), x -> x != '')"
+_TOKENS_DUCK = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint, count(*) AS n_copies,
+           min(doc_id) AS canonical_id
+    FROM documents GROUP BY md5(text)
+    """)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, min doc_id as canonical.
+    One shuffle on the 128-bit fingerprint; at 100 TB hash first,
+    shuffle only (hash, id) — never the text."""
+    (d,) = load(spark, sf_dir, "documents")
+    return (d.groupBy(F.md5(F.col("text").cast("binary")).alias("fingerprint"))
+             .agg(F.count(F.lit(1)).alias("n_copies"),
+                  F.min("doc_id").alias("canonical_id")))
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized document fingerprint: lowercase, collapse whitespace,
+    md5. Narrow map-only job — no shuffle."""
+    (d,) = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint"))
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id, length(text) AS n_chars,
+           len({_TOKENS_DUCK}) AS n_tokens,
+           len(list_distinct({_TOKENS_DUCK})) AS n_distinct_tokens,
+           round(list_aggregate(list_transform({_TOKENS_DUCK}, x -> CAST(length(x) AS DOUBLE)), 'sum')
+                 / len({_TOKENS_DUCK}), 4) AS avg_token_len,
+           round(CAST(len(list_distinct({_TOKENS_DUCK})) AS DOUBLE)
+                 / len({_TOKENS_DUCK}), 4) AS ttr
+    FROM documents WHERE length(text) > 0
+    """)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token stats + type-token ratio per document.
+    Pure column expressions — whole-stage codegen, no shuffle."""
+    (d,) = load(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS)
+    n_toks = F.size(toks)
+    return (d.filter(F.length("text") > 0)
+             .select(
+                 "doc_id",
+                 F.length("text").alias("n_chars"),
+                 n_toks.cast("long").alias("n_tokens"),
+                 F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+                 F.round(F.expr(f"aggregate({_TOKENS}, CAST(0.0 AS DOUBLE), (a, x) -> a + length(x))")
+                         / n_toks, 4).alias("avg_token_len"),
+                 F.round(F.size(F.array_distinct(toks)).cast("double") / n_toks, 4)
+                  .alias("ttr")))
+
+
+@query(
+    "token_stats_by_lang",
+    oracle=f"""
+    SELECT lang, count(*) AS n_docs,
+           sum(len({_TOKENS_DUCK})) AS total_tokens,
+           round(avg(CAST(len({_TOKENS_DUCK}) AS DOUBLE)), 4) AS avg_tokens
+    FROM documents GROUP BY lang
+    """)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per language tag."""
+    (d,) = load(spark, sf_dir, "documents")
+    n_toks = F.size(F.expr(_TOKENS))
+    return (d.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(n_toks.cast("long")).alias("total_tokens"),
+                  F.round(F.avg(n_toks.cast("double")), 4).alias("avg_tokens")))
+
+
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+_SW_SPARK = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "lang_id_stopwords",
+    oracle=f"""
+    SELECT doc_id, lang,
+           round(CAST(len(list_intersect(list_distinct({_TOKENS_DUCK}), {_SW_SQL})) AS DOUBLE)
+                 / len(list_distinct({_TOKENS_DUCK})), 4) AS en_score,
+           CASE WHEN len(list_intersect(list_distinct({_TOKENS_DUCK}), {_SW_SQL})) >= 3
+                THEN 'en_like' ELSE 'other' END AS pred
+    FROM documents WHERE length(text) > 0
+    """)
+def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit ratio over distinct tokens.
+    (Set-intersection sizes are order-independent, so Spark's
+    array_intersect and DuckDB's list_intersect agree.)"""
+    (d,) = load(spark, sf_dir, "documents")
+    distinct_toks = F.array_distinct(F.expr(_TOKENS))
+    hits = F.size(F.array_intersect(distinct_toks, F.expr(f"array({_SW_SPARK})")))
+    return (d.filter(F.length("text") > 0)
+             .select("doc_id", "lang",
+                     F.round(hits.cast("double") / F.size(distinct_toks), 4)
+                      .alias("en_score"),
+                     F.when(hits >= 3, "en_like").otherwise("other").alias("pred")))
+
+
+# ---- near-duplicate detection ----------------------------------------
+
+_SHINGLE_K = 8
+
+# distinct k-char shingles per sampled doc (Spark side)
+_SHINGLES = (f"array_distinct(transform(sequence(1, length(text) - {_SHINGLE_K - 1}),"
+             f" i -> substring(text, i, {_SHINGLE_K})))")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, length(text) - {_SHINGLE_K - 2}),
+                                     i -> substring(text, i, {_SHINGLE_K}))) AS s
+        FROM documents
+        WHERE doc_id % 10 = 0 AND length(text) >= {_SHINGLE_K})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    """)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs on a 1/10 deterministic
+    sample (the quadratic exact check; MinHash-LSH below is the full-
+    corpus scale path). Shingle-join → pair counts → Jaccard ≥ 0.5."""
+    (d,) = load(spark, sf_dir, "documents")
+    sample = d.filter((F.col("doc_id") % 10 == 0) & (F.length("text") >= _SHINGLE_K))
+    sh = (sample.select("doc_id", F.explode(F.expr(_SHINGLES)).alias("s")))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s")) &
+                       (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (F.col("c").cast("double") /
+           (F.col("sa.n") + F.col("sb.n") - F.col("c")))
+    return (inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+                 .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+                 .filter(jac >= 0.5)
+                 .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
+
+
+_N_HASHES = 8
+_N_BANDS = 4  # rows-per-band = 2
+
+
+def _minhash_cols_spark() -> list[str]:
+    # min over md5('s<j>_' || shingle): lexicographic min of hex strings,
+    # identical in DuckDB
+    return [f"min(md5(concat('s{j}_', s))) AS h{j}" for j in range(_N_HASHES)]
+
+
+@query(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, {", ".join(
+          f"list_aggregate(list_transform("
+          f"range(1, length(text) - {_SHINGLE_K - 2}), "
+          f"i -> md5('s{j}_' || substring(text, i, {_SHINGLE_K}))), 'min') AS h{j}"
+          for j in range(_N_HASHES))}
+      FROM documents WHERE length(text) >= {_SHINGLE_K}
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_id, md5(h{2*b} || h{2*b+1}) AS band_hash FROM sig"
+          for b in range(_N_BANDS))}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding — the scale path for near-dup detection.
+
+    Signatures are computed per document as array_min over a transform
+    of the shingle array — a map-only narrow operation, NO shuffle of
+    the exploded shingle space (min over the shingle multiset equals
+    min over the distinct set, so no dedup pass either). Candidate
+    generation joins only within (band_id, band_hash) buckets — no
+    quadratic pair space. 100 TB plan: shuffle is O(docs × bands),
+    never O(docs²) and never O(total shingles)."""
+    (d,) = load(spark, sf_dir, "documents")
+    # the signature map is CPU-bound (8 × n_shingles md5 per doc); a
+    # single local parquet file arrives as one split, so spread it
+    # round-robin across cores first (at cluster scale the scan already
+    # has many splits and this repartition is a cheap rebalance)
+    par = spark.sparkContext.defaultParallelism
+    docs = d.filter(F.length("text") >= _SHINGLE_K).repartition(par)
+    sig = docs.select("doc_id", *[
+        F.expr(f"array_min(transform(sequence(1, length(text) - {_SHINGLE_K - 1}), "
+               f"i -> md5(concat('s{j}_', substring(text, i, {_SHINGLE_K})))))")
+         .alias(f"h{j}")
+        for j in range(_N_HASHES)])
+    band_exprs = ", ".join(
+        f"{b}, md5(concat(h{2*b}, h{2*b+1}))" for b in range(_N_BANDS))
+    bands = sig.selectExpr(
+        "doc_id",
+        f"stack({_N_BANDS}, {band_exprs}) AS (band_id, band_hash)")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id")) &
+                      (F.col("a.band_hash") == F.col("b.band_hash")) &
+                      (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())

@@ -25,6 +25,9 @@ _DEFAULTS = {
     # ANSI off: keep permissive casts like Spark's classic mode (oracle
     # queries avoid relying on either behavior).
     "spark.sql.ansi.enabled": "false",
+    # the driver's events.parquet stores TIMESTAMP(NANOS); Spark reads it
+    # as long via this flag, read_table() converts to micros timestamps
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
 }
 
@@ -52,6 +55,27 @@ def get_spark(app_name: str = "messdb_spark", master: str | None = None,
     return spark
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver testdata parquet table.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; with ``nanosAsLong`` it arrives as a long that we
+    truncate to microsecond timestamps (matching DuckDB's µs fetch
+    precision). Other tables read natively with pushdown/pruning."""
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Read the driver testdata parquet tables and register temp views.
 
@@ -63,7 +87,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
                  "orders", "lineitem", "events", "documents", "embeddings"]
     out = {}
     for n in names:
-        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        df = read_table(spark, sf_dir, n)
         df.createOrReplaceTempView(n)
         out[n] = df
     return out
