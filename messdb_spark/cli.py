@@ -1,0 +1,97 @@
+"""CLI — the messdb-tool analog (SURVEY.md §2.6;
+``/root/reference/messdb-tool/src/messdb-tool.hs:34-54,163-218``).
+
+Verbs (same five as the reference): ``sql``, ``print-schema``,
+``import-csv``, ``export-csv``, ``export-json``. One warehouse
+directory plays the role of the reference's single sqlite file
+(Store + MemoStore + RepoStore, ``messdb-tool.hs:154-161``).
+
+    python -m messdb_spark.cli --warehouse WH sql -c "CREATE TABLE ..."
+    python -m messdb_spark.cli --warehouse WH sql -c "SELECT ..."
+    python -m messdb_spark.cli --warehouse WH print-schema -t name
+    python -m messdb_spark.cli --warehouse WH import-csv -t name file.csv
+    python -m messdb_spark.cli --warehouse WH export-csv -t name outdir
+    python -m messdb_spark.cli --warehouse WH export-json -t name outdir
+
+Query results print as JSON lines (``messdb-tool.hs:195``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .engine import Engine
+from .session import get_spark
+from .sources.io import export_csv, export_json, import_csv
+from .sql_ddl import SqlError
+
+
+def _print_json_lines(df) -> None:
+    for line in df.toJSON().toLocalIterator():
+        print(line)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="messdb_spark")
+    p.add_argument("--warehouse", "-w", required=True,
+                   help="warehouse dir (objects/ + memo.json + root.json)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sql = sub.add_parser("sql", help="run SQL (CREATE TABLE DDL or any SELECT)")
+    sql.add_argument("-c", "--command", help="statement text")
+    sql.add_argument("-f", "--file", help="file with statements (;-separated)")
+    sql.add_argument("--print-parsed-sql", action="store_true")
+
+    ps = sub.add_parser("print-schema", help="show a table's schema + key")
+    ps.add_argument("-t", "--table", required=True)
+
+    ic = sub.add_parser("import-csv", help="upsert CSV file(s) into a table")
+    ic.add_argument("-t", "--table", required=True)
+    ic.add_argument("path")
+
+    for verb in ("export-csv", "export-json"):
+        e = sub.add_parser(verb, help=f"{verb.split('-')[1]} export, key-ordered")
+        e.add_argument("-t", "--table", required=True)
+        e.add_argument("path")
+
+    a = p.parse_args(argv)
+    spark = get_spark("messdb_spark_cli")
+    eng = Engine(spark, a.warehouse)
+
+    if a.cmd == "sql":
+        text = a.command or open(a.file).read()
+        for stmt in [s.strip() for s in text.split(";") if s.strip()]:
+            if a.print_parsed_sql:
+                print(f"-- {stmt}", file=sys.stderr)
+            if stmt.lower().lstrip().startswith("create table"):
+                eng.ddl(stmt)
+                print(json.dumps({"ok": True, "statement": "create_table"}))
+            else:
+                _print_json_lines(eng.sql(stmt))
+    elif a.cmd == "print-schema":
+        e = eng.catalog.get(a.table)
+        if e is None:
+            print(f"no such table: {a.table}", file=sys.stderr)
+            return 1
+        print(json.dumps({"table": a.table, "key_cols": e.key_cols,
+                          "table_hash": e.table_hash,
+                          "schema": json.loads(e.schema_json)}, indent=1))
+    elif a.cmd == "import-csv":
+        t = eng.load_table(a.table)
+        merged = import_csv(spark, a.path, t)
+        h = eng.save_table(a.table, merged)
+        print(json.dumps({"ok": True, "table": a.table, "table_hash": h,
+                          "rows": merged.df.count()}))
+    elif a.cmd == "export-csv":
+        export_csv(eng.load_table(a.table), a.path)
+        print(json.dumps({"ok": True, "path": a.path}))
+    elif a.cmd == "export-json":
+        export_json(eng.load_table(a.table), a.path)
+        print(json.dumps({"ok": True, "path": a.path}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,72 @@
+"""Sources & sinks — the reference's IO surface (SURVEY.md §2.2).
+
+F1 CSV import (``/root/reference/messdb-tool/src/MessDB/Tool/Csv.hs:22-64``):
+header-order remapping + typed parse + fold-merge upsert into the target
+table. F2 CSV export (``Csv.hs:66-101``), F3 JSON-lines export
+(``Tool/Json.hs:16-32``). Plus native Parquet (our default object
+format — not in the reference, which stores opaque trie blobs).
+
+Scale: all paths are ``spark.read``/``df.write`` — distributed,
+splittable, schema-enforced (no inferSchema in the import path; the
+catalog schema is authoritative, mirroring the reference's typed
+csvParseRecordWithHeader)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.core import KeyedTable, merge_tables
+from ..registry import FOLD_TO_LAST
+
+
+def import_csv(spark: SparkSession, path: str, target: KeyedTable) -> KeyedTable:
+    """F1: read CSV with header, remap columns to the target schema
+    order (the header-remap of ``Row.hs:117-124``), cast to the target
+    types, fold-merge into the existing table (upsert, last file wins —
+    ``Csv.hs:41``)."""
+    schema = target.df.schema
+    raw = spark.read.option("header", True).csv(path)
+    missing = [f.name for f in schema.fields if f.name not in raw.columns]
+    if missing:
+        raise ValueError(f"CSV lacks required columns: {missing}")
+    typed = raw.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
+                         for f in schema.fields])
+    incoming = KeyedTable(typed, target.key_cols)
+    return merge_tables([target, incoming], FOLD_TO_LAST)
+
+
+def export_csv(table: KeyedTable, path: str) -> None:
+    """F2: key-ordered CSV export, key columns first (``Csv.hs:82-85``:
+    header = key names ++ value names). Range-partitioned sort keeps
+    files globally ordered; binary columns hex-encode (CSV has no
+    binary)."""
+    df = table.sorted_df()
+    cols = list(table.key_cols) + [c for c in df.columns if c not in table.key_cols]
+    out = df.select(*[
+        F.hex(F.col(c)).alias(c) if isinstance(df.schema[c].dataType, T.BinaryType)
+        else F.col(c)
+        for c in cols])
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def export_json(table: KeyedTable, path: str) -> None:
+    """F3: JSON-lines export, one object per row, key+value fields
+    merged (``Json.hs:16-32``), key-ordered."""
+    table.sorted_df().write.mode("overwrite").json(path)
+
+
+def import_parquet(spark: SparkSession, path: str, key_cols: tuple[str, ...]) -> KeyedTable:
+    """Native columnar source (capability superset; the driver testdata
+    path). Pushdown + pruning free via Catalyst."""
+    return KeyedTable(spark.read.parquet(path), key_cols)
+
+
+def export_parquet(table: KeyedTable, path: str, partition_by: list[str] | None = None) -> None:
+    """Native columnar sink; optional hive partitioning for
+    partition-pruned reads at scale."""
+    w = table.df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

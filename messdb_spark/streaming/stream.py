@@ -1,0 +1,103 @@
+"""Structured Streaming surface (SURVEY.md §2.8 — absent in the
+reference, provided as Spark capability per the north star).
+
+Three pieces:
+
+- ``read_event_stream``: file-source stream over the events schema
+  (nanos ts arrives as long with ``nanosAsLong`` and converts to a
+  µs timestamp — same convention as the batch reader).
+- ``windowed_counts`` / ``session_counts``: watermarked tumbling and
+  session windows — the streaming forms of the batch
+  ``events_hourly_stats`` / ``events_sessionization`` queries.
+- ``stream_upsert_into``: foreachBatch sink that fold-merges each
+  micro-batch into an Engine catalog table (last-wins upsert) — the
+  reference's O1/O5 write path driven by a stream; every batch commit
+  produces a new content-addressed table state, so the catalog history
+  stays consistent with the batch engine's semantics.
+
+Scale: watermarks bound state; the windowed aggs shuffle on
+(window, key) with partial aggregation; the upsert sink rewrites only
+on real changes (content-hash write-once store)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_LONG_TS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),            # nanos-as-long
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over events parquet (driver testdata layout)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw = (spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(path))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event type (streaming
+    form of events_hourly_stats). Late rows beyond the watermark are
+    dropped; state is bounded by watermark horizon × window count."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                  .alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n", "total_value"))
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (streaming form of
+    events_sessionization): built-in session_window with gap timeout."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events"))
+
+
+def stream_upsert_into(engine, table_name: str, events: DataFrame,
+                       key_cols: tuple[str, ...] = ("event_id",),
+                       checkpoint_dir: str | None = None):
+    """foreachBatch sink: fold-merge every micro-batch into the catalog
+    table (O1 merge with fold_to_last — the reference's upsert write
+    path, ``Table.hs:142-143``, driven by a stream).
+
+    Returns the StreamingQuery; caller manages lifecycle
+    (processAllAvailable/stop in tests)."""
+    from ..operators.core import KeyedTable, merge_tables
+    from ..registry import FOLD_TO_LAST
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        incoming = KeyedTable(batch_df, key_cols)
+        try:
+            current = engine.load_table(table_name)
+            merged = merge_tables([current, incoming], FOLD_TO_LAST)
+        except KeyError:
+            merged = merge_tables([incoming], FOLD_TO_LAST)
+        engine.save_table(table_name, merged)
+
+    w = events.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

@@ -1,0 +1,80 @@
+"""IO (F1-F3) + CLI tests mirroring the reference's CSV/JSON tool
+behavior (``messdb-tool/src/MessDB/Tool/Csv.hs``, ``Json.hs``) and the
+header-remap property (``StandardSchemaSpec.hs:29``)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from messdb_spark.engine import Engine
+from messdb_spark.operators.core import KeyedTable, table_to_rows
+from messdb_spark.sources.io import export_csv, export_json, import_csv
+
+
+def _write(path: str, text: str) -> str:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(text)
+    return path
+
+
+def test_import_csv_header_remap_and_upsert(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.ddl("CREATE TABLE t (a bigint PRIMARY KEY, b text, c real)")
+    # shuffled header order + extra column (ignored), mirroring the
+    # reference's header-remapped parse
+    csv1 = _write(str(tmp_path / "in1.csv"), "b,junk,a,c\nx,zz,1,1.5\ny,zz,2,2.5\n")
+    t = import_csv(spark, csv1, eng.load_table("t"))
+    eng.save_table("t", t)
+    assert table_to_rows(t) == [(1, "x", 1.5), (2, "y", 2.5)]
+    # re-import with overlapping key → upsert last-wins
+    csv2 = _write(str(tmp_path / "in2.csv"), "a,b,c\n2,Y2,20.0\n3,z,3.5\n")
+    t2 = import_csv(spark, csv2, eng.load_table("t"))
+    assert table_to_rows(t2) == [(1, "x", 1.5), (2, "Y2", 20.0), (3, "z", 3.5)]
+
+
+def test_export_csv_key_ordered(spark, tmp_path):
+    df = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "k long, v string")
+    out = str(tmp_path / "out_csv")
+    export_csv(KeyedTable(df, ("k",)), out)
+    parts = sorted(glob.glob(out + "/part-*.csv"))
+    lines = []
+    for p in parts:
+        with open(p) as f:
+            body = f.read().strip().splitlines()
+            assert body[0] == "k,v"   # key cols first
+            lines += body[1:]
+    assert lines == ["1,a", "2,b", "3,c"]
+
+
+def test_export_json_lines(spark, tmp_path):
+    df = spark.createDataFrame([(2, "b"), (1, "a")], "k long, v string")
+    out = str(tmp_path / "out_json")
+    export_json(KeyedTable(df, ("k",)), out)
+    rows = []
+    for p in sorted(glob.glob(out + "/part-*")):
+        if p.endswith(".crc"):
+            continue
+        with open(p) as f:
+            rows += [json.loads(line) for line in f if line.strip()]
+    assert sorted(rows, key=lambda r: r["k"]) == [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    from messdb_spark.cli import main
+    wh = str(tmp_path / "wh")
+    csv = _write(str(tmp_path / "pts.csv"), "id,name,score\n1,a,2.5\n2,b,7.5\n")
+    assert main(["-w", wh, "sql", "-c",
+                 "CREATE TABLE pts (id bigint PRIMARY KEY, name text, score double)"]) == 0
+    assert main(["-w", wh, "import-csv", "-t", "pts", csv]) == 0
+    assert main(["-w", wh, "sql", "-c",
+                 "SELECT id, score FROM pts WHERE score > 5"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    last = json.loads(out[-1])
+    assert last == {"id": 2, "score": 7.5}
+    assert main(["-w", wh, "print-schema", "-t", "pts"]) == 0
+    schema_out = json.loads(capsys.readouterr().out)
+    assert schema_out["key_cols"] == ["id"]
+    assert main(["-w", wh, "print-schema", "-t", "nope"]) == 1
