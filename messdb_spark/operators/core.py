@@ -67,9 +67,19 @@ def merge_tables(tables: Sequence[KeyedTable], fold: FoldFunc = FOLD_TO_LAST) ->
     folded left-to-right in input order. UNION ALL + upsert + reduce in
     one operator.
 
-    Plan shape: unionByName (narrow) → single hash-agg shuffle on the
-    key. Later inputs win for ``fold_to_last`` via the per-input
-    constant ordinal.
+    Physical strategy (chosen for 100 TB):
+
+    - ``fold_to_last`` / ``fold_to_first`` (whole-row winner): pairwise
+      **anti-join + union** — the loser side drops colliding keys via
+      LEFT ANTI, then plain union. All-hash pipeline (no SortAggregate,
+      which is what a ``max_by(struct)`` aggregation degrades to), and
+      when the delta side is small Catalyst broadcasts it, so the big
+      base table is *never shuffled* — the Delta-Lake-MERGE shape.
+      (Key columns are non-null by table contract — the PRIMARY KEY
+      rule in DDL — which anti-join equality requires.)
+    - any other fold: unionByName (narrow) → one hash-agg shuffle on
+      the key with map-side partial aggregation; later inputs win order
+      via the per-input constant ordinal.
     """
     if not tables:
         raise ValueError("merge_tables needs >= 1 input")
@@ -78,14 +88,28 @@ def merge_tables(tables: Sequence[KeyedTable], fold: FoldFunc = FOLD_TO_LAST) ->
         if t.key_cols != keys:
             raise ValueError(f"key mismatch: {t.key_cols} != {keys}")
     value_cols = list(tables[0].value_cols)
-    dfs = [_with_ord(t.df.select(*keys, *value_cols), F.lit(i).cast("long"))
+    cols = list(keys) + value_cols
+
+    if fold.key in ("fold_to_last", "fold_to_first"):
+        seq = [t.df.select(*cols) for t in tables]
+        if fold.key == "fold_to_first":
+            seq = list(reversed(seq))
+        acc = seq[0]
+        for nxt in seq[1:]:
+            # rows of acc whose key collides with nxt lose (nxt is the
+            # later input); anti join keeps only non-colliding acc rows
+            keep = acc.join(nxt.select(*keys), on=list(keys), how="left_anti")
+            acc = keep.unionByName(nxt)
+        return KeyedTable(acc, keys)
+
+    dfs = [_with_ord(t.df.select(*cols), F.lit(i).cast("long"))
            for i, t in enumerate(tables)]
     u = dfs[0]
     for d in dfs[1:]:
         u = u.unionByName(d)
     agg_cols = fold.agg(value_cols, F.col(_ORD))
     out = u.groupBy(*[F.col(k) for k in keys]).agg(*agg_cols)
-    return KeyedTable(out.select(*keys, *value_cols), keys)
+    return KeyedTable(out.select(*cols), keys)
 
 
 def sort_table(table: KeyedTable, transform: TransformFunc | str,

@@ -46,12 +46,18 @@ def _read_json(path: str, default):
 
 
 class ObjectStore:
-    """Write-once CAS of parquet tables keyed by content hash."""
+    """Write-once CAS of parquet tables keyed by content hash.
 
-    def __init__(self, warehouse: str) -> None:
+    ``compression`` is the S5 ZlibStore analog
+    (``messdb-store-zlib/src/MessDB/Store/Zlib.hs:11-13``): a codec
+    wrapped around the same store contract — here parquet's native
+    snappy/zstd/gzip instead of a zlib byte-wrapper."""
+
+    def __init__(self, warehouse: str, compression: str = "snappy") -> None:
         self.warehouse = warehouse
         self.objects_dir = os.path.join(warehouse, "objects")
         os.makedirs(self.objects_dir, exist_ok=True)
+        self.compression = compression
         self.saves = 0          # StatStore-style counters (Store/Stat.hs)
         self.save_skips = 0
         self.loads = 0
@@ -70,12 +76,65 @@ class ObjectStore:
             self.save_skips += 1
             return self.path(table_hash)
         self.saves += 1
-        df.write.mode("overwrite").parquet(self.path(table_hash))
+        (df.write.mode("overwrite").option("compression", self.compression)
+           .parquet(self.path(table_hash)))
         return self.path(table_hash)
 
     def load(self, spark: SparkSession, table_hash: str) -> DataFrame:
         self.loads += 1
         return spark.read.parquet(self.path(table_hash))
+
+
+class MemoryObjectStore(ObjectStore):
+    """S1 MemoryStore analog (``Store/Memory.hs:14-38``): rows held in
+    a dict, write-once. Test/tooling backend only — collects to the
+    driver, so never for production data paths."""
+
+    def __init__(self) -> None:
+        self._tables: dict[str, tuple] = {}   # hash → (schema, rows)
+        self.compression = "none"
+        self.saves = 0
+        self.save_skips = 0
+        self.loads = 0
+
+    def path(self, table_hash: str) -> str:
+        return f"memory://{table_hash}"
+
+    def exists(self, table_hash: str) -> bool:
+        return table_hash in self._tables
+
+    def save(self, table_hash: str, df: DataFrame) -> str:
+        if self.exists(table_hash):
+            self.save_skips += 1
+            return self.path(table_hash)
+        self.saves += 1
+        self._tables[table_hash] = (df.schema, df.collect())
+        return self.path(table_hash)
+
+    def load(self, spark: SparkSession, table_hash: str) -> DataFrame:
+        self.loads += 1
+        schema, rows = self._tables[table_hash]
+        return spark.createDataFrame(rows, schema=schema)
+
+
+class DebugStore:
+    """S7 DebugStore analog (``Store/Debug.hs:9-38``): logging proxy
+    around any object store."""
+
+    def __init__(self, inner: ObjectStore, log=print) -> None:
+        self._inner = inner
+        self._log = log
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def save(self, table_hash: str, df: DataFrame) -> str:
+        self._log(f"[store] save {table_hash[:12]}…")
+        return self._inner.save(table_hash, df)
+
+    def load(self, spark: SparkSession, table_hash: str) -> DataFrame:
+        self._log(f"[store] load {table_hash[:12]}…")
+        return self._inner.load(spark, table_hash)
 
 
 class MemoStore:

@@ -99,3 +99,42 @@ def test_engine_sql_and_ddl(spark, warehouse):
     eng.save_table("pts", t2)
     got = eng.sql("SELECT id, score FROM pts WHERE score > 1").collect()
     assert [tuple(r) for r in got] == [(1, 2.5)]
+
+
+def test_memory_store_contract(spark):
+    from messdb_spark.store import MemoryObjectStore
+    st = MemoryObjectStore()
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    h = table_content_hash(df)
+    st.save(h, df)
+    st.save(h, df)
+    assert st.saves == 1 and st.save_skips == 1    # write-once (Store.hs:28-35)
+    assert [tuple(r) for r in st.load(spark, h).collect()] == [(1, "a")]
+
+
+def test_debug_store_logs(spark, warehouse):
+    from messdb_spark.store import DebugStore, ObjectStore
+    lines = []
+    st = DebugStore(ObjectStore(warehouse), log=lines.append)
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    h = table_content_hash(df)
+    st.save(h, df)
+    st.load(spark, h)
+    assert len(lines) == 2 and "save" in lines[0] and "load" in lines[1]
+
+
+def test_sql_view_materialization_memoizes(spark, warehouse):
+    eng = Engine(spark, warehouse)
+    df = spark.createDataFrame([(i, i % 5, float(i)) for i in range(100)],
+                               "k long, g long, x double")
+    eng.save_table("base_sql", KeyedTable(df, ("k",)))
+    ir = V.sql_view(
+        "SELECT g, count(*) AS n, round(sum(x), 2) AS total FROM base_sql GROUP BY g",
+        {"base_sql": eng.scan_ir("base_sql")})
+    h1 = eng.materializer.materialize(ir)
+    computed = eng.materializer.computed_ops
+    h2 = eng.materializer.materialize(ir)      # memo hit, no recompute
+    assert h1 == h2 and eng.materializer.computed_ops == computed
+    out = {r["g"]: (r["n"], r["total"])
+           for r in eng.materializer.dataframe(ir).collect()}
+    assert out[0] == (20, 950.0)
