@@ -56,6 +56,13 @@ def main(argv: list[str] | None = None) -> int:
         e.add_argument("-t", "--table", required=True)
         e.add_argument("path")
 
+    mat = sub.add_parser(
+        "materialize",
+        help="memoized materialized view: SQL over catalog tables → "
+             "content-addressed result + catalog entry (plan-digest cache)")
+    mat.add_argument("-t", "--table", required=True, help="result table name")
+    mat.add_argument("-c", "--command", required=True, help="SELECT text")
+
     a = p.parse_args(argv)
     spark = get_spark("messdb_spark_cli")
     eng = Engine(spark, a.warehouse)
@@ -78,6 +85,20 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"table": a.table, "key_cols": e.key_cols,
                           "table_hash": e.table_hash,
                           "schema": json.loads(e.schema_json)}, indent=1))
+    elif a.cmd == "materialize":
+        from .plans.views import sql_view
+        import re as _re
+        names = [n for n in eng.catalog.names()
+                 if _re.search(rf"\b{n}\b", a.command)]
+        ir = sql_view(a.command, {n: eng.scan_ir(n) for n in names})
+        hits_before = eng.memo.hits
+        h = eng.materializer.materialize(ir)
+        from .store import CatalogEntry
+        df = eng.objects.load(spark, h)
+        eng.catalog.put(a.table, CatalogEntry(
+            table_hash=h, schema_json=df.schema.json(), key_cols=[]))
+        print(json.dumps({"ok": True, "table": a.table, "table_hash": h,
+                          "memo_hit": eng.memo.hits > hits_before}))
     elif a.cmd == "import-csv":
         t = eng.load_table(a.table)
         merged = import_csv(spark, a.path, t)
