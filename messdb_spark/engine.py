@@ -44,10 +44,13 @@ class Engine:
         return h
 
     # -- catalog read path (R1 getRepoTable, Repo.hs:100-111) ----------
-    def load_table(self, name: str) -> KeyedTable:
-        e = self.catalog.get(name)
+    def load_table(self, name: str, version: int | None = None) -> KeyedTable:
+        """Load a table; ``version`` reads from an archived catalog
+        root (time travel — immutable objects make old snapshots free)."""
+        e = self.catalog.get(name, version=version)
         if e is None:
-            raise KeyError(f"no such table: {name}")
+            raise KeyError(f"no such table: {name}"
+                           + (f" at version {version}" if version is not None else ""))
         df = self.objects.load(self.spark, e.table_hash)
         return KeyedTable(df, tuple(e.key_cols))
 

@@ -18,6 +18,31 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+from pyspark.sql import Column, functions as _F
+
+
+def quantize(col: Column, n: int) -> Column:
+    """Engine-portable rounding of a DOUBLE: floor(x·10ⁿ + 0.5)/10ⁿ in
+    pure double arithmetic. Spark's round() rounds the double's decimal
+    *representation* (BigDecimal HALF_UP) while DuckDB rounds the
+    binary value — they disagree whenever the true value sits exactly
+    on a half boundary (common for money/ratio data). This quantizer
+    is bit-identical on both engines because every step is IEEE double
+    math. Use for ratios/divisions; for exact DECIMAL aggregates round
+    in decimal first and cast (round(dec, n) is exact HALF_UP on both
+    engines)."""
+    if isinstance(col, str):
+        col = _F.col(col)
+    m = _F.lit(float(10 ** n))
+    return _F.floor(col * m + _F.lit(0.5)) / m
+
+
+def quantize_sql(expr: str, n: int) -> str:
+    """DuckDB-side mirror of quantize()."""
+    m = float(10 ** n)
+    return f"floor(({expr}) * {m} + 0.5) / {m}"
+
+
 @dataclass
 class Query:
     name: str
@@ -46,7 +71,7 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 
 # importing modules populates QUERIES
-from . import core_ops, analytics, events, text, similarity, advanced, multimodal, extra  # noqa: E402,F401
+from . import core_ops, analytics, events, text, similarity, advanced, multimodal, extra, tpch_more  # noqa: E402,F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

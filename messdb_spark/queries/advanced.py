@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from . import query, load
+from . import query, load, quantize
 
 D = "DECIMAL(18,2)"
 
@@ -87,7 +87,7 @@ def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scalar_subquery_above_avg",
     oracle=f"""
-    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    SELECT o_orderkey, floor((o_totalprice) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS o_totalprice
     FROM orders
     WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS {D})) AS DOUBLE)
                                  / count(*) FROM orders)
@@ -98,7 +98,7 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (o,) = load(spark, sf_dir, "orders")
     o.createOrReplaceTempView("orders")
     return spark.sql(f"""
-        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        SELECT o_orderkey, floor((o_totalprice) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS o_totalprice
         FROM orders
         WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS {D})) AS DOUBLE)
                                      / count(*) FROM orders)""")
@@ -133,7 +133,7 @@ def correlated_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_revenue",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_extendedprice AS {D})) AS DOUBLE), 2) AS revenue
+           floor((CAST(sum(CAST(l_extendedprice AS {D})) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
@@ -143,7 +143,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li.createOrReplaceTempView("lineitem")
     return spark.sql(f"""
         SELECT l_returnflag, l_linestatus,
-               round(CAST(sum(CAST(l_extendedprice AS {D})) AS DOUBLE), 2) AS revenue
+               floor((CAST(sum(CAST(l_extendedprice AS {D})) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS revenue
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
 
@@ -152,9 +152,9 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentiles_by_segment",
     oracle="""
     SELECT c_mktsegment,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-           round(max(o_totalprice), 2) AS max_price
+           floor((quantile_cont(o_totalprice, 0.5)) * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS p50,
+           floor((quantile_cont(o_totalprice, 0.9)) * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS p90,
+           floor((max(o_totalprice)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS max_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """)
@@ -166,9 +166,9 @@ def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c, o = load(spark, sf_dir, "customer", "orders")
     j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
     return (j.groupBy("c_mktsegment")
-             .agg(F.round(F.expr("percentile(o_totalprice, 0.5D)"), 4).alias("p50"),
-                  F.round(F.expr("percentile(o_totalprice, 0.9D)"), 4).alias("p90"),
-                  F.round(F.max("o_totalprice"), 2).alias("max_price")))
+             .agg(quantize(F.expr("percentile(o_totalprice, 0.5D)"), 4).alias("p50"),
+                  quantize(F.expr("percentile(o_totalprice, 0.9D)"), 4).alias("p90"),
+                  quantize(F.max("o_totalprice"), 2).alias("max_price")))
 
 
 @query(
@@ -177,7 +177,7 @@ def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num,
            count(*) AS n_parts,
            count(*) FILTER (WHERE contains(p_name, 'green')) AS n_green,
-           round(CAST(sum(CAST(p_retailprice AS {D})) AS DOUBLE) / count(*), 6) AS avg_price,
+           floor((CAST(sum(CAST(p_retailprice AS {D})) AS DOUBLE) / count(*)) * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE) AS avg_price,
            min(upper(substring(p_type, 1, 5))) AS min_type_prefix
     FROM part GROUP BY 1
     """)
@@ -189,7 +189,7 @@ def string_funcs_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (p.groupBy(brand_num.alias("brand_num"))
              .agg(F.count(F.lit(1)).alias("n_parts"),
                   F.count(F.when(F.col("p_name").contains("green"), 1)).alias("n_green"),
-                  F.round(F.sum(F.col("p_retailprice").cast(D)).cast("double")
+                  quantize(F.sum(F.col("p_retailprice").cast(D)).cast("double")
                           / F.count(F.lit(1)), 6).alias("avg_price"),
                   F.min(F.upper(F.substring("p_type", 1, 5))).alias("min_type_prefix")))
 
@@ -199,7 +199,7 @@ def string_funcs_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
            count(*) AS n_orders,
-           round(CAST(sum(CAST(o_totalprice AS {D})) AS DOUBLE), 2) AS revenue
+           floor((CAST(sum(CAST(o_totalprice AS {D})) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS revenue
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
       AND o_orderdate < TIMESTAMP '1999-01-01'
@@ -214,7 +214,7 @@ def date_funcs_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.year("o_orderdate").alias("y"),
                       F.month("o_orderdate").alias("m"))
              .agg(F.count(F.lit(1)).alias("n_orders"),
-                  F.round(F.sum(F.col("o_totalprice").cast(D)).cast("double"), 2)
+                  quantize(F.sum(F.col("o_totalprice").cast(D)).cast("double"), 2)
                    .alias("revenue")))
 
 

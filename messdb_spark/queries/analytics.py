@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from . import query, load
+from . import query, load, quantize
 
 D = "DECIMAL(18,2)"
 
@@ -26,21 +26,21 @@ def _dec(col: str) -> F.Column:
 
 
 def _dsum(expr: F.Column, alias: str, nd: int = 2) -> F.Column:
-    """Exact decimal sum → double → round: identical in Spark/DuckDB."""
-    return F.round(F.sum(expr).cast("double"), nd).alias(alias)
+    """Exact decimal sum → double → quantize: identical in Spark/DuckDB."""
+    return quantize(F.sum(expr).cast("double"), nd).alias(alias)
 
 
 @query(
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_quantity AS {D})) AS DOUBLE), 2) AS sum_qty,
-           round(CAST(sum(CAST(l_extendedprice AS {D})) AS DOUBLE), 2) AS sum_base_price,
-           round(CAST(sum(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))) AS DOUBLE), 2) AS sum_disc_price,
-           round(CAST(sum(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D})) * (1 + CAST(l_tax AS {D}))) AS DOUBLE), 2) AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS {D})) AS DOUBLE) / count(*), 6) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS {D})) AS DOUBLE) / count(*), 6) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS {D})) AS DOUBLE) / count(*), 6) AS avg_disc,
+           floor((CAST(sum(CAST(l_quantity AS {D})) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS sum_qty,
+           floor((CAST(sum(CAST(l_extendedprice AS {D})) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS sum_base_price,
+           floor((CAST(sum(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS sum_disc_price,
+           floor((CAST(sum(CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D})) * (1 + CAST(l_tax AS {D}))) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS sum_charge,
+           floor((CAST(sum(CAST(l_quantity AS {D})) AS DOUBLE) / count(*)) * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE) AS avg_qty,
+           floor((CAST(sum(CAST(l_extendedprice AS {D})) AS DOUBLE) / count(*)) * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE) AS avg_price,
+           floor((CAST(sum(CAST(l_discount AS {D})) AS DOUBLE) / count(*)) * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -59,9 +59,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                    _dsum(_dec("l_extendedprice"), "sum_base_price"),
                    _dsum(disc_price, "sum_disc_price"),
                    _dsum(disc_price * (1 + _dec("l_tax")), "sum_charge"),
-                   F.round(F.sum(_dec("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
-                   F.round(F.sum(_dec("l_extendedprice")).cast("double") / n, 6).alias("avg_price"),
-                   F.round(F.sum(_dec("l_discount")).cast("double") / n, 6).alias("avg_disc"),
+                   quantize(F.sum(_dec("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
+                   quantize(F.sum(_dec("l_extendedprice")).cast("double") / n, 6).alias("avg_price"),
+                   quantize(F.sum(_dec("l_discount")).cast("double") / n, 6).alias("avg_disc"),
                    n.alias("count_order")))
 
 
@@ -71,7 +71,7 @@ _REV = f"CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))"
 @query(
     "q3_shipping_priority",
     oracle=f"""
-    SELECT l_orderkey, round(CAST(sum({_REV}) AS DOUBLE), 2) AS revenue, o_orderdate
+    SELECT l_orderkey, floor((CAST(sum({_REV}) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS revenue, o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
@@ -98,14 +98,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(rev.alias("_rev"))
              .orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
              .limit(10)
-             .select("l_orderkey", F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+             .select("l_orderkey", quantize(F.col("_rev").cast("double"), 2).alias("revenue"),
                      "o_orderdate"))
 
 
 @query(
     "q5_local_supplier_volume",
     oracle=f"""
-    SELECT n_name, round(CAST(sum({_REV}) AS DOUBLE), 2) AS revenue
+    SELECT n_name, floor((CAST(sum({_REV}) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
                   JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -136,7 +136,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle=f"""
-    SELECT round(CAST(sum(CAST(l_extendedprice AS {D}) * CAST(l_discount AS {D})) AS DOUBLE), 2)
+    SELECT floor((CAST(sum(CAST(l_extendedprice AS {D}) * CAST(l_discount AS {D})) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE)
              AS revenue,
            count(*) AS n_items
     FROM lineitem
@@ -160,7 +160,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q10_returned_items",
     oracle=f"""
-    SELECT c_custkey, c_name, round(CAST(sum({_REV}) AS DOUBLE), 2) AS revenue, n_name
+    SELECT c_custkey, c_name, floor((CAST(sum({_REV}) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS revenue, n_name
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
                   JOIN nation ON c_nationkey = n_nationkey
@@ -182,13 +182,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy(F.col("_rev").desc(), F.col("c_custkey"))
              .limit(20)
              .select("c_custkey", "c_name",
-                     F.round(F.col("_rev").cast("double"), 2).alias("revenue"), "n_name"))
+                     quantize(F.col("_rev").cast("double"), 2).alias("revenue"), "n_name"))
 
 
 @query(
     "topk_orders_per_segment",
     oracle="""
-    SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rk
+    SELECT c_mktsegment, o_orderkey, floor((o_totalprice) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS o_totalprice, rk
     FROM (
       SELECT c_mktsegment, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY c_mktsegment
@@ -205,16 +205,16 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.withColumn("rk", F.row_number().over(w))
              .filter(F.col("rk") <= 3)
              .select("c_mktsegment", "o_orderkey",
-                     F.round("o_totalprice", 2).alias("o_totalprice"), "rk"))
+                     quantize("o_totalprice", 2).alias("o_totalprice"), "rk"))
 
 
 @query(
     "window_running_spend",
     oracle=f"""
     SELECT o_custkey, o_orderkey,
-           round(CAST(sum(CAST(o_totalprice AS {D}))
+           floor((CAST(sum(CAST(o_totalprice AS {D}))
                         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE)
              AS running_spend,
            lag(o_orderkey) OVER (PARTITION BY o_custkey
                                  ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
@@ -227,7 +227,7 @@ def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
         "o_custkey", "o_orderkey",
-        F.round(F.sum(_dec("o_totalprice")).over(w.rowsBetween(W.unboundedPreceding, 0))
+        quantize(F.sum(_dec("o_totalprice")).over(w.rowsBetween(W.unboundedPreceding, 0))
                  .cast("double"), 2).alias("running_spend"),
         F.lag("o_orderkey").over(w).alias("prev_orderkey"))
 
@@ -236,7 +236,7 @@ def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_lineitem_status",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_quantity AS {D})) AS DOUBLE), 2) AS sum_qty,
+           floor((CAST(sum(CAST(l_quantity AS {D})) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS sum_qty,
            count(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """)
@@ -252,7 +252,7 @@ def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_orders_priority",
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(CAST(sum(CAST(o_totalprice AS {D})) AS DOUBLE), 2) AS total
+           floor((CAST(sum(CAST(o_totalprice AS {D})) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS total
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """)
 def cube_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,7 +267,7 @@ def cube_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
            count(*) AS n_customers,
-           round(CAST(sum(CAST(c_acctbal AS {D})) AS DOUBLE) / count(*), 6) AS avg_bal
+           floor((CAST(sum(CAST(c_acctbal AS {D})) AS DOUBLE) / count(*)) * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE) AS avg_bal
     FROM customer GROUP BY c_mktsegment
     """)
 def distinct_stats_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,7 +275,7 @@ def distinct_stats_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.groupBy("c_mktsegment")
              .agg(F.countDistinct("c_nationkey").alias("n_nations"),
                   F.count(F.lit(1)).alias("n_customers"),
-                  F.round(F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)), 6)
+                  quantize(F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)), 6)
                    .alias("avg_bal")))
 
 

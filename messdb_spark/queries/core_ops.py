@@ -13,15 +13,15 @@ from pyspark.sql import functions as F
 from ..operators.core import (KeyBound, KeyedTable, merge_tables, range_filter,
                               sort_table, table_insert)
 from ..registry import FOLD_SUM, FOLD_TO_LAST, REGISTRY
-from . import query, load
+from . import query, load, quantize
 
 
 @query(
     "core_merge_upsert",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           round(CASE WHEN o_orderkey % 100 < 10 THEN o_totalprice * 2
-                      ELSE o_totalprice END, 2) AS o_totalprice
+           floor((CASE WHEN o_orderkey % 100 < 10 THEN o_totalprice * 2
+                      ELSE o_totalprice END) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS o_totalprice
     FROM orders
     """)
 def core_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,15 +39,15 @@ def core_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("o_orderkey",))
     merged = merge_tables([base, delta], FOLD_TO_LAST)
     return merged.df.select("o_orderkey", "o_custkey",
-                            F.round("o_totalprice", 2).alias("o_totalprice"))
+                            quantize("o_totalprice", 2).alias("o_totalprice"))
 
 
 @query(
     "core_merge_fold_sum",
     oracle="""
     SELECT l_partkey,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+           floor((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS qty,
+           floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS revenue
     FROM lineitem GROUP BY l_partkey
     """)
 def core_merge_fold_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,8 +68,8 @@ def core_merge_fold_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = partial(lineitem.filter(F.col("l_shipdate") >= F.lit(cut)))
     merged = merge_tables([early, late], FOLD_SUM)
     return merged.df.select("l_partkey",
-                            F.round(F.col("qty").cast("double"), 2).alias("qty"),
-                            F.round(F.col("revenue").cast("double"), 2).alias("revenue"))
+                            quantize(F.col("qty").cast("double"), 2).alias("qty"),
+                            quantize(F.col("revenue").cast("double"), 2).alias("revenue"))
 
 
 REGISTRY.transforms.pop("orders_by_customer", None)
@@ -86,7 +86,7 @@ def _orders_by_customer(df: DataFrame) -> DataFrame:
     "core_sort_rekey",
     oracle="""
     SELECT o_custkey, count(*) AS n_orders,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS spend
+           floor((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS spend
     FROM orders GROUP BY o_custkey
     """)
 def core_sort_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,13 +97,13 @@ def core_sort_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = KeyedTable(orders, ("o_orderkey",))
     out = sort_table(t, "orders_by_customer", "fold_sum")
     return out.df.select("o_custkey", "n_orders",
-                         F.round(F.col("spend").cast("double"), 2).alias("spend"))
+                         quantize(F.col("spend").cast("double"), 2).alias("spend"))
 
 
 @query(
     "core_range_filter",
     oracle="""
-    SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS o_totalprice
+    SELECT o_orderkey, o_orderdate, floor((o_totalprice) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS o_totalprice
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
       AND o_orderdate < TIMESTAMP '1997-01-01'
@@ -120,7 +120,7 @@ def core_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         KeyBound((datetime.datetime(1996, 1, 1),), inclusive=True),
         KeyBound((datetime.datetime(1997, 1, 1),), inclusive=False))
     return out.df.select("o_orderkey", "o_orderdate",
-                         F.round("o_totalprice", 2).alias("o_totalprice"))
+                         quantize("o_totalprice", 2).alias("o_totalprice"))
 
 
 @query(

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from . import query, load
+from . import query, load, quantize
 
 
 @query(
@@ -17,7 +17,7 @@ from . import query, load
     oracle="""
     SELECT date_trunc('hour', ts) AS hour, event_type,
            count(*) AS n,
-           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+           floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS total_value,
            count(DISTINCT user_id) AS n_users
     FROM events GROUP BY date_trunc('hour', ts), event_type
     """)
@@ -27,7 +27,7 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e,) = load(spark, sf_dir, "events")
     return (e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
              .agg(F.count(F.lit(1)).alias("n"),
-                  F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
+                  quantize(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
                    .alias("total_value"),
                   F.countDistinct("user_id").alias("n_users")))
 
@@ -66,7 +66,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_top_event_per_user",
     oracle="""
-    SELECT user_id, event_id AS top_event_id, round(value, 2) AS top_value
+    SELECT user_id, event_id AS top_event_id, floor((value) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS top_value
     FROM (
       SELECT user_id, event_id, value,
              row_number() OVER (PARTITION BY user_id
@@ -81,15 +81,15 @@ def events_top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.withColumn("rk", F.row_number().over(w))
              .filter(F.col("rk") == 1)
              .select("user_id", F.col("event_id").alias("top_event_id"),
-                     F.round("value", 2).alias("top_value")))
+                     quantize("value", 2).alias("top_value")))
 
 
 @query(
     "events_json_props",
     oracle="""
     SELECT event_type,
-           round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
-                 / count(json_extract_string(props, '$.k')), 6) AS avg_k,
+           floor((CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                 / count(json_extract_string(props, '$.k'))) * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE) AS avg_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
     """)
@@ -99,5 +99,5 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e,) = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return (e.groupBy("event_type")
-             .agg(F.round(F.sum(k).cast("double") / F.count(k), 6).alias("avg_k"),
+             .agg(quantize(F.sum(k).cast("double") / F.count(k), 6).alias("avg_k"),
                   F.max(k).alias("max_k")))

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from . import query, load
+from . import query, load, quantize
 
 
 @query(
@@ -20,8 +20,8 @@ from . import query, load
     SELECT o_orderkey, o_orderstatus,
            dense_rank() OVER w AS drk,
            ntile(4) OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS prk,
-           round(cume_dist() OVER w, 6) AS cd
+           floor((percent_rank() OVER w) * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE) AS prk,
+           floor((cume_dist() OVER w) * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE) AS cd
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
     """)
@@ -37,8 +37,8 @@ def rank_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus",
         F.dense_rank().over(w).alias("drk"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("prk"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"))
+        quantize(F.percent_rank().over(w), 6).alias("prk"),
+        quantize(F.cume_dist().over(w), 6).alias("cd"))
 
 
 _BPE_RE = r"\w+|[^\w\s]"
@@ -134,9 +134,9 @@ def _duck_bucket_expr() -> str:
       FROM embeddings
     )
     SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-           round(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+           floor((list_aggregate(list_transform(range(1, len(a.embedding) + 1),
                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)),
-                   'sum') / (a.nrm * b2.nrm), 4) AS sim
+                   'sum') / (a.nrm * b2.nrm)) * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS sim
     FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
     WHERE list_aggregate(list_transform(range(1, len(a.embedding) + 1),
             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)),
@@ -174,4 +174,4 @@ def embedding_bucket_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("sim_raw") >= _COS_MIN)
               .select(F.col("a.vec_id").alias("vec_a"),
                       F.col("b.vec_id").alias("vec_b"),
-                      F.round("sim_raw", 4).alias("sim")))
+                      quantize("sim_raw", 4).alias("sim")))

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from . import query, load
+from . import query, load, quantize
 
 _N_QUERIES = 10
 _TOP_K = 5
@@ -43,7 +43,7 @@ def _norm_col(arr: str) -> F.Column:
                     'sum') / (q.nrm * c.nrm) AS sim
       FROM n q JOIN n c ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
     )
-    SELECT query_id, cand_id, round(sim, 4) AS sim, rk
+    SELECT query_id, cand_id, floor((sim) * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS sim, rk
     FROM (SELECT query_id, cand_id, sim,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY sim DESC, cand_id) AS rk
@@ -72,15 +72,15 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
     return (pairs.withColumn("rk", F.row_number().over(w))
                  .filter(F.col("rk") <= _TOP_K)
-                 .select("query_id", "cand_id", F.round("sim", 4).alias("sim"), "rk"))
+                 .select("query_id", "cand_id", quantize("sim", 4).alias("sim"), "rk"))
 
 
 @query(
     "embedding_centroids",
     oracle="""
     SELECT label, dim,
-           round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE)
-                 / count(*), 6) AS centroid
+           floor((CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE)
+                 / count(*)) * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE) AS centroid
     FROM (SELECT label, unnest(range(1, len(embedding) + 1)) AS dim,
                  unnest(embedding) AS v
           FROM embeddings)
@@ -95,7 +95,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = F.col("val").cast("double").cast("decimal(25,12)")
     return (emb.select("label", F.posexplode("embedding").alias("pos", "val"))
                .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
-               .agg(F.round(F.sum(dv).cast("double") / F.count(F.lit(1)), 6)
+               .agg(quantize(F.sum(dv).cast("double") / F.count(F.lit(1)), 6)
                      .alias("centroid")))
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import query, load
+from . import query, load, quantize
 
 # tokenization shared by the text queries: whitespace split, drop empties
 _TOKENS = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -62,10 +62,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, length(text) AS n_chars,
            len({_TOKENS_DUCK}) AS n_tokens,
            len(list_distinct({_TOKENS_DUCK})) AS n_distinct_tokens,
-           round(list_aggregate(list_transform({_TOKENS_DUCK}, x -> CAST(length(x) AS DOUBLE)), 'sum')
-                 / len({_TOKENS_DUCK}), 4) AS avg_token_len,
-           round(CAST(len(list_distinct({_TOKENS_DUCK})) AS DOUBLE)
-                 / len({_TOKENS_DUCK}), 4) AS ttr
+           floor((list_aggregate(list_transform({_TOKENS_DUCK}, x -> CAST(length(x) AS DOUBLE)), 'sum')
+                 / len({_TOKENS_DUCK})) * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS avg_token_len,
+           floor((CAST(len(list_distinct({_TOKENS_DUCK})) AS DOUBLE)
+                 / len({_TOKENS_DUCK})) * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS ttr
     FROM documents WHERE length(text) > 0
     """)
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,9 +80,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.length("text").alias("n_chars"),
                  n_toks.cast("long").alias("n_tokens"),
                  F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
-                 F.round(F.expr(f"aggregate({_TOKENS}, CAST(0.0 AS DOUBLE), (a, x) -> a + length(x))")
+                 quantize(F.expr(f"aggregate({_TOKENS}, CAST(0.0 AS DOUBLE), (a, x) -> a + length(x))")
                          / n_toks, 4).alias("avg_token_len"),
-                 F.round(F.size(F.array_distinct(toks)).cast("double") / n_toks, 4)
+                 quantize(F.size(F.array_distinct(toks)).cast("double") / n_toks, 4)
                   .alias("ttr")))
 
 
@@ -91,7 +91,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang, count(*) AS n_docs,
            sum(len({_TOKENS_DUCK})) AS total_tokens,
-           round(avg(CAST(len({_TOKENS_DUCK}) AS DOUBLE)), 4) AS avg_tokens
+           floor((avg(CAST(len({_TOKENS_DUCK}) AS DOUBLE))) * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS avg_tokens
     FROM documents GROUP BY lang
     """)
 def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,7 +101,7 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.groupBy("lang")
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.sum(n_toks.cast("long")).alias("total_tokens"),
-                  F.round(F.avg(n_toks.cast("double")), 4).alias("avg_tokens")))
+                  quantize(F.avg(n_toks.cast("double")), 4).alias("avg_tokens")))
 
 
 _SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
@@ -112,8 +112,8 @@ _SW_SPARK = ", ".join(f"'{w}'" for w in _STOPWORDS)
     "lang_id_stopwords",
     oracle=f"""
     SELECT doc_id, lang,
-           round(CAST(len(list_intersect(list_distinct({_TOKENS_DUCK}), {_SW_SQL})) AS DOUBLE)
-                 / len(list_distinct({_TOKENS_DUCK})), 4) AS en_score,
+           floor((CAST(len(list_intersect(list_distinct({_TOKENS_DUCK}), {_SW_SQL})) AS DOUBLE)
+                 / len(list_distinct({_TOKENS_DUCK}))) * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS en_score,
            CASE WHEN len(list_intersect(list_distinct({_TOKENS_DUCK}), {_SW_SQL})) >= 3
                 THEN 'en_like' ELSE 'other' END AS pred
     FROM documents WHERE length(text) > 0
@@ -127,7 +127,7 @@ def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = F.size(F.array_intersect(distinct_toks, F.expr(f"array({_SW_SPARK})")))
     return (d.filter(F.length("text") > 0)
              .select("doc_id", "lang",
-                     F.round(hits.cast("double") / F.size(distinct_toks), 4)
+                     quantize(hits.cast("double") / F.size(distinct_toks), 4)
                       .alias("en_score"),
                      F.when(hits >= 3, "en_like").otherwise("other").alias("pred")))
 
@@ -159,7 +159,7 @@ _SHINGLES = (f"array_distinct(transform(sequence(1, length(text) - {_SHINGLE_K -
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+           floor((CAST(c AS DOUBLE) / (sa.n + sb.n - c)) * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS jaccard
     FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                JOIN sizes sb ON doc_b = sb.doc_id
     WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.08
@@ -185,7 +185,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
                  .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
                  .filter(jac >= 0.08)
-                 .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
+                 .select("doc_a", "doc_b", quantize(jac, 4).alias("jaccard")))
 
 
 _N_HASHES = 8

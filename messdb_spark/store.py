@@ -169,31 +169,54 @@ class CatalogEntry:
 class Catalog:
     """Name → table catalog with atomic root swap (``RepoRoot`` +
     ``RepoStore`` analog, ``Repo.hs:42-43,75-98``). A missing root file
-    is an empty catalog (``Repo.hs:85-89``)."""
+    is an empty catalog (``Repo.hs:85-89``).
+
+    Because tables are immutable content-addressed objects, keeping
+    every superseded root gives snapshot history (time travel) for
+    free — the messdb model's natural consequence (old roots still
+    reference valid objects; nothing is overwritten). Roots are
+    archived under ``roots/root-v{N}.json`` on every swap."""
 
     def __init__(self, warehouse: str) -> None:
         self.root_path = os.path.join(warehouse, "root.json")
+        self.roots_dir = os.path.join(warehouse, "roots")
 
-    def _load_root(self) -> dict:
-        return _read_json(self.root_path, {})
+    def _load_root(self, version: int | None = None) -> dict:
+        if version is None:
+            return _read_json(self.root_path, {})
+        return _read_json(os.path.join(self.roots_dir, f"root-v{version}.json"), {})
 
-    def names(self) -> list[str]:
-        return sorted(self._load_root().keys())
+    def current_version(self) -> int:
+        """Versions are 1-based; 0 = empty initial catalog."""
+        if not os.path.isdir(self.roots_dir):
+            return 0
+        vs = [int(f[6:-5]) for f in os.listdir(self.roots_dir)
+              if f.startswith("root-v") and f.endswith(".json")]
+        return max(vs, default=0)
 
-    def get(self, name: str) -> CatalogEntry | None:
-        e = self._load_root().get(name)
+    def _swap_root(self, root: dict) -> int:
+        v = self.current_version() + 1
+        _atomic_write_json(os.path.join(self.roots_dir, f"root-v{v}.json"), root)
+        _atomic_write_json(self.root_path, root)   # the mutable cell
+        return v
+
+    def names(self, version: int | None = None) -> list[str]:
+        return sorted(self._load_root(version).keys())
+
+    def get(self, name: str, version: int | None = None) -> CatalogEntry | None:
+        e = self._load_root(version).get(name)
         if e is None:
             return None
         return CatalogEntry(e["table_hash"], e["schema_json"], e["key_cols"])
 
-    def put(self, name: str, entry: CatalogEntry) -> None:
+    def put(self, name: str, entry: CatalogEntry) -> int:
         root = self._load_root()
         root[name] = {"table_hash": entry.table_hash,
                       "schema_json": entry.schema_json,
                       "key_cols": entry.key_cols}
-        _atomic_write_json(self.root_path, root)
+        return self._swap_root(root)
 
-    def drop(self, name: str) -> None:
+    def drop(self, name: str) -> int:
         root = self._load_root()
         root.pop(name, None)
-        _atomic_write_json(self.root_path, root)
+        return self._swap_root(root)

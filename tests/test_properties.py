@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) mirroring the reference's
+QuickCheck suites (SURVEY.md §5): random kv sets → operators vs a pure
+dict model (TrieSpec style, alphabet a-c strings like
+``TrieSpec.hs:115-130``), and DDL schema derivation properties
+(``SQL/Schema.hs``). Spark examples are kept few-but-fat (each example
+is a full job); the pure-Python DDL property runs wide."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from messdb_spark.operators.core import (KeyBound, KeyedTable, merge_tables,
+                                         range_filter, table_from_rows,
+                                         table_to_rows)
+from messdb_spark.registry import FOLD_TO_LAST
+from messdb_spark.sql_ddl import CreateTable, SqlError, parse_create_table
+
+short_str = st.text(alphabet="abc", min_size=0, max_size=8)
+kv_lists = st.lists(st.tuples(short_str, short_str), min_size=0, max_size=40)
+
+SPARK_SETTINGS = settings(max_examples=8, deadline=None,
+                          suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(rows=kv_lists)
+@SPARK_SETTINGS
+def test_from_rows_is_last_wins_dict(spark, rows):
+    """tableFromRows folds duplicate keys in input order
+    (``Table.hs:125-140``): result == dict(rows), key-sorted."""
+    t = table_from_rows(spark, rows, "k string, v string", ("k",))
+    assert table_to_rows(t) == sorted(dict(rows).items())
+
+
+@given(a=kv_lists, b=kv_lists, c=kv_lists)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_is_dict_union(spark, a, b, c):
+    """mergeTables+foldToLast == left-to-right dict update
+    (``Trie.hs:297-430``), for any number of inputs incl. empties."""
+    tabs = [table_from_rows(spark, rows, "k string, v string", ("k",))
+            for rows in (a, b, c)]
+    got = table_to_rows(merge_tables(tabs, FOLD_TO_LAST))
+    model: dict = {}
+    for rows in (a, b, c):
+        model.update(dict(rows))
+    assert got == sorted(model.items())
+
+
+@given(rows=kv_lists, lo=short_str, hi=short_str,
+       lo_inc=st.booleans(), hi_inc=st.booleans())
+@SPARK_SETTINGS
+def test_range_filter_is_list_filter(spark, rows, lo, hi, lo_inc, hi_inc):
+    """rangeFilterTable == plain filter by keyRangeIncludes
+    (``TrieSpec.hs:47-78``)."""
+    t = table_from_rows(spark, rows, "k string, v string", ("k",))
+    got = table_to_rows(range_filter(t, KeyBound((lo,), lo_inc), KeyBound((hi,), hi_inc)))
+
+    def inc(k: str) -> bool:
+        if (k < lo) if lo_inc else (k <= lo):
+            return False
+        if (k > hi) if hi_inc else (k >= hi):
+            return False
+        return True
+
+    assert got == sorted((k, v) for k, v in dict(rows).items() if inc(k))
+
+
+# ---- DDL properties (pure python, wide sampling) ---------------------
+
+ident = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+sql_type = st.sampled_from(["smallint", "integer", "bigint", "real", "double precision",
+                            "text", "bytes", "boolean", "timestamp", "decimal(12,3)"])
+
+
+@given(name=ident,
+       cols=st.lists(st.tuples(ident, sql_type, st.booleans()),
+                     min_size=1, max_size=8,
+                     unique_by=lambda c: c[0]))
+@settings(max_examples=200, deadline=None)
+def test_ddl_parse_properties(name, cols):
+    """For any CREATE TABLE: first column is the key; key cols non-null;
+    NOT NULL honored; column order preserved; names exact."""
+    defs = [f"{cols[0][0]} {cols[0][1]} PRIMARY KEY"]
+    defs += [f"{c} {t}{' NOT NULL' if nn else ''}" for c, t, nn in cols[1:]]
+    ct = parse_create_table(f"CREATE TABLE {name} ({', '.join(defs)})")
+    assert isinstance(ct, CreateTable) and ct.name == name
+    assert ct.key_cols == [cols[0][0]]
+    assert [f.name for f in ct.schema.fields] == [c for c, _, _ in cols]
+    assert not ct.schema.fields[0].nullable
+    for f, (_, _, nn) in zip(ct.schema.fields[1:], cols[1:]):
+        assert f.nullable == (not nn)
+
+
+def test_ddl_rejects_keyless_and_garbage():
+    with pytest.raises(SqlError):
+        parse_create_table("CREATE TABLE t (a bigint, b text)")   # no key
+    with pytest.raises(SqlError):
+        parse_create_table("SELECT 1")
+    with pytest.raises(SqlError):
+        parse_create_table("CREATE TABLE t (a frobnicate PRIMARY KEY)")

@@ -138,3 +138,19 @@ def test_sql_view_materialization_memoizes(spark, warehouse):
     out = {r["g"]: (r["n"], r["total"])
            for r in eng.materializer.dataframe(ir).collect()}
     assert out[0] == (20, 950.0)
+
+
+def test_catalog_time_travel(spark, warehouse):
+    from messdb_spark.operators.core import table_insert
+    eng = Engine(spark, warehouse)
+    eng.ddl("CREATE TABLE tt (k bigint PRIMARY KEY, v text)")   # v1
+    t = eng.load_table("tt")
+    eng.save_table("tt", table_insert(t, {"k": 1, "v": "a"}))    # v2
+    eng.save_table("tt", table_insert(eng.load_table("tt"), {"k": 1, "v": "b"}))  # v3
+    assert eng.catalog.current_version() == 3
+    assert eng.load_table("tt", version=2).df.collect()[0]["v"] == "a"
+    assert eng.load_table("tt").df.collect()[0]["v"] == "b"
+    assert eng.load_table("tt", version=1).df.count() == 0
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        eng.load_table("nope", version=2)
