@@ -53,8 +53,38 @@ def _canon_col(field: T.StructField) -> F.Column:
 
 
 def schema_fingerprint(df: DataFrame) -> str:
-    fields = [(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema.fields]
+    """(name, type) only — nullability is declaration metadata, not
+    content: a parquet round-trip relaxes nullable flags and must not
+    change a table's identity (actual NULLs are covered by the row
+    encoding's sentinel)."""
+    fields = sorted((f.name, f.dataType.simpleString()) for f in df.schema.fields)
     return hashlib.sha256(json.dumps(fields, sort_keys=True).encode()).hexdigest()
+
+
+def _digest_aggs() -> list:
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("c")).alias("s1"),
+        F.expr("bit_xor(xxhash64(c))").alias("x1"),
+        F.sum(F.xxhash64("c", F.lit(1))).alias("s2"),
+        F.expr("bit_xor(xxhash64(c, 1))").alias("x2"),
+    ]
+
+
+def _digest_of_row(row, schema_fp: str) -> str:
+    payload = json.dumps({
+        "n": row["n"], "s1": str(row["s1"]), "x1": str(row["x1"]),
+        "s2": str(row["s2"]), "x2": str(row["x2"]),
+        "schema": schema_fp,
+    }, sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+def canon_column(df: DataFrame, exclude: tuple[str, ...] = ()) -> F.Column:
+    """The canonical per-row encoding used by all content digests."""
+    fields = sorted((f for f in df.schema.fields if f.name not in exclude),
+                    key=lambda f: f.name)
+    return F.concat_ws(_SEP, *[_canon_col(f) for f in fields])
 
 
 def table_content_hash(df: DataFrame, sort_columns: bool = True) -> str:
@@ -64,20 +94,18 @@ def table_content_hash(df: DataFrame, sort_columns: bool = True) -> str:
     Scale: map-side partials, single-row shuffle — O(rows) scan, O(1)
     result. Safe at 100 TB.
     """
-    fields = sorted(df.schema.fields, key=lambda f: f.name) if sort_columns else df.schema.fields
-    canon = F.concat_ws(_SEP, *[_canon_col(f) for f in fields])
-    agg = df.select(canon.alias("c"))
-    agg = agg.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("c")).alias("s1"),
-        F.expr("bit_xor(xxhash64(c))").alias("x1"),
-        F.sum(F.xxhash64("c", F.lit(1))).alias("s2"),
-        F.expr("bit_xor(xxhash64(c, 1))").alias("x2"),
-    )
-    row = agg.collect()[0]
-    payload = json.dumps({
-        "n": row["n"], "s1": str(row["s1"]), "x1": str(row["x1"]),
-        "s2": str(row["s2"]), "x2": str(row["x2"]),
-        "schema": schema_fingerprint(df),
-    }, sort_keys=True)
-    return hashlib.sha256(payload.encode()).hexdigest()
+    agg = df.select(canon_column(df).alias("c")).select(*_digest_aggs())
+    return _digest_of_row(agg.collect()[0], schema_fingerprint(df))
+
+
+def bucket_content_hashes(df: DataFrame, bucket_col: str) -> dict[int, str]:
+    """Per-bucket content digests in ONE aggregation job (groupBy the
+    bucket id over the same canonical row encoding; the bucket column
+    itself is excluded from row content). Powers bucket-level
+    incremental reuse: an unchanged bucket keeps its digest without
+    any per-bucket jobs."""
+    schema_fp = schema_fingerprint(df.drop(bucket_col))
+    agg = (df.select(F.col(bucket_col).alias("b"),
+                     canon_column(df, exclude=(bucket_col,)).alias("c"))
+             .groupBy("b").agg(*_digest_aggs()))
+    return {int(r["b"]): _digest_of_row(r, schema_fp) for r in agg.collect()}

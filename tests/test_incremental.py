@@ -1,0 +1,85 @@
+"""Bucket-level incremental upsert: the untouched-subtree passthrough
+property (``Trie.hs:346-348``) at bucket granularity — correctness vs
+full recompute, object reuse, structural sharing, bucket pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from messdb_spark.operators.core import KeyedTable
+from messdb_spark.plans.incremental import (EMPTY, incremental_upsert,
+                                            read_bucketed, write_bucketed)
+from messdb_spark.store import ObjectStore
+
+
+def _base(spark, n=5000):
+    return KeyedTable(
+        spark.range(n).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+            (F.col("id") % 97).cast("double").alias("x")),
+        ("k",))
+
+
+def test_incremental_upsert_matches_full_recompute(spark, warehouse):
+    store = ObjectStore(warehouse)
+    t = _base(spark)
+    ref = write_bucketed(store, t, n_buckets=16)
+    assert len([h for h in ref.bucket_hashes if h != EMPTY]) == 16
+
+    # delta: 40 updates clustered on few keys + 10 inserts
+    delta = spark.range(4960, 5010).select(
+        F.col("id").alias("k"),
+        F.lit("UPDATED").alias("v"),
+        F.lit(-1.0).alias("x"))
+    saves_before = store.saves
+    ref2 = incremental_upsert(spark, store, ref, delta)
+
+    # correctness vs full recompute
+    got = {(r["k"], r["v"], r["x"]) for r in read_bucketed(spark, store, ref2).df.collect()}
+    expect = {(i, f"v{i}", float(i % 97)) for i in range(4960)}
+    expect |= {(i, "UPDATED", -1.0) for i in range(4960, 5010)}
+    assert got == expect
+
+    # passthrough: only the delta's buckets were rewritten
+    touched = {i for i, (a, b) in enumerate(zip(ref.bucket_hashes, ref2.bucket_hashes))
+               if a != b}
+    n_delta_buckets = delta.select(
+        F.pmod(F.xxhash64("k"), F.lit(16)).alias("b")).distinct().count()
+    assert len(touched) == n_delta_buckets
+    assert store.saves - saves_before == len(touched)
+    # untouched buckets share objects between versions (structural sharing)
+    assert any(a == b != EMPTY for a, b in zip(ref.bucket_hashes, ref2.bucket_hashes)) \
+        or n_delta_buckets == 16
+
+    # identity: same content ⇒ same manifest hash
+    ref3 = incremental_upsert(spark, store, ref, delta)
+    assert ref3.table_hash == ref2.table_hash
+
+
+def test_noop_upsert_reuses_everything(spark, warehouse):
+    """Re-upserting identical rows produces identical bucket content →
+    content addresses dedup in the store (write-once)."""
+    store = ObjectStore(warehouse)
+    t = _base(spark, 500)
+    ref = write_bucketed(store, t, n_buckets=8)
+    same = t.df.filter(F.col("k") < 50)
+    saves_before = store.saves
+    ref2 = incremental_upsert(spark, store, ref, same)
+    assert ref2.table_hash == ref.table_hash       # content unchanged
+    assert store.saves == saves_before             # all skipped as dup content
+
+
+def test_bucket_pruned_point_lookup(spark, warehouse):
+    """A key's bucket is computable → point read opens one object."""
+    store = ObjectStore(warehouse)
+    t = _base(spark, 1000)
+    ref = write_bucketed(store, t, n_buckets=16)
+    b = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(123).cast("long")), F.lit(16)).alias("b")
+    ).collect()[0]["b"]
+    loads_before = store.loads
+    sub = read_bucketed(spark, store, ref, buckets=[int(b)])
+    rows = sub.df.filter(F.col("k") == 123).collect()
+    assert [r["v"] for r in rows] == ["v123"]
+    assert store.loads - loads_before == 1
