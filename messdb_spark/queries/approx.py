@@ -1,0 +1,37 @@
+"""Approximate-sketch surface: HyperLogLog++ distinct counts and
+KLL/GK quantile sketches — the 100 TB substitutes for exact
+countDistinct / percentile (mergeable, partial-aggregable, bounded
+memory).
+
+No ``oracle_sql`` on purpose: sketch outputs are algorithm-specific
+(Spark HLL++ vs DuckDB's approx_count_distinct differ by design), so
+the driver records the weaker rows-only check. The exact counterparts
+(``distinct_stats_per_segment``, ``percentiles_by_segment``) are the
+hash-checked versions of the same questions; pytest asserts the
+sketches land within rel-error bounds of those exact answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query, load
+
+
+@query("approx_distinct_users_hll", oracle=None)
+def approx_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct user/order counts per event type (rsd 2%)."""
+    (e,) = load(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+             .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+                  F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events")))
+
+
+@query("approx_price_quantiles", oracle=None)
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch per segment (accuracy 10000 ≈ 0.01%)."""
+    c, o = load(spark, sf_dir, "customer", "orders")
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    return (j.groupBy("c_mktsegment")
+             .agg(F.expr("approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)")
+                   .alias("approx_p50_p90_p99")))

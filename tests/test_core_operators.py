@@ -157,3 +157,24 @@ def test_fold_sum_merge(spark):
     df2 = spark.createDataFrame([("a", 10.0), ("c", 3.0)], "k string, x double")
     got = table_to_rows(merge_tables([KeyedTable(df1, ("k",)), KeyedTable(df2, ("k",))], FOLD_SUM))
     assert got == [("a", 11.0), ("b", 2.0), ("c", 3.0)]
+
+
+# ---- skew-safe aggregation -------------------------------------------
+
+def test_salted_agg_matches_plain_agg(spark):
+    from messdb_spark.operators.skew import salted_agg
+    # heavy skew: 90% of rows share one key
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 50))).alias("g"),
+        (F.col("id") % 1000).cast("double").alias("v"))
+    got = {tuple(r) for r in salted_agg(df, ["g"], {
+        "n": ("sum", F.count(F.lit(1))),
+        "total": ("sum", F.sum("v")),
+        "mx": ("max", F.max("v")),
+        "mn": ("min", F.min("v")),
+    }, n_salts=8).collect()}
+    expect = {tuple(r) for r in df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"),
+        F.max("v").alias("mx"), F.min("v").alias("mn")).collect()}
+    assert got == expect

@@ -83,3 +83,53 @@ def test_bucket_pruned_point_lookup(spark, warehouse):
     rows = sub.df.filter(F.col("k") == 123).collect()
     assert [r["v"] for r in rows] == ["v123"]
     assert store.loads - loads_before == 1
+
+
+def test_incremental_view_refresh_recomputes_only_changed_buckets(spark, warehouse):
+    """The headline property: after a delta upsert, re-materializing a
+    view recomputes only the buckets whose input hash changed — the
+    reference's incremental materialized views without change tracking
+    (``Trie.hs:280-295`` per-node memoize at bucket granularity)."""
+    from messdb_spark.plans.incremental import incremental_map_view
+    from messdb_spark.registry import REGISTRY
+    from messdb_spark.store import MemoStore
+
+    REGISTRY.transforms.pop("enrich_keep_key", None)
+
+    @REGISTRY.transform("enrich_keep_key", new_key_cols=("k",))
+    def _enrich(df):
+        return df.select("k", F.upper("v").alias("v"),
+                         (F.col("x") * 2).alias("x2"),
+                         *(["__messdb_ord"] if "__messdb_ord" in df.columns else []))
+
+    store = ObjectStore(warehouse)
+    memo = MemoStore(warehouse)
+    base = _base(spark, 3000)
+    ref = write_bucketed(store, base, n_buckets=16)
+
+    view1 = incremental_map_view(spark, store, memo, ref, "enrich_keep_key")
+    assert read_bucketed(spark, store, view1).df.count() == 3000
+    row = read_bucketed(spark, store, view1).df.filter(F.col("k") == 7).collect()[0]
+    assert row["v"] == "V7" and row["x2"] == 14.0
+
+    # identical refresh: all buckets memo-hit, nothing computed/written
+    saves_before, misses_before = store.saves, memo.misses
+    view1b = incremental_map_view(spark, store, memo, ref, "enrich_keep_key")
+    assert view1b.table_hash == view1.table_hash
+    assert store.saves == saves_before
+
+    # delta upsert → refresh: only changed buckets recompute
+    delta = spark.range(5).select(F.col("id").alias("k"),
+                                  F.lit("new").alias("v"),
+                                  F.lit(0.5).alias("x"))
+    ref2 = incremental_upsert(spark, store, ref, delta)
+    changed = {b for b, (a, c) in
+               enumerate(zip(ref.bucket_hashes, ref2.bucket_hashes)) if a != c}
+    saves_before = store.saves
+    view2 = incremental_map_view(spark, store, memo, ref2, "enrich_keep_key")
+    assert store.saves - saves_before == len(changed)   # only changed buckets written
+    reused = sum(1 for b in range(16)
+                 if view2.bucket_hashes[b] == view1.bucket_hashes[b])
+    assert reused == 16 - len(changed)                  # the rest reused by reference
+    got = read_bucketed(spark, store, view2).df.filter(F.col("k") < 5).collect()
+    assert all(r["v"] == "NEW" and r["x2"] == 1.0 for r in got)
