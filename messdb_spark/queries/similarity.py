@@ -99,6 +99,117 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("centroid")))
 
 
+_N_CELLS = 16   # IVF: coarse codebook size
+_N_PROBE = 2    # IVF: cells probed per query
+
+
+@query(
+    "ivf_topk_search",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cemb,
+             sqrt(list_aggregate(list_transform(cemb,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS cnrm
+      FROM embeddings WHERE vec_id < {_N_CELLS}
+    ),
+    vecs AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+             list_aggregate(list_transform(range(1, len(v.embedding) + 1),
+                    i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+                    'sum') / (v.nrm * c.cnrm) AS csim,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_aggregate(list_transform(range(1, len(v.embedding) + 1),
+                                       i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+                                       'sum') / (v.nrm * c.cnrm) DESC, c.cid) AS crk
+      FROM vecs v CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, embedding, nrm, cid FROM scored WHERE crk = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM scored
+               WHERE vec_id < {_N_QUERIES} AND crk <= {_N_PROBE}),
+    qv AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+           FROM vecs WHERE vec_id < {_N_QUERIES}),
+    sims AS (
+      SELECT p.query_id, t.vec_id AS cand_id,
+             list_aggregate(list_transform(range(1, len(q.q_emb) + 1),
+                    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)),
+                    'sum') / (q.q_nrm * t.nrm) AS sim
+      FROM probes p JOIN cells t ON t.cid = p.cid AND t.vec_id != p.query_id
+                    JOIN qv q ON q.query_id = p.query_id
+    )
+    SELECT query_id, cand_id, floor((sim) * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS sim, rk
+    FROM (SELECT query_id, cand_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, cand_id) AS rk
+          FROM sims)
+    WHERE rk <= {_TOP_K}
+    """)
+def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN — the structured scale path beyond LSH: a coarse
+    codebook (here the first {_N_CELLS} vectors; k-means in a real
+    deployment) partitions the corpus into inverted lists; a query
+    probes only its {_N_PROBE} nearest cells, cutting the scan to
+    ~nprobe/K of the corpus.
+
+    Scale design: the codebook is collected once (tiny) and embedded
+    as PLAN LITERALS, so cell assignment is a map-only expression over
+    the corpus — no join, no shuffle for the argmax; the probe list is
+    a small broadcast; only same-cell candidates are scored. At 100 TB
+    the corpus would additionally be WRITTEN partitioned by cell id so
+    a probe prunes whole files (partition pruning on cid)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    vecs = emb.withColumn("nrm", _norm_col("embedding"))
+
+    cents = (vecs.filter(F.col("vec_id") < _N_CELLS)
+                 .select("vec_id", "embedding", "nrm")
+                 .orderBy("vec_id").collect())
+    sim_exprs = []
+    for r in cents:
+        arr = "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)"
+                                   for x in r["embedding"]) + ")"
+        dot = (f"aggregate(zip_with(embedding, {arr}, "
+               f"(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+        sim_exprs.append(f"({dot} / (nrm * CAST({float(r['nrm'])!r} AS DOUBLE)))")
+    csims = F.expr("array(" + ", ".join(sim_exprs) + ")")
+
+    # corpus: map-only argmax over the codebook (first max wins = lowest cid)
+    assigned = (vecs.withColumn("csims", csims)
+                    .withColumn("cid", (F.expr("array_position(csims, array_max(csims))") - 1)
+                                .cast("long"))
+                    .drop("csims"))
+
+    # probe list: per-query top-nprobe cells (queries are tiny — explode)
+    qsims = (vecs.filter(F.col("vec_id") < _N_QUERIES)
+                 .withColumn("csims", csims)
+                 .select(F.col("vec_id").alias("query_id"),
+                         F.posexplode("csims").alias("pos", "csim")))
+    wq = W.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("pos"))
+    probes = (qsims.withColumn("crk", F.row_number().over(wq))
+                   .filter(F.col("crk") <= _N_PROBE)
+                   .select("query_id", F.col("pos").cast("long").alias("cid")))
+    qv = vecs.filter(F.col("vec_id") < _N_QUERIES) \
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"))
+    probe_q = probes.join(qv, "query_id")
+
+    cand = (assigned.join(F.broadcast(probe_q),
+                          (assigned["cid"] == probe_q["cid"]) &
+                          (assigned["vec_id"] != probe_q["query_id"]))
+                    .withColumn("sim",
+                                F.expr(_DOT.format(a="q_emb", b="embedding")) /
+                                (F.col("q_nrm") * F.col("nrm"))))
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (cand.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= _TOP_K)
+                .select("query_id", F.col("vec_id").alias("cand_id"),
+                        quantize("sim", 4).alias("sim"), "rk"))
+
+
 _N_PLANES = 8   # LSH: 8 hyperplane sign bits → 256 buckets
 
 # Deterministic pseudo-random hyperplanes shared with the oracle:

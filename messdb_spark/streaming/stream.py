@@ -76,6 +76,49 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
                     F.col("w.end").alias("session_end"), "n_events"))
 
 
+def running_user_totals(events: DataFrame,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals carried across micro-batches in GroupState — the
+    class of operator built-in windowed aggs can't express (unbounded
+    running state keyed by user, emitting the updated cumulative row
+    each time the user appears).
+
+    Scale: state is one (count, sum) pair per user key — O(users)
+    bounded state, partitioned by the groupBy key across executors;
+    each micro-batch touches only the keys present in that batch
+    (Arrow-batched pandas per key group, not per row).
+    """
+    import pandas as pd  # noqa: F401 (arrow path)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [total]})
+
+    return (events.withWatermark("ts", watermark)
+                  .groupBy("user_id")
+                  .applyInPandasWithState(update, out_schema, state_schema,
+                                          "update",
+                                          GroupStateTimeout.NoTimeout))
+
+
 def stream_upsert_into(engine, table_name: str, events: DataFrame,
                        key_cols: tuple[str, ...] = ("event_id",),
                        checkpoint_dir: str | None = None):

@@ -60,6 +60,60 @@ def test_session_counts_runs(spark, events_dir):
     assert total == spark.read.parquet(events_dir).count()
 
 
+def test_running_user_totals_stateful(spark, sf_dir, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches:
+    events split into two files, one file per trigger — the final update
+    row per user must equal the batch cumulative aggregate, which is only
+    possible if GroupState survived between the two batches."""
+    from pyspark.sql import functions as F
+    from messdb_spark.session import read_table
+    from messdb_spark.streaming.stream import running_user_totals
+
+    batch = read_table(spark, sf_dir, "events")
+    d = tmp_path / "events_split"
+    # two files → two triggers at maxFilesPerTrigger=1
+    batch.filter(F.col("event_id") % 2 == 0).coalesce(1) \
+         .write.parquet(str(d / "a"))
+    batch.filter(F.col("event_id") % 2 == 1).coalesce(1) \
+         .write.parquet(str(d / "b"))
+    src = tmp_path / "events_in2"
+    src.mkdir()
+    import glob
+    for i, f in enumerate(sorted(glob.glob(str(d / "*" / "*.parquet")))):
+        (src / f"{i}.parquet").symlink_to(f)
+
+    # stream with the schema we just wrote (ts is already a timestamp
+    # here, unlike the driver's nanos-as-long testdata layout)
+    stream = (spark.readStream.schema(spark.read.parquet(str(src)).schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (running_user_totals(stream).writeStream.outputMode("update")
+         .format("memory").queryName("running_out").start())
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 2  # state really crossed a batch boundary
+
+    # memory sink in update mode appends every emitted update row;
+    # the final state per user is the row from the last batch that
+    # touched that user — reconstruct via max n_events per user.
+    rows = spark.sql("""
+        SELECT user_id, max_by(n_events, n_events) AS n_events,
+               max_by(total_value, n_events) AS total_value
+        FROM running_out GROUP BY user_id""").collect()
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in rows}
+    expect = {r["user_id"]: (r["n"], r["tv"])
+              for r in batch.groupBy("user_id")
+                            .agg(F.count(F.lit(1)).alias("n"),
+                                 F.sum(F.coalesce(F.col("value"), F.lit(0.0)))
+                                  .alias("tv")).collect()}
+    assert set(got) == set(expect)
+    for u in got:
+        assert got[u][0] == expect[u][0]
+        assert abs(got[u][1] - expect[u][1]) < 1e-6
+
+
 def test_stream_upsert_into_catalog(spark, events_dir, tmp_path):
     eng = Engine(spark, str(tmp_path / "wh"))
     stream = read_event_stream(spark, events_dir)
