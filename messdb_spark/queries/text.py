@@ -191,65 +191,79 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 8
 _N_BANDS = 4  # rows-per-band = 2
 
+# One md5 per shingle → 60-bit int; the _N_HASHES signature functions
+# are xor-seed remixes of that single hash (a standard cheap MinHash
+# family: min over h ^ seed_j). Seeds are deterministic 59-bit
+# constants derived from md5("seed<j>") so both engines embed the same
+# literals.
+import hashlib as _hl  # noqa: E402
 
-def _minhash_cols_spark() -> list[str]:
-    # min over md5('s<j>_' || shingle): lexicographic min of hex strings,
-    # identical in DuckDB
-    return [f"min(md5(concat('s{j}_', s))) AS h{j}" for j in range(_N_HASHES)]
+_MH_SEEDS = [int(_hl.md5(f"seed{j}".encode()).hexdigest()[:15], 16) >> 1
+             for j in range(_N_HASHES)]
 
 
 @query(
     "minhash_lsh_candidates",
     oracle=f"""
-    WITH sig AS (
-      SELECT doc_id, {", ".join(
-          f"list_aggregate(list_transform("
-          f"range(1, length(text) - {_SHINGLE_K - 2}), "
-          f"i -> md5('s{j}_' || substring(text, i, {_SHINGLE_K}))), 'min') AS h{j}"
-          for j in range(_N_HASHES))}
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) - {_SHINGLE_K - 2}),
+               i -> CAST(concat('0x', substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15)) AS BIGINT)) AS hs
       FROM documents WHERE length(text) >= {_SHINGLE_K}
+    ),
+    sig AS (
+      SELECT doc_id, {", ".join(
+          f"list_aggregate(list_transform(hs, h -> xor(h, CAST({s} AS BIGINT))), 'min') AS h{j}"
+          for j, s in enumerate(_MH_SEEDS))}
+      FROM sh
     ),
     bands AS (
       {" UNION ALL ".join(
-          f"SELECT doc_id, {b} AS band_id, md5(h{2*b} || h{2*b+1}) AS band_hash FROM sig"
+          f"SELECT doc_id, {b} AS band_id, h{2*b} AS bx, h{2*b+1} AS by FROM sig"
           for b in range(_N_BANDS))}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      ON a.band_id = b.band_id AND a.bx = b.bx AND a.by = b.by
          AND a.doc_id < b.doc_id
     """)
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding — the scale path for near-dup detection.
 
-    Signatures are computed per document as array_min over a transform
-    of the shingle array — a map-only narrow operation, NO shuffle of
-    the exploded shingle space (min over the shingle multiset equals
-    min over the distinct set, so no dedup pass either). Candidate
-    generation joins only within (band_id, band_hash) buckets — no
-    quadratic pair space. 100 TB plan: shuffle is O(docs × bands),
-    never O(docs²) and never O(total shingles)."""
+    Each shingle is md5'd ONCE into a 60-bit int; the 8 signature
+    functions are xor-seed remixes (min over h^seed_j), so the CPU
+    cost is one hash per shingle, not one per (shingle, function).
+    Signatures are array_min over a transform of the shingle array — a
+    map-only narrow operation, NO shuffle of the exploded shingle
+    space. Candidate generation joins only within (band_id, bx, by)
+    bigint buckets — no quadratic pair space, no string band-hash.
+    100 TB plan: shuffle is O(docs × bands), never O(docs²) and never
+    O(total shingles)."""
     (d,) = load(spark, sf_dir, "documents")
-    # the signature map is CPU-bound (8 × n_shingles md5 per doc); a
+    # the signature map is CPU-bound (n_shingles md5 per doc); a
     # single local parquet file arrives as one split, so spread it
     # round-robin across cores first (at cluster scale the scan already
     # has many splits and this repartition is a cheap rebalance)
     par = spark.sparkContext.defaultParallelism
     docs = d.filter(F.length("text") >= _SHINGLE_K).repartition(par)
-    sig = docs.select("doc_id", *[
-        F.expr(f"array_min(transform(sequence(1, length(text) - {_SHINGLE_K - 1}), "
-               f"i -> md5(concat('s{j}_', substring(text, i, {_SHINGLE_K})))))")
-         .alias(f"h{j}")
-        for j in range(_N_HASHES)])
+    shingle_hashes = (
+        f"transform(sequence(1, length(text) - {_SHINGLE_K - 1}), "
+        f"i -> CAST(conv(substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15), 16, 10) AS BIGINT))")
+    sig = (docs.withColumn("hs", F.expr(shingle_hashes))
+               .select("doc_id", *[
+                   F.expr(f"array_min(transform(hs, h -> h ^ CAST({s} AS BIGINT)))")
+                    .alias(f"h{j}")
+                   for j, s in enumerate(_MH_SEEDS)]))
     band_exprs = ", ".join(
-        f"{b}, md5(concat(h{2*b}, h{2*b+1}))" for b in range(_N_BANDS))
+        f"{b}, h{2*b}, h{2*b+1}" for b in range(_N_BANDS))
     bands = sig.selectExpr(
         "doc_id",
-        f"stack({_N_BANDS}, {band_exprs}) AS (band_id, band_hash)")
+        f"stack({_N_BANDS}, {band_exprs}) AS (band_id, bx, by)")
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band_id") == F.col("b.band_id")) &
-                      (F.col("a.band_hash") == F.col("b.band_hash")) &
+                      (F.col("a.bx") == F.col("b.bx")) &
+                      (F.col("a.by") == F.col("b.by")) &
                       (F.col("a.doc_id") < F.col("b.doc_id")))
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))

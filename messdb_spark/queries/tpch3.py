@@ -129,9 +129,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is built with the identical IEEE op sequence (×1.5 then ÷N) on
     both engines, so the comparison boundary is bit-portable."""
     (li,) = load(spark, sf_dir, "lineitem")
-    vals = li.groupBy("l_partkey").agg(F.sum(F.expr(_REV)).alias("v"))
-    row = li.agg(F.sum(F.expr(_REV)).cast("double").alias("t"),
-                 F.countDistinct("l_partkey").alias("n")).collect()[0]
+    vals = li.groupBy("l_partkey").agg(F.sum(F.expr(_REV)).alias("v")).cache()
+    # total and part count derive from the per-part agg (sum of exact
+    # decimal group sums == global sum) — one lineitem scan, not two;
+    # the cached agg is O(parts), tiny.
+    row = vals.agg(F.sum("v").cast("double").alias("t"),
+                   F.count(F.lit(1)).alias("n")).collect()[0]
     threshold = row["t"] * 1.5 / row["n"]
     return (vals.filter(F.col("v").cast("double") > F.lit(threshold))
                 .select("l_partkey",

@@ -34,19 +34,22 @@ _REV = f"CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))"
     WHERE rk = 1
     """)
 def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q2 shape (min-cost supplier): agg → per-group argmin via window.
-    Both the agg and the window shuffle on l_partkey — Catalyst reuses
-    the partitioning, so it's one effective shuffle."""
+    """Q2 shape (min-cost supplier): agg → per-group argmin. The argmin
+    is a second HASH aggregation (min_by over a (unit_cost, suppkey)
+    ordering struct) rather than a row_number window — no partition
+    sort, partial aggregation on the map side, and the second shuffle's
+    input is already one row per (part, supp). Tie-break (lowest
+    suppkey) matches the oracle's ORDER BY unit_cost, l_suppkey."""
     (li,) = load(spark, sf_dir, "lineitem")
     costs = (li.groupBy("l_partkey", "l_suppkey")
                .agg((F.sum(F.expr(_REV)).cast("double") /
                      F.sum(F.col("l_quantity").cast(D)).cast("double"))
                     .alias("unit_cost")))
-    w = W.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
-    return (costs.withColumn("rk", F.row_number().over(w))
-                 .filter(F.col("rk") == 1)
-                 .select("l_partkey", "l_suppkey",
-                         quantize("unit_cost", 6).alias("unit_cost")))
+    best = (costs.groupBy("l_partkey")
+                 .agg(F.min_by(F.struct("l_suppkey", "unit_cost"),
+                               F.struct("unit_cost", "l_suppkey")).alias("w")))
+    return best.select("l_partkey", F.col("w.l_suppkey").alias("l_suppkey"),
+                       quantize(F.col("w.unit_cost"), 6).alias("unit_cost"))
 
 
 @query(
