@@ -256,9 +256,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                    for j, s in enumerate(_MH_SEEDS)]))
     band_exprs = ", ".join(
         f"{b}, h{2*b}, h{2*b+1}" for b in range(_N_BANDS))
+    # cache: the band self-join would otherwise recompute the CPU-bound
+    # signature map on BOTH sides; signatures are O(docs × bands) longs
+    # (tiny vs the corpus), materializing them once is the 100 TB move
     bands = sig.selectExpr(
         "doc_id",
-        f"stack({_N_BANDS}, {band_exprs}) AS (band_id, bx, by)")
+        f"stack({_N_BANDS}, {band_exprs}) AS (band_id, bx, by)").cache()
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band_id") == F.col("b.band_id")) &

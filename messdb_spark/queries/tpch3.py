@@ -128,15 +128,19 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part sums are exact decimals cast to double, and the threshold
     is built with the identical IEEE op sequence (×1.5 then ÷N) on
     both engines, so the comparison boundary is bit-portable."""
+    from pyspark.sql.window import Window as W
+
     (li,) = load(spark, sf_dir, "lineitem")
-    vals = li.groupBy("l_partkey").agg(F.sum(F.expr(_REV)).alias("v")).cache()
-    # total and part count derive from the per-part agg (sum of exact
-    # decimal group sums == global sum) — one lineitem scan, not two;
-    # the cached agg is O(parts), tiny.
-    row = vals.agg(F.sum("v").cast("double").alias("t"),
-                   F.count(F.lit(1)).alias("n")).collect()[0]
-    threshold = row["t"] * 1.5 / row["n"]
-    return (vals.filter(F.col("v").cast("double") > F.lit(threshold))
+    vals = li.groupBy("l_partkey").agg(F.sum(F.expr(_REV)).alias("v"))
+    # the threshold derives from the same per-part agg (sum of exact
+    # decimal group sums == global sum) via an unpartitioned window —
+    # lineitem scans ONCE; the window runs over the already-aggregated
+    # O(parts) frame, not the fact table.
+    w = W.partitionBy()
+    thr = (F.sum("v").over(w).cast("double") * F.lit(1.5) /
+           F.count(F.lit(1)).over(w))
+    return (vals.withColumn("thr", thr)
+                .filter(F.col("v").cast("double") > F.col("thr"))
                 .select("l_partkey",
                         quantize(F.col("v").cast("double"), 2).alias("value")))
 

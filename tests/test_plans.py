@@ -1,0 +1,142 @@
+"""Physical-plan assertions — the scale contract, checked in CI.
+
+Correctness says WHAT a query returns; these tests pin HOW Spark is
+allowed to execute it: filters reach the parquet scan, projections
+prune the read schema, dims broadcast instead of shuffling the fact
+side, top-k uses WindowGroupLimit, the last-wins merge never degrades
+to SortAggregate, and equal-bucketed tables join without an Exchange.
+Each property is exactly what survives (or dies) at a 100×/1000×
+scale-up, so a regression here is a perf bug even when results stay
+right."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from messdb_spark.queries import QUERIES
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_range_filter_pushes_to_scan(spark, sf_dir):
+    """O3 range filter must become PushedFilters on the parquet scan
+    (the analog of the reference's subtree pruning, Trie.hs:492-510)."""
+    from messdb_spark.operators.core import KeyBound, KeyedTable, range_filter
+    from messdb_spark.session import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    t = range_filter(KeyedTable(o, ("o_orderkey",)),
+                     lo=KeyBound((100,)), hi=KeyBound((500,)))
+    p = plan_str(t.df)
+    assert "PushedFilters:" in p
+    assert "GreaterThanOrEqual(o_orderkey,100" in p.replace(" ", "")
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    """A 2-column projection must read a 2-column schema — scanning
+    all 11 lineitem columns for it would be 5× the IO at 100 TB."""
+    from messdb_spark.session import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    p = plan_str(df)
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and "l_orderkey" in rs[0] and "l_quantity" in rs[0]
+    assert "l_extendedprice" not in rs[0] and "l_returnflag" not in rs[0]
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    """q5 joins fact→dims: every dim side must be a BroadcastHashJoin;
+    a SortMergeJoin against nation/customer would shuffle the fact
+    table once per dim."""
+    df = QUERIES["q5_local_supplier_volume"].fn(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_uses_window_group_limit(spark):
+    """Per-group top-k must use WindowGroupLimit (rank pushdown):
+    each partition keeps k rows before the shuffle instead of sorting
+    whole groups."""
+    df = QUERIES["topk_orders_per_segment"].fn(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, "simple")
+    assert "WindowGroupLimit" in p
+
+
+def test_last_wins_merge_is_all_hash(spark):
+    """O1 fold_to_last takes the anti-join path: no SortAggregate (the
+    degradation max_by(struct) aggregation suffers), and the base side
+    joins broadcast when the delta is small."""
+    from messdb_spark.operators.core import KeyedTable, merge_tables
+
+    base = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    delta = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v"))
+    merged = merge_tables([KeyedTable(base, ("k",)), KeyedTable(delta, ("k",))])
+    p = plan_str(merged.df, "simple")
+    assert "SortAggregate" not in p
+    assert "BroadcastHashJoin" in p  # anti-join against the tiny delta
+
+
+def test_minhash_signatures_are_map_only(spark):
+    """MinHash signatures must be narrow: shingles are folded inside a
+    per-row array expression (transform→array_min), never exploded into
+    rows — the plan may contain the band-unpivot Generate (stack) but
+    no explode Generate and no aggregate over shingles."""
+    df = QUERIES["minhash_lsh_candidates"].fn(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, "simple")
+    assert "stack" in p                 # band unpivot
+    assert "Generate explode" not in p  # shingle space never becomes rows
+    assert "array_min(transform(" in p  # signature fold is an expression
+
+
+@pytest.mark.parametrize("nm", ["q1_pricing_summary", "q6_forecast_revenue"])
+def test_fact_aggs_partial_and_pushed(spark, nm):
+    """The hot scan→filter→agg pipeline must (a) push the date filter
+    into the parquet scan and (b) partial-aggregate map-side (shuffle
+    carries one row per (partition, group), not per input row)."""
+    df = QUERIES[nm].fn(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, "simple")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    assert "partial_sum" in p
+    assert "SortAggregate" not in p
+
+
+def test_equal_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key must join with
+    ZERO Exchange operators — the co-located join that bucketing buys
+    at 100 TB (shuffle cost moves to write time, amortized over every
+    later join)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckets_t")
+    try:
+        a = spark.range(0, 20000).select(F.col("id").alias("k"),
+                                         (F.col("id") % 7).alias("x"))
+        b = spark.range(0, 20000).select(F.col("id").alias("k"),
+                                         (F.col("id") % 11).alias("y"))
+        for nm, df in (("ta", a), ("tb", b)):
+            (df.write.mode("overwrite")
+               .option("path", str(tmp_path / nm))
+               .bucketBy(8, "k").sortBy("k")
+               .saveAsTable(f"buckets_t.{nm}"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("buckets_t.ta").join(spark.table("buckets_t.tb"), "k")
+            p = plan_str(j, "simple")
+            assert "Exchange" not in p
+            assert j.count() == 20000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS buckets_t CASCADE")
