@@ -1,0 +1,118 @@
+"""Composite pipeline queries — operators chained the way a real
+training-data prep or reporting job chains them, oracle-checked
+end-to-end (each stage is covered alone elsewhere; these pin the
+composition semantics).
+
+``training_corpus_prep`` is the LLM-data showcase: language gate →
+quality gate → exact near-dup removal (normalized fingerprint,
+min-doc_id canonical) → per-source corpus accounting. One scan, two
+shuffles (dedup + final agg) — the 100 TB shape where text never
+shuffles, only (fingerprint, doc_id) pairs and per-source partials.
+
+``trailing_week_revenue`` pins RANGE-frame windows (value-based frame,
+unlike the ROWS frames elsewhere): 7-day trailing revenue per market
+segment over the daily revenue series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import load, quantize, quantize_sql, query
+
+D = "DECIMAL(18,2)"
+
+_TOKS_DUCK = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+_TOKS_SPARK = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+
+@query(
+    "training_corpus_prep",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, source,
+             len({_TOKS_DUCK}) AS n_tokens,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+      WHERE lang IN ('en', 'es') AND length(text) BETWEEN 40 AND 100000
+        AND len({_TOKS_DUCK}) >= 8
+        AND len(list_distinct({_TOKS_DUCK})) * 2 >= len({_TOKS_DUCK})
+    ),
+    canon AS (
+      SELECT fp, min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM gated GROUP BY fp
+    ),
+    kept AS (
+      SELECT g.* FROM gated g JOIN canon c ON g.doc_id = c.doc_id
+    )
+    SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           {quantize_sql("avg(CAST(n_tokens AS DOUBLE))", 4)} AS avg_tokens
+    FROM kept GROUP BY source
+    """)
+def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language gate → quality gate (length, token count, type-token
+    ratio ≥ 0.5) → exact dedup keeping the lowest doc_id per normalized
+    fingerprint → per-source token accounting.
+
+    Scale: the gates are pushed/codegen'd column predicates on the
+    scan; dedup shuffles only (fp, doc_id, n_tokens, source); the final
+    agg partial-aggregates map-side. Text bytes never cross the wire."""
+    (d,) = load(spark, sf_dir, "documents")
+    toks = F.expr(_TOKS_SPARK)
+    n_tokens = F.size(toks)
+    gated = (d.filter(F.col("lang").isin("en", "es") &
+                      F.length("text").between(40, 100000))
+              .select("doc_id", "source", n_tokens.cast("long").alias("n_tokens"),
+                      F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+                      F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                                    r"\s+", " ")).cast("binary"))
+                       .alias("fp"))
+              .filter((F.col("n_tokens") >= 8) &
+                      (F.col("n_distinct") * 2 >= F.col("n_tokens"))))
+    canon = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(canon, ["fp", "doc_id"], "left_semi")
+    return (kept.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_tokens").alias("total_tokens"),
+                     quantize(F.avg(F.col("n_tokens").cast("double")), 4)
+                      .alias("avg_tokens")))
+
+
+@query(
+    "trailing_week_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT c_mktsegment, CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(o_totalprice AS {D})) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY c_mktsegment, CAST(o_orderdate AS DATE)
+    )
+    SELECT c_mktsegment, day,
+           {quantize_sql("CAST(sum(rev) OVER (PARTITION BY c_mktsegment ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)", 2)}
+             AS trailing_7d
+    FROM daily
+    """)
+def trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: 7-day trailing revenue per segment. The
+    frame is value-based (calendar days, including days absent from
+    the data), not row-based — Spark expresses it as rangeBetween over
+    an epoch-day ordering column. Daily pre-aggregation keeps the
+    window input at O(segments × days); decimal sums stay exact until
+    the final double cast."""
+    o, c = load(spark, sf_dir, "orders", "customer")
+    daily = (o.filter((F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")) &
+                      (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+               .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+               .groupBy("c_mktsegment",
+                        F.to_date("o_orderdate").alias("day"))
+               .agg(F.sum(F.col("o_totalprice").cast(D)).alias("rev")))
+    w = (W.partitionBy("c_mktsegment")
+          .orderBy(F.unix_date(F.col("day")))
+          .rangeBetween(-6, 0))
+    return daily.select("c_mktsegment", "day",
+                        quantize(F.sum("rev").over(w).cast("double"), 2)
+                         .alias("trailing_7d"))
