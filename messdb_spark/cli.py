@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="messdb_spark")
     p.add_argument("--warehouse", "-w", required=True,
                    help="warehouse dir (objects/ + memo.json + root.json)")
+    p.add_argument("--manifest-backend", choices=["json", "sqlite"],
+                   default="json",
+                   help="memo+catalog backend: json files or one sqlite "
+                        "manifest (the reference's S3 SqliteStore role)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sql = sub.add_parser("sql", help="run SQL (CREATE TABLE DDL or any SELECT)")
@@ -65,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
 
     a = p.parse_args(argv)
     spark = get_spark("messdb_spark_cli")
-    eng = Engine(spark, a.warehouse)
+    eng = Engine(spark, a.warehouse, manifest_backend=a.manifest_backend)
 
     if a.cmd == "sql":
         text = a.command or open(a.file).read()

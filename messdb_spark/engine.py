@@ -24,12 +24,23 @@ from .store import Catalog, CatalogEntry, MemoStore, ObjectStore
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, warehouse: str) -> None:
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 manifest_backend: str = "json") -> None:
+        """``manifest_backend``: "json" (atomic-rename files, default)
+        or "sqlite" (one transactional manifest file for memo+catalog —
+        the reference's own backend choice, S3 SqliteStore)."""
         self.spark = spark
         self.warehouse = warehouse
         self.objects = ObjectStore(warehouse)
-        self.memo = MemoStore(warehouse)
-        self.catalog = Catalog(warehouse)
+        if manifest_backend == "sqlite":
+            from .sqlite_store import SqliteCatalog, SqliteMemoStore
+            self.memo = SqliteMemoStore(warehouse)
+            self.catalog = SqliteCatalog(warehouse)
+        elif manifest_backend == "json":
+            self.memo = MemoStore(warehouse)
+            self.catalog = Catalog(warehouse)
+        else:
+            raise ValueError(f"unknown manifest backend: {manifest_backend}")
         self.materializer = Materializer(spark, self.objects, self.memo,
                                          table_content_hash)
 

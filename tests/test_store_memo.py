@@ -140,6 +140,50 @@ def test_sql_view_materialization_memoizes(spark, warehouse):
     assert out[0] == (20, 950.0)
 
 
+def test_sqlite_manifest_backend(spark, warehouse):
+    """S3 SqliteStore parity: memo + catalog served from one sqlite
+    file (WAL, sync off — the reference's pragmas), same contracts as
+    the JSON backend, state surviving a reopen (cross-process analog)."""
+    from messdb_spark.sqlite_store import SqliteCatalog, SqliteMemoStore
+
+    eng = Engine(spark, warehouse, manifest_backend="sqlite")
+    df = spark.createDataFrame([(i, i % 10, float(i)) for i in range(100)],
+                               "k long, g long, x double")
+    eng.save_table("sq_base", KeyedTable(df, ("k",)))
+
+    REGISTRY.transforms.pop("sq_by_g", None)
+
+    @REGISTRY.transform("sq_by_g", new_key_cols=("g",))
+    def _by_g(d):
+        return d.select("g", "x", "__messdb_ord")
+
+    ir = V.sort(eng.scan_ir("sq_base"), "sq_by_g", "fold_sum")
+    h1 = eng.materializer.materialize(ir)
+    computed = eng.materializer.computed_ops
+    assert eng.materializer.materialize(ir) == h1
+    assert eng.materializer.computed_ops == computed   # memo hit
+
+    # write-once memo contract: a second put with a different value
+    # keeps the first (Store.hs:28-35 via INSERT OR IGNORE)
+    eng.memo.put("probe", "v1")
+    eng.memo.put("probe", "v2")
+    assert eng.memo.get("probe") == "v1"
+
+    # reopen (fresh connections = another process): everything persists
+    eng2 = Engine(spark, warehouse, manifest_backend="sqlite")
+    assert isinstance(eng2.memo, SqliteMemoStore)
+    assert isinstance(eng2.catalog, SqliteCatalog)
+    assert eng2.memo.get("probe") == "v1"
+    assert eng2.materializer.materialize(ir) == h1     # cross-process hit
+    assert eng2.materializer.computed_ops == 0
+    assert eng2.load_table("sq_base").df.count() == 100
+    # versioned roots → time travel works on sqlite too
+    assert eng2.catalog.current_version() == 1
+    eng2.save_table("sq_base2", eng2.load_table("sq_base"))
+    assert eng2.catalog.current_version() == 2
+    assert eng2.catalog.get("sq_base2", version=1) is None
+
+
 def test_catalog_time_travel(spark, warehouse):
     from messdb_spark.operators.core import table_insert
     eng = Engine(spark, warehouse)
