@@ -35,3 +35,36 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.groupBy("c_mktsegment")
              .agg(F.expr("approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)")
                    .alias("approx_p50_p90_p99")))
+
+
+@query(
+    "salted_agg_event_stats",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS total_value,
+           max(value) AS max_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """)
+def salted_agg_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage salted aggregation (operators/skew.py) as a
+    first-class query: event_type is a classic hot-key column (a few
+    types dominate). The salt spreads each hot key over n_salts
+    reducers in stage 1; stage 2 combines <= n_salts partials per key.
+    The oracle is the PLAIN group-by — salting must be semantically
+    invisible. Decimal partials keep the re-aggregation exact, so the
+    two-stage sum equals the one-stage sum bit-for-bit."""
+    from ..operators.skew import salted_agg
+    from . import quantize
+
+    (e,) = load(spark, sf_dir, "events")
+    e = e.filter(F.col("value").isNotNull())
+    out = salted_agg(e, ["event_type"], {
+        "n": ("sum", F.count(F.lit(1))),
+        "total_dec": ("sum", F.sum(F.col("value").cast("decimal(18,2)"))),
+        "max_value": ("max", F.max("value")),
+    }, n_salts=8)
+    return out.select("event_type", "n",
+                      quantize(F.col("total_dec").cast("double"), 2)
+                       .alias("total_value"),
+                      "max_value")

@@ -136,11 +136,6 @@ def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLE_K = 8
 
-# distinct k-char shingles per sampled doc (Spark side)
-_SHINGLES = (f"array_distinct(transform(sequence(1, length(text) - {_SHINGLE_K - 1}),"
-             f" i -> substring(text, i, {_SHINGLE_K})))")
-
-
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""
@@ -148,7 +143,7 @@ _SHINGLES = (f"array_distinct(transform(sequence(1, length(text) - {_SHINGLE_K -
       SELECT DISTINCT doc_id, s FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, length(text) - {_SHINGLE_K - 2}),
-                                     i -> substring(text, i, {_SHINGLE_K}))) AS s
+                 i -> CAST(concat('0x', substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15)) AS BIGINT))) AS s
         FROM documents
         WHERE doc_id % 10 = 0 AND length(text) >= {_SHINGLE_K})
     ),
@@ -167,10 +162,16 @@ _SHINGLES = (f"array_distinct(transform(sequence(1, length(text) - {_SHINGLE_K -
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs on a 1/10 deterministic
     sample (the quadratic exact check; MinHash-LSH below is the full-
-    corpus scale path). Shingle-join → pair counts → Jaccard ≥ 0.08 (threshold tuned to the synthetic corpus so the gate checks real pairs)."""
+    corpus scale path). Shingle-join → pair counts → Jaccard ≥ 0.08
+    (threshold tuned to the synthetic corpus so the gate checks real
+    pairs). Shingles are 60-bit md5-derived ints, not strings — the
+    self-join shuffles 8-byte keys; and the exploded frame is cached
+    because it feeds three plan branches (sizes + both join sides)."""
     (d,) = load(spark, sf_dir, "documents")
     sample = d.filter((F.col("doc_id") % 10 == 0) & (F.length("text") >= _SHINGLE_K))
-    sh = (sample.select("doc_id", F.explode(F.expr(_SHINGLES)).alias("s")))
+    hashed = (f"array_distinct(transform(sequence(1, length(text) - {_SHINGLE_K - 1}),"
+              f" i -> CAST(conv(substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15), 16, 10) AS BIGINT)))")
+    sh = (sample.select("doc_id", F.explode(F.expr(hashed)).alias("s"))).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

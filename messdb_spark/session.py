@@ -9,6 +9,8 @@ knob here is safe for both.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -55,6 +57,30 @@ def get_spark(app_name: str = "messdb_spark", master: str | None = None,
     return spark
 
 
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the ``messdb_spark`` package to Python workers via
+    ``addPyFile`` so cloudpickled UDFs (mapInPandas, UDTF,
+    applyInPandasWithState) can import it regardless of the driver
+    process's cwd/sys.path. On a real cluster this is exactly how the
+    package reaches executors; locally it fixes sessions launched from
+    outside the repo root. Idempotent per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_messdb_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "messdb_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    arc = os.path.join("messdb_spark",
+                                       os.path.relpath(full, pkg_dir))
+                    zf.write(full, arc)
+    sc.addPyFile(zip_path)
+    sc._messdb_pkg_shipped = True
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver testdata parquet table.
 
@@ -62,6 +88,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     reader rejects; with ``nanosAsLong`` it arrives as a long that we
     truncate to microsecond timestamps (matching DuckDB's µs fetch
     precision). Other tables read natively with pushdown/pruning."""
+    ensure_shipped(spark)
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         from pyspark.sql import functions as F
