@@ -47,6 +47,51 @@ def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "last_view_id", "last_view_ts"))
 
 
+_WINDOW_MIN = 30
+
+
+@query(
+    "range_join_purchase_window",
+    oracle=f"""
+    WITH p AS (SELECT event_id AS p_event_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase')
+    SELECT p_event_id,
+           count(*) AS n_follow,
+           floor(CAST(sum(CAST(coalesce(e.value, 0) AS DECIMAL(18,2))) AS DOUBLE)
+                 * 100.0 + 0.5) / 100.0 AS follow_value
+    FROM p JOIN events e
+      ON e.ts >= p_ts AND e.ts < p_ts + INTERVAL {_WINDOW_MIN} MINUTE
+         AND e.event_id <> p_event_id
+    GROUP BY p_event_id
+    """)
+def range_join_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-overlap interval join (no equi-key): every event falling in
+    the 30 minutes after ANY purchase, aggregated per purchase. Uses
+    operators/range_join.interval_join — bucket width = window length,
+    so each purchase window explodes to <=2 buckets and the plan is a
+    shuffled hash join on an 8-byte bucket key instead of the
+    BroadcastNestedLoopJoin Catalyst would pick for the raw range
+    predicate. Decimal partials keep the sum exact vs the oracle's
+    naive range join."""
+    from ..operators.range_join import interval_join
+
+    (e,) = load(spark, sf_dir, "events")
+    width_us = _WINDOW_MIN * 60 * 1_000_000
+    pts = e.select("event_id", "value", F.unix_micros("ts").alias("e_us"))
+    ivs = (e.filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("p_event_id"),
+                    F.unix_micros("ts").alias("lo_us"),
+                    (F.unix_micros("ts") + F.lit(width_us)).alias("hi_us")))
+    j = interval_join(pts, ivs, point_col="e_us", lo_col="lo_us",
+                      hi_col="hi_us", bucket_width=width_us)
+    return (j.filter(F.col("event_id") != F.col("p_event_id"))
+             .groupBy("p_event_id")
+             .agg(F.count(F.lit(1)).alias("n_follow"),
+                  quantize(F.sum(F.coalesce(F.col("value"), F.lit(0))
+                                  .cast(D)).cast("double"), 2)
+                   .alias("follow_value")))
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

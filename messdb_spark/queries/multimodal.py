@@ -59,6 +59,58 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(op, schema=_META_SCHEMA)
 
 
+_FRAME_SCHEMA = "doc_id long, frame_idx long, byte_offset long, frame_md5 string"
+_MAX_FRAMES = 4
+
+
+def sample_frames(media: DataFrame, max_frames: int = _MAX_FRAMES) -> DataFrame:
+    """1→N multimodal operator: deterministic frame sampling from a
+    "video" blob via ``mapInPandas`` — one input row yields a variable
+    number of frame rows (the shape decode-then-explode ops need; the
+    1:1 metadata extractor above can't express it). Frame count and
+    byte offsets derive from the blob; the frame fingerprint is the
+    stub decoder's md5 chain (a real codec would emit actual frame
+    bytes at each offset). Narrow map: no shuffle, output partitioning
+    follows input."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                meta = _decode_blob(bytes(blob))
+                k = meta["n_bytes"] % max_frames + 1
+                for i in range(k):
+                    fp = hashlib.md5(
+                        f"{meta['content_md5']}-{i}".encode()).hexdigest()
+                    rows.append((doc_id, i, meta["n_bytes"] * i // k, fp))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx",
+                                              "byte_offset", "frame_md5"])
+
+    return media.mapInPandas(op, schema=_FRAME_SCHEMA)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id, i AS frame_idx,
+           octet_length(encode(text)) * i // k AS byte_offset,
+           md5(md5(text) || '-' || i) AS frame_md5
+    FROM (SELECT doc_id, text,
+                 octet_length(encode(text)) % {_MAX_FRAMES} + 1 AS k
+          FROM documents),
+         LATERAL unnest(range(0, k)) AS t(i)
+    """)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the 1→N frame-sample path: documents text as fake video
+    blobs, variable frames per blob, checked row-for-row against a
+    LATERAL-unnest SQL oracle (hashlib md5 == DuckDB md5 keeps even
+    the stub fingerprints verifiable)."""
+    (d,) = load(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"))
+    par = spark.sparkContext.defaultParallelism
+    return sample_frames(media.repartition(par))
+
+
 @query(
     "multimodal_metadata",
     oracle="""

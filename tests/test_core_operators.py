@@ -178,3 +178,25 @@ def test_salted_agg_matches_plain_agg(spark):
         F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"),
         F.max("v").alias("mx"), F.min("v").alias("mn")).collect()}
     assert got == expect
+
+
+def test_interval_join_matches_naive_model(spark):
+    """Model check (TrieSpec oracle style): bucketed interval join ==
+    naive nested-loop filter, including boundary inclusivity (lo in,
+    hi out), empty intervals dropped, intervals longer than the bucket
+    width, and duplicate emission (each pair exactly once)."""
+    import itertools
+
+    from messdb_spark.operators.range_join import interval_join
+
+    points = [(p, i) for i, p in enumerate([0, 1, 9, 10, 11, 25, 99, 100, -5, -10])]
+    ivals = [(0, 10, 0), (10, 10, 1), (5, 40, 2), (-7, 3, 3), (95, 101, 4)]
+    pdf = spark.createDataFrame(points, "p long, pid long")
+    idf = spark.createDataFrame(ivals, "lo long, hi long, iid long")
+    for width in (3, 10, 64):
+        got = sorted((r.pid, r.iid) for r in
+                     interval_join(pdf, idf, point_col="p", lo_col="lo",
+                                   hi_col="hi", bucket_width=width).collect())
+        want = sorted((pid, iid) for (p, pid), (lo, hi, iid)
+                      in itertools.product(points, ivals) if lo <= p < hi)
+        assert got == want, f"width={width}"

@@ -140,3 +140,26 @@ def test_equal_bucketed_tables_join_without_exchange(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP DATABASE IF EXISTS buckets_t CASCADE")
+
+
+def test_interval_join_is_hash_not_nested_loop(spark):
+    """The bucketed interval join must plan as a hash/sort-merge join
+    on the bucket key — never the BroadcastNestedLoopJoin Catalyst
+    picks for a raw range predicate (O(n*m) and broadcast-bound at
+    100 TB)."""
+    from messdb_spark.operators.range_join import interval_join
+
+    pts = spark.range(0, 5000).select(F.col("id").alias("p"),
+                                      F.col("id").alias("pid"))
+    ivs = spark.range(0, 500).select((F.col("id") * 10).alias("lo"),
+                                     (F.col("id") * 10 + 7).alias("hi"),
+                                     F.col("id").alias("iid"))
+    j = interval_join(pts, ivs, point_col="p", lo_col="lo", hi_col="hi",
+                      bucket_width=10)
+    p = plan_str(j, "simple")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+    # raw range predicate for contrast: Catalyst degrades to BNLJ
+    raw = pts.join(ivs, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi")))
+    assert "BroadcastNestedLoopJoin" in plan_str(raw, "simple")

@@ -129,3 +129,30 @@ def test_stream_upsert_into_catalog(spark, events_dir, tmp_path):
     assert t.key_cols == ("event_id",)
     # key uniqueness invariant survived the streamed merges
     assert t.df.select("event_id").distinct().count() == n
+
+
+def test_dedup_within_watermark_drops_redelivery(spark, sf_dir, tmp_path):
+    """The same events file arrives twice (two triggers = at-least-once
+    re-delivery): dropDuplicatesWithinWatermark must emit each event_id
+    exactly once. State is bounded by the watermark horizon, so this is
+    the dedup that survives an unbounded feed."""
+    from messdb_spark.streaming.stream import dedup_within_watermark
+
+    src = tmp_path / "events_dup"
+    src.mkdir()
+    for name in ("first.parquet", "second.parquet"):
+        (src / name).symlink_to(f"{sf_dir}/events.parquet")
+    stream = read_event_stream(spark, str(src))
+    q = (dedup_within_watermark(stream).writeStream.outputMode("append")
+         .format("memory").queryName("dedup_out").start())
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 2  # re-delivery really crossed a batch boundary
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    n_distinct = (spark.read.parquet(f"{sf_dir}/events.parquet")
+                  .select("event_id").distinct().count())
+    assert len(got) == n_distinct
+    assert len({r["event_id"] for r in got}) == n_distinct
