@@ -12,6 +12,7 @@ directory plays the role of the reference's single sqlite file
     python -m messdb_spark.cli --warehouse WH import-csv -t name file.csv
     python -m messdb_spark.cli --warehouse WH export-csv -t name outdir
     python -m messdb_spark.cli --warehouse WH export-json -t name outdir
+    python -m messdb_spark.cli --warehouse WH gc --keep-versions 3
 
 Query results print as JSON lines (``messdb-tool.hs:195``).
 """
@@ -24,7 +25,7 @@ import sys
 
 from .engine import Engine
 from .session import get_spark
-from .sources.io import export_csv, export_json, import_csv
+from .sources.io import export_csv, export_json, import_csv, import_json
 from .sql_ddl import SqlError
 
 
@@ -55,6 +56,10 @@ def main(argv: list[str] | None = None) -> int:
     ic.add_argument("-t", "--table", required=True)
     ic.add_argument("path")
 
+    ij = sub.add_parser("import-json", help="upsert JSON-lines file(s) into a table")
+    ij.add_argument("-t", "--table", required=True)
+    ij.add_argument("path")
+
     for verb in ("export-csv", "export-json"):
         e = sub.add_parser(verb, help=f"{verb.split('-')[1]} export, key-ordered")
         e.add_argument("-t", "--table", required=True)
@@ -66,6 +71,13 @@ def main(argv: list[str] | None = None) -> int:
              "content-addressed result + catalog entry (plan-digest cache)")
     mat.add_argument("-t", "--table", required=True, help="result table name")
     mat.add_argument("-c", "--command", required=True, help="SELECT text")
+
+    g = sub.add_parser("gc", help="mark-and-sweep unreferenced CAS objects")
+    g.add_argument("--keep-versions", type=int, default=None,
+                   help="catalog-history horizon (default: keep all)")
+    g.add_argument("--collect-memoized", action="store_true",
+                   help="also evict memoized view outputs (compute cache)")
+    g.add_argument("--dry-run", action="store_true")
 
     a = p.parse_args(argv)
     spark = get_spark("messdb_spark_cli")
@@ -103,9 +115,10 @@ def main(argv: list[str] | None = None) -> int:
             table_hash=h, schema_json=df.schema.json(), key_cols=[]))
         print(json.dumps({"ok": True, "table": a.table, "table_hash": h,
                           "memo_hit": eng.memo.hits > hits_before}))
-    elif a.cmd == "import-csv":
+    elif a.cmd in ("import-csv", "import-json"):
         t = eng.load_table(a.table)
-        merged = import_csv(spark, a.path, t)
+        importer = import_csv if a.cmd == "import-csv" else import_json
+        merged = importer(spark, a.path, t)
         h = eng.save_table(a.table, merged)
         print(json.dumps({"ok": True, "table": a.table, "table_hash": h,
                           "rows": merged.df.count()}))
@@ -115,6 +128,12 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "export-json":
         export_json(eng.load_table(a.table), a.path)
         print(json.dumps({"ok": True, "path": a.path}))
+    elif a.cmd == "gc":
+        stats = eng.gc(keep_versions=a.keep_versions,
+                       collect_memoized=a.collect_memoized,
+                       dry_run=a.dry_run)
+        stats["swept"] = len(stats["swept"])
+        print(json.dumps({"ok": True, **stats}))
     return 0
 
 

@@ -12,6 +12,7 @@ and ``Engine.ddl``/``save_table`` (write path: new root state).
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -54,14 +55,31 @@ class Engine:
             key_cols=list(table.key_cols)))
         return h
 
+    def save_bucketed_table(self, name: str, ref) -> str:
+        """Register a bucket-granular table (plans/incremental) in the
+        catalog: the entry points at the persisted manifest object, so
+        the table is durable, time-travelable, and GC-traceable like
+        any plain table."""
+        from .plans.incremental import save_manifest
+        h = save_manifest(self.objects, ref)
+        self.catalog.put(name, CatalogEntry(
+            table_hash=h, schema_json=ref.schema_json,
+            key_cols=list(ref.key_cols)))
+        return h
+
     # -- catalog read path (R1 getRepoTable, Repo.hs:100-111) ----------
     def load_table(self, name: str, version: int | None = None) -> KeyedTable:
         """Load a table; ``version`` reads from an archived catalog
-        root (time travel — immutable objects make old snapshots free)."""
+        root (time travel — immutable objects make old snapshots free).
+        A manifest-backed entry reassembles from its bucket objects."""
         e = self.catalog.get(name, version=version)
         if e is None:
             raise KeyError(f"no such table: {name}"
                            + (f" at version {version}" if version is not None else ""))
+        from .plans.incremental import load_manifest, read_bucketed
+        ref = load_manifest(self.objects, e.table_hash)
+        if ref is not None:
+            return read_bucketed(self.spark, self.objects, ref)
         df = self.objects.load(self.spark, e.table_hash)
         return KeyedTable(df, tuple(e.key_cols))
 
@@ -91,3 +109,73 @@ class Engine:
         for name in self.catalog.names():
             self.load_table(name).df.createOrReplaceTempView(name)
         return self.spark.sql(query)
+
+    # -- garbage collection --------------------------------------------
+    def gc(self, keep_versions: int | None = None, extra_live=(),
+           collect_memoized: bool = False, dry_run: bool = False) -> dict:
+        """Mark-and-sweep over the write-once CAS.
+
+        The reference never deletes (write-once stores only); at 100 TB
+        a store that only grows is not operable, so GC is the one
+        liveness operation we add. Mark: every table hash reachable
+        from the retained catalog roots (last ``keep_versions``
+        versions; None = all), plus memoized view outputs (unless
+        ``collect_memoized`` evicts the compute cache), plus
+        ``extra_live`` pins — closed over bucket-manifest references
+        (the trie root → child edges). Sweep: delete every other
+        object; prune memo entries whose target died (a memo hit must
+        never dangle) and catalog roots older than the horizon.
+
+        Safety note (same as any object-store GC, e.g. Delta VACUUM):
+        requires no concurrent writer holding an unregistered ref."""
+        import shutil
+
+        from .plans.incremental import EMPTY, load_manifest
+
+        cur = self.catalog.current_version()
+        if keep_versions is not None and keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        min_v = 1 if keep_versions is None else max(1, cur - keep_versions + 1)
+        live: set[str] = set(extra_live)
+        for v in range(min_v, cur + 1):
+            root = self.catalog._load_root(v)
+            live |= {e["table_hash"] for e in root.values()}
+        live |= {e["table_hash"]
+                 for e in self.catalog._load_root(None).values()}
+        if not collect_memoized:
+            cache = getattr(self.memo, "_cache", None)
+            live |= (set(cache.values()) if cache is not None
+                     else self._memo_targets())
+        # close over manifest → bucket edges
+        frontier = list(live)
+        while frontier:
+            ref = load_manifest(self.objects, frontier.pop())
+            if ref is None:
+                continue
+            for h in ref.bucket_hashes:
+                if h != EMPTY and h not in live:
+                    live.add(h)
+                    frontier.append(h)
+
+        swept: list[str] = []
+        if os.path.isdir(self.objects.objects_dir):
+            for entry in sorted(os.listdir(self.objects.objects_dir)):
+                if entry not in live:
+                    swept.append(entry)
+                    if not dry_run:
+                        shutil.rmtree(os.path.join(
+                            self.objects.objects_dir, entry),
+                            ignore_errors=True)
+        pruned_memo = 0 if dry_run else self.memo.prune(lambda h: h in live)
+        pruned_roots = 0
+        if keep_versions is not None and not dry_run:
+            pruned_roots = self.catalog.prune_roots(min_v)
+        return {"live": len(live), "swept": swept,
+                "pruned_memo": pruned_memo, "pruned_roots": pruned_roots}
+
+    def _memo_targets(self) -> set[str]:
+        """Memo result hashes for backends without a dict cache."""
+        if hasattr(self.memo, "_con"):
+            return {r[0] for r in
+                    self.memo._con.execute("SELECT value FROM memo_store")}
+        return set()

@@ -107,6 +107,46 @@ def write_bucketed(store: ObjectStore, table: KeyedTable,
         schema_json=table.df.schema.json())
 
 
+def save_manifest(store: ObjectStore, ref: BucketedRef) -> str:
+    """Persist a BucketedRef as a write-once CAS object (a directory
+    holding ``manifest.json``) — the durable trie-root-node: the
+    table's identity is the manifest hash, and the manifest carries the
+    child object hashes, so catalog entries / GC / other processes can
+    reach the buckets from the hash alone."""
+    h = ref.table_hash
+    d = store.path(h)
+    if store.exists(h):
+        store.save_skips += 1
+        return h
+    os.makedirs(d, exist_ok=True)
+    payload = {"kind": "bucketed_manifest",
+               "key_cols": list(ref.key_cols),
+               "n_buckets": ref.n_buckets,
+               "bucket_hashes": list(ref.bucket_hashes),
+               "schema_json": ref.schema_json}
+    tmp = os.path.join(d, ".manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(d, "manifest.json"))
+    open(os.path.join(d, "_SUCCESS"), "w").close()
+    store.saves += 1
+    return h
+
+
+def load_manifest(store: ObjectStore, table_hash: str) -> BucketedRef | None:
+    """Read a persisted BucketedRef back; None if the object is not a
+    manifest (plain parquet table)."""
+    p = os.path.join(store.path(table_hash), "manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        m = json.load(f)
+    return BucketedRef(key_cols=tuple(m["key_cols"]),
+                       n_buckets=m["n_buckets"],
+                       bucket_hashes=tuple(m["bucket_hashes"]),
+                       schema_json=m["schema_json"])
+
+
 def read_bucketed(spark: SparkSession, store: ObjectStore,
                   ref: BucketedRef, buckets: list[int] | None = None) -> KeyedTable:
     """Assemble the table (or a bucket subset — bucket pruning for

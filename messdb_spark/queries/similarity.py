@@ -268,3 +268,83 @@ def lsh_bucket_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy("bucket")
                .agg(F.count(F.lit(1)).alias("n_vecs"),
                     F.min("vec_id").alias("min_vec_id")))
+
+
+_KM_K = 8        # clusters
+_KM_ITERS = 3    # Lloyd iterations (fixed for determinism)
+
+
+def kmeans_fit(vecs: DataFrame, k: int = _KM_K,
+               iters: int = _KM_ITERS) -> tuple[list[list[float]], DataFrame]:
+    """Distributed Lloyd k-means over ``(vec_id, v: array<double>)``.
+
+    The iterative-algorithm class (no single SQL equivalent): a
+    driver-side loop where each iteration is
+      1. ASSIGN — map-only: centroids are collected to the driver
+         (k×d doubles, tiny) and embedded as plan literals, so the
+         nearest-centroid argmin is a pure projection over the corpus —
+         no join, no shuffle (the IVF codebook pattern);
+      2. UPDATE — one partial-aggregated shuffle of (cluster, dim)
+         sums (k×d rows total) to recompute means.
+    Per-iteration cost at 100 TB: one corpus scan + a k×d-row shuffle;
+    the corpus is never collected or replicated. Deterministic init:
+    the k lowest-vec_id vectors (a production run would seed
+    k-means++ from a sample). Empty clusters keep their previous
+    centroid. Returns (centroids, assignment df)."""
+    init = (vecs.orderBy("vec_id").limit(k)
+                .select("v").collect())
+    cents = [list(r["v"]) for r in init]
+    assigned = None
+    for _ in range(iters):
+        dist_exprs = []
+        for c in cents:
+            arr = "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)"
+                                       for x in c) + ")"
+            dist_exprs.append(
+                f"aggregate(zip_with(v, {arr}, (x, c) -> (x - c) * (x - c)), "
+                f"CAST(0.0 AS DOUBLE), (a, d) -> a + d)")
+        dists = F.expr("array(" + ", ".join(dist_exprs) + ")")
+        assigned = (vecs.withColumn("dists", dists)
+                        .withColumn("cl", (F.expr(
+                            "array_position(dists, array_min(dists))") - 1)
+                            .cast("long"))
+                        .drop("dists"))
+        sums = (assigned.select("cl", F.posexplode("v").alias("i", "x"))
+                        .groupBy("cl", "i")
+                        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                        .collect())
+        by_cl: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cl.setdefault(r["cl"], {})[r["i"]] = r["s"] / r["n"]
+        cents = [([by_cl[ci][i] for i in range(len(cents[0]))]
+                  if ci in by_cl else cents[ci])
+                 for ci in range(k)]
+    return cents, assigned
+
+
+@query("kmeans_embedding_clusters", oracle=None)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster profile of the embeddings corpus (rows-only
+    driver check: a fixed-point iterative algorithm has no practical
+    single-SQL oracle — FP mean drift across engines flips boundary
+    assignments; tests/test_core_operators.py bounds it against a
+    numpy model instead). Output: one row per cluster with its size
+    and mean within-cluster distance."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id",
+                      F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                       .alias("v"))
+    cents, assigned = kmeans_fit(vecs)
+    dist_exprs = []
+    for c in cents:
+        arr = "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c) + ")"
+        dist_exprs.append(
+            f"aggregate(zip_with(v, {arr}, (x, c) -> (x - c) * (x - c)), "
+            f"CAST(0.0 AS DOUBLE), (a, d) -> a + d)")
+    darr = F.expr("array(" + ", ".join(dist_exprs) + ")")
+    return (assigned.withColumn("d", F.sqrt(F.element_at(darr, F.col("cl").cast("int") + 1)))
+                    .groupBy("cl")
+                    .agg(F.count(F.lit(1)).alias("n_members"),
+                         quantize(F.avg("d"), 4).alias("mean_dist"))
+                    .select(F.col("cl").alias("cluster_id"), "n_members",
+                            "mean_dist"))

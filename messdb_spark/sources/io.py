@@ -37,6 +37,18 @@ def import_csv(spark: SparkSession, path: str, target: KeyedTable) -> KeyedTable
     return merge_tables([target, incoming], FOLD_TO_LAST)
 
 
+def import_json(spark: SparkSession, path: str, target: KeyedTable) -> KeyedTable:
+    """JSON-lines import (inverse of F3 — the reference only exports
+    JSON; import is a capability superset in the same shape as F1):
+    schema-enforced read (catalog schema authoritative, field order
+    irrelevant in JSON objects), fold-merge upsert into the target."""
+    schema = target.df.schema
+    raw = spark.read.schema(schema).json(path)
+    incoming = KeyedTable(raw.select(*[f.name for f in schema.fields]),
+                          target.key_cols)
+    return merge_tables([target, incoming], FOLD_TO_LAST)
+
+
 def export_csv(table: KeyedTable, path: str) -> None:
     """F2: key-ordered CSV export, key columns first (``Csv.hs:82-85``:
     header = key names ++ value names). Range-partitioned sort keeps

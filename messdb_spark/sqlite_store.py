@@ -69,6 +69,16 @@ class SqliteMemoStore:
             (op_digest, table_hash))
         self._con.commit()
 
+    def prune(self, is_live) -> int:
+        """Drop entries whose target hash fails ``is_live`` (GC support;
+        same contract as ``store.MemoStore.prune``)."""
+        rows = self._con.execute("SELECT key, value FROM memo_store").fetchall()
+        dead = [k for k, v in rows if not is_live(v)]
+        self._con.executemany("DELETE FROM memo_store WHERE key = ?",
+                              [(k,) for k in dead])
+        self._con.commit()
+        return len(dead)
+
 
 class SqliteCatalog:
     """Catalog (RepoRoot + RepoStore analog) over sqlite, same interface
@@ -119,3 +129,12 @@ class SqliteCatalog:
         root = self._load_root()
         root.pop(name, None)
         return self._swap_root(root)
+
+    def prune_roots(self, min_version: int) -> int:
+        cur = self._con.execute(
+            "SELECT count(*) FROM repo_root WHERE version < ?",
+            (min_version,)).fetchone()[0]
+        self._con.execute("DELETE FROM repo_root WHERE version < ?",
+                          (min_version,))
+        self._con.commit()
+        return cur

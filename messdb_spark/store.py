@@ -158,6 +158,16 @@ class MemoStore:
         self._cache[op_digest] = table_hash
         _atomic_write_json(self.path, self._cache)
 
+    def prune(self, is_live) -> int:
+        """Drop entries whose target hash fails ``is_live`` (GC support:
+        a memo hit must never point at a collected object)."""
+        dead = [k for k, v in self._cache.items() if not is_live(v)]
+        for k in dead:
+            del self._cache[k]
+        if dead:
+            _atomic_write_json(self.path, self._cache)
+        return len(dead)
+
 
 @dataclass
 class CatalogEntry:
@@ -220,3 +230,16 @@ class Catalog:
         root = self._load_root()
         root.pop(name, None)
         return self._swap_root(root)
+
+    def prune_roots(self, min_version: int) -> int:
+        """Delete archived roots older than ``min_version`` (bounds the
+        time-travel horizon so GC can reclaim their objects)."""
+        if not os.path.isdir(self.roots_dir):
+            return 0
+        n = 0
+        for f in os.listdir(self.roots_dir):
+            if f.startswith("root-v") and f.endswith(".json") \
+                    and int(f[6:-5]) < min_version:
+                os.remove(os.path.join(self.roots_dir, f))
+                n += 1
+        return n

@@ -200,3 +200,34 @@ def test_interval_join_matches_naive_model(spark):
         want = sorted((pid, iid) for (p, pid), (lo, hi, iid)
                       in itertools.product(points, ivals) if lo <= p < hi)
         assert got == want, f"width={width}"
+
+
+def test_kmeans_matches_numpy_model(spark):
+    """Lloyd k-means vs a numpy model with identical init (first-k) and
+    iteration count: cluster sizes and assignments must agree (both
+    argmins run in double precision over the same arithmetic)."""
+    import numpy as np
+
+    from messdb_spark.queries.similarity import kmeans_fit
+
+    rng = np.random.RandomState(7)
+    k, iters, n, d = 4, 3, 300, 8
+    centers = rng.randn(k, d) * 5
+    pts = np.vstack([centers[i % k] + rng.randn(d) for i in range(n)])
+
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, v array<double>")
+    cents, assigned = kmeans_fit(vecs, k=k, iters=iters)
+    got = {r["vec_id"]: r["cl"] for r in assigned.collect()}
+
+    # numpy model, same init and schedule
+    C = pts[:k].copy()
+    for _ in range(iters):
+        dist = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = dist.argmin(axis=1)
+        for ci in range(k):
+            if (lab == ci).any():
+                C[ci] = pts[lab == ci].mean(axis=0)
+    assert got == {i: int(lab[i]) for i in range(n)}
+    assert np.allclose(np.array(cents), C, atol=1e-9)

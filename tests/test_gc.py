@@ -1,0 +1,117 @@
+"""Garbage collection over the write-once CAS: mark from retained
+catalog roots + memo targets + manifest children, sweep the rest,
+never dangle a memo entry or a catalog reference."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from messdb_spark.engine import Engine
+from messdb_spark.operators.core import KeyedTable
+from messdb_spark.plans import views as V
+from messdb_spark.plans.incremental import (incremental_upsert, load_manifest,
+                                            write_bucketed)
+from messdb_spark.registry import REGISTRY
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def _objects(eng):
+    return set(os.listdir(eng.objects.objects_dir))
+
+
+@pytest.mark.parametrize("backend", ["json", "sqlite"])
+def test_gc_reclaims_superseded_objects(spark, warehouse, backend):
+    eng = Engine(spark, warehouse + backend, manifest_backend=backend)
+    df1 = spark.createDataFrame([(i, "a") for i in range(100)], "k long, v string")
+    h1 = eng.save_table("t", KeyedTable(df1, ("k",)))
+    df2 = spark.createDataFrame([(i, "b") for i in range(100)], "k long, v string")
+    h2 = eng.save_table("t", KeyedTable(df2, ("k",)))
+    assert h1 != h2 and eng.objects.exists(h1)
+
+    # full history retained → nothing to sweep
+    stats = eng.gc()
+    assert stats["swept"] == []
+
+    # horizon 1 → superseded object goes, old root pruned, current loads
+    stats = eng.gc(keep_versions=1)
+    assert stats["swept"] == [h1]
+    assert not eng.objects.exists(h1) and eng.objects.exists(h2)
+    assert eng.load_table("t").df.count() == 100
+    with pytest.raises(Exception):
+        eng.load_table("t", version=1)
+
+
+def test_gc_dry_run_deletes_nothing(spark, warehouse):
+    eng = Engine(spark, warehouse)
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    h1 = eng.save_table("t", KeyedTable(df1, ("k",)))
+    eng.save_table("t", KeyedTable(
+        spark.createDataFrame([(1, "b")], "k long, v string"), ("k",)))
+    stats = eng.gc(keep_versions=1, dry_run=True)
+    assert stats["swept"] == [h1]
+    assert eng.objects.exists(h1)
+    assert eng.load_table("t", version=1).df.count() == 1  # roots intact
+
+
+def test_gc_keeps_then_evicts_memoized_views(spark, warehouse):
+    eng = Engine(spark, warehouse)
+    df = spark.createDataFrame([(i, i % 10, float(i)) for i in range(200)],
+                               "k long, g long, x double")
+    eng.save_table("base", KeyedTable(df, ("k",)))
+    REGISTRY.transforms.pop("gc_test_by_g", None)
+
+    @REGISTRY.transform("gc_test_by_g", new_key_cols=("g",))
+    def _by_g(d):
+        return d.select("g", "x", "__messdb_ord")
+
+    ir = V.sort(eng.scan_ir("base"), "gc_test_by_g", "fold_sum")
+    view_hash = eng.materializer.materialize(ir)
+
+    # default: memoized outputs are live — view object survives, memo hits
+    assert view_hash not in eng.gc(keep_versions=1)["swept"]
+    n_computed = eng.materializer.computed_ops
+    assert eng.materializer.materialize(ir) == view_hash
+    assert eng.materializer.computed_ops == n_computed
+
+    # collect_memoized=True: cache evicted, memo pruned (no dangling hit),
+    # next materialize recomputes the same content
+    stats = eng.gc(keep_versions=1, collect_memoized=True)
+    assert view_hash in stats["swept"]
+    assert stats["pruned_memo"] >= 1
+    assert eng.materializer.materialize(ir) == view_hash
+    assert eng.materializer.computed_ops > n_computed
+
+
+def test_gc_traces_bucketed_manifests(spark, warehouse):
+    eng = Engine(spark, warehouse)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(3000)],
+                               "k long, v string")
+    ref = write_bucketed(eng.objects, KeyedTable(df, ("k",)), n_buckets=16)
+    mh = eng.save_bucketed_table("bt", ref)
+
+    # superseded state: upsert produces a new manifest in the catalog
+    delta = spark.createDataFrame([(7, "NEW"), (9999, "ADD")], "k long, v string")
+    ref2 = incremental_upsert(spark, eng.objects, ref, delta)
+    mh2 = eng.save_bucketed_table("bt", ref2)
+    assert mh != mh2
+
+    stats = eng.gc(keep_versions=1)
+    # every bucket of the current manifest survived the sweep
+    live_buckets = {h for h in load_manifest(eng.objects, mh2).bucket_hashes
+                    if h != "empty"}
+    assert live_buckets <= _objects(eng)
+    assert mh in stats["swept"]          # old manifest reclaimed
+    # buckets unique to the old state are gone, shared ones survive
+    old_only = {h for h in ref.bucket_hashes if h != "empty"} - live_buckets
+    assert old_only and old_only.isdisjoint(_objects(eng))
+
+    t = eng.load_table("bt")
+    assert t.df.count() == 3001
+    assert t.df.filter(F.col("k") == 7).collect()[0]["v"] == "NEW"
