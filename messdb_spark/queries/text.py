@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from . import query, load, quantize
 
@@ -272,3 +273,101 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
+
+
+@query(
+    "stratified_sample_per_lang",
+    oracle="""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) t
+    WHERE rk <= 20
+    """)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the corpus-curation op for
+    balanced training mixes: a fixed per-language quota selected by
+    hash rank (md5 of the key), so the sample is reproducible across
+    engines and runs, unlike TABLESAMPLE. Plan: one scan, one shuffle
+    on lang; WindowGroupLimit prunes each partition to the quota
+    before the final sort, so the shuffle carries only winners at
+    scale."""
+    (d,) = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
+    return (d.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= 20)
+             .select("lang", "doc_id"))
+
+
+_DECON_T = 60   # min shared 8-shingles to flag contamination
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 97 <> 0 AND length(text) >= {_SHINGLE_K}),
+    bench AS (SELECT text FROM documents
+              WHERE doc_id % 97 = 0 AND length(text) >= {_SHINGLE_K}),
+    csh AS (SELECT DISTINCT doc_id, s FROM (
+      SELECT doc_id, unnest(list_transform(range(1, length(text) - {_SHINGLE_K - 2}),
+        i -> CAST(concat('0x', substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15)) AS BIGINT))) AS s
+      FROM corpus)),
+    bsh AS (SELECT DISTINCT s FROM (
+      SELECT unnest(list_transform(range(1, length(text) - {_SHINGLE_K - 2}),
+        i -> CAST(concat('0x', substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15)) AS BIGINT))) AS s
+      FROM bench))
+    SELECT doc_id, count(*) AS n_shared
+    FROM csh JOIN bsh USING (s)
+    GROUP BY doc_id HAVING count(*) >= {_DECON_T}
+    """)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination — flag training docs sharing >= {_DECON_T}
+    distinct 8-gram shingles with a held-out benchmark set (here the
+    doc_id % 97 == 0 slice stands in for the benchmark). Scale shape:
+    the benchmark shingle set is small and DISTINCT — it broadcasts —
+    so the corpus side never shuffles; shingles are 60-bit md5 ints
+    (8-byte keys, never strings)."""
+    (d,) = load(spark, sf_dir, "documents")
+    hashed = (f"array_distinct(transform(sequence(1, length(text) - {_SHINGLE_K - 1}),"
+              f" i -> CAST(conv(substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15), 16, 10) AS BIGINT)))")
+    eligible = d.filter(F.length("text") >= _SHINGLE_K)
+    csh = (eligible.filter(F.col("doc_id") % 97 != 0)
+                   .select("doc_id", F.explode(F.expr(hashed)).alias("s")))
+    bsh = (eligible.filter(F.col("doc_id") % 97 == 0)
+                   .select(F.explode(F.expr(hashed)).alias("s"))
+                   .distinct())
+    return (csh.join(F.broadcast(bsh), "s")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_shared"))
+               .filter(F.col("n_shared") >= _DECON_T))
+
+
+_PII_PAT = r"\b(key|hash|merge)\b"   # stand-in lexical PII patterns
+
+
+@query(
+    "pii_redaction_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_PAT}')) AS n_redacted,
+           md5(regexp_replace(text, '{_PII_PAT}', '[REDACTED]', 'g')) AS redacted_md5
+    FROM documents
+    WHERE len(regexp_extract_all(text, '{_PII_PAT}')) > 0
+    """)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass — the PII-scrubbing shape (regex find + replace +
+    audit count) over the corpus; the synthetic text has no real PII,
+    so three lexical tokens stand in for the e-mail/phone patterns a
+    production list would use (word-boundary regex runs identically in
+    Java regex and RE2, which is what makes the md5 of the redacted
+    text oracle-checkable). Pure narrow projection: no shuffle, regex
+    inside whole-stage codegen."""
+    (d,) = load(spark, sf_dir, "documents")
+    n = F.regexp_count(F.col("text"), F.lit(_PII_PAT))
+    red = F.regexp_replace(F.col("text"), _PII_PAT, "[REDACTED]")
+    return (d.select("doc_id", n.alias("n_redacted"),
+                     F.md5(red.cast("binary")).alias("redacted_md5"))
+             .filter(F.col("n_redacted") > 0))

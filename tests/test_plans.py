@@ -163,3 +163,20 @@ def test_interval_join_is_hash_not_nested_loop(spark):
     # raw range predicate for contrast: Catalyst degrades to BNLJ
     raw = pts.join(ivs, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi")))
     assert "BroadcastNestedLoopJoin" in plan_str(raw, "simple")
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    """Per-stratum quota must prune partial-side (WindowGroupLimit
+    Partial before the shuffle) so only quota winners shuffle."""
+    df = QUERIES["stratified_sample_per_lang"].fn(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, "simple")
+    assert "WindowGroupLimit" in p and "Partial" in p
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast — a SortMergeJoin here
+    would shuffle every corpus shingle at 100 TB."""
+    df = QUERIES["benchmark_contamination"].fn(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
