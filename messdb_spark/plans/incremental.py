@@ -193,6 +193,67 @@ def incremental_upsert(spark: SparkSession, store: ObjectStore,
                        bucket_hashes=tuple(bh), schema_json=ref.schema_json)
 
 
+def incremental_agg_view(spark: SparkSession, store: ObjectStore, memo,
+                         ref: BucketedRef, view_key: str,
+                         group_cols: list[str],
+                         aggs: dict[str, tuple[str, "F.Column"]]):
+    """Incrementally-maintained AGGREGATION view over a bucketed table:
+    ``groupBy(group_cols).agg(...)`` for distributive/algebraic
+    aggregates, refreshed in cost ∝ changed buckets.
+
+    Buckets partition the *key* space, not the group space, so a
+    group's rows span buckets — but distributive aggregates re-combine
+    from per-bucket partials exactly like Spark's own map-side partial
+    aggregation, just persisted: each bucket's partial aggregate is a
+    small content-addressed object memoized by
+
+        sha256(OP_AGG_BUCKET ‖ view key ‖ input bucket hash)
+
+    After a delta upsert, only the touched buckets' partials recompute;
+    the final combine unions B tiny partial objects and re-aggregates
+    (sum→sum, count→sum, max→max, min→min — the classic two-phase
+    rule). ``aggs`` maps output name → (recombine op, partial Column).
+    Returns the combined KeyedTable keyed by ``group_cols``."""
+    from ..operators.core import KeyedTable
+
+    recombine = {"sum": F.sum, "count": F.sum, "max": F.max, "min": F.min}
+    for name, (op, _c) in aggs.items():
+        if op not in recombine:
+            raise ValueError(f"{name}: non-distributive recombine op {op}")
+
+    def bucket_digest(in_hash: str) -> str:
+        return hashlib.sha256(
+            f"OP_AGG_BUCKET|{view_key}|{in_hash}".encode()).hexdigest()
+
+    partial_hashes: list[str] = []
+    missed: list[int] = []
+    for b, in_hash in enumerate(ref.bucket_hashes):
+        if in_hash == EMPTY:
+            continue
+        hit = memo.get(bucket_digest(in_hash))
+        if hit is not None and store.exists(hit):
+            partial_hashes.append(hit)
+        else:
+            missed.append(b)
+
+    if missed:
+        for b in missed:
+            rows = read_bucketed(spark, store, ref, buckets=[b]).df
+            part = rows.groupBy(*group_cols).agg(
+                *[c.alias(n) for n, (_op, c) in aggs.items()])
+            from ..hashing import table_content_hash
+            h = table_content_hash(part)
+            store.save(h, part)
+            memo.put(bucket_digest(ref.bucket_hashes[b]), h)
+            partial_hashes.append(h)
+
+    parts = spark.read.parquet(*[store.path(h) for h in partial_hashes])
+    store.loads += len(partial_hashes)
+    combined = parts.groupBy(*group_cols).agg(
+        *[recombine[op](F.col(n)).alias(n) for n, (op, _c) in aggs.items()])
+    return KeyedTable(combined, tuple(group_cols))
+
+
 def incremental_map_view(spark: SparkSession, store: ObjectStore, memo,
                          ref: BucketedRef, transform_key: str) -> BucketedRef:
     """Incrementally-maintained materialized view over a bucketed table

@@ -169,7 +169,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join shuffles 8-byte keys; and the exploded frame is cached
     because it feeds three plan branches (sizes + both join sides)."""
     (d,) = load(spark, sf_dir, "documents")
-    sample = d.filter((F.col("doc_id") % 10 == 0) & (F.length("text") >= _SHINGLE_K))
+    par = spark.sparkContext.defaultParallelism
+    sample = (d.filter((F.col("doc_id") % 10 == 0) & (F.length("text") >= _SHINGLE_K))
+               .repartition(par))
     hashed = (f"array_distinct(transform(sequence(1, length(text) - {_SHINGLE_K - 1}),"
               f" i -> CAST(conv(substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15), 16, 10) AS BIGINT)))")
     sh = (sample.select("doc_id", F.explode(F.expr(hashed)).alias("s"))).cache()
@@ -333,7 +335,11 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d,) = load(spark, sf_dir, "documents")
     hashed = (f"array_distinct(transform(sequence(1, length(text) - {_SHINGLE_K - 1}),"
               f" i -> CAST(conv(substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15), 16, 10) AS BIGINT)))")
-    eligible = d.filter(F.length("text") >= _SHINGLE_K)
+    # the testdata is one small parquet file = a 1-partition scan; spread
+    # the per-row md5 shingling across cores (at corpus scale the scan
+    # is already parallel and this repartition would be dropped)
+    par = spark.sparkContext.defaultParallelism
+    eligible = d.filter(F.length("text") >= _SHINGLE_K).repartition(par)
     csh = (eligible.filter(F.col("doc_id") % 97 != 0)
                    .select("doc_id", F.explode(F.expr(hashed)).alias("s")))
     bsh = (eligible.filter(F.col("doc_id") % 97 == 0)

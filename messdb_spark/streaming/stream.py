@@ -119,6 +119,32 @@ def running_user_totals(events: DataFrame,
                                           GroupStateTimeout.NoTimeout))
 
 
+def stream_stream_purchase_views(purchases: DataFrame, views: DataFrame,
+                                 horizon: str = "30 minutes",
+                                 watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each purchase joins the same user's
+    view events from the preceding ``horizon`` — the streaming form of
+    the batch as-of/interval joins. Both sides carry watermarks and the
+    join condition time-bounds the buffered state (Spark evicts each
+    side once the other's watermark passes the bound), so state is
+    O(arrival rate × horizon) per side, not unbounded."""
+    p = (purchases.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("p_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", watermark))
+    v = (views.filter(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("v_id"),
+                 F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("v_ts"))
+         .withWatermark("v_ts", watermark))
+    return p.join(
+        v, (F.col("p_user") == F.col("v_user")) &
+           (F.col("v_ts") < F.col("p_ts")) &
+           (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner")
+
+
 def dedup_within_watermark(events: DataFrame,
                            keys: tuple[str, ...] = ("event_id",),
                            watermark: str = "2 hours") -> DataFrame:

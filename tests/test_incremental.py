@@ -133,3 +133,51 @@ def test_incremental_view_refresh_recomputes_only_changed_buckets(spark, warehou
     assert reused == 16 - len(changed)                  # the rest reused by reference
     got = read_bucketed(spark, store, view2).df.filter(F.col("k") < 5).collect()
     assert all(r["v"] == "NEW" and r["x2"] == 1.0 for r in got)
+
+
+def test_incremental_agg_view_recomputes_only_changed_buckets(spark, tmp_path):
+    """Aggregation view over a bucketed table: after a 2-row delta,
+    refresh recomputes partials only for the touched buckets (memo hits
+    for the rest) and the combined result equals a plain groupBy."""
+    from messdb_spark.plans.incremental import incremental_agg_view
+    from messdb_spark.store import MemoStore, ObjectStore
+
+    store = ObjectStore(str(tmp_path / "wh"))
+    memo = MemoStore(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(3000)], "k long, g long, x double")
+    base = KeyedTable(df, ("k",))
+    ref = write_bucketed(store, base, n_buckets=16)
+
+    aggs = {"n": ("sum", F.count(F.lit(1))),
+            "total": ("sum", F.sum("x")),
+            "mx": ("max", F.max("x"))}
+    v1 = incremental_agg_view(spark, store, memo, ref, "agg_v1",
+                              ["g"], aggs)
+    expect = {(r["g"], r["n"], r["total"], r["mx"])
+              for r in df.groupBy("g").agg(
+                  F.count(F.lit(1)).alias("n"), F.sum("x").alias("total"),
+                  F.max("x").alias("mx")).collect()}
+    assert {tuple(r) for r in v1.df.collect()} == expect
+
+    # delta touches a couple of buckets
+    delta = spark.createDataFrame([(7, 7 % 7, 1000.0), (9999, 3, 2000.0)],
+                                  "k long, g long, x double")
+    ref2 = incremental_upsert(spark, store, ref, delta)
+    touched = sum(1 for a, b in zip(ref.bucket_hashes, ref2.bucket_hashes)
+                  if a != b)
+    assert 1 <= touched <= 2
+
+    hits_before, misses_before = memo.hits, memo.misses
+    v2 = incremental_agg_view(spark, store, memo, ref2, "agg_v1",
+                              ["g"], aggs)
+    # unchanged buckets hit the memo; only touched buckets recompute
+    assert memo.hits - hits_before >= 16 - touched - 1
+    assert memo.misses - misses_before <= touched
+
+    full = df.filter(F.col("k") != 7).unionByName(delta) \
+             .groupBy("g").agg(F.count(F.lit(1)).alias("n"),
+                               F.sum("x").alias("total"),
+                               F.max("x").alias("mx"))
+    assert {tuple(r) for r in v2.df.collect()} == \
+        {tuple(r) for r in full.collect()}

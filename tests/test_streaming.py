@@ -156,3 +156,36 @@ def test_dedup_within_watermark_drops_redelivery(spark, sf_dir, tmp_path):
                   .select("event_id").distinct().count())
     assert len(got) == n_distinct
     assert len({r["event_id"] for r in got}) == n_distinct
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join == the same join done in batch:
+    every (purchase, prior view within 30 min, same user) pair."""
+    from pyspark.sql import functions as F
+    from messdb_spark.session import read_table
+    from messdb_spark.streaming.stream import stream_stream_purchase_views
+
+    s1 = read_event_stream(spark, events_dir)
+    s2 = read_event_stream(spark, events_dir)
+    q = (stream_stream_purchase_views(s1, s2)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("ssj_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["p_id"], r["v_id"])
+           for r in spark.sql("SELECT p_id, v_id FROM ssj_out").collect()}
+
+    e = read_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase") \
+         .select(F.col("event_id").alias("p_id"), "user_id",
+                 F.col("ts").alias("p_ts"))
+    v = e.filter(F.col("event_type") == "view") \
+         .select(F.col("event_id").alias("v_id"),
+                 F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    batch = p.join(v, (F.col("user_id") == F.col("v_user")) &
+                      (F.col("v_ts") < F.col("p_ts")) &
+                      (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes")))
+    want = {(r["p_id"], r["v_id"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
