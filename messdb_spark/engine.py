@@ -102,12 +102,14 @@ class Engine:
         empty = self.spark.createDataFrame([], schema=ct.schema)
         self.save_table(ct.name, KeyedTable(empty, tuple(ct.key_cols)))
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, version: int | None = None) -> DataFrame:
         """Read-only query over catalog tables (capability superset:
         full Spark SQL vs the reference's unsupported-statement error,
-        ``SQL.hs:41-44``)."""
-        for name in self.catalog.names():
-            self.load_table(name).df.createOrReplaceTempView(name)
+        ``SQL.hs:41-44``). ``version`` queries a historical catalog
+        root — time travel over the whole namespace."""
+        for name in self.catalog.names(version):
+            self.load_table(name, version=version) \
+                .df.createOrReplaceTempView(name)
         return self.spark.sql(query)
 
     # -- garbage collection --------------------------------------------

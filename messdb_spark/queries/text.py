@@ -377,3 +377,36 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select("doc_id", n.alias("n_redacted"),
                      F.md5(red.cast("binary")).alias("redacted_md5"))
              .filter(F.col("n_redacted") > 0))
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND length(a.p_name) = length(b.p_name)
+         AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) duplicate detection with blocking — the
+    string-similarity dedup family's third member next to shingle
+    Jaccard and MinHash: candidate pairs come from an equi-join on a
+    blocking key (brand, name length), so the expensive levenshtein
+    runs only inside blocks — never O(n²) over the corpus. At 100 TB
+    the blocking key is the shuffle key and per-block fan-out bounds
+    the pair count (same discipline as the LSH band join)."""
+    (p,) = load(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("key_a"),
+                 F.col("p_name").alias("name_a"),
+                 "p_brand", F.length("p_name").alias("ln"))
+    b = p.select(F.col("p_partkey").alias("key_b"),
+                 F.col("p_name").alias("name_b"),
+                 F.col("p_brand").alias("brand_b"),
+                 F.length("p_name").alias("ln_b"))
+    j = a.join(b, (a["p_brand"] == b["brand_b"]) & (a["ln"] == b["ln_b"]) &
+                  (a["key_a"] < b["key_b"]))
+    return (j.withColumn("dist", F.levenshtein("name_a", "name_b"))
+             .filter(F.col("dist") <= 2)
+             .select("key_a", "key_b", "dist"))

@@ -185,3 +185,36 @@ def stream_upsert_into(engine, table_name: str, events: DataFrame,
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def stream_incremental_upsert_into(engine, table_name: str, events: DataFrame,
+                                   key_cols: tuple[str, ...] = ("event_id",),
+                                   n_buckets: int = 64,
+                                   checkpoint_dir: str | None = None):
+    """foreachBatch sink into a BUCKET-GRANULAR table: each micro-batch
+    is an ``incremental_upsert`` touching only the buckets its keys
+    hash into, and the new manifest is committed to the catalog — so a
+    stream of small batches costs ∝ batch keys per commit, not a full
+    table rewrite (the reference's untouched-subtree passthrough,
+    ``Trie.hs:346-348``, driven by a stream). Unchanged buckets share
+    objects across every commit in the catalog's version history."""
+    from ..operators.core import KeyedTable
+    from ..plans.incremental import (incremental_upsert, load_manifest,
+                                     write_bucketed)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        entry = engine.catalog.get(table_name)
+        ref = (load_manifest(engine.objects, entry.table_hash)
+               if entry is not None else None)
+        if ref is None:
+            ref = write_bucketed(engine.objects,
+                                 KeyedTable(batch_df, key_cols), n_buckets)
+        else:
+            ref = incremental_upsert(engine.spark, engine.objects, ref,
+                                     batch_df)
+        engine.save_bucketed_table(table_name, ref)
+
+    w = events.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

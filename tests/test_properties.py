@@ -99,3 +99,35 @@ def test_ddl_rejects_keyless_and_garbage():
         parse_create_table("SELECT 1")
     with pytest.raises(SqlError):
         parse_create_table("CREATE TABLE t (a frobnicate PRIMARY KEY)")
+
+
+@given(points=st.lists(st.integers(-100, 200), min_size=0, max_size=25),
+       ivals=st.lists(st.tuples(st.integers(-100, 200), st.integers(0, 40)),
+                      min_size=0, max_size=15),
+       width=st.integers(1, 50))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_join_property(spark, points, ivals, width):
+    """Bucketed interval join == naive nested-loop filter for arbitrary
+    points, intervals (incl. empty and wider-than-bucket), and widths —
+    every matching pair exactly once (TrieSpec model style)."""
+    from messdb_spark.operators.range_join import interval_join
+
+    pdf = spark.createDataFrame(
+        [(p, i) for i, p in enumerate(points)] or [(0, -1)],
+        "p long, pid long")
+    idf = spark.createDataFrame(
+        [(lo, lo + ln, i) for i, (lo, ln) in enumerate(ivals)] or [(0, 0, -1)],
+        "lo long, hi long, iid long")
+    if not points:
+        pdf = pdf.filter("pid >= 0")
+    if not ivals:
+        idf = idf.filter("iid >= 0")
+    got = sorted((r.pid, r.iid) for r in
+                 interval_join(pdf, idf, point_col="p", lo_col="lo",
+                               hi_col="hi", bucket_width=width).collect())
+    want = sorted((pid, iid)
+                  for pid, p in enumerate(points)
+                  for iid, (lo, ln) in enumerate(ivals)
+                  if lo <= p < lo + ln)
+    assert got == want

@@ -189,3 +189,52 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
                       (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes")))
     want = {(r["p_id"], r["v_id"]) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_incremental_upsert_shares_buckets(spark, sf_dir, tmp_path):
+    """Streaming into a bucket-granular table: the second micro-batch's
+    commit reuses every bucket object the batch didn't touch
+    (structural sharing across stream commits), and the final table
+    equals the batch union."""
+    from pyspark.sql import functions as F
+    from messdb_spark.plans.incremental import load_manifest
+    from messdb_spark.session import read_table
+    from messdb_spark.streaming.stream import stream_incremental_upsert_into
+
+    batch = read_table(spark, sf_dir, "events")
+    d = tmp_path / "ev_split"
+    big = batch.filter(F.col("event_id") % 20 != 0)
+    small = batch.filter(F.col("event_id") % 20 == 0).limit(5)
+    big.coalesce(1).write.parquet(str(d / "a"))
+    small.coalesce(1).write.parquet(str(d / "b"))
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    import glob
+    for i, f in enumerate(sorted(glob.glob(str(d / "*" / "*.parquet")))):
+        (src / f"{i}.parquet").symlink_to(f)
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    stream = (spark.readStream.schema(big.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = stream_incremental_upsert_into(eng, "ev_live", stream, n_buckets=32,
+                                       checkpoint_dir=str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    v = eng.catalog.current_version()
+    assert v >= 2
+    ref_prev = load_manifest(eng.objects, eng.catalog.get("ev_live", version=v - 1).table_hash)
+    ref_cur = load_manifest(eng.objects, eng.catalog.get("ev_live").table_hash)
+    shared = sum(1 for a, b in zip(ref_prev.bucket_hashes, ref_cur.bucket_hashes)
+                 if a == b and a != "empty")
+    touched = sum(1 for a, b in zip(ref_prev.bucket_hashes, ref_cur.bucket_hashes)
+                  if a != b)
+    assert touched <= 5 and shared >= 32 - 5 - 1  # 5-row batch → ≤5 buckets
+
+    t = eng.load_table("ev_live")
+    assert t.df.count() == big.count() + 5
+    # time travel: the pre-small-batch state is still queryable
+    assert eng.sql("SELECT count(*) AS n FROM ev_live", version=v - 1) \
+              .collect()[0]["n"] == big.count()
