@@ -60,10 +60,15 @@ def main(argv: list[str] | None = None) -> int:
     ij.add_argument("-t", "--table", required=True)
     ij.add_argument("path")
 
-    for verb in ("export-csv", "export-json"):
+    for verb in ("export-csv", "export-json", "export-parquet"):
         e = sub.add_parser(verb, help=f"{verb.split('-')[1]} export, key-ordered")
         e.add_argument("-t", "--table", required=True)
         e.add_argument("path")
+
+    ip = sub.add_parser("import-parquet",
+                        help="upsert parquet file(s)/dir into a table")
+    ip.add_argument("-t", "--table", required=True)
+    ip.add_argument("path")
 
     mat = sub.add_parser(
         "materialize",
@@ -115,10 +120,16 @@ def main(argv: list[str] | None = None) -> int:
             table_hash=h, schema_json=df.schema.json(), key_cols=[]))
         print(json.dumps({"ok": True, "table": a.table, "table_hash": h,
                           "memo_hit": eng.memo.hits > hits_before}))
-    elif a.cmd in ("import-csv", "import-json"):
+    elif a.cmd in ("import-csv", "import-json", "import-parquet"):
         t = eng.load_table(a.table)
-        importer = import_csv if a.cmd == "import-csv" else import_json
-        merged = importer(spark, a.path, t)
+        if a.cmd == "import-parquet":
+            from .operators.core import KeyedTable, merge_tables
+            incoming = KeyedTable(
+                spark.read.parquet(a.path).select(*t.df.columns), t.key_cols)
+            merged = merge_tables([t, incoming])
+        else:
+            importer = import_csv if a.cmd == "import-csv" else import_json
+            merged = importer(spark, a.path, t)
         h = eng.save_table(a.table, merged)
         print(json.dumps({"ok": True, "table": a.table, "table_hash": h,
                           "rows": merged.df.count()}))
@@ -127,6 +138,10 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"ok": True, "path": a.path}))
     elif a.cmd == "export-json":
         export_json(eng.load_table(a.table), a.path)
+        print(json.dumps({"ok": True, "path": a.path}))
+    elif a.cmd == "export-parquet":
+        from .sources.io import export_parquet
+        export_parquet(eng.load_table(a.table), a.path)
         print(json.dumps({"ok": True, "path": a.path}))
     elif a.cmd == "gc":
         stats = eng.gc(keep_versions=a.keep_versions,

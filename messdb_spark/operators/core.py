@@ -225,6 +225,28 @@ def table_insert(table: KeyedTable, row: dict[str, Any],
     return merge_tables([table, KeyedTable(single, table.key_cols)], fold)
 
 
+def check_table(table: KeyedTable) -> bool:
+    """O10 ``checkTrie`` analog (``Trie.hs:593-631``): validate the
+    table invariants that every operator must preserve — key columns
+    exist, keys are non-null, and keys are unique (the canonical-shape
+    property: one row per key, so equal content ⇒ equal content hash).
+    Sortedness is logical here (enforced at ordered scan/export), so
+    uniqueness + non-nullness are the machine-checkable invariants.
+    One aggregation job; use in tests and after untrusted imports."""
+    df = table.df
+    for k in table.key_cols:
+        if k not in df.columns:
+            return False
+    keys = [F.col(k) for k in table.key_cols]
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*keys).alias("nk"),
+        F.sum(F.when(F.greatest(*[k.isNull() for k in keys])
+                     if len(keys) > 1 else keys[0].isNull(), 1)
+              .otherwise(0)).alias("nulls")).collect()[0]
+    return agg["nulls"] == 0 and agg["n"] == agg["nk"]
+
+
 def table_to_rows(table: KeyedTable) -> list[tuple]:
     """O6 ``tableToRows`` (``Trie.hs:261-278``): ordered full scan.
     Driver-side by definition (it returns rows) — use only on small

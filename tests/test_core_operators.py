@@ -231,3 +231,41 @@ def test_kmeans_matches_numpy_model(spark):
                 C[ci] = pts[lab == ci].mean(axis=0)
     assert got == {i: int(lab[i]) for i in range(n)}
     assert np.allclose(np.array(cents), C, atol=1e-9)
+
+
+def test_check_table_invariants(spark):
+    """O10 checkTrie analog: valid tables pass; duplicate or null keys
+    fail; operators preserve validity."""
+    from messdb_spark.operators.core import (KeyedTable, check_table,
+                                             merge_tables, sort_table)
+
+    good = KeyedTable(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"), ("k",))
+    assert check_table(good)
+
+    dup = KeyedTable(spark.createDataFrame(
+        [(1, "a"), (1, "b")], "k long, v string"), ("k",))
+    assert not check_table(dup)
+
+    withnull = KeyedTable(spark.createDataFrame(
+        [(None, "a"), (2, "b")], "k long, v string"), ("k",))
+    assert not check_table(withnull)
+
+    missing = KeyedTable(spark.createDataFrame(
+        [(1, "a")], "k long, v string"), ("nope",))
+    assert not check_table(missing)
+
+    # composite keys: (1, 'x') vs (1, 'y') are distinct
+    comp = KeyedTable(spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0)], "a long, b string, v double"),
+        ("a", "b"))
+    assert check_table(comp)
+
+    # merge of two valid overlapping tables stays valid (fold collapses
+    # cross-input collisions; note merge assumes VALID inputs — the
+    # reference's merge operates on tries, which are maps by
+    # construction, so an input with duplicate keys is out of contract)
+    other = KeyedTable(spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k long, v string"), ("k",))
+    merged = merge_tables([good, other])
+    assert check_table(merged)

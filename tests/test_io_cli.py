@@ -120,3 +120,30 @@ def test_json_roundtrip_upsert(spark, tmp_path):
     merged = import_json(spark, delta + ".jsonl", base)
     assert sorted(tuple(r) for r in merged.df.collect()) == \
         [(1, "a", 2.5), (2, "B", 9.0), (3, "c", 1.0)]
+
+
+def test_cli_parquet_roundtrip(spark, tmp_path, capsys):
+    from messdb_spark.cli import main
+    wh = str(tmp_path / "whpq")
+    assert main(["-w", wh, "sql", "-c",
+                 "CREATE TABLE pq (id bigint PRIMARY KEY, name text)"]) == 0
+    # seed via parquet import
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string") \
+         .write.parquet(str(tmp_path / "seed"))
+    assert main(["-w", wh, "import-parquet", "-t", "pq",
+                 str(tmp_path / "seed")]) == 0
+    # export, delta-import over it, check upsert
+    assert main(["-w", wh, "export-parquet", "-t", "pq",
+                 str(tmp_path / "out")]) == 0
+    spark.createDataFrame([(2, "B"), (3, "c")], "id long, name string") \
+         .write.parquet(str(tmp_path / "delta"))
+    assert main(["-w", wh, "import-parquet", "-t", "pq",
+                 str(tmp_path / "delta")]) == 0
+    capsys.readouterr()
+    assert main(["-w", wh, "sql", "-c",
+                 "SELECT id, name FROM pq ORDER BY id"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows == [{"id": 1, "name": "a"}, {"id": 2, "name": "B"},
+                    {"id": 3, "name": "c"}]
+    got = {tuple(r) for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {(1, "a"), (2, "b")}
