@@ -62,7 +62,8 @@ def _with_ord(df: DataFrame, ordinal: Column) -> DataFrame:
     return df.withColumn(_ORD, ordinal)
 
 
-def merge_tables(tables: Sequence[KeyedTable], fold: FoldFunc = FOLD_TO_LAST) -> KeyedTable:
+def merge_tables(tables: Sequence[KeyedTable], fold: FoldFunc = FOLD_TO_LAST,
+                 allow_schema_evolution: bool = False) -> KeyedTable:
     """O1 ``mergeTables`` (``Trie.hs:297-430``): n-way merge; equal keys
     folded left-to-right in input order. UNION ALL + upsert + reduce in
     one operator.
@@ -87,11 +88,29 @@ def merge_tables(tables: Sequence[KeyedTable], fold: FoldFunc = FOLD_TO_LAST) ->
     for t in tables:
         if t.key_cols != keys:
             raise ValueError(f"key mismatch: {t.key_cols} != {keys}")
-    value_cols = list(tables[0].value_cols)
+    if allow_schema_evolution:
+        # union of value columns in first-seen order (dtype from the
+        # first input that defines each); inputs lacking a column
+        # contribute typed nulls — the ADD COLUMN upsert the
+        # reference's static schemas can't express
+        value_cols = []
+        vtypes = {}
+        for t in tables:
+            for f in t.df.schema.fields:
+                if f.name not in keys and f.name not in vtypes:
+                    vtypes[f.name] = f.dataType
+                    value_cols.append(f.name)
+        norm = [t.df.select(*keys, *[
+            F.col(c) if c in t.df.columns
+            else F.lit(None).cast(vtypes[c]).alias(c)
+            for c in value_cols]) for t in tables]
+    else:
+        value_cols = list(tables[0].value_cols)
+        norm = [t.df.select(*(list(keys) + value_cols)) for t in tables]
     cols = list(keys) + value_cols
 
     if fold.key in ("fold_to_last", "fold_to_first"):
-        seq = [t.df.select(*cols) for t in tables]
+        seq = norm
         if fold.key == "fold_to_first":
             seq = list(reversed(seq))
         acc = seq[0]
@@ -102,8 +121,8 @@ def merge_tables(tables: Sequence[KeyedTable], fold: FoldFunc = FOLD_TO_LAST) ->
             acc = keep.unionByName(nxt)
         return KeyedTable(acc, keys)
 
-    dfs = [_with_ord(t.df.select(*cols), F.lit(i).cast("long"))
-           for i, t in enumerate(tables)]
+    dfs = [_with_ord(df, F.lit(i).cast("long"))
+           for i, df in enumerate(norm)]
     u = dfs[0]
     for d in dfs[1:]:
         u = u.unionByName(d)

@@ -269,3 +269,33 @@ def test_check_table_invariants(spark):
         [(2, "B"), (3, "c")], "k long, v string"), ("k",))
     merged = merge_tables([good, other])
     assert check_table(merged)
+
+
+def test_merge_schema_evolution_adds_column(spark):
+    """Schema-evolving upsert: the delta carries a new value column;
+    base rows get typed nulls for it, colliding keys take the delta
+    row whole (last-wins), old columns survive. Works on both merge
+    strategies."""
+    from messdb_spark.operators.core import KeyedTable, merge_tables
+    from messdb_spark.registry import FOLD_TO_FIRST
+
+    base = KeyedTable(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"), ("k",))
+    delta = KeyedTable(spark.createDataFrame(
+        [(2, "B", 9.5), (3, "c", 1.5)], "k long, v string, score double"),
+        ("k",))
+
+    out = merge_tables([base, delta], allow_schema_evolution=True)
+    assert out.df.columns == ["k", "v", "score"]
+    got = {tuple(r) for r in out.df.collect()}
+    assert got == {(1, "a", None), (2, "B", 9.5), (3, "c", 1.5)}
+
+    # agg path (fold_to_first keeps base rows on collision)
+    out2 = merge_tables([base, delta], FOLD_TO_FIRST,
+                        allow_schema_evolution=True)
+    got2 = {tuple(r) for r in out2.df.collect()}
+    assert got2 == {(1, "a", None), (2, "b", None), (3, "c", 1.5)}
+
+    # without the flag, mismatched schemas still follow the base schema
+    out3 = merge_tables([base, KeyedTable(delta.df, ("k",))])
+    assert out3.df.columns == ["k", "v"]
