@@ -1,0 +1,290 @@
+"""Transitive dedup clustering + corpus-statistics operators over
+``documents`` — north-star LLM-pipeline set (SURVEY.md §2.9).
+
+``minhash_lsh_candidates`` (queries/text.py) stops at candidate PAIRS;
+a real dedup pipeline needs the transitive closure — near-dup is not
+transitive, so A~B and B~C must land A, B, C in ONE cluster with one
+canonical survivor. That closure is a connected-components computation,
+the iterative-graph-algorithm class the reference cannot express at all
+(its only dataflow ops are merge/sort/range, SURVEY.md §2.1).
+
+Scale design notes live on each query; the shared theme: the corpus
+text never enters the graph — nodes/edges are (bigint, bigint) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import query, load, quantize, quantize_sql
+from .text import _MH_SEEDS, _N_BANDS, _SHINGLE_K, _TOKENS, _TOKENS_DUCK
+
+# ---------------------------------------------------------------------------
+# connected-components dedup clustering
+# ---------------------------------------------------------------------------
+
+# Shared edge definition (Spark and oracle must agree exactly):
+# MinHash band buckets (same signature family as minhash_lsh_candidates)
+# are hyperedges; each bucket contributes STAR edges doc↔hub where
+# hub = min(doc_id) in the bucket. Stars preserve connectivity while
+# keeping the edge count O(bucket size) instead of the O(size²) clique.
+
+_CC_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {_SHINGLE_K - 2}),
+           i -> CAST(concat('0x', substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15)) AS BIGINT)) AS hs
+  FROM documents WHERE length(text) >= {_SHINGLE_K}
+),
+sig AS (
+  SELECT doc_id, {", ".join(
+      f"list_aggregate(list_transform(hs, h -> xor(h, CAST({s} AS BIGINT))), 'min') AS h{j}"
+      for j, s in enumerate(_MH_SEEDS))}
+  FROM sh
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_id, h{2*b} AS bx, h{2*b+1} AS by FROM sig"
+      for b in range(_N_BANDS))}
+),
+hubs AS (
+  SELECT band_id, bx, by, min(doc_id) AS hub
+  FROM bands GROUP BY band_id, bx, by
+),
+star AS (
+  SELECT DISTINCT b.doc_id AS src, h.hub AS dst
+  FROM bands b JOIN hubs h USING (band_id, bx, by)
+  WHERE b.doc_id != h.hub
+),
+edges AS (SELECT src, dst FROM star UNION SELECT dst AS src, src AS dst FROM star),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id, doc_id AS comp FROM nodes
+  UNION
+  SELECT e.dst AS doc_id, r.comp
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+assign AS (SELECT doc_id, min(comp) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM assign
+"""
+
+
+@query("dedup_cluster_components", oracle=_CC_ORACLE)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    candidate graph, cluster id = min doc_id (the canonical survivor).
+
+    Graph: band buckets → star edges to the bucket hub (min doc) —
+    O(bucket) edges, never the O(bucket²) clique. Components via
+    iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels; converged when the
+    global label sum stops falling (labels only decrease, so the sum
+    is a monotone convergence witness — one cheap agg instead of a
+    changed-rows join).
+
+    100 TB design: per round = one shuffle-join of (bigint, bigint)
+    edges against labels + a partial-aggregated min — rounds ≈ graph
+    diameter (near-dup clusters are shallow; large-star/small-star
+    bounds it at log n if ever needed). Labels are localCheckpoint'd
+    each round so the plan/lineage stays O(1) across iterations
+    instead of doubling. The oracle is a recursive-CTE reachability
+    closure (DuckDB), fine at sf but quadratic-ish in cluster size —
+    the iterative form IS the scale path.
+    """
+    (d,) = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    docs = d.filter(F.length("text") >= _SHINGLE_K).repartition(par)
+    shingle_hashes = (
+        f"transform(sequence(1, length(text) - {_SHINGLE_K - 1}), "
+        f"i -> CAST(conv(substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15), 16, 10) AS BIGINT))")
+    sig = (docs.withColumn("hs", F.expr(shingle_hashes))
+               .select("doc_id", *[
+                   F.expr(f"array_min(transform(hs, h -> h ^ CAST({s} AS BIGINT)))")
+                    .alias(f"h{j}")
+                   for j, s in enumerate(_MH_SEEDS)]))
+    band_exprs = ", ".join(f"{b}, h{2*b}, h{2*b+1}" for b in range(_N_BANDS))
+    bands = sig.selectExpr(
+        "doc_id", f"stack({_N_BANDS}, {band_exprs}) AS (band_id, bx, by)")
+
+    keys = ["band_id", "bx", "by"]
+    hubs = bands.groupBy(*keys).agg(F.min("doc_id").alias("hub"))
+    star = (bands.join(hubs, keys)
+                 .filter(F.col("doc_id") != F.col("hub"))
+                 .select(F.col("doc_id").alias("src"), F.col("hub").alias("dst"))
+                 .distinct())
+    # partition the STATIC edge relation once by the per-round join key
+    # (dst): every iteration then shuffles only the shrinking label
+    # frame, never the edges — the graph-loop move that matters when
+    # the edge set is billions of rows
+    edges = (star.union(star.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+                 .repartition(F.col("dst"))
+                 .persist())
+    # seed labels with the best DIRECT neighbor (min over own id and
+    # neighbor ids) — starts the propagation one round ahead
+    labels = (edges.groupBy(F.col("src").alias("doc_id"))
+                   .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
+                   .localCheckpoint(eager=False))
+
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    while True:
+        nbr_min = (edges.join(labels, edges["dst"] == labels["doc_id"])
+                        .groupBy("src").agg(F.min("comp").alias("nbr_comp")))
+        # lazy localCheckpoint: the sum below is the single action per
+        # round — it materializes the new labels AND tests convergence
+        # (labels only decrease, so a stable sum == fixpoint)
+        labels = (labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+                        .select(labels["doc_id"],
+                                F.least("comp", "nbr_comp").alias("comp"))
+                        .localCheckpoint(eager=False))
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+
+    wc = W.partitionBy("cluster_id")
+    return (labels.select("doc_id", F.col("comp").alias("cluster_id"))
+                  .withColumn("cluster_size", F.count(F.lit(1)).over(wc)))
+
+
+# ---------------------------------------------------------------------------
+# sliding-window document chunking (context-window prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 40    # tokens per chunk
+_STRIDE = 30   # tokens between chunk starts (overlap = _CHUNK - _STRIDE)
+
+
+@query(
+    "doc_chunking_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_DUCK} AS toks
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, CAST(s // {_STRIDE} AS BIGINT) AS chunk_id,
+           least({_CHUNK}, len(toks) - s) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, s + 1, s + {_CHUNK}), ' ')) AS chunk_hash
+    FROM (SELECT doc_id, toks, unnest(range(0, len(toks), {_STRIDE})) AS s FROM t)
+    """)
+def doc_chunking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking — the training-data prep step that cuts
+    long documents into overlapping {_CHUNK}-token windows (stride
+    {_STRIDE}). 1→N generate: sequence() of chunk starts → explode →
+    slice. Output carries the chunk hash, not the chunk text, so the
+    wide string never shuffles; a real pipeline writes chunks
+    partitioned by hash prefix. Map-only narrow plan — zero shuffles,
+    whole-stage codegen end to end."""
+    (d,) = load(spark, sf_dir, "documents")
+    t = (d.filter(F.length("text") > 0)
+          .select("doc_id", F.expr(_TOKENS).alias("toks"))
+          .filter(F.size("toks") >= 1))
+    starts = f"sequence(0, size(toks) - 1, {_STRIDE})"
+    return (t.select("doc_id", "toks",
+                     F.explode(F.expr(starts)).alias("s"))
+             .select("doc_id",
+                     (F.col("s") / _STRIDE).cast("long").alias("chunk_id"),
+                     F.least(F.lit(_CHUNK), F.size("toks") - F.col("s"))
+                      .cast("long").alias("n_chunk_tokens"),
+                     F.md5(F.concat_ws(" ", F.expr(f"slice(toks, s + 1, {_CHUNK})"))
+                            .cast("binary")).alias("chunk_hash")))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+_TOP_TERMS = 3
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+    tok AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS term FROM d),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS dft FROM tf GROUP BY term),
+    nn AS (SELECT count(*) AS n_docs FROM d)
+    SELECT doc_id, term, {quantize_sql("tf * ln(CAST(n_docs AS DOUBLE) / dft)", 4)} AS tfidf, rk
+    FROM (SELECT doc_id, term, tf, dft, n_docs,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / dft) DESC, term) AS rk
+          FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
+    WHERE rk <= {_TOP_TERMS}
+    """)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top {_TOP_TERMS} terms per document
+    by tf·ln(N/df), term as tiebreaker. Plan: explode → two hash aggs
+    (both map-side partial) → BROADCAST the document-frequency table
+    back onto tf (vocabulary ≪ corpus) → per-doc WindowGroupLimit
+    top-k. N is computed once driver-side (a count, deterministic)
+    and embedded as a literal, so the big side joins nothing else.
+    At 100 TB the only wide shuffle is (doc_id, term) partial counts —
+    text itself never shuffles."""
+    (d,) = load(spark, sf_dir, "documents")
+    docs = d.filter(F.length("text") > 0)
+    n_docs = docs.count()
+    # cache: tf feeds BOTH the document-frequency agg and the final
+    # join — without it the corpus-wide explode runs twice; (doc, term)
+    # counts are vocabulary-sized, far smaller than the text they came
+    # from, so materializing them once is the 100 TB move
+    tf = (docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
+              .groupBy("doc_id", "term")
+              .agg(F.count(F.lit(1)).alias("tf"))
+              .cache())
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dft"))
+    w = W.partitionBy("doc_id").orderBy(tfidf.desc(), "term")
+    return (tf.join(F.broadcast(dfreq), "term")
+              .withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= _TOP_TERMS)
+              .select("doc_id", "term", quantize(tfidf, 4).alias("tfidf"), "rk"))
+
+
+# ---------------------------------------------------------------------------
+# corpus heavy hitters (top bigrams)
+# ---------------------------------------------------------------------------
+
+_TOP_NGRAMS = 20
+
+
+@query(
+    "heavy_hitter_bigrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT {_TOKENS_DUCK} AS toks FROM documents WHERE length(text) > 0
+    )
+    SELECT bigram, count(*) AS n_occurrences
+    FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+          FROM t)
+    GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT {_TOP_NGRAMS}
+    """)
+def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: top {_TOP_NGRAMS} bigrams by
+    occurrence count (bigram text as tiebreaker). Plan: map-only
+    bigram generate → hash agg with map-side partial combine (the
+    shuffle is vocabulary-sized, not corpus-sized) → TakeOrdered
+    top-k (per-partition top-k then a driver merge of {_TOP_NGRAMS}
+    rows — no global sort). At 100 TB, if the vocabulary itself blew
+    up, the standard fix is a count-min-sketch pre-pass to gate rare
+    n-grams out of the exact agg; unnecessary at any realistic bigram
+    vocabulary."""
+    (d,) = load(spark, sf_dir, "documents")
+    bigrams = (f"transform(sequence(1, size(toks) - 1), "
+               f"i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")
+    return (d.filter(F.length("text") > 0)
+             .select(F.expr(_TOKENS).alias("toks"))
+             .filter(F.size("toks") >= 2)
+             .select(F.explode(F.expr(bigrams)).alias("bigram"))
+             .groupBy("bigram")
+             .agg(F.count(F.lit(1)).alias("n_occurrences"))
+             .orderBy(F.col("n_occurrences").desc(), "bigram")
+             .limit(_TOP_NGRAMS))
