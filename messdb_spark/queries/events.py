@@ -43,7 +43,7 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM flagged GROUP BY user_id
     """)
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,7 +47,7 @@ _TOKS_SPARK = "filter(split(text, '\\\\s+'), x -> x != '')"
     kept AS (
       SELECT g.* FROM gated g JOIN canon c ON g.doc_id = c.doc_id
     )
-    SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+    SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            {quantize_sql("avg(CAST(n_tokens AS DOUBLE))", 4)} AS avg_tokens
     FROM kept GROUP BY source
     """)

@@ -91,7 +91,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_stats_by_lang",
     oracle=f"""
     SELECT lang, count(*) AS n_docs,
-           sum(len({_TOKENS_DUCK})) AS total_tokens,
+           CAST(sum(len({_TOKENS_DUCK})) AS BIGINT) AS total_tokens,
            floor((avg(CAST(len({_TOKENS_DUCK}) AS DOUBLE))) * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS avg_tokens
     FROM documents GROUP BY lang
     """)
