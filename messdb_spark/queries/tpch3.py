@@ -127,19 +127,22 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scale-invariant, unlike the original's fixed fraction). The
     per-part sums are exact decimals cast to double, and the threshold
     is built with the identical IEEE op sequence (×1.5 then ÷N) on
-    both engines, so the comparison boundary is bit-portable."""
-    from pyspark.sql.window import Window as W
+    both engines, so the comparison boundary is bit-portable.
 
+    Scale: the threshold is a 1-row scalar aggregate over the per-part
+    sums, broadcast back over them via cross join — no unpartitioned
+    window, so no stage funnels the O(parts) frame through a single
+    partition (at parts ≈ 10⁸ the old ``Window.partitionBy()`` form was
+    a single-executor bottleneck; the only SinglePartition exchange left
+    is the 1-row scalar agg over 32 partial rows). The per-part shuffle
+    appears in both branches and AQE's exchange reuse materializes it
+    once — lineitem scans once, no cache, no driver collect."""
     (li,) = load(spark, sf_dir, "lineitem")
     vals = li.groupBy("l_partkey").agg(F.sum(F.expr(_REV)).alias("v"))
-    # the threshold derives from the same per-part agg (sum of exact
-    # decimal group sums == global sum) via an unpartitioned window —
-    # lineitem scans ONCE; the window runs over the already-aggregated
-    # O(parts) frame, not the fact table.
-    w = W.partitionBy()
-    thr = (F.sum("v").over(w).cast("double") * F.lit(1.5) /
-           F.count(F.lit(1)).over(w))
-    return (vals.withColumn("thr", thr)
+    # identical IEEE sequence to the oracle: cast-to-double, ×1.5, ÷N
+    thr = vals.agg((F.sum("v").cast("double") * F.lit(1.5) /
+                    F.count(F.lit(1))).alias("thr"))
+    return (vals.crossJoin(F.broadcast(thr))
                 .filter(F.col("v").cast("double") > F.col("thr"))
                 .select("l_partkey",
                         quantize(F.col("v").cast("double"), 2).alias("value")))

@@ -180,3 +180,16 @@ def test_contamination_broadcasts_benchmark_side(spark):
     p = plan_str(df, "simple")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_q11_threshold_has_no_window(spark):
+    """q11's >avg-threshold filter must NOT use an unpartitioned window
+    (Window.partitionBy() funnels the whole O(parts) aggregate through
+    ONE partition — a single-executor stage at parts ≈ 10⁸). The
+    threshold is a 1-row scalar agg broadcast back via cross join; the
+    only SinglePartition exchange allowed is the one feeding that 1-row
+    agg (over ~32 partial rows), never the O(parts) window frame."""
+    df = QUERIES["q11_important_parts"].fn(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, "simple")
+    assert "Window" not in p
+    assert "partial_sum" in p  # per-part agg still combines map-side
