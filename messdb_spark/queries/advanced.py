@@ -263,34 +263,25 @@ def date_funcs_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("revenue")))
 
 
-# ---- SimHash near-dup (32-bit, md5-derived, string-hamming) ----------
+# ---- SimHash near-dup (60-bit BIGINT sig, banded LSH join) -----------
 
-_SIM_BITS = 32
+_SIM_BITS = 60          # 15 md5 hex chars -> fits a signed BIGINT
 _HAM_MAX = 3
+_SIM_BANDS = 4          # ham <= 3 touches <= 3 bands -> >=1 band equal
+_BAND_BITS = _SIM_BITS // _SIM_BANDS   # 15 -> 32768 buckets per band
 
-# Spark: per-token 32-bit hash from the first 8 hex chars of md5
-_HS_SPARK = ("transform(filter(split(text, '\\\\s+'), x -> x != ''), "
-             "t -> CAST(CONV(substring(md5(t), 1, 8), 16, 10) AS BIGINT))")
+# per-token 60-bit hash from the first 15 hex chars of md5
 _HS_DUCK = ("list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x != ''), "
-            "t -> ('0x' || substring(md5(t), 1, 8))::BIGINT)")
-
-
-def _sig_spark() -> str:
-    bits = []
-    for k in range(_SIM_BITS):
-        vote = (f"aggregate(hs, 0L, (a, h) -> a + "
-                f"IF(((h >> {k}) & 1) = 1, 1L, -1L))")
-        bits.append(f"IF({vote} >= 0, '1', '0')")
-    return "concat(" + ", ".join(bits) + ")"
+            "t -> ('0x' || substring(md5(t), 1, 15))::BIGINT)")
 
 
 def _sig_duck() -> str:
-    bits = []
+    terms = []
     for k in range(_SIM_BITS):
-        vote = (f"list_aggregate(list_transform(hs, h -> "
-                f"CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END), 'sum')")
-        bits.append(f"CASE WHEN {vote} >= 0 THEN '1' ELSE '0' END")
-    return " || ".join(bits)
+        vote = (f"COALESCE(list_aggregate(list_transform(hs, h -> "
+                f"CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END), 'sum'), 0)")
+        terms.append(f"(CASE WHEN {vote} >= 0 THEN (1::BIGINT << {k}) ELSE 0::BIGINT END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 @query(
@@ -299,32 +290,66 @@ def _sig_duck() -> str:
     WITH sigs AS (
       SELECT doc_id, {_sig_duck()} AS sig
       FROM (SELECT doc_id, {_HS_DUCK} AS hs FROM documents
-            WHERE doc_id % 10 = 0 AND length(text) > 0)
+            WHERE length(text) > 0)
+      WHERE len(hs) > 0
+    ),
+    bands AS (
+      SELECT doc_id, sig, r.range AS j,
+             (sig >> ({_BAND_BITS} * CAST(r.range AS INT))) & {(1 << _BAND_BITS) - 1} AS bv
+      FROM sigs CROSS JOIN range({_SIM_BANDS}) r
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           hamming(a.sig, b.sig) AS dist
-    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-    WHERE hamming(a.sig, b.sig) <= {_HAM_MAX}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS dist
+    FROM bands a JOIN bands b
+      ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_HAM_MAX}
     """)
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit token-vote signature (md5-derived,
-    bit-identical in the oracle), pairs within Hamming distance
-    {_HAM_MAX} on a 1/10 sample. Scale path: block on signature bands
-    (like MinHash-LSH) instead of the quadratic sample join; the
-    signature computation itself is a narrow map."""
+    """SimHash near-dup over the FULL corpus: 60-bit token-vote
+    signature packed into a BIGINT (md5-derived, bit-identical in the
+    oracle), banded-LSH candidate join, exact Hamming verify.
+
+    Scale: by pigeonhole, Hamming <= {_HAM_MAX} flips bits in at most
+    {_HAM_MAX} of the {_SIM_BANDS} bands, so every qualifying pair
+    shares >=1 exact band value — candidates come from an EQUI-join on
+    (band_idx, band_value) ({_SIM_BANDS}x{1 << _BAND_BITS} buckets),
+    never a cartesian; Hamming is one JVM ``bit_count(xor)`` per
+    candidate, not a per-character fold. The bit votes are a fully
+    whole-stage-codegen pipeline: explode tokens (row locality keeps a
+    doc's tokens in one partition), md5 row-wise, then ONE hash agg
+    with 60 conditional-sum accumulators — map-side combine reduces the
+    shuffle to one 61-column row per doc (no higher-order-function
+    lambdas, which interpret per element and allocate per token).
+    Candidate shuffle volume is O(docs x bands) rows."""
     (d,) = load(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    sigs = (d.filter((F.col("doc_id") % 10 == 0) & (F.length("text") > 0))
-             .repartition(par)
-             .withColumn("hs", F.expr(_HS_SPARK))
-             .select("doc_id", F.expr(_sig_spark()).alias("sig")))
-    a, b = sigs.alias("a"), sigs.alias("b")
-    ham = F.expr(
-        "aggregate(sequence(1, {n}), 0, (acc, i) -> acc + "
-        "IF(substring(a.sig, i, 1) = substring(b.sig, i, 1), 0, 1))"
-        .format(n=_SIM_BITS))
-    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    toks = (d.filter(F.length("text") > 0)
+             .repartition(par)   # small-testdata artifact: spread the
+                                 # CPU-bound md5 map over all cores
+             .select("doc_id", F.explode(
+                 F.expr("filter(split(text, '\\\\s+'), x -> x != '')")).alias("t"))
+             .select("doc_id", F.expr(
+                 "CAST(CONV(substring(md5(t), 1, 15), 16, 10) AS BIGINT)").alias("h")))
+    # vote_k >= 0  <=>  2 * popcount_k >= n_tokens
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1))).alias(f"c{k}")
+        for k in range(_SIM_BITS)]
+    sig_expr = " + ".join(
+        f"IF(2 * c{k} >= n, shiftleft(1L, {k}), 0L)" for k in range(_SIM_BITS))
+    sigs = (toks.groupBy("doc_id").agg(*aggs)
+                .select("doc_id",
+                        F.expr(f"CAST({sig_expr} AS BIGINT)").alias("sig")))
+    band_arr = (f"transform(sequence(0, {_SIM_BANDS - 1}), "
+                f"j -> (sig >> ({_BAND_BITS} * j)) & {(1 << _BAND_BITS) - 1})")
+    bands = sigs.select("doc_id", "sig",
+                        F.posexplode(F.expr(band_arr)).alias("j", "bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    dist = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (a.join(b, (F.col("a.j") == F.col("b.j")) &
+                      (F.col("a.bv") == F.col("b.bv")) &
+                      (F.col("a.doc_id") < F.col("b.doc_id")))
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"),
-                     ham.alias("dist"))
-             .filter(F.col("dist") <= _HAM_MAX))
+                     dist.alias("dist"))
+             .filter(F.col("dist") <= _HAM_MAX)
+             .distinct())

@@ -193,3 +193,14 @@ def test_q11_threshold_has_no_window(spark):
     p = plan_str(df, "simple")
     assert "Window" not in p
     assert "partial_sum" in p  # per-part agg still combines map-side
+
+
+def test_simhash_band_join_is_equi_hash(spark):
+    """SimHash candidates must come from an equi-join on
+    (band_idx, band_value) — never the BroadcastNestedLoopJoin /
+    cartesian a bare doc_id < doc_id pair predicate degrades to."""
+    df = QUERIES["simhash_near_dup_pairs"].fn(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "bit_count" in p  # Hamming is one JVM op, not a char fold
