@@ -379,34 +379,78 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("n_redacted") > 0))
 
 
+_FUZZY_SEGS = 3   # dist<=2 substitutions can touch <=2 of 3 segments
+
+
 @query(
     "fuzzy_name_pairs",
-    oracle="""
-    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-           levenshtein(a.p_name, b.p_name) AS dist
-    FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND length(a.p_name) = length(b.p_name)
-         AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    oracle=f"""
+    WITH segs AS (
+      SELECT p_partkey AS key, p_name AS name, p_brand AS brand,
+             length(p_name) AS ln, r.range AS j,
+             substring(p_name,
+                       CAST(r.range * floor(length(p_name) / {_FUZZY_SEGS}) AS INT) + 1,
+                       CASE WHEN r.range < {_FUZZY_SEGS - 1}
+                            THEN CAST(floor(length(p_name) / {_FUZZY_SEGS}) AS INT)
+                            ELSE length(p_name)
+                                 - {_FUZZY_SEGS - 1} * CAST(floor(length(p_name) / {_FUZZY_SEGS}) AS INT)
+                       END) AS seg
+      FROM part CROSS JOIN range({_FUZZY_SEGS}) r
+    ),
+    cands AS (
+      SELECT DISTINCT a.key AS key_a, b.key AS key_b,
+             a.name AS name_a, b.name AS name_b
+      FROM segs a JOIN segs b
+        ON a.brand = b.brand AND a.ln = b.ln AND a.j = b.j AND a.seg = b.seg
+           AND a.key < b.key
+    )
+    SELECT key_a, key_b, levenshtein(name_a, name_b) AS dist
+    FROM cands
+    WHERE levenshtein(name_a, name_b) <= 2
     """)
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy (edit-distance) duplicate detection with blocking — the
-    string-similarity dedup family's third member next to shingle
-    Jaccard and MinHash: candidate pairs come from an equi-join on a
-    blocking key (brand, name length), so the expensive levenshtein
-    runs only inside blocks — never O(n²) over the corpus. At 100 TB
-    the blocking key is the shuffle key and per-block fan-out bounds
-    the pair count (same discipline as the LSH band join)."""
+    """Fuzzy (edit-distance) duplicate detection with SCALABLE
+    blocking — the string-similarity dedup family's third member next
+    to shingle Jaccard and MinHash.
+
+    Candidates come from an equi-join on (brand, length, segment_idx,
+    segment_value): each name splits into {_FUZZY_SEGS} contiguous
+    segments and, by pigeonhole, any equal-length pair within <=2
+    substitutions agrees exactly on >=1 segment (pairs whose edit
+    script shifts alignment — an insert+delete — may be missed; that
+    family is MinHash/SimHash's job). The segment VALUE makes the
+    block key's cardinality grow with the data, so block sizes stay
+    bounded as the corpus grows — unlike the old (brand, length) key,
+    whose ~750 fixed blocks grew O(n) rows each and made in-block
+    levenshtein pairs O(n²). Same discipline as the LSH band join:
+    shuffle O(rows x segments), levenshtein only on candidates."""
     (p,) = load(spark, sf_dir, "part")
-    a = p.select(F.col("p_partkey").alias("key_a"),
-                 F.col("p_name").alias("name_a"),
-                 "p_brand", F.length("p_name").alias("ln"))
-    b = p.select(F.col("p_partkey").alias("key_b"),
-                 F.col("p_name").alias("name_b"),
-                 F.col("p_brand").alias("brand_b"),
-                 F.length("p_name").alias("ln_b"))
-    j = a.join(b, (a["p_brand"] == b["brand_b"]) & (a["ln"] == b["ln_b"]) &
-                  (a["key_a"] < b["key_b"]))
-    return (j.withColumn("dist", F.levenshtein("name_a", "name_b"))
-             .filter(F.col("dist") <= 2)
-             .select("key_a", "key_b", "dist"))
+    ln = F.length("p_name")
+    seg_len = F.floor(ln / _FUZZY_SEGS).cast("int")
+    segs_arr = F.array(*[
+        F.col("p_name").substr(
+            (F.lit(j) * seg_len + 1).cast("int"),
+            seg_len if j < _FUZZY_SEGS - 1
+            else (ln - (_FUZZY_SEGS - 1) * seg_len).cast("int"))
+        for j in range(_FUZZY_SEGS)])
+    segs = (p.select(F.col("p_partkey").alias("key"),
+                     F.col("p_name").alias("name"),
+                     F.col("p_brand").alias("brand"),
+                     ln.alias("ln"),
+                     F.posexplode(segs_arr).alias("j", "seg")))
+    a, b = segs.alias("a"), segs.alias("b")
+    j = a.join(b, (F.col("a.brand") == F.col("b.brand")) &
+                  (F.col("a.ln") == F.col("b.ln")) &
+                  (F.col("a.j") == F.col("b.j")) &
+                  (F.col("a.seg") == F.col("b.seg")) &
+                  (F.col("a.key") < F.col("b.key")))
+    # dedupe candidates (a pair can share up to all 3 segments) BEFORE
+    # the levenshtein so each pair pays for the edit distance once
+    cands = (j.select(F.col("a.key").alias("key_a"),
+                      F.col("b.key").alias("key_b"),
+                      F.col("a.name").alias("name_a"),
+                      F.col("b.name").alias("name_b"))
+              .distinct())
+    return (cands.select("key_a", "key_b",
+                         F.levenshtein("name_a", "name_b").alias("dist"))
+                 .filter(F.col("dist") <= 2))
