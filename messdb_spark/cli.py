@@ -123,8 +123,8 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd in ("import-csv", "import-json", "import-parquet"):
         t = eng.load_table(a.table)
         if a.cmd == "import-parquet":
-            from .operators.core import KeyedTable, merge_tables
-            incoming = KeyedTable(
+            from .operators.core import canonicalize_input, merge_tables
+            incoming = canonicalize_input(
                 spark.read.parquet(a.path).select(*t.df.columns), t.key_cols)
             merged = merge_tables([t, incoming])
         else:

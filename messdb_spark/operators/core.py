@@ -131,6 +131,34 @@ def merge_tables(tables: Sequence[KeyedTable], fold: FoldFunc = FOLD_TO_LAST,
     return KeyedTable(out.select(*cols), keys)
 
 
+def canonicalize_input(df: DataFrame, key_cols: Sequence[str],
+                       fold: FoldFunc = FOLD_TO_LAST) -> KeyedTable:
+    """Fold duplicate keys WITHIN one raw input before it enters the
+    merge dataflow.
+
+    The reference routes every bulk load through ``tableFromRows``,
+    which folds within-input collisions deterministically in input
+    order (``Table.hs:125-140``) — so a CSV with the same key twice
+    yields one row (the later one). The anti-join fast path in
+    ``merge_tables`` assumes one-row-per-key inputs, so every raw
+    DataFrame (CSV/JSON/parquet import, stream micro-batch, upsert
+    delta) must pass through here first or within-input duplicates
+    survive the merge wholesale and break the one-row-per-key
+    invariant (``check_table``) and content-hash canonicality.
+
+    Ordinal = ``monotonically_increasing_id()`` = (partition index,
+    in-partition offset) = file read order for file sources, so "last
+    row in the file wins" exactly like the reference's in-order fold.
+    Cost: one hash-agg shuffle on the key (map-side combine applies);
+    inputs already known to be canonical (catalog loads) skip this."""
+    keys = tuple(key_cols)
+    value_cols = [c for c in df.columns if c not in keys]
+    with_ord = df.withColumn(_ORD, F.monotonically_increasing_id())
+    agg_cols = fold.agg(value_cols, F.col(_ORD))
+    out = with_ord.groupBy(*[F.col(k) for k in keys]).agg(*agg_cols)
+    return KeyedTable(out.select(*df.columns), keys)
+
+
 def sort_table(table: KeyedTable, transform: TransformFunc | str,
                fold: FoldFunc | str = FOLD_TO_LAST) -> KeyedTable:
     """O2 ``sortTable`` (``Trie.hs:433-470``): re-key/re-map every row

@@ -173,6 +173,10 @@ def incremental_upsert(spark: SparkSession, store: ObjectStore,
     one pass over the touched buckets only.
     """
     keys = ref.key_cols
+    # fold within-delta duplicate keys first (last delta row wins) —
+    # the anti-join below requires a one-row-per-key delta
+    from ..operators.core import canonicalize_input
+    delta = canonicalize_input(delta, keys).df
     delta_b = delta.withColumn(_BUCKET, _bucket_expr(keys, ref.n_buckets))
     touched = sorted(r["b"] for r in
                      delta_b.select(F.col(_BUCKET).alias("b")).distinct().collect())

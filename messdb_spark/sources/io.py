@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.core import KeyedTable, merge_tables
+from ..operators.core import KeyedTable, canonicalize_input, merge_tables
 from ..registry import FOLD_TO_LAST
 
 
@@ -33,7 +33,10 @@ def import_csv(spark: SparkSession, path: str, target: KeyedTable) -> KeyedTable
         raise ValueError(f"CSV lacks required columns: {missing}")
     typed = raw.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
                          for f in schema.fields])
-    incoming = KeyedTable(typed, target.key_cols)
+    # fold within-file duplicate keys (last row in file order wins,
+    # Table.hs:125-140) before the anti-join merge, which requires
+    # one-row-per-key inputs
+    incoming = canonicalize_input(typed, target.key_cols)
     return merge_tables([target, incoming], FOLD_TO_LAST)
 
 
@@ -44,8 +47,8 @@ def import_json(spark: SparkSession, path: str, target: KeyedTable) -> KeyedTabl
     irrelevant in JSON objects), fold-merge upsert into the target."""
     schema = target.df.schema
     raw = spark.read.schema(schema).json(path)
-    incoming = KeyedTable(raw.select(*[f.name for f in schema.fields]),
-                          target.key_cols)
+    incoming = canonicalize_input(raw.select(*[f.name for f in schema.fields]),
+                                  target.key_cols)
     return merge_tables([target, incoming], FOLD_TO_LAST)
 
 
@@ -69,10 +72,17 @@ def export_json(table: KeyedTable, path: str) -> None:
     table.sorted_df().write.mode("overwrite").json(path)
 
 
-def import_parquet(spark: SparkSession, path: str, key_cols: tuple[str, ...]) -> KeyedTable:
+def import_parquet(spark: SparkSession, path: str, key_cols: tuple[str, ...],
+                   assume_unique: bool = True) -> KeyedTable:
     """Native columnar source (capability superset; the driver testdata
-    path). Pushdown + pruning free via Catalyst."""
-    return KeyedTable(spark.read.parquet(path), key_cols)
+    path). Pushdown + pruning free via Catalyst. Pass
+    ``assume_unique=False`` for parquet of unknown provenance to fold
+    within-file duplicate keys (engine-written parquet is canonical by
+    construction, so the default skips the fold shuffle)."""
+    df = spark.read.parquet(path)
+    if assume_unique:
+        return KeyedTable(df, key_cols)
+    return canonicalize_input(df, key_cols)
 
 
 def export_parquet(table: KeyedTable, path: str, partition_by: list[str] | None = None) -> None:

@@ -169,11 +169,13 @@ def stream_upsert_into(engine, table_name: str, events: DataFrame,
 
     Returns the StreamingQuery; caller manages lifecycle
     (processAllAvailable/stop in tests)."""
-    from ..operators.core import KeyedTable, merge_tables
+    from ..operators.core import canonicalize_input, merge_tables
     from ..registry import FOLD_TO_LAST
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        incoming = KeyedTable(batch_df, key_cols)
+        # a micro-batch can carry the same key twice (late retries,
+        # replays) — fold within-batch duplicates before the merge
+        incoming = canonicalize_input(batch_df, key_cols)
         try:
             current = engine.load_table(table_name)
             merged = merge_tables([current, incoming], FOLD_TO_LAST)
@@ -198,7 +200,7 @@ def stream_incremental_upsert_into(engine, table_name: str, events: DataFrame,
     table rewrite (the reference's untouched-subtree passthrough,
     ``Trie.hs:346-348``, driven by a stream). Unchanged buckets share
     objects across every commit in the catalog's version history."""
-    from ..operators.core import KeyedTable
+    from ..operators.core import canonicalize_input
     from ..plans.incremental import (incremental_upsert, load_manifest,
                                      write_bucketed)
 
@@ -208,7 +210,8 @@ def stream_incremental_upsert_into(engine, table_name: str, events: DataFrame,
                if entry is not None else None)
         if ref is None:
             ref = write_bucketed(engine.objects,
-                                 KeyedTable(batch_df, key_cols), n_buckets)
+                                 canonicalize_input(batch_df, key_cols),
+                                 n_buckets)
         else:
             ref = incremental_upsert(engine.spark, engine.objects, ref,
                                      batch_df)

@@ -1,0 +1,100 @@
+"""Within-input duplicate-key folding at every raw-data entry point.
+
+The reference folds within-input collisions deterministically via
+``tableFromRows`` (``messdb-schema/src/MessDB/Table.hs:125-140``) and
+routes CSV import through it (``messdb-tool/src/MessDB/Tool/Csv.hs:41``).
+The anti-join merge fast path assumes one-row-per-key inputs, so every
+entry point that wraps a raw DataFrame (file import, stream micro-batch,
+upsert delta) must canonicalize first — these tests feed duplicate keys
+through each and assert the one-row-per-key invariant (``check_table``)
+plus last-in-input-order-wins."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from messdb_spark.operators.core import (KeyedTable, canonicalize_input,
+                                         check_table)
+
+
+def test_canonicalize_last_in_order_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (1, "c"), (1, "d"), (3, "e")], "k int, v string")
+    # single partition => monotonically_increasing_id is exactly row order
+    t = canonicalize_input(df.coalesce(1), ("k",))
+    assert check_table(t)
+    assert {(r["k"], r["v"]) for r in t.df.collect()} == {
+        (1, "d"), (2, "b"), (3, "e")}
+
+
+def test_import_csv_folds_within_file_dups(spark, tmp_path, warehouse):
+    from messdb_spark.engine import Engine
+    from messdb_spark.sources.io import import_csv
+
+    eng = Engine(spark, warehouse)
+    eng.ddl("CREATE TABLE t (k BIGINT PRIMARY KEY, v VARCHAR)")
+    p = tmp_path / "dup.csv"
+    p.write_text("k,v\n1,first\n2,only\n1,second\n1,last\n")
+    merged = import_csv(spark, str(p), eng.load_table("t"))
+    assert check_table(merged)
+    rows = {(r["k"], r["v"]) for r in merged.df.collect()}
+    assert rows == {(1, "last"), (2, "only")}
+
+
+def test_import_json_folds_within_file_dups(spark, tmp_path, warehouse):
+    from messdb_spark.engine import Engine
+    from messdb_spark.sources.io import import_json
+
+    eng = Engine(spark, warehouse)
+    eng.ddl("CREATE TABLE t (k BIGINT PRIMARY KEY, v VARCHAR)")
+    p = tmp_path / "dup.jsonl"
+    p.write_text('{"k": 1, "v": "first"}\n{"k": 1, "v": "last"}\n'
+                 '{"k": 5, "v": "x"}\n')
+    merged = import_json(spark, str(p), eng.load_table("t"))
+    assert check_table(merged)
+    rows = {(r["k"], r["v"]) for r in merged.df.collect()}
+    assert rows == {(1, "last"), (5, "x")}
+
+
+def test_incremental_upsert_folds_dup_delta(spark, warehouse, tmp_path):
+    from messdb_spark.plans.incremental import (incremental_upsert,
+                                                read_bucketed, write_bucketed)
+    from messdb_spark.store import ObjectStore
+
+    store = ObjectStore(str(tmp_path / "objs"))
+    base = spark.createDataFrame([(i, "base") for i in range(100)],
+                                 "k int, v string")
+    ref = write_bucketed(store, KeyedTable(base, ("k",)), n_buckets=8)
+    delta = spark.createDataFrame(
+        [(5, "first"), (5, "second"), (200, "new"), (200, "newer")],
+        "k int, v string").coalesce(1)
+    ref2 = incremental_upsert(spark, store, ref, delta)
+    t = read_bucketed(spark, store, ref2)
+    assert check_table(t)
+    got = {r["k"]: r["v"] for r in t.df.collect()}
+    assert got[5] == "second" and got[200] == "newer"
+    assert len(got) == 101
+
+
+def test_stream_upsert_batch_with_dup_keys(spark, warehouse, tmp_path):
+    """A micro-batch carrying the same key twice (retry/replay) must
+    fold to one row before merging into the catalog table."""
+    from messdb_spark.engine import Engine
+
+    eng = Engine(spark, warehouse)
+    eng.ddl("CREATE TABLE s (k BIGINT PRIMARY KEY, v VARCHAR)")
+    # drive the foreachBatch sink directly (batch-equivalence harness)
+    from messdb_spark.streaming.stream import stream_upsert_into
+    src = (spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+           .select((F.col("value") % 2).alias("k"),
+                   F.col("value").cast("string").alias("v")))
+    q = stream_upsert_into(eng, "s", src,
+                           key_cols=("k",),
+                           checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = eng.load_table("s")
+    assert check_table(t)  # rate source repeats k in one batch; must fold
