@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 from .hashing import table_content_hash
 from .operators.core import KeyedTable
 from .plans.views import Materializer
-from .sql_ddl import parse_create_table
+from .sql_ddl import SqlError, parse_create_table
 from .store import Catalog, CatalogEntry, MemoStore, ObjectStore
 
 
@@ -47,8 +47,10 @@ class Engine:
 
     # -- catalog write path (R2 saveRepoTable, Repo.hs:115-118) --------
     def save_table(self, name: str, table: KeyedTable) -> str:
-        h = table_content_hash(table.df)
-        self.objects.save(h, table.df)
+        # stage-write then hash the written bytes (ObjectStore.put):
+        # the plan evaluates exactly once, so nondeterministic plans
+        # can't store bytes that mismatch their content address
+        h = self.objects.put(table.df, table_content_hash)
         self.catalog.put(name, CatalogEntry(
             table_hash=h,
             schema_json=table.df.schema.json(),
@@ -97,8 +99,17 @@ class Engine:
     def ddl(self, statement: str) -> None:
         """CREATE TABLE — the only DDL the reference accepts
         (``messdb-sql/src/MessDB/SQL.hs:21-35``). Creates an empty table
-        with the derived schema + key columns in the catalog."""
+        with the derived schema + key columns in the catalog.
+
+        Existing name: ``IF NOT EXISTS`` no-ops (the existing table —
+        and its data — is untouched); a plain CREATE TABLE raises, so a
+        re-run can never silently reset a table to empty."""
         ct = parse_create_table(statement)
+        if self.catalog.get(ct.name) is not None:
+            if ct.if_not_exists:
+                return
+            raise SqlError(f"table already exists: {ct.name} "
+                           f"(use CREATE TABLE IF NOT EXISTS to no-op)")
         empty = self.spark.createDataFrame([], schema=ct.schema)
         self.save_table(ct.name, KeyedTable(empty, tuple(ct.key_cols)))
 

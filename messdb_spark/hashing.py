@@ -17,8 +17,11 @@ memo cache trusts SHA-256 similarly but this cache is advisory).
 
 Canonical per-column encoding: every column is cast to string with fixed
 formatting (timestamps → ISO micros, floats → repr via cast to string in
-Spark's UTC session, binary → hex, arrays/structs → to_json), with a
-NULL sentinel that cannot collide with data. This keeps the digest
+Spark's UTC session, binary → hex, arrays/structs → to_json). Every
+``\\x00`` in an encoded VALUE is escaped to ``\\x00E``, so the NULL
+sentinel ``\\x00N`` and the column separator ``\\x00|`` (both carrying
+an unescaped ``\\x00``) cannot collide with data or shift column
+boundaries — distinct rows encode distinctly. This keeps the digest
 stable across partitioning, shuffle order, and parquet file layout.
 """
 
@@ -49,6 +52,9 @@ def _canon_col(field: T.StructField) -> F.Column:
         s = c.cast("double").cast("string")
     else:
         s = c.cast("string")
+    # escape \x00 in the value so the sentinel/separator (which carry
+    # an unescaped \x00) can't be forged by data
+    s = F.replace(s, F.lit("\x00"), F.lit("\x00E"))
     return F.coalesce(s, F.lit(_NULL))
 
 

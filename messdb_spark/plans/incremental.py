@@ -78,11 +78,14 @@ def _write_buckets(store: ObjectStore, df: DataFrame, key_cols: tuple[str, ...],
     with_b = df.withColumn(_BUCKET, _bucket_expr(key_cols, n_buckets))
     if bucket_whitelist is not None:
         with_b = with_b.filter(F.col(_BUCKET).isin(*bucket_whitelist))
-    hashes = bucket_content_hashes(with_b, _BUCKET)
     staging = os.path.join(store.warehouse, "staging",
                            hashlib.sha256(os.urandom(16)).hexdigest()[:16])
+    # stage-write FIRST, digest the staged bytes second — the plan
+    # evaluates once, so a nondeterministic plan can't produce bucket
+    # files that mismatch their content addresses
     (with_b.write.mode("overwrite").partitionBy(_BUCKET)
            .option("compression", store.compression).parquet(staging))
+    hashes = bucket_content_hashes(spark.read.parquet(staging), _BUCKET)
     for b, h in hashes.items():
         src = os.path.join(staging, f"{_BUCKET}={b}")
         dst = store.path(h)
@@ -246,8 +249,8 @@ def incremental_agg_view(spark: SparkSession, store: ObjectStore, memo,
             part = rows.groupBy(*group_cols).agg(
                 *[c.alias(n) for n, (_op, c) in aggs.items()])
             from ..hashing import table_content_hash
-            h = table_content_hash(part)
-            store.save(h, part)
+            # single evaluation: hash the staged write, not the plan
+            h = store.put(part, table_content_hash)
             memo.put(bucket_digest(ref.bucket_hashes[b]), h)
             partial_hashes.append(h)
 

@@ -132,8 +132,9 @@ class Materializer:
             return hit
         table = self._eval(ir)
         self.computed_ops += 1
-        h = self.content_hash_fn(table.df)
-        self.objects.save(h, table.df)   # write-once: dedups equal content
+        # single evaluation: stage-write, hash the written data, rename
+        # into the CAS (write-once: dedups equal content)
+        h = self.objects.put(table.df, self.content_hash_fn)
         self.memo.put(digest, h)
         return h
 

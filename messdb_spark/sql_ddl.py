@@ -42,7 +42,7 @@ _TYPE_MAP: dict[str, T.DataType] = {
 }
 
 _CREATE_RE = re.compile(
-    r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_][\w.]*)\s*\((.*)\)\s*;?\s*$",
+    r"^\s*create\s+table\s+(if\s+not\s+exists\s+)?([A-Za-z_][\w.]*)\s*\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 _DECIMAL_RE = re.compile(r"^(?:decimal|numeric)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", re.IGNORECASE)
 
@@ -52,6 +52,7 @@ class CreateTable:
     name: str
     schema: T.StructType
     key_cols: list[str]
+    if_not_exists: bool = False
 
 
 class SqlError(ValueError):
@@ -91,7 +92,7 @@ def parse_create_table(statement: str) -> CreateTable:
     m = _CREATE_RE.match(statement)
     if not m:
         raise SqlError(f"unsupported statement (only CREATE TABLE): {statement[:80]!r}")
-    name, body = m.group(1), m.group(2)
+    if_not_exists, name, body = m.group(1) is not None, m.group(2), m.group(3)
     fields: list[T.StructField] = []
     key_cols: list[str] = []
     for coldef in _split_columns(body):
@@ -120,4 +121,5 @@ def parse_create_table(statement: str) -> CreateTable:
     # key columns are non-null by construction
     fields = [T.StructField(f.name, f.dataType, nullable=f.nullable and f.name not in key_cols)
               for f in fields]
-    return CreateTable(name=name, schema=T.StructType(fields), key_cols=key_cols)
+    return CreateTable(name=name, schema=T.StructType(fields), key_cols=key_cols,
+                       if_not_exists=if_not_exists)

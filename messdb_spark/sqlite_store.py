@@ -44,9 +44,13 @@ def _connect(path: str) -> sqlite3.Connection:
 
 
 class SqliteMemoStore:
-    """MemoStore over sqlite: op-digest → table-hash. Write-once per
-    key (INSERT OR IGNORE — a duplicate put keeps the first value,
-    the ``Store.hs:28-35`` contract)."""
+    """MemoStore over sqlite: op-digest → table-hash.
+
+    ``put`` is INSERT OR REPLACE, matching the JSON ``MemoStore``: the
+    memo is advisory (the materializer only re-puts after discovering
+    the recorded target object is missing — ``plans/views.py`` —  so
+    the value being replaced is already known-dead; OR IGNORE would
+    keep the dead hash forever and force a recompute on every call)."""
 
     def __init__(self, warehouse: str, filename: str = "manifest.sqlite") -> None:
         self.db_path = os.path.join(warehouse, filename)
@@ -65,7 +69,7 @@ class SqliteMemoStore:
 
     def put(self, op_digest: str, table_hash: str) -> None:
         self._con.execute(
-            "INSERT OR IGNORE INTO memo_store(key, value) VALUES (?, ?)",
+            "INSERT OR REPLACE INTO memo_store(key, value) VALUES (?, ?)",
             (op_digest, table_hash))
         self._con.commit()
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 from dataclasses import dataclass
 
@@ -71,7 +72,10 @@ class ObjectStore:
     def save(self, table_hash: str, df: DataFrame) -> str:
         """Write-once: existing hash → no job runs (``Store.hs:28-30``
         contract: the value action must not execute on a duplicate save).
-        """
+
+        Caller-supplied-hash path: only safe when ``df`` is known
+        deterministic (a re-read of stored data). For computed plans use
+        :meth:`put`, which hashes the bytes it actually wrote."""
         if self.exists(table_hash):
             self.save_skips += 1
             return self.path(table_hash)
@@ -79,6 +83,34 @@ class ObjectStore:
         (df.write.mode("overwrite").option("compression", self.compression)
            .parquet(self.path(table_hash)))
         return self.path(table_hash)
+
+    def put(self, df: DataFrame, content_hash_fn) -> str:
+        """Stage-write → hash the WRITTEN data → rename into the CAS.
+
+        Hash-then-write (two evaluations of the same lazy plan) lets a
+        nondeterministic plan — rand(), limit, AQE-dependent float sum
+        order — store bytes that don't match their content address,
+        silently corrupting CAS dedup and memo hits. Here the plan runs
+        exactly once into a staging dir; the digest job reads the
+        staged parquet (stable bytes), and the commit is a pure rename.
+        """
+        import uuid
+
+        staging = os.path.join(self.warehouse, "staging", uuid.uuid4().hex)
+        try:
+            (df.write.mode("overwrite").option("compression", self.compression)
+               .parquet(staging))
+            spark = df.sparkSession
+            h = content_hash_fn(spark.read.parquet(staging))
+            if self.exists(h):
+                self.save_skips += 1
+            else:
+                os.makedirs(os.path.dirname(self.path(h)), exist_ok=True)
+                shutil.move(staging, self.path(h))
+                self.saves += 1
+            return h
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     def load(self, spark: SparkSession, table_hash: str) -> DataFrame:
         self.loads += 1
@@ -110,6 +142,18 @@ class MemoryObjectStore(ObjectStore):
         self.saves += 1
         self._tables[table_hash] = (df.schema, df.collect())
         return self.path(table_hash)
+
+    def put(self, df: DataFrame, content_hash_fn) -> str:
+        """Evaluate once (collect), hash the materialized rows."""
+        schema, rows = df.schema, df.collect()
+        materialized = df.sparkSession.createDataFrame(rows, schema=schema)
+        h = content_hash_fn(materialized)
+        if self.exists(h):
+            self.save_skips += 1
+        else:
+            self.saves += 1
+            self._tables[h] = (schema, rows)
+        return h
 
     def load(self, spark: SparkSession, table_hash: str) -> DataFrame:
         self.loads += 1
