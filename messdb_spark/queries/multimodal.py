@@ -165,7 +165,7 @@ def synth_media(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 if i % 2 == 0:
-                    blob = make_bmp(i % 640 + 1, (i // 7) % 480 + 1)
+                    blob = make_bmp(i % 64 + 1, (i // 7) % 48 + 1)
                 else:
                     blob = make_wav([8000, 16000, 44100][i % 3],
                                     (i // 5) % 2 + 1, [8, 16][(i // 3) % 2],
@@ -181,8 +181,8 @@ def synth_media(docs: DataFrame) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
-           CASE WHEN doc_id % 2 = 0 THEN doc_id % 640 + 1 END AS width,
-           CASE WHEN doc_id % 2 = 0 THEN (doc_id // 7) % 480 + 1 END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1 END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN (doc_id // 7) % 48 + 1 END AS height,
            CASE WHEN doc_id % 2 = 1 THEN (doc_id // 5) % 2 + 1 END AS n_channels,
            CASE WHEN doc_id % 2 = 1
                 THEN [8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] END AS sample_rate,
@@ -190,7 +190,7 @@ def synth_media(docs: DataFrame) -> DataFrame:
                 ELSE [8, 16][CAST((doc_id // 3) % 2 AS INT) + 1] END AS bits_per_sample,
            CASE WHEN doc_id % 2 = 1 THEN doc_id % 64 + 1 END AS n_samples,
            CASE WHEN doc_id % 2 = 0
-                THEN 54 + ((doc_id % 640 + 1) * 3 + 3) // 4 * 4 * ((doc_id // 7) % 480 + 1)
+                THEN 54 + ((doc_id % 64 + 1) * 3 + 3) // 4 * 4 * ((doc_id // 7) % 48 + 1)
                 ELSE 44 + (doc_id % 64 + 1) * ((doc_id // 5) % 2 + 1)
                           * [8, 16][CAST((doc_id // 3) % 2 AS INT) + 1] // 8
            END AS n_bytes
