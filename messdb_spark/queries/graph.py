@@ -31,8 +31,11 @@ from .text import _MH_SEEDS, _N_BANDS, _SHINGLE_K, _TOKENS, _TOKENS_DUCK
 # hub = min(doc_id) in the bucket. Stars preserve connectivity while
 # keeping the edge count O(bucket size) instead of the O(size²) clique.
 
-_CC_ORACLE = f"""
-WITH RECURSIVE sh AS (
+# CTE chain up to the per-doc cluster assignment — shared verbatim by
+# the dedup_cluster_components oracle and the near-dup-aware corpus
+# prep oracle (pipeline.py), so both engines agree on ONE edge/closure
+# definition.
+_CC_CTES = f"""sh AS (
   SELECT doc_id,
          list_transform(range(1, length(text) - {_SHINGLE_K - 2}),
            i -> CAST(concat('0x', substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15)) AS BIGINT)) AS hs
@@ -66,35 +69,21 @@ reach AS (
   SELECT e.dst AS doc_id, r.comp
   FROM reach r JOIN edges e ON e.src = r.doc_id
 ),
-assign AS (SELECT doc_id, min(comp) AS cluster_id FROM reach GROUP BY doc_id)
+assign AS (SELECT doc_id, min(comp) AS cluster_id FROM reach GROUP BY doc_id)"""
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_CC_CTES}
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM assign
 """
 
 
-@query("dedup_cluster_components", oracle=_CC_ORACLE)
-def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS: connected components over the MinHash-LSH
-    candidate graph, cluster id = min doc_id (the canonical survivor).
-
-    Graph: band buckets → star edges to the bucket hub (min doc) —
-    O(bucket) edges, never the O(bucket²) clique. Components via
-    iterative min-label propagation: each round, every node takes the
-    min of its own label and its neighbors' labels; converged when the
-    global label sum stops falling (labels only decrease, so the sum
-    is a monotone convergence witness — one cheap agg instead of a
-    changed-rows join).
-
-    100 TB design: per round = one shuffle-join of (bigint, bigint)
-    edges against labels + a partial-aggregated min — rounds ≈ graph
-    diameter (near-dup clusters are shallow; large-star/small-star
-    bounds it at log n if ever needed). Labels are localCheckpoint'd
-    each round so the plan/lineage stays O(1) across iterations
-    instead of doubling. The oracle is a recursive-CTE reachability
-    closure (DuckDB), fine at sf but quadratic-ish in cluster size —
-    the iterative form IS the scale path.
-    """
+def cc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels (doc_id, comp) over the MinHash-LSH
+    candidate graph — the engine side of ``_CC_CTES``; only docs that
+    appear in some band bucket with a neighbor get a row. See
+    ``dedup_cluster_components`` for the design discussion."""
     (d,) = load(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     docs = d.filter(F.length("text") >= _SHINGLE_K).repartition(par)
@@ -146,7 +135,32 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     edges.unpersist()
+    return labels
 
+
+@query("dedup_cluster_components", oracle=_CC_ORACLE)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    candidate graph, cluster id = min doc_id (the canonical survivor).
+
+    Graph: band buckets → star edges to the bucket hub (min doc) —
+    O(bucket) edges, never the O(bucket²) clique. Components via
+    iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels; converged when the
+    global label sum stops falling (labels only decrease, so the sum
+    is a monotone convergence witness — one cheap agg instead of a
+    changed-rows join).
+
+    100 TB design: per round = one shuffle-join of (bigint, bigint)
+    edges against labels + a partial-aggregated min — rounds ≈ graph
+    diameter (near-dup clusters are shallow; large-star/small-star
+    bounds it at log n if ever needed). Labels are localCheckpoint'd
+    each round so the plan/lineage stays O(1) across iterations
+    instead of doubling. The oracle is a recursive-CTE reachability
+    closure (DuckDB), fine at sf but quadratic-ish in cluster size —
+    the iterative form IS the scale path.
+    """
+    labels = cc_cluster_labels(spark, sf_dir)
     wc = W.partitionBy("cluster_id")
     return (labels.select("doc_id", F.col("comp").alias("cluster_id"))
                   .withColumn("cluster_size", F.count(F.lit(1)).over(wc)))

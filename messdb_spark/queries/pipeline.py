@@ -116,3 +116,78 @@ def trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select("c_mktsegment", "day",
                         quantize(F.sum("rev").over(w).cast("double"), 2)
                          .alias("trailing_7d"))
+
+
+# ---------------------------------------------------------------------------
+# near-dup-aware corpus prep: gates + connected-component dedup
+# ---------------------------------------------------------------------------
+
+def _near_dedup_oracle() -> str:
+    from .graph import _CC_CTES
+    return f"""
+    WITH RECURSIVE {_CC_CTES},
+    gated AS (
+      SELECT doc_id, source, len({_TOKS_DUCK}) AS n_tokens
+      FROM documents
+      WHERE lang IN ('en', 'es') AND length(text) BETWEEN 40 AND 100000
+        AND len({_TOKS_DUCK}) >= 8
+        AND len(list_distinct({_TOKS_DUCK})) * 2 >= len({_TOKS_DUCK})
+    ),
+    lab AS (
+      SELECT g.*, COALESCE(a.cluster_id, g.doc_id) AS cluster_id
+      FROM gated g LEFT JOIN assign a USING (doc_id)
+    ),
+    canon AS (
+      SELECT cluster_id, min(doc_id) AS doc_id FROM lab GROUP BY cluster_id
+    ),
+    kept AS (
+      SELECT l.* FROM lab l
+      JOIN canon c ON l.cluster_id = c.cluster_id AND l.doc_id = c.doc_id
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           {quantize_sql("avg(CAST(n_tokens AS DOUBLE))", 4)} AS avg_tokens
+    FROM kept GROUP BY source
+    """
+
+
+@query("corpus_prep_near_dedup", oracle=_near_dedup_oracle())
+def corpus_prep_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup-aware corpus prep — ``training_corpus_prep``'s exact-
+    fingerprint stage upgraded to transitive near-dup clusters: language
+    gate → quality gates → connected components over the MinHash-LSH
+    candidate graph (``graph.cc_cluster_labels``) → keep the min-doc_id
+    survivor among the GATED members of each cluster → per-source token
+    accounting. Docs in no candidate bucket are their own cluster
+    (COALESCE to doc_id).
+
+    Scale: the cluster labels are (bigint, bigint) rows — text never
+    enters the graph or any shuffle; gates prune on the scan; the
+    survivor choice is one hash-agg + semi-join on (cluster, doc);
+    final agg partial-aggregates per source. This is the full pipeline
+    a pretraining-data curator runs: near-dup (not just byte-identical)
+    documents collapse to one representative before token accounting."""
+    from .graph import cc_cluster_labels
+
+    (d,) = load(spark, sf_dir, "documents")
+    toks = F.expr(_TOKS_SPARK)
+    n_tokens = F.size(toks)
+    gated = (d.filter(F.col("lang").isin("en", "es") &
+                      F.length("text").between(40, 100000))
+              .select("doc_id", "source",
+                      n_tokens.cast("long").alias("n_tokens"),
+                      F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"))
+              .filter((F.col("n_tokens") >= 8) &
+                      (F.col("n_distinct") * 2 >= F.col("n_tokens"))))
+    labels = cc_cluster_labels(spark, sf_dir).select(
+        "doc_id", F.col("comp").alias("cluster_id"))
+    lab = (gated.join(labels, "doc_id", "left")
+                .withColumn("cluster_id",
+                            F.coalesce(F.col("cluster_id"), F.col("doc_id"))))
+    canon = lab.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
+    kept = lab.join(canon, ["cluster_id", "doc_id"], "left_semi")
+    return (kept.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_tokens").alias("total_tokens"),
+                     quantize(F.avg(F.col("n_tokens").cast("double")), 4)
+                      .alias("avg_tokens")))
