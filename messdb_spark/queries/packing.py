@@ -1,0 +1,122 @@
+"""Dataset-assembly operators: source-mixture sampling and sequence
+packing — the two steps between a cleaned corpus (pipeline.py) and
+actual pretraining batches.
+
+Both are exact-integer computations so the DuckDB oracles hash-match
+bit-for-bit; the only float op is ``sqrt`` (IEEE correctly-rounded on
+both engines, floored immediately to an integer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import load, query
+
+_BUDGET = 120          # sampled docs across all sources
+_CONTEXT = 512         # tokens per packed context window
+
+_TOKS_DUCK = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+_TOKS_SPARK = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+
+@query(
+    "mixture_sample_by_source",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(floor(sqrt(count(*))) AS BIGINT) AS fs
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(fs) AS BIGINT) AS tot FROM c),
+    q AS (SELECT source, ({_BUDGET} * fs) // tot AS quota FROM c, t),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+    WHERE rn <= quota
+    """)
+def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (the pretraining data-mixing
+    step): per-source quota ∝ count^(1/T) with T=2 — sqrt flattens the
+    source distribution so small sources are over-represented relative
+    to proportional sampling (the standard multilingual/multi-domain
+    re-balancing move). Selection within a source is deterministic
+    hash-rank (reproducible across runs/engines, unlike TABLESAMPLE).
+
+    Exactness: quota arithmetic is all-integer (floor(sqrt(n)) is
+    exact — sqrt is IEEE correctly-rounded, then floored); ranking
+    keys are md5 strings. Scale: the quota table is one tiny agg
+    (broadcast); ranking is one window whose rank-filter prunes
+    map-side (WindowGroupLimit) so only quota winners shuffle —
+    same discipline as stratified_sample_per_lang."""
+    (d,) = load(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(
+        F.floor(F.sqrt(F.count(F.lit(1)))).cast("long").alias("fs"))
+    t = c.agg(F.sum("fs").cast("long").alias("tot"))
+    q = (c.crossJoin(F.broadcast(t))
+          .select("source", ((F.lit(_BUDGET) * F.col("fs")) / F.col("tot"))
+                  .cast("long").alias("quota")))
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
+    r = (d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+          # constant upper bound (every quota <= _BUDGET): a LITERAL
+          # rank filter triggers WindowGroupLimit, pruning each
+          # partition to _BUDGET candidates map-side before the shuffle
+          .filter(F.col("rn") <= _BUDGET))
+    return (r.join(F.broadcast(q), "source")
+             .filter(F.col("rn") <= F.col("quota"))
+             .select("doc_id", "source"))
+
+
+@query(
+    "sequence_packing_offsets",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(sum(n) OVER w - n AS BIGINT) AS start_offset,
+           CAST((sum(n) OVER w - n) // {_CONTEXT} AS BIGINT) AS bin_id
+    FROM (SELECT doc_id, source, len({_TOKS_DUCK}) AS n FROM documents)
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+    """)
+def sequence_packing_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concatenate-and-chop): documents concatenate
+    in doc_id order per source and chop into {_CONTEXT}-token context
+    windows; each doc gets its global token start offset and the
+    window (bin) its first token lands in — the packing manifest a
+    pretraining loader consumes.
+
+    Scale: a naive ``sum() OVER (PARTITION BY source ORDER BY doc_id)``
+    funnels each source through ONE partition (source cardinality is
+    fixed — the q11 lesson). Implemented instead as a two-level
+    distributed prefix-sum: (1) intra-shard running sums with shard =
+    doc_id // 4096 — shard count GROWS with the data, so these windows
+    parallelize; (2) per-shard totals (4096× smaller) get their own
+    exclusive prefix sum and broadcast back as shard base offsets. At
+    another 1000× the shard-totals level recurses the same way. All
+    integer arithmetic — exact parity with the single-window oracle."""
+    (d,) = load(spark, sf_dir, "documents")
+    toks = F.size(F.expr(_TOKS_SPARK)).cast("long")
+    base = d.select("doc_id", "source", toks.alias("n"),
+                    (F.col("doc_id") / 4096).cast("long").alias("shard"))
+    # (1) running sum WITHIN each (source, shard) — parallel width
+    # grows with the data
+    w_in = W.partitionBy("source", "shard").orderBy("doc_id")
+    intra = base.withColumn("intra_end", F.sum("n").over(w_in))
+    # (2) exclusive prefix over the per-shard totals (tiny relation)
+    shard_tot = (base.groupBy("source", "shard")
+                     .agg(F.sum("n").alias("tot")))
+    w_sh = W.partitionBy("source").orderBy("shard")
+    shard_base = shard_tot.select(
+        "source", "shard",
+        (F.sum("tot").over(w_sh) - F.col("tot")).alias("base"))
+    out = (intra.join(F.broadcast(shard_base), ["source", "shard"])
+                .select("doc_id", "source",
+                        (F.col("base") + F.col("intra_end") - F.col("n"))
+                        .alias("start_offset")))
+    return out.withColumn(
+        "bin_id", F.floor(F.col("start_offset") / _CONTEXT).cast("long"))

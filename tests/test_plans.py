@@ -204,3 +204,24 @@ def test_simhash_band_join_is_equi_hash(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "bit_count" in p  # Hamming is one JVM op, not a char fold
+
+
+def test_mixture_sample_prunes_rank_map_side(spark):
+    """The constant rank bound must become a WindowGroupLimit so each
+    partition keeps <= budget candidate rows before the shuffle."""
+    df = QUERIES["mixture_sample_by_source"].fn(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, "simple")
+    assert "WindowGroupLimit" in p
+
+
+def test_sequence_packing_has_no_per_source_window_over_docs(spark):
+    """The doc-level running sum must partition by (source, shard) —
+    shard count grows with data — never by source alone (fixed
+    cardinality = one partition per source at scale). Only the tiny
+    shard-totals level may window per source."""
+    import re
+
+    df = QUERIES["sequence_packing_offsets"].fn(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, "formatted")
+    # the doc-level running-sum exchange hashes on (source, shard)
+    assert re.search(r"hashpartitioning\(source#\d+, shard#\d+", p)
