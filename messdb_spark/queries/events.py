@@ -101,3 +101,93 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.groupBy("event_type")
              .agg(quantize(F.sum(k).cast("double") / F.count(k), 6).alias("avg_k"),
                   F.max(k).alias("max_k")))
+
+
+@query(
+    "events_funnel_view_purchase",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT fv.user_id, fv.first_view, min(e.ts) AS first_purchase
+      FROM fv JOIN events e
+        ON e.user_id = fv.user_id AND e.event_type = 'purchase'
+           AND e.ts > fv.first_view
+      GROUP BY fv.user_id, fv.first_view
+    )
+    SELECT (SELECT count(*) FROM fv) AS n_viewers,
+           count(*) AS n_converted,
+           CAST(sum(CASE WHEN epoch_us(first_purchase) - epoch_us(first_view)
+                              <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted_1h
+    FROM conv
+    """)
+def events_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: users whose first 'view' is later followed by a
+    'purchase', and how many convert within one hour — the
+    sequential-pattern analytics (A-then-B-within-T) a product or
+    training-telemetry pipeline runs constantly.
+
+    Exactness: boundaries compare in integer microseconds (the
+    sessionization discipline). Scale: two hash aggs + one equi-join
+    on user_id; the purchase side prunes to one event_type at the
+    scan; output is a single row of counters."""
+    (e,) = load(spark, sf_dir, "events")
+    fv = (e.filter(F.col("event_type") == "view")
+           .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    conv = (fv.join(e.filter(F.col("event_type") == "purchase"), "user_id")
+              .filter(F.col("ts") > F.col("first_view"))
+              .groupBy("user_id", "first_view")
+              .agg(F.min("ts").alias("first_purchase")))
+    n_viewers = fv.agg(F.count(F.lit(1)).alias("n_viewers"))
+    within = (F.unix_micros(F.col("first_purchase"))
+              - F.unix_micros(F.col("first_view"))) <= 3_600_000_000
+    stats = conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.sum(F.when(within, 1).otherwise(0)).cast("long").alias("n_converted_1h"))
+    return n_viewers.crossJoin(stats).select(
+        "n_viewers", "n_converted", "n_converted_1h")
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.wk) // 7 AS BIGINT)
+             AS week_offset,
+           count(*) AS n_users
+    FROM cohort c JOIN activity a USING (user_id)
+    GROUP BY c.cohort_week, week_offset
+    """)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen week, and
+    for each later week how many were active — the cohort table every
+    usage dashboard draws.
+
+    Exactness: both engines truncate weeks to Monday and the offset is
+    integer day-arithmetic. Scale: one agg for cohorts, one distinct
+    for (user, week) activity, one join on user_id, one final agg —
+    all hash-partitioned on user/cohort keys; no windows."""
+    (e,) = load(spark, sf_dir, "events")
+    cohort = (e.groupBy("user_id")
+               .agg(F.date_trunc("week", F.min("ts")).cast("date")
+                     .alias("cohort_week")))
+    activity = (e.select("user_id",
+                         F.date_trunc("week", F.col("ts")).cast("date")
+                          .alias("wk"))
+                 .distinct())
+    j = cohort.join(activity, "user_id")
+    return (j.groupBy("cohort_week",
+                      F.floor(F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+                       .cast("long").alias("week_offset"))
+             .agg(F.count(F.lit(1)).alias("n_users")))
