@@ -191,3 +191,50 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.floor(F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
                        .cast("long").alias("week_offset"))
              .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@query(
+    "events_gap_fill_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+             FROM hourly GROUP BY 1),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+             FROM span)
+    SELECT g.user_id, g.hour,
+           COALESCE(h.n_events, 0) AS n_events,
+           h.n_events IS NULL AS is_gap
+    FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+    """)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: per-user hourly event
+    counts on a dense hour grid between each user's first and last
+    active hour; missing hours materialize as zero-count gap rows —
+    the prerequisite for any window/EWMA feature over regular series.
+
+    Scale: the dense grid is generated by exploding sequence() over
+    the per-user span AGGREGATE (one tiny row per user), never over
+    raw events, and the left join back to hourly counts is a plain
+    equi-join hash-partitioned on (user_id, hour). Grid size is
+    bounded by users x span-hours, independent of event count. At
+    100 TB you'd clamp the span (or bucket users) before densifying —
+    the explode is the only row-amplifying step and it is map-only."""
+    (e,) = load(spark, sf_dir, "events")
+    hourly = (e.groupBy("user_id",
+                        F.date_trunc("hour", F.col("ts")).alias("hour"))
+               .agg(F.count(F.lit(1)).alias("n_events")))
+    span = hourly.groupBy("user_id").agg(F.min("hour").alias("h0"),
+                                         F.max("hour").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR")))
+         .alias("hour"))
+    return (grid.join(hourly, ["user_id", "hour"], "left")
+                .select("user_id", "hour",
+                        F.coalesce("n_events", F.lit(0).cast("long"))
+                         .alias("n_events"),
+                        F.col("n_events").isNull().alias("is_gap")))
