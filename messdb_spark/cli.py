@@ -60,15 +60,16 @@ def main(argv: list[str] | None = None) -> int:
     ij.add_argument("-t", "--table", required=True)
     ij.add_argument("path")
 
-    for verb in ("export-csv", "export-json", "export-parquet"):
+    for verb in ("export-csv", "export-json", "export-parquet", "export-orc"):
         e = sub.add_parser(verb, help=f"{verb.split('-')[1]} export, key-ordered")
         e.add_argument("-t", "--table", required=True)
         e.add_argument("path")
 
-    ip = sub.add_parser("import-parquet",
-                        help="upsert parquet file(s)/dir into a table")
-    ip.add_argument("-t", "--table", required=True)
-    ip.add_argument("path")
+    for verb in ("import-parquet", "import-orc"):
+        ip = sub.add_parser(verb,
+                            help=f"upsert {verb.split('-')[1]} file(s)/dir into a table")
+        ip.add_argument("-t", "--table", required=True)
+        ip.add_argument("path")
 
     mat = sub.add_parser(
         "materialize",
@@ -120,12 +121,13 @@ def main(argv: list[str] | None = None) -> int:
             table_hash=h, schema_json=df.schema.json(), key_cols=[]))
         print(json.dumps({"ok": True, "table": a.table, "table_hash": h,
                           "memo_hit": eng.memo.hits > hits_before}))
-    elif a.cmd in ("import-csv", "import-json", "import-parquet"):
+    elif a.cmd in ("import-csv", "import-json", "import-parquet", "import-orc"):
         t = eng.load_table(a.table)
-        if a.cmd == "import-parquet":
+        if a.cmd in ("import-parquet", "import-orc"):
             from .operators.core import canonicalize_input, merge_tables
+            reader = spark.read.parquet if a.cmd == "import-parquet" else spark.read.orc
             incoming = canonicalize_input(
-                spark.read.parquet(a.path).select(*t.df.columns), t.key_cols)
+                reader(a.path).select(*t.df.columns), t.key_cols)
             merged = merge_tables([t, incoming])
         else:
             importer = import_csv if a.cmd == "import-csv" else import_json
@@ -139,9 +141,10 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "export-json":
         export_json(eng.load_table(a.table), a.path)
         print(json.dumps({"ok": True, "path": a.path}))
-    elif a.cmd == "export-parquet":
-        from .sources.io import export_parquet
-        export_parquet(eng.load_table(a.table), a.path)
+    elif a.cmd in ("export-parquet", "export-orc"):
+        from .sources.io import export_orc, export_parquet
+        exporter = export_parquet if a.cmd == "export-parquet" else export_orc
+        exporter(eng.load_table(a.table), a.path)
         print(json.dumps({"ok": True, "path": a.path}))
     elif a.cmd == "gc":
         stats = eng.gc(keep_versions=a.keep_versions,

@@ -92,3 +92,46 @@ def export_parquet(table: KeyedTable, path: str, partition_by: list[str] | None 
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def import_orc(spark: SparkSession, path: str, key_cols: tuple[str, ...],
+               assume_unique: bool = False) -> KeyedTable:
+    """ORC columnar source — same contract as ``import_parquet`` (both
+    are Catalyst native formats: predicate pushdown, column pruning,
+    splittable stripes). ORC parquet-parity matters for warehouses
+    whose lake is Hive/ORC. Defaults to folding within-file duplicate
+    keys because foreign ORC has no canonical-shape guarantee."""
+    df = spark.read.orc(path)
+    if assume_unique:
+        return KeyedTable(df, key_cols)
+    return canonicalize_input(df, key_cols)
+
+
+def export_orc(table: KeyedTable, path: str,
+               partition_by: list[str] | None = None) -> None:
+    """ORC columnar sink (zlib-compressed stripes by default —
+    the S5 compression-wrapper role comes free from the format)."""
+    w = table.df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def import_binary_dir(spark: SparkSession, path: str,
+                      glob: str | None = None) -> DataFrame:
+    """Multimodal blob ingestion: Spark's ``binaryFile`` source reads a
+    directory of opaque media files as (path, modificationTime, length,
+    content) — the schema every multimodal pipeline starts from. The
+    decode stage (``queries/multimodal.py:decode_media_header``) then
+    runs over ``content`` via Arrow-batched mapInPandas.
+
+    Scale: binaryFile is a real distributed FileFormat — file listing
+    parallelizes, each file is one row in one task, and column pruning
+    applies (a query over just ``length`` never reads blob bytes).
+    Files are NOT split, so shard huge media into object-store-sized
+    blobs upstream; ``spark.sql.files.maxPartitionBytes`` packs many
+    small blobs per task."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
