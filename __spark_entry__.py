@@ -26,11 +26,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate verifies a 50-query budget per round in
+# registration order, so the inventory leads with the queries that do
+# not yet have a green row in a prior CORRECTNESS_r*.json (41 as of
+# round 3), the two whose implementations changed since their last
+# check, and a handful of flagships; the remainder (all green in
+# r01/r02) follow and stay covered by tests/test_oracle_parity.py.
+_CHECK_FIRST = [
+    # failed r02 (TIMESTAMP_NTZ regression, fixed in round 3)
+    "events_sessionization", "events_funnel_view_purchase",
+    "range_join_purchase_window",
+    # reimplemented in round 2 (banded LSH), never re-checked
+    "simhash_near_dup_pairs",
+    # never driver-checked
+    "multimodal_real_decode", "multimodal_metadata", "rank_functions_suite",
+    "bpe_tokens_regex", "rolling_hash_fingerprint", "distinct_doc_sources",
+    "embedding_bucket_near_dup", "q2_cheapest_supplier_per_part",
+    "q4_order_priority_check", "q7_nation_trade_volume",
+    "q12_priority_class_agg", "q14_promo_revenue_ratio",
+    "q18_large_order_customers", "q19_disjunctive_predicates",
+    "q22_idle_rich_customers", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q13_order_count_distribution",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q20_excess_quantity_suppliers",
+    "q21_waiting_suppliers", "approx_distinct_users_hll",
+    "approx_price_quantiles", "salted_agg_event_stats",
+    "udtf_split_sentences", "training_corpus_prep",
+    "trailing_week_revenue", "dedup_cluster_components",
+    "doc_chunking_windows", "tfidf_top_terms", "heavy_hitter_bigrams",
+    "corpus_prep_near_dedup", "mixture_sample_by_source",
+    "sequence_packing_offsets", "repetition_ngram_stats",
+    "sorted_neighborhood_pairs",
+    # flagships (green r01+r02; re-affirm in the latest round's file)
+    "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
+    "minhash_lsh_candidates", "dedup_exact", "asof_join_purchase_view",
+    "core_merge_upsert",
+]
+
+
+def _ordered(d: dict) -> dict:
+    head = {k: d[k] for k in _CHECK_FIRST if k in d}
+    tail = {k: v for k, v in d.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return all_queries()
+    return _ordered(all_queries())
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query."""
-    return all_oracles()
+    return _ordered(all_oracles())

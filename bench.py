@@ -115,12 +115,16 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("messdb_spark_bench")
 
-    QUERIES["q6_forecast_revenue"].fn(spark, sf_dir).count()
-    n_par = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark.range(0, 1000, 1, n_par).mapInPandas(
-        lambda it: it, "id long").count()
+    try:
+        QUERIES["q6_forecast_revenue"].fn(spark, sf_dir).count()
+        n_par = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        spark.range(0, 1000, 1, n_par).mapInPandas(
+            lambda it: it, "id long").count()
+    except Exception as e:  # noqa: BLE001
+        print(f"# global warmup failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(QUERIES):
         try:  # codegen/plan-shape warmup at tiny SF (not timed)
             QUERIES[name].fn(spark, WARMUP_SF_DIR).count()
@@ -130,10 +134,16 @@ def main() -> None:
         # (GC, IO contention) that a single sample can land on; the min
         # is the reproducible steady-state cost of the plan
         best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = QUERIES[name].fn(spark, sf_dir).count()
-            best = min(best, round(time.perf_counter() - t0, 3))
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = QUERIES[name].fn(spark, sf_dir).count()
+                best = min(best, round(time.perf_counter() - t0, 3))
+        except Exception as e:  # noqa: BLE001 — one bad query must not
+            # zero the whole bench; record it and keep timing the rest
+            errors[name] = str(e).split("\n", 1)[0][:300]
+            print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = best
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -158,20 +168,27 @@ def main() -> None:
             print(f"# re-timed {name}: {t}s -> best {best}s", file=sys.stderr)
             timings[name] = best
 
-    bench_memo_layers(spark, sf_dir, timings)
+    try:
+        bench_memo_layers(spark, sf_dir, timings)
+    except Exception as e:  # noqa: BLE001
+        errors["memo_layers"] = str(e).split("\n", 1)[0][:300]
+        print(f"# ERROR memo_layers: {errors['memo_layers']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "total_query_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
-    }, separators=(",", ":")))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out, separators=(",", ":")))
 
     # regression gate vs the recorded round-1 numbers (sf0.1 only)
-    rc = 0
+    rc = 1 if errors else 0
     for name, t in timings.items():
         b = baseline.get(name)
         if b is None:

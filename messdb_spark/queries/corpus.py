@@ -1,0 +1,224 @@
+"""Cross-document corpus analysis (SURVEY.md §2.9 north-star set,
+round 3 additions) — the corpus-wide statistics a training-data
+pipeline computes between dedup and packing:
+
+- ``boilerplate_bigram_docfreq``: n-grams shared by an outsized share
+  of documents (navigation chrome, license banners, template spam) —
+  the cross-document complement of the within-document
+  ``repetition_ngram_stats`` gate.
+- ``inverted_index_postings``: term -> sorted posting list, the
+  classic IR structure (and the shape a contamination / attribution
+  service queries).
+- ``token_pmi_pairs``: pointwise mutual information over token
+  co-occurrence — collocation mining / topic-signal extraction.
+- ``char_class_profile``: per-language character-class census, the
+  cheap script/encoding sanity gate run before any tokenizer.
+
+All pure DataFrame plans — no Python UDFs; every shuffle carries
+hashes or counters, never raw text (except the bounded vocab of the
+PMI/postings outputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query, load, quantize, quantize_sql
+
+_TOKS = "filter(split(text, '\\\\s+'), x -> x != '')"
+_TOKS_DUCK = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+
+
+@query(
+    "boilerplate_bigram_docfreq",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_DUCK} AS t FROM documents WHERE length(text) > 0
+    ),
+    bg AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   j -> concat(t[j], ' ', t[j+1]))) AS bigram
+      FROM tok WHERE len(t) >= 2
+    ),
+    df AS (SELECT bigram, count(*) AS n_docs FROM bg GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM documents WHERE length(text) > 0)
+    SELECT bigram, n_docs,
+           {quantize_sql("CAST(n_docs AS DOUBLE) / CAST(tot.n AS DOUBLE)", 6)}
+             AS doc_frac
+    FROM df, tot
+    WHERE CAST(n_docs AS DOUBLE) >= 0.05 * CAST(tot.n AS DOUBLE)
+    """)
+def boilerplate_bigram_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: bigrams present in >= 5% of all documents.
+    Web-corpus cleaning removes lines/spans made of such n-grams
+    (cookie banners, nav menus) before dedup so they don't glue
+    unrelated pages into one MinHash cluster.
+
+    Scale: DISTINCT(doc, bigram) then a bigram-keyed count — both
+    partial-aggregate map-side, and the shuffled payload is bounded by
+    the corpus *vocabulary*, not its size. The 5% threshold is a
+    1-row scalar aggregate broadcast into the filter (the q11/q15
+    pattern — no single-partition window)."""
+    (d,) = load(spark, sf_dir, "documents")
+    docs = d.filter(F.length("text") > 0)
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("t")).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(t, 1, size(t) - 1),"
+            " (x, i) -> concat(x, ' ', element_at(t, i + 2)))")).alias("bigram")
+    ).distinct()
+    df = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (df.crossJoin(F.broadcast(tot))
+              .filter(F.col("n_docs").cast("double")
+                      >= 0.05 * F.col("n").cast("double"))
+              .select("bigram", "n_docs",
+                      quantize(F.col("n_docs").cast("double")
+                               / F.col("n").cast("double"), 6)
+                      .alias("doc_frac")))
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(list_distinct({_TOKS_DUCK})) AS term
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT term, source,
+           count(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS postings
+    FROM tok GROUP BY term, source
+    """)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: (term, source) -> document-frequency + sorted
+    doc_id posting list, serialized as a CSV string for engine-portable
+    comparison. The source dimension is the partitioning story: at
+    100 TB a single term's postings exceed one task, so the index
+    shards by (term, source-or-range) exactly like this grouping —
+    each shard's list stays bounded and merges are sorted-list unions.
+
+    Scale: explode(distinct terms per doc) -> one hash agg keyed by
+    (term, source); collect_list holds doc ids (8 bytes each), never
+    text. sort_array makes the posting order deterministic without a
+    global sort."""
+    (d,) = load(spark, sf_dir, "documents")
+    tok = (d.filter(F.length("text") > 0)
+            .select("doc_id", "source",
+                    F.explode(F.array_distinct(F.expr(_TOKS))).alias("term")))
+    return (tok.groupBy("term", "source")
+               .agg(F.count(F.lit(1)).alias("df"),
+                    F.array_join(F.sort_array(F.collect_list("doc_id")), ",")
+                     .alias("postings")))
+
+
+@query(
+    "token_pmi_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS_DUCK})) AS t
+      FROM documents WHERE length(text) > 0
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    uni AS (SELECT t, count(*) AS n_t FROM tok GROUP BY 1),
+    pairs AS (
+      SELECT a.t AS tok_a, b.t AS tok_b, count(*) AS n_ab
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY 1, 2
+    )
+    SELECT tok_a, tok_b, n_ab, ua.n_t AS n_a, ub.n_t AS n_b,
+           {quantize_sql(
+               "ln((CAST(n_ab AS DOUBLE) * CAST(n.n_docs AS DOUBLE))"
+               " / (CAST(ua.n_t AS DOUBLE) * CAST(ub.n_t AS DOUBLE)))", 6)}
+             AS pmi
+    FROM pairs
+    JOIN uni ua ON ua.t = tok_a
+    JOIN uni ub ON ub.t = tok_b
+    CROSS JOIN n
+    WHERE n_ab >= 5
+    """)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: PMI = ln(P(a,b) / (P(a)P(b))) over document
+    co-occurrence, for pairs seen together in >= 5 docs.
+
+    Scale: pair generation is a self-equi-join of the exploded
+    distinct-token relation on doc_id — per-doc cost is quadratic in
+    the doc's DISTINCT-token count, which a real pipeline bounds by
+    intersecting with a broadcast top-V vocabulary first (the
+    heavy-hitters output is exactly that V). The three count aggs all
+    partial-aggregate; the unigram table is vocabulary-sized and
+    broadcast into the final join; n_docs is a 1-row scalar broadcast
+    (never a window)."""
+    (d,) = load(spark, sf_dir, "documents")
+    tok = (d.filter(F.length("text") > 0)
+            .select("doc_id",
+                    F.explode(F.array_distinct(F.expr(_TOKS))).alias("t")))
+    tok = tok.cache()
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                       & (F.col("a.t") < F.col("b.t")))
+              .groupBy(F.col("a.t").alias("tok_a"), F.col("b.t").alias("tok_b"))
+              .agg(F.count(F.lit(1)).alias("n_ab"))
+              .filter(F.col("n_ab") >= 5))
+    ua = F.broadcast(uni.select(F.col("t").alias("tok_a"),
+                                F.col("n_t").alias("n_a")))
+    ub = F.broadcast(uni.select(F.col("t").alias("tok_b"),
+                                F.col("n_t").alias("n_b")))
+    return (pairs.join(ua, "tok_a").join(ub, "tok_b")
+                 .crossJoin(F.broadcast(n))
+                 .select("tok_a", "tok_b", "n_ab", "n_a", "n_b",
+                         quantize(F.log(
+                             (F.col("n_ab").cast("double")
+                              * F.col("n_docs").cast("double"))
+                             / (F.col("n_a").cast("double")
+                                * F.col("n_b").cast("double"))), 6)
+                         .alias("pmi")))
+
+
+@query(
+    "char_class_profile",
+    oracle="""
+    SELECT lang,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(length(text)
+                    - length(regexp_replace(text, '[a-z]', '', 'g')))
+                AS BIGINT) AS n_alpha,
+           CAST(sum(length(text)
+                    - length(regexp_replace(text, '[0-9]', '', 'g')))
+                AS BIGINT) AS n_digit,
+           CAST(sum(length(text)
+                    - length(regexp_replace(text, '[ ]', '', 'g')))
+                AS BIGINT) AS n_space,
+           CAST(sum(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')))
+                AS BIGINT) AS n_other
+    FROM documents GROUP BY lang
+    """)
+def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class census per language: lowercase-alpha / digit /
+    space / other counts — the encoding sanity gate (mojibake, binary
+    junk, wrong-script contamination show up as an ``n_other`` spike)
+    run on every crawl snapshot before tokenization.
+
+    Scale: pure whole-stage-codegen projections (length + regexp
+    replace) feeding a lang-keyed partial agg — one vocabulary-sized
+    shuffle, text never leaves the map side."""
+    (d,) = load(spark, sf_dir, "documents")
+
+    def n_of(pat: str):
+        return (F.length("text")
+                - F.length(F.regexp_replace("text", pat, ""))).cast("long")
+
+    return (d.groupBy("lang")
+             .agg(F.sum(F.length("text").cast("long")).alias("n_chars"),
+                  F.sum(n_of("[a-z]")).alias("n_alpha"),
+                  F.sum(n_of("[0-9]")).alias("n_digit"),
+                  F.sum(n_of("[ ]")).alias("n_space"),
+                  F.sum(F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+                        .cast("long")).alias("n_other")))

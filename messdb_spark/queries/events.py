@@ -238,3 +238,109 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.coalesce("n_events", F.lit(0).cast("long"))
                          .alias("n_events"),
                         F.col("n_events").isNull().alias("is_gap")))
+
+
+@query(
+    "active_sessions_per_hour",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id,
+             ts
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, session_id,
+             date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM sess GROUP BY user_id, session_id
+    ),
+    grid AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM spans
+    )
+    SELECT hour, count(*) AS n_active_sessions
+    FROM grid GROUP BY hour
+    """)
+def active_sessions_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency profile: how many user sessions were active in each
+    hour — the load-curve / capacity metric. Composition: the
+    sessionization flags feed a running sum (session ids), sessions
+    collapse to [start, end] spans, each span explodes to its covered
+    hours, one final count per hour.
+
+    Scale: this is the sweep-line problem solved WITHOUT a global
+    time-ordered window — the explode amplifies by span-hours (bounded
+    per session by the 30-min gap rule: a session spans roughly its
+    event count), and the final agg is hash-partitioned on hour. The
+    user_id shuffle is reused by lag, running sum, and span agg (same
+    partitioning, Catalyst plans one exchange)."""
+    (e,) = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = e.select(
+        "user_id", "ts", "event_id",
+        F.when(prev.isNull()
+               | ((F.unix_micros(F.col("ts")) - prev) > 1_800_000_000), 1)
+         .otherwise(0).alias("new_session"))
+    run = (W.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(W.unboundedPreceding, 0))
+    sess = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(run).alias("session_id"))
+    spans = (sess.groupBy("user_id", "session_id")
+                 .agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                      F.date_trunc("hour", F.max("ts")).alias("h1")))
+    return (spans.select(F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR")))
+                .alias("hour"))
+                 .groupBy("hour")
+                 .agg(F.count(F.lit(1)).alias("n_active_sessions")))
+
+
+@query(
+    "asof_tolerance_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 600000000
+                THEN v.event_id END AS attributed_view_id,
+           CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 600000000
+                THEN v.ts END AS attributed_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts < p.ts
+    """)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas ``merge_asof``'s
+    ``tolerance=`` in pure DataFrame form): each purchase attributes to
+    the latest strictly-earlier view by the same user ONLY if it
+    happened within 10 minutes; otherwise the attribution columns stay
+    NULL (the purchase row survives — left semantics).
+
+    Correct because as-of picks the LATEST earlier view: if that one
+    is outside tolerance, every earlier one is too, so post-filtering
+    the single as-of match equals filtering before matching. Same
+    single user_id shuffle as ``asof_join_purchase_view``."""
+    (e,) = load(spark, sf_dir, "events")
+    ev = (e.filter(F.col("event_type").isin("purchase", "view"))
+           .select("event_id", "user_id", "ts", "event_type"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, -1))
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    j = (ev.withColumn("v_id", F.last(view_id, ignorenulls=True).over(w))
+           .withColumn("v_ts", F.last(view_ts, ignorenulls=True).over(w)))
+    within = (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("v_ts"))
+              <= 600_000_000)
+    return (j.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"), "user_id",
+                     F.when(within, F.col("v_id")).alias("attributed_view_id"),
+                     F.when(within, F.col("v_ts")).alias("attributed_view_ts")))

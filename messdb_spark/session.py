@@ -81,13 +81,37 @@ def ensure_shipped(spark: SparkSession) -> None:
     sc._messdb_pkg_shipped = True
 
 
+def _normalize_timestamps(spark: SparkSession, df):
+    """Canonicalize timestamp encodings across testdata generations.
+
+    The driver's parquet has shipped timestamps as TIMESTAMP(NANOS)
+    (round 1) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 2,
+    which Spark 4 reads as TIMESTAMP_NTZ). The engine standardizes on
+    session-local TIMESTAMP with the session pinned to UTC, which is
+    bit-identical to DuckDB's naive-timestamp view of the same files:
+    NTZ→TIMESTAMP preserves the wall clock, and with tz=UTC the epoch
+    too. Column pruning/pushdown are unaffected (the cast is a
+    projection above the scan; filters on the raw column still push)."""
+    from pyspark.sql import functions as F, types as T
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver testdata parquet table.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; with ``nanosAsLong`` it arrives as a long that we
-    truncate to microsecond timestamps (matching DuckDB's µs fetch
-    precision). Other tables read natively with pushdown/pruning."""
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; with ``nanosAsLong`` it arrives as a long
+    that we truncate to microsecond timestamps (matching DuckDB's µs
+    fetch precision). Micros-NTZ testdata is normalized to TIMESTAMP by
+    ``_normalize_timestamps``. Other tables read natively with
+    pushdown/pruning."""
     ensure_shipped(spark)
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
@@ -99,8 +123,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(path)
+        return _normalize_timestamps(spark, df)
+    return _normalize_timestamps(spark, spark.read.parquet(path))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):

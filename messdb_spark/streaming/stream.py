@@ -25,27 +25,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_LONG_TS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),            # nanos-as-long
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int = 1) -> DataFrame:
-    """File-source stream over events parquet (driver testdata layout)."""
+    """File-source stream over events parquet (driver testdata layout).
+
+    The testdata has shipped ``ts`` as TIMESTAMP(NANOS) (arrives as a
+    long under ``nanosAsLong``) and as TIMESTAMP(MICROS, ntz); file
+    streams need an explicit schema, so one footer-only batch read
+    sniffs the actual encoding and the stream normalizes to TIMESTAMP
+    exactly like the batch reader (``session.read_table``) — batch and
+    stream plans must agree on event time or watermarks drift."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    raw = (spark.readStream.schema(EVENTS_LONG_TS_SCHEMA)
+    static_schema = spark.read.parquet(path).schema
+    raw = (spark.readStream.schema(static_schema)
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .parquet(path))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict((f.name, f.dataType.simpleString())
+                   for f in static_schema.fields).get("ts")
+    if ts_type == "bigint":          # nanos-as-long generation
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":  # micros-ntz generation
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour",
