@@ -1,0 +1,212 @@
+"""Feature-engineering operators (round 3): the column-transform layer
+an ML/analytics pipeline runs after cleaning and before training —
+group-wise standardization, time-weighted averages, equi-width
+histograms, and percentile gating.
+
+Exactness discipline: every statistic is computed from EXACT integer
+primitives (money → cents BIGINT, time → epoch micros BIGINT) so the
+partial-agg sums are order-independent, and the float math applied on
+top is the identical expression on both engines — bit-identical
+results without any decimal/HUGEINT divergence. Integer sums stay
+below 2^53 through sf100 for these columns (documented per query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import query, load, quantize, quantize_sql
+
+
+@query(
+    "zscore_event_values",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS ss
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type,
+           {quantize_sql(
+               "(CAST(c.cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+               " / sqrt((CAST(ss AS DOUBLE)"
+               "         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+               "        / CAST(n - 1 AS DOUBLE))", 6)} AS z
+    FROM c JOIN stats USING (event_type)
+    """)
+def zscore_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score standardization of event values — the
+    bread-and-butter feature transform. Stats come from exact integer
+    (cents) sums: sum and sum-of-squares are BIGINT partial aggs
+    (order-independent, map-side combinable), and the final
+    (v - mean)/std is one double expression evaluated identically on
+    both engines. SS stays < 2^53 through ~3.7B events at this value
+    range.
+
+    Scale: one event_type-keyed agg (vocabulary-sized), broadcast back
+    over the corpus — no window over the full table, no second
+    corpus shuffle."""
+    (e,) = load(spark, sf_dir, "events")
+    c = e.select("event_id", "event_type",
+                 F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                  .alias("cents"))
+    stats = (c.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("cents").alias("s"),
+                   F.sum(F.col("cents") * F.col("cents")).alias("ss")))
+    sd, nd = F.col("s").cast("double"), F.col("n").cast("double")
+    var = ((F.col("ss").cast("double") - sd * sd / nd)
+           / (F.col("n") - 1).cast("double"))
+    return (c.join(F.broadcast(stats), "event_type")
+             .select("event_id", "event_type",
+                     quantize((F.col("cents").cast("double") - sd / nd)
+                              / F.sqrt(var), 6).alias("z")))
+
+
+@query(
+    "twap_user_daily",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_us(ts) AS t_us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY ts, event_id) AS next_us
+      FROM events
+    )
+    SELECT user_id, day,
+           count(*) AS n_intervals,
+           {quantize_sql(
+               "CAST(CAST(sum(cents * (next_us - t_us)) AS BIGINT) AS DOUBLE)"
+               " / CAST(CAST(sum(next_us - t_us) AS BIGINT) AS DOUBLE) / 100.0",
+               6)} AS twap
+    FROM seq WHERE next_us IS NOT NULL
+    GROUP BY user_id, day
+    """)
+def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user-day (the TWAP of finance /
+    telemetry): each event's value is weighted by how long it remained
+    the latest observation (micros until the next same-day event); the
+    day's last event carries no weight. Days with a single event drop
+    out (no intervals).
+
+    Exactness: cents x micros products and their sums are exact BIGINT
+    (a user-day spans < 8.64e10 us, cents < 5e6 -> products < 4.3e17,
+    within int64; DuckDB's HUGEINT sum is cast back). Scale: one
+    (user, day) window for lead + one agg on the same key — a single
+    shuffle, partition count grows with users x days."""
+    (e,) = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    w = W.partitionBy("user_id", day.alias("day")).orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", day.alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(
+            W.partitionBy("user_id", day).orderBy("ts", "event_id"))
+         .alias("next_us"))
+    dur = F.col("next_us") - F.col("t_us")
+    return (seq.filter(F.col("next_us").isNotNull())
+               .groupBy("user_id", "day")
+               .agg(F.count(F.lit(1)).alias("n_intervals"),
+                    quantize(F.sum(F.col("cents") * dur).cast("double")
+                             / F.sum(dur).cast("double") / 100.0, 6)
+                     .alias("twap")))
+
+
+@query(
+    "order_total_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    bounds AS (
+      SELECT min(cents) AS lo, max(cents) AS hi FROM c
+    )
+    SELECT CAST(((cents - lo) * 20) // (hi - lo + 1) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM c, bounds
+    GROUP BY 1
+    """)
+def order_total_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of order totals. Bucket index is
+    PURE integer arithmetic — ((cents - lo) * 20) div (hi - lo + 1) —
+    so bucket edges are bit-identical on every engine (no float width,
+    the classic histogram-disagreement bug).
+
+    Scale: min/max is a 1-row scalar agg broadcast into the bucketing
+    projection (no window), then one 20-key hash agg with map-side
+    combine. Two corpus scans total (bounds + bucket), the second
+    reading one pruned column."""
+    (o,) = load(spark, sf_dir, "orders")
+    c = o.select(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                  .cast("long").alias("cents"))
+    bounds = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    bucket = F.expr("((cents - lo) * 20) div (hi - lo + 1)").cast("long")
+    return (c.crossJoin(F.broadcast(bounds))
+             .groupBy(bucket.alias("bucket"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("cents").alias("lo_cents"),
+                  F.max("cents").alias("hi_cents")))
+
+
+@query(
+    "length_percentile_gate",
+    oracle="""
+    WITH gates AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.05) AS p05,
+             quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE) >= p05
+                              AND CAST(d.n_chars AS DOUBLE) <= p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE) < p05
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+           CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE) > p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long
+    FROM documents d JOIN gates USING (source)
+    GROUP BY d.source
+    """)
+def length_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length gating: how many documents fall inside /
+    below / above the source's own [p5, p95] length band — the
+    relative-percentile outlier filter corpus pipelines prefer over
+    absolute length cutoffs (sources have wildly different length
+    distributions).
+
+    Exactness: percentile_cont over integers interpolates with the
+    same formula on both engines. Scale: the gate table is one row per
+    source (broadcast); exact per-group percentiles sort within the
+    group — at 100 TB swap in approx_percentile (the documented
+    approx.py trade) or t-digest sketches."""
+    (d,) = load(spark, sf_dir, "documents")
+    gates = (d.groupBy("source")
+              .agg(F.expr("percentile(n_chars, 0.05)").alias("p05"),
+                   F.expr("percentile(n_chars, 0.95)").alias("p95")))
+    nc = F.col("n_chars").cast("double")
+    return (d.join(F.broadcast(gates), "source")
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_total"),
+                  F.sum(F.when((nc >= F.col("p05")) & (nc <= F.col("p95")), 1)
+                         .otherwise(0)).cast("long").alias("n_kept"),
+                  F.sum(F.when(nc < F.col("p05"), 1).otherwise(0))
+                   .cast("long").alias("n_too_short"),
+                  F.sum(F.when(nc > F.col("p95"), 1).otherwise(0))
+                   .cast("long").alias("n_too_long")))

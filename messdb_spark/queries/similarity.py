@@ -348,3 +348,71 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                          quantize(F.avg("d"), 4).alias("mean_dist"))
                     .select(F.col("cl").alias("cluster_id"), "n_members",
                             "mean_dist"))
+
+
+def _rp_planes(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from an LCG — the same literal
+    matrix is embedded in the Spark plan and the DuckDB oracle, so
+    signatures agree bit-for-bit with no shared library."""
+    x, planes = 42, []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            # bit 16, not bit 0: an LCG's low bit alternates with
+            # period 2, which would make every plane identical
+            row.append(1.0 if (x >> 16) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+_RP = _rp_planes()
+
+
+def _rp_sig_spark() -> str:
+    """SQL expr: 16-bit signature, bit j = sign of dot(embedding, plane_j)."""
+    bits = []
+    for j, row in enumerate(_RP):
+        arr = "array(" + ",".join(f"CAST({v} AS DOUBLE)" for v in row) + ")"
+        dot = (f"aggregate(zip_with(embedding, {arr},"
+               f" (x, y) -> CAST(x AS DOUBLE) * y),"
+               f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        bits.append(f"(CASE WHEN {dot} > 0.0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def _rp_sig_duck() -> str:
+    bits = []
+    for j, row in enumerate(_RP):
+        arr = "[" + ",".join(f"CAST({v} AS DOUBLE)" for v in row) + "]"
+        dot = (f"list_aggregate(list_transform(range(1, 65),"
+               f" i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]), 'sum')")
+        bits.append(f"(CASE WHEN {dot} > 0.0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+@query(
+    "embedding_rp_simhash",
+    oracle=f"""
+    WITH sig AS (SELECT vec_id, {_rp_sig_duck()} AS sig FROM embeddings)
+    SELECT sig, count(*) AS n_vecs, CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM sig GROUP BY sig
+    """)
+def embedding_rp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection SimHash over embeddings: 16 deterministic ±1
+    hyperplanes -> 16-bit signature per vector -> bucket histogram.
+    Cosine-similar vectors collide with probability (1 - θ/π)^16, so
+    the signature IS an ANN bucketing key (the bit-LSH complement of
+    the learned-codebook IVF path) and a near-dup blocking key for
+    embeddings.
+
+    Scale: the projection is a map-only expression over plan-literal
+    hyperplanes (no codebook join, no collect), identical in spirit to
+    ivf_topk_search's literal centroids; the only shuffle carries
+    (16-bit sig) keys — maximally compressible. In-order double folds
+    keep sign decisions bit-identical to the oracle."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    sig = emb.select("vec_id", F.expr(_rp_sig_spark()).alias("sig"))
+    return (sig.groupBy("sig")
+               .agg(F.count(F.lit(1)).alias("n_vecs"),
+                    F.min("vec_id").cast("long").alias("min_vec_id")))

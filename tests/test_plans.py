@@ -225,3 +225,32 @@ def test_sequence_packing_has_no_per_source_window_over_docs(spark):
     p = plan_str(df, "formatted")
     # the doc-level running-sum exchange hashes on (source, shard)
     assert re.search(r"hashpartitioning\(source#\d+, shard#\d+", p)
+
+
+def test_round3_feature_ops_plan_shapes(spark, sf_dir):
+    """Round-3 operators: stats/gates must broadcast (never shuffle the
+    fact side into a SortMergeJoin), the RP-SimHash projection must be
+    join-free map-only, and the session sweep must not funnel through
+    a single-partition exchange."""
+    z = QUERIES["zscore_event_values"].fn(spark, sf_dir)
+    p = plan_str(z)
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    g = QUERIES["length_percentile_gate"].fn(spark, sf_dir)
+    p = plan_str(g)
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    s = QUERIES["embedding_rp_simhash"].fn(spark, sf_dir)
+    p = plan_str(s)
+    assert "Join" not in p  # pure map + one hash agg
+
+    a = QUERIES["active_sessions_per_hour"].fn(spark, sf_dir)
+    p = plan_str(a)
+    assert "Exchange SinglePartition" not in p
+
+    # scalar thresholds ride a 1-row broadcast (BNLJ with a 1-row side
+    # is the q15 pattern, not a cartesian blowup): the broadcast input
+    # must be an aggregate, and no CartesianProduct may appear
+    h = QUERIES["order_total_histogram"].fn(spark, sf_dir)
+    p = plan_str(h)
+    assert "CartesianProduct" not in p
