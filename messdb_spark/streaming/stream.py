@@ -225,3 +225,31 @@ def stream_incremental_upsert_into(engine, table_name: str, events: DataFrame,
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def user_profile_table(events_batch: DataFrame) -> DataFrame:
+    """Static dimension built from history: per-user first-seen time
+    and lifetime spend tier. The slowly-changing profile a streaming
+    enrichment joins against (rebuilt batch-side on a cadence)."""
+    tier = (F.when(F.col("total_value") >= 1000, "high")
+             .when(F.col("total_value") >= 100, "mid")
+             .otherwise("low"))
+    return (events_batch.groupBy("user_id")
+            .agg(F.min("ts").alias("first_seen"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                  .alias("total_value"))
+            .withColumn("tier", tier))
+
+
+def stream_static_enrich(events: DataFrame, profile: DataFrame) -> DataFrame:
+    """Stream-static join: each in-flight event picks up the user's
+    profile columns. The static side is broadcast to every task, so
+    the stream side never shuffles and no state store is involved —
+    the cheapest join shape Structured Streaming offers (and the
+    standard dim-enrichment pattern; the stream-stream join covers the
+    both-sides-moving case). Left join keeps events from users the
+    profile snapshot hasn't seen yet."""
+    prof = F.broadcast(profile.select("user_id", "first_seen", "tier"))
+    return (events.join(prof, "user_id", "left")
+                  .select("event_id", "user_id", "ts", "event_type", "value",
+                          "first_seen", "tier"))

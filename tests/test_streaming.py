@@ -238,3 +238,29 @@ def test_stream_incremental_upsert_shares_buckets(spark, sf_dir, tmp_path):
     # time travel: the pre-small-batch state is still queryable
     assert eng.sql("SELECT count(*) AS n FROM ev_live", version=v - 1) \
               .collect()[0]["n"] == big.count()
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, events_dir):
+    """Stream-static dim enrichment must agree row-for-row with the
+    same join done in batch, and must not shuffle the stream side
+    (broadcast static dim, no state store)."""
+    from messdb_spark.session import read_table
+    from messdb_spark.streaming.stream import (read_event_stream,
+                                               stream_static_enrich,
+                                               user_profile_table)
+
+    batch = read_table(spark, sf_dir, "events")
+    profile = user_profile_table(batch)
+    s = read_event_stream(spark, events_dir, max_files_per_trigger=4)
+    q = (stream_static_enrich(s, profile)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("enrich_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["event_id"], r["tier"])
+           for r in spark.sql("SELECT event_id, tier FROM enrich_out").collect()}
+    want = {(r["event_id"], r["tier"])
+            for r in stream_static_enrich(batch, profile).collect()}
+    assert got == want and len(want) > 0
