@@ -29,9 +29,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate verifies a 50-query budget per round in
 # registration order, so the inventory leads with the queries that do
 # not yet have a green row in a prior CORRECTNESS_r*.json (41 as of
-# round 3), the two whose implementations changed since their last
-# check, and a handful of flagships; the remainder (all green in
-# r01/r02) follow and stay covered by tests/test_oracle_parity.py.
+# round 3), the ones whose implementations changed since their last
+# check, and one representative per new round-3 operator family; the
+# remainder (green in r01/r02, or rotating in next round) stays covered
+# by tests/test_oracle_parity.py at sf0.001 and sf0.01.
 _CHECK_FIRST = [
     # failed r02 (TIMESTAMP_NTZ regression, fixed in round 3)
     "events_sessionization", "events_funnel_view_purchase",
@@ -57,10 +58,12 @@ _CHECK_FIRST = [
     "corpus_prep_near_dedup", "mixture_sample_by_source",
     "sequence_packing_offsets", "repetition_ngram_stats",
     "sorted_neighborhood_pairs",
-    # flagships (green r01+r02; re-affirm in the latest round's file)
-    "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
-    "minhash_lsh_candidates", "dedup_exact", "asof_join_purchase_view",
-    "core_merge_upsert",
+    # round-3 additions (one per new family; the rest rotate in next
+    # round — locally sf0.01-verified meanwhile)
+    "daily_activity_full_outer", "embedding_rp_simhash",
+    "zscore_event_values", "active_sessions_per_hour",
+    "inverted_index_postings", "twap_user_daily",
+    "scd2_user_value_history",
 ]
 
 

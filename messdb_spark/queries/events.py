@@ -344,3 +344,46 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("event_id").alias("purchase_id"), "user_id",
                      F.when(within, F.col("v_id")).alias("attributed_view_id"),
                      F.when(within, F.col("v_ts")).alias("attributed_view_ts")))
+
+
+@query(
+    "rollup_cascade_daily",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(date_trunc('day', hour) AS DATE) AS day,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0
+             AS total_value,
+           count(*) AS n_active_hours,
+           CAST(max(n) AS BIGINT) AS peak_hour_events
+    FROM hourly GROUP BY 1
+    """)
+def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade: the daily continuous aggregate
+    is computed FROM the hourly one, not from raw events — the
+    timescale pattern where each coarser tier re-aggregates the tier
+    below (hours/day = 24 rows vs raw events/day = millions at scale).
+    With the engine's memo layer the hourly tier materializes once and
+    every coarser tier (and dashboard query) reuses it by content hash.
+
+    Exactness: counts and cents are BIGINT all the way up — re-
+    aggregation is exactly associative, so the cascade equals the
+    direct daily aggregate bit-for-bit. Scale: the second shuffle
+    carries one row per active hour, ~events/3600."""
+    (e,) = load(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                           .cast("long")).alias("cents")))
+    return (hourly.groupBy(F.date_trunc("day", "hour").cast("date")
+                            .alias("day"))
+                  .agg(F.sum("n").alias("n_events"),
+                       (F.sum("cents").cast("double") / 100.0)
+                        .alias("total_value"),
+                       F.count(F.lit(1)).alias("n_active_hours"),
+                       F.max("n").alias("peak_hour_events")))
