@@ -288,9 +288,13 @@ def check_table(table: KeyedTable) -> bool:
     agg = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(*keys).alias("nk"),
-        F.sum(F.when(F.greatest(*[k.isNull() for k in keys])
-                     if len(keys) > 1 else keys[0].isNull(), 1)
-              .otherwise(0)).alias("nulls")).collect()[0]
+        # coalesce: sum over ZERO rows is NULL, and an empty table is
+        # valid (invariants hold vacuously) — NULL == 0 must not fail it
+        F.coalesce(
+            F.sum(F.when(F.greatest(*[k.isNull() for k in keys])
+                         if len(keys) > 1 else keys[0].isNull(), 1)
+                  .otherwise(0)),
+            F.lit(0)).alias("nulls")).collect()[0]
     return agg["nulls"] == 0 and agg["n"] == agg["nk"]
 
 

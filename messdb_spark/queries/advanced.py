@@ -32,11 +32,18 @@ def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     view by the same user. Composition: union both event kinds, one
     window per user ordered by ts, carry the last view forward with
     last(ignorenulls) over rows(-∞, -1). One shuffle on user_id; scale
-    is bounded by per-user history (no range-join blowup)."""
+    is bounded by per-user history (no range-join blowup).
+
+    Ordering: at equal ts, purchases sort BEFORE views (the literal
+    rank) so the frame only ever carries strictly-earlier views —
+    matching the oracle's strict ``v.ts < p.ts``."""
     (e,) = load(spark, sf_dir, "events")
     ev = (e.filter(F.col("event_type").isin("purchase", "view"))
            .select("event_id", "user_id", "ts", "event_type"))
-    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = (W.partitionBy("user_id")
+          .orderBy("ts",
+                   F.when(F.col("event_type") == "purchase", 0).otherwise(1),
+                   "event_id")
           .rowsBetween(W.unboundedPreceding, -1))
     view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
     view_ts = F.when(F.col("event_type") == "view", F.col("ts"))

@@ -29,12 +29,22 @@ def approx_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("approx_price_quantiles", oracle=None)
 def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile sketch per segment (accuracy 10000 ≈ 0.01%)."""
+    """approx_percentile sketch per segment (accuracy 10000 ≈ 0.01%).
+
+    The sketch emits one ARRAY per group; posexplode flattens it to
+    scalar ``(c_mktsegment, p, approx_value)`` rows so downstream
+    consumers (and the driver's canonicalizer) see hashable columns."""
     c, o = load(spark, sf_dir, "customer", "orders")
     j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-    return (j.groupBy("c_mktsegment")
-             .agg(F.expr("approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)")
-                   .alias("approx_p50_p90_p99")))
+    sk = (j.groupBy("c_mktsegment")
+           .agg(F.expr("approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)")
+                 .alias("qs")))
+    return (sk.select("c_mktsegment",
+                      F.posexplode("qs").alias("pos", "approx_value"))
+              .select("c_mktsegment",
+                      F.element_at(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                                   F.col("pos") + 1).alias("p"),
+                      "approx_value"))
 
 
 @query(

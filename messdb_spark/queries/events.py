@@ -244,7 +244,7 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "active_sessions_per_hour",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_session
@@ -253,7 +253,7 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id,
              ts
       FROM flagged
@@ -292,7 +292,7 @@ def active_sessions_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(prev.isNull()
                | ((F.unix_micros(F.col("ts")) - prev) > 1_800_000_000), 1)
          .otherwise(0).alias("new_session"))
-    run = (W.partitionBy("user_id").orderBy("ts")
+    run = (W.partitionBy("user_id").orderBy("ts", "event_id")
             .rowsBetween(W.unboundedPreceding, 0))
     sess = flagged.select(
         "user_id", "ts", F.sum("new_session").over(run).alias("session_id"))
@@ -328,11 +328,18 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Correct because as-of picks the LATEST earlier view: if that one
     is outside tolerance, every earlier one is too, so post-filtering
     the single as-of match equals filtering before matching. Same
-    single user_id shuffle as ``asof_join_purchase_view``."""
+    single user_id shuffle as ``asof_join_purchase_view``.
+
+    Ordering: at equal ts, purchases sort BEFORE views (the literal
+    rank) so the frame only ever carries strictly-earlier views —
+    matching the oracle's strict ``v.ts < p.ts``."""
     (e,) = load(spark, sf_dir, "events")
     ev = (e.filter(F.col("event_type").isin("purchase", "view"))
            .select("event_id", "user_id", "ts", "event_type"))
-    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = (W.partitionBy("user_id")
+          .orderBy("ts",
+                   F.when(F.col("event_type") == "purchase", 0).otherwise(1),
+                   "event_id")
           .rowsBetween(W.unboundedPreceding, -1))
     view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
     view_ts = F.when(F.col("event_type") == "view", F.col("ts"))

@@ -107,7 +107,6 @@ def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, partition count grows with users x days."""
     (e,) = load(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts").cast("date")
-    w = W.partitionBy("user_id", day.alias("day")).orderBy("ts", "event_id")
     seq = e.select(
         "user_id", day.alias("day"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),

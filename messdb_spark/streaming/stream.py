@@ -39,7 +39,18 @@ def read_event_stream(spark: SparkSession, path: str,
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    static_schema = spark.read.parquet(path).schema
+    try:
+        static_schema = spark.read.parquet(path).schema
+    except Exception:
+        # Empty directory (no parquet footer yet): start the stream with
+        # the canonical events schema; data arriving later must match it.
+        static_schema = T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ])
     raw = (spark.readStream.schema(static_schema)
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .parquet(path))
@@ -164,6 +175,35 @@ def dedup_within_watermark(events: DataFrame,
                   .dropDuplicatesWithinWatermark(list(keys)))
 
 
+def upsert_batch(engine, table_name: str, batch_df: DataFrame,
+                 key_cols: tuple[str, ...] = ("event_id",)) -> None:
+    """One micro-batch of the upsert sink: fold within-batch duplicate
+    keys, merge into the catalog table (last-wins), commit.
+
+    The folded batch is PINNED with ``localCheckpoint`` before the
+    merge: ``incoming`` appears twice in the merged plan (anti-join key
+    side and union side of ``merge_tables``' fold_to_last path), and a
+    streaming batch_df re-evaluates its source scan per subtree — if
+    those two scans could ever disagree (offset re-resolution, partition
+    relayout feeding ``monotonically_increasing_id``), the anti-join
+    under-deletes and a duplicate key survives the merge. Checkpointing
+    evaluates the batch exactly once; both plan branches then read the
+    pinned copy, so the one-row-per-key invariant cannot race. Batches
+    are micro-batch-sized, so the eager materialization is cheap."""
+    from ..operators.core import KeyedTable, canonicalize_input, merge_tables
+    from ..registry import FOLD_TO_LAST
+
+    folded = canonicalize_input(batch_df, key_cols)
+    incoming = KeyedTable(folded.df.localCheckpoint(eager=True),
+                          folded.key_cols)
+    try:
+        current = engine.load_table(table_name)
+        merged = merge_tables([current, incoming], FOLD_TO_LAST)
+    except KeyError:
+        merged = merge_tables([incoming], FOLD_TO_LAST)
+    engine.save_table(table_name, merged)
+
+
 def stream_upsert_into(engine, table_name: str, events: DataFrame,
                        key_cols: tuple[str, ...] = ("event_id",),
                        checkpoint_dir: str | None = None):
@@ -173,19 +213,9 @@ def stream_upsert_into(engine, table_name: str, events: DataFrame,
 
     Returns the StreamingQuery; caller manages lifecycle
     (processAllAvailable/stop in tests)."""
-    from ..operators.core import canonicalize_input, merge_tables
-    from ..registry import FOLD_TO_LAST
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        # a micro-batch can carry the same key twice (late retries,
-        # replays) — fold within-batch duplicates before the merge
-        incoming = canonicalize_input(batch_df, key_cols)
-        try:
-            current = engine.load_table(table_name)
-            merged = merge_tables([current, incoming], FOLD_TO_LAST)
-        except KeyError:
-            merged = merge_tables([incoming], FOLD_TO_LAST)
-        engine.save_table(table_name, merged)
+        upsert_batch(engine, table_name, batch_df, key_cols)
 
     w = events.writeStream.foreachBatch(sink).outputMode("update")
     if checkpoint_dir:
@@ -209,16 +239,20 @@ def stream_incremental_upsert_into(engine, table_name: str, events: DataFrame,
                                      write_bucketed)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # pin the batch once (same double-scan race as upsert_batch:
+        # the delta feeds both the touched-bucket key set and the
+        # per-bucket merges)
+        pinned = batch_df.localCheckpoint(eager=True)
         entry = engine.catalog.get(table_name)
         ref = (load_manifest(engine.objects, entry.table_hash)
                if entry is not None else None)
         if ref is None:
             ref = write_bucketed(engine.objects,
-                                 canonicalize_input(batch_df, key_cols),
+                                 canonicalize_input(pinned, key_cols),
                                  n_buckets)
         else:
             ref = incremental_upsert(engine.spark, engine.objects, ref,
-                                     batch_df)
+                                     pinned)
         engine.save_bucketed_table(table_name, ref)
 
     w = events.writeStream.foreachBatch(sink).outputMode("update")

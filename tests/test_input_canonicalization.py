@@ -77,24 +77,63 @@ def test_incremental_upsert_folds_dup_delta(spark, warehouse, tmp_path):
     assert len(got) == 101
 
 
-def test_stream_upsert_batch_with_dup_keys(spark, warehouse, tmp_path):
+def test_stream_upsert_batch_with_dup_keys(spark, warehouse):
     """A micro-batch carrying the same key twice (retry/replay) must
-    fold to one row before merging into the catalog table."""
+    fold to one row before merging into the catalog table. Drives the
+    sink's per-batch function directly with crafted batches — the exact
+    micro-batch carve-up is then deterministic (the former live
+    rate-source version was timing-dependent under suite load and
+    couldn't assert which row won)."""
     from messdb_spark.engine import Engine
+    from messdb_spark.streaming.stream import upsert_batch
 
     eng = Engine(spark, warehouse)
     eng.ddl("CREATE TABLE s (k BIGINT PRIMARY KEY, v VARCHAR)")
-    # drive the foreachBatch sink directly (batch-equivalence harness)
+    batches = [
+        [(0, "b1-first"), (1, "b1-only"), (0, "b1-last")],
+        [(1, "b2-first"), (1, "b2-last"), (2, "b2-new")],
+        [(0, "b3")],
+    ]
+    for rows in batches:
+        upsert_batch(eng, "s",
+                     spark.createDataFrame(rows, "k bigint, v string")
+                          .coalesce(1),
+                     key_cols=("k",))
+        t = eng.load_table("s")
+        assert check_table(t)  # invariant holds after EVERY batch
+    got = {r["k"]: r["v"] for r in eng.load_table("s").df.collect()}
+    assert got == {0: "b3", 1: "b2-last", 2: "b2-new"}
+
+
+def test_stream_upsert_live_rate_smoke(spark, warehouse, tmp_path):
+    """Live end-to-end smoke of the foreachBatch wiring (rate source).
+    Row-content assertions live in the crafted-batch test above; this
+    only checks the streaming plumbing preserves the key invariant."""
+    from messdb_spark.engine import Engine
     from messdb_spark.streaming.stream import stream_upsert_into
-    src = (spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+
+    eng = Engine(spark, warehouse)
+    eng.ddl("CREATE TABLE s (k BIGINT PRIMARY KEY, v VARCHAR)")
+    src = (spark.readStream.format("rate").option("rowsPerSecond", "50").load()
            .select((F.col("value") % 2).alias("k"),
                    F.col("value").cast("string").alias("v")))
     q = stream_upsert_into(eng, "s", src,
                            key_cols=("k",),
                            checkpoint_dir=str(tmp_path / "ckpt"))
     try:
-        q.processAllAvailable()
+        # processAllAvailable can return before the rate source has
+        # emitted anything (legitimately leaving an empty — still
+        # valid — table); loop until at least one row-bearing batch
+        # has merged so the fold path actually runs
+        import time
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            q.processAllAvailable()
+            if eng.load_table("s").df.limit(1).count() > 0:
+                break
+            time.sleep(0.2)
     finally:
         q.stop()
     t = eng.load_table("s")
     assert check_table(t)  # rate source repeats k in one batch; must fold
+    assert t.df.count() > 0
