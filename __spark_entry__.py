@@ -27,43 +27,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate verifies a 50-query budget per round in
-# registration order, so the inventory leads with the queries that do
-# not yet have a green row in a prior CORRECTNESS_r*.json (41 as of
-# round 3), the ones whose implementations changed since their last
-# check, and one representative per new round-3 operator family; the
-# remainder (green in r01/r02, or rotating in next round) stays covered
-# by tests/test_oracle_parity.py at sf0.001 and sf0.01.
+# registration order. Round-4 rotation policy (deterministic, bounded
+# staleness): (1) queries with no CORRECTNESS row in any round, (2)
+# queries whose implementation changed this round, (3) queries whose
+# latest row is oldest (r1, then r2 in stable order). Entries past the
+# 50-budget roll to the head of the next round's list; everything stays
+# covered every run by tests/test_oracle_parity.py at sf0.001/sf0.01.
 _CHECK_FIRST = [
-    # failed r02 (TIMESTAMP_NTZ regression, fixed in round 3)
-    "events_sessionization", "events_funnel_view_purchase",
-    "range_join_purchase_window",
-    # reimplemented in round 2 (banded LSH), never re-checked
-    "simhash_near_dup_pairs",
-    # never driver-checked
-    "multimodal_real_decode", "multimodal_metadata", "rank_functions_suite",
-    "bpe_tokens_regex", "rolling_hash_fingerprint", "distinct_doc_sources",
-    "embedding_bucket_near_dup", "q2_cheapest_supplier_per_part",
-    "q4_order_priority_check", "q7_nation_trade_volume",
-    "q12_priority_class_agg", "q14_promo_revenue_ratio",
-    "q18_large_order_customers", "q19_disjunctive_predicates",
-    "q22_idle_rich_customers", "q8_market_share", "q9_product_profit",
-    "q11_important_parts", "q13_order_count_distribution",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q20_excess_quantity_suppliers",
-    "q21_waiting_suppliers", "approx_distinct_users_hll",
-    "approx_price_quantiles", "salted_agg_event_stats",
-    "udtf_split_sentences", "training_corpus_prep",
-    "trailing_week_revenue", "dedup_cluster_components",
-    "doc_chunking_windows", "tfidf_top_terms", "heavy_hitter_bigrams",
-    "corpus_prep_near_dedup", "mixture_sample_by_source",
-    "sequence_packing_offsets", "repetition_ngram_stats",
-    "sorted_neighborhood_pairs",
-    # round-3 additions (one per new family; the rest rotate in next
-    # round — locally sf0.01-verified meanwhile)
-    "daily_activity_full_outer", "embedding_rp_simhash",
-    "zscore_event_values", "active_sessions_per_hour",
-    "inverted_index_postings", "twap_user_daily",
-    "scd2_user_value_history",
+    # (1) never driver-checked: 9 round-3 stragglers + 2 new round-4
+    # engine-path queries (streaming replay, memoized view)
+    "token_pmi_pairs", "boilerplate_bigram_docfreq", "bigram_lm_condprob",
+    "char_class_profile", "asof_tolerance_join", "cdf_doc_length_per_source",
+    "length_percentile_gate", "order_total_histogram", "rollup_cascade_daily",
+    "stream_replay_upsert", "memo_sorted_spend_view",
+    # (2) changed in round 4: equal-ts as-of ordering, deterministic
+    # session windows, posexploded sketch output, two-level fuzzy blocking
+    "asof_join_purchase_view", "active_sessions_per_hour",
+    "approx_price_quantiles", "fuzzy_name_pairs",
+    # (3) oldest rows first: r1-only, then the r2 cohort in stable order
+    "date_funcs_monthly_revenue", "multimodal_frame_sample",
+    "core_merge_upsert", "core_merge_fold_sum", "core_sort_rekey",
+    "core_range_filter", "core_table_insert", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q10_returned_items", "topk_orders_per_segment",
+    "window_running_spend", "rollup_lineitem_status", "cube_orders_priority",
+    "distinct_stats_per_segment", "set_ops_repeat_customers",
+    "anti_join_quiet_customers", "semi_join_active_parts",
+    "events_hourly_stats", "events_top_event_per_user", "events_json_props",
+    "events_retention_cohorts", "events_gap_fill_hourly", "dedup_exact",
+    "doc_fingerprint", "text_quality", "token_stats_by_lang",
+    "lang_id_stopwords", "ngram_jaccard_pairs", "minhash_lsh_candidates",
+    "stratified_sample_per_lang", "benchmark_contamination",
+    "pii_redaction_stats", "cosine_topk_bruteforce", "embedding_centroids",
+    "ivf_topk_search", "lsh_bucket_cosine_topk", "kmeans_embedding_clusters",
+    "pivot_user_event_matrix", "unpivot_part_attrs",
+    "scalar_subquery_above_avg", "correlated_above_segment_avg",
+    "grouping_sets_revenue", "percentiles_by_segment",
+    "string_funcs_part_brands",
 ]
 
 

@@ -185,7 +185,16 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out, separators=(",", ":")))
+    line = json.dumps(out, separators=(",", ":"))
+    print(line)
+    # the driver truncates long stdout tails; keep the full per-query
+    # record on disk so round-over-round comparisons cover every query
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_last.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"# bench_last.json write failed: {e}", file=sys.stderr)
 
     # regression gate vs the recorded round-1 numbers (sf0.1 only)
     rc = 1 if errors else 0

@@ -68,19 +68,28 @@ def schema_fingerprint(df: DataFrame) -> str:
 
 
 def _digest_aggs() -> list:
+    # hash sums go through DECIMAL(38,0): a LONG sum wraps, which ANSI
+    # mode (the default in plain Spark 4 sessions) rejects with
+    # ARITHMETIC_OVERFLOW — the decimal sum is exact in both modes
+    # (|sum| <= rows * 2^63, within 38 digits up to ~5e18 rows) and is
+    # reduced mod 2^64 driver-side so the digest value is mode-invariant
     return [
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("c")).alias("s1"),
+        F.sum(F.xxhash64("c").cast("decimal(38,0)")).alias("s1"),
         F.expr("bit_xor(xxhash64(c))").alias("x1"),
-        F.sum(F.xxhash64("c", F.lit(1))).alias("s2"),
+        F.sum(F.xxhash64("c", F.lit(1)).cast("decimal(38,0)")).alias("s2"),
         F.expr("bit_xor(xxhash64(c, 1))").alias("x2"),
     ]
 
 
+def _wrap64(v) -> str:
+    return "0" if v is None else str(int(v) % (2 ** 64))
+
+
 def _digest_of_row(row, schema_fp: str) -> str:
     payload = json.dumps({
-        "n": row["n"], "s1": str(row["s1"]), "x1": str(row["x1"]),
-        "s2": str(row["s2"]), "x2": str(row["x2"]),
+        "n": row["n"], "s1": _wrap64(row["s1"]), "x1": _wrap64(row["x1"]),
+        "s2": _wrap64(row["s2"]), "x2": _wrap64(row["x2"]),
         "schema": schema_fp,
     }, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()

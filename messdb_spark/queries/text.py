@@ -413,44 +413,69 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking — the string-similarity dedup family's third member next
     to shingle Jaccard and MinHash.
 
-    Candidates come from an equi-join on (brand, length, segment_idx,
-    segment_value): each name splits into {_FUZZY_SEGS} contiguous
-    segments and, by pigeonhole, any equal-length pair within <=2
-    substitutions agrees exactly on >=1 segment (pairs whose edit
-    script shifts alignment — an insert+delete — may be missed; that
-    family is MinHash/SimHash's job). The segment VALUE makes the
-    block key's cardinality grow with the data, so block sizes stay
-    bounded as the corpus grows — unlike the old (brand, length) key,
-    whose ~750 fixed blocks grew O(n) rows each and made in-block
-    levenshtein pairs O(n²). Same discipline as the LSH band join:
-    shuffle O(rows x segments), levenshtein only on candidates."""
+    Two-level plan (dedupe the ATTRIBUTE, then expand the cliques):
+
+    1. Collapse rows to distinct (brand, name) groups — real corpora
+       repeat values heavily (this table: 20k rows but only ~1.6k
+       groups at sf0.1), and edit distance depends only on the value.
+    2. Block the distinct names by (brand, length, segment_idx,
+       segment_value): each name splits into {_FUZZY_SEGS} contiguous
+       segments and, by pigeonhole, any equal-length pair within <=2
+       substitutions agrees exactly on >=1 segment (alignment-shifting
+       edit scripts are MinHash/SimHash's job). The segment VALUE keeps
+       block cardinality growing with the data so blocks stay bounded.
+    3. Levenshtein once per distinct name pair, not once per row pair.
+    4. Expand matches back to key pairs through group membership:
+       cross-name matches become group_a x group_b key pairs
+       (least/greatest orders them); same-name groups of k rows
+       contribute their k-choose-2 clique at dist 0.
+
+    Every join's build side is group-level (broadcastable); the only
+    row-level shuffle is the initial groupBy. Worst case (all values
+    unique) degrades to exactly the one-level plan plus one groupBy."""
     (p,) = load(spark, sf_dir, "part")
-    ln = F.length("p_name")
+    keys = p.select(F.col("p_partkey").alias("key"),
+                    F.col("p_brand").alias("brand"),
+                    F.col("p_name").alias("name"))
+    groups = keys.groupBy("brand", "name").agg(
+        F.count(F.lit(1)).alias("n_keys"))
+    ln = F.length("name")
     seg_len = F.floor(ln / _FUZZY_SEGS).cast("int")
     segs_arr = F.array(*[
-        F.col("p_name").substr(
+        F.col("name").substr(
             (F.lit(j) * seg_len + 1).cast("int"),
             seg_len if j < _FUZZY_SEGS - 1
             else (ln - (_FUZZY_SEGS - 1) * seg_len).cast("int"))
         for j in range(_FUZZY_SEGS)])
-    segs = (p.select(F.col("p_partkey").alias("key"),
-                     F.col("p_name").alias("name"),
-                     F.col("p_brand").alias("brand"),
-                     ln.alias("ln"),
-                     F.posexplode(segs_arr).alias("j", "seg")))
+    segs = groups.select("brand", "name", ln.alias("ln"),
+                         F.posexplode(segs_arr).alias("j", "seg"))
     a, b = segs.alias("a"), segs.alias("b")
-    j = a.join(b, (F.col("a.brand") == F.col("b.brand")) &
-                  (F.col("a.ln") == F.col("b.ln")) &
-                  (F.col("a.j") == F.col("b.j")) &
-                  (F.col("a.seg") == F.col("b.seg")) &
-                  (F.col("a.key") < F.col("b.key")))
-    # dedupe candidates (a pair can share up to all 3 segments) BEFORE
-    # the levenshtein so each pair pays for the edit distance once
-    cands = (j.select(F.col("a.key").alias("key_a"),
-                      F.col("b.key").alias("key_b"),
-                      F.col("a.name").alias("name_a"),
-                      F.col("b.name").alias("name_b"))
-              .distinct())
-    return (cands.select("key_a", "key_b",
-                         F.levenshtein("name_a", "name_b").alias("dist"))
+    cand = (a.join(F.broadcast(b),
+                   (F.col("a.brand") == F.col("b.brand")) &
+                   (F.col("a.ln") == F.col("b.ln")) &
+                   (F.col("a.j") == F.col("b.j")) &
+                   (F.col("a.seg") == F.col("b.seg")) &
+                   (F.col("a.name") < F.col("b.name")))
+             .select(F.col("a.brand").alias("brand"),
+                     F.col("a.name").alias("name_a"),
+                     F.col("b.name").alias("name_b"))
+             .distinct())
+    cross = (cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
                  .filter(F.col("dist") <= 2))
+    same = (groups.filter(F.col("n_keys") >= 2)
+                  .select("brand", F.col("name").alias("name_a"),
+                          F.col("name").alias("name_b"),
+                          F.lit(0).alias("dist")))
+    pairs = cross.unionByName(same)
+    k1 = keys.select("brand", F.col("name").alias("name_a"),
+                     F.col("key").alias("ka"))
+    k2 = keys.select("brand", F.col("name").alias("name_b"),
+                     F.col("key").alias("kb"))
+    # pairs is group-level (broadcast); the k2 join is row-level on
+    # both sides — an equi-shuffle at scale, AQE-broadcast locally
+    return (k1.join(F.broadcast(pairs), ["brand", "name_a"])
+              .join(k2, ["brand", "name_b"])
+              .filter((F.col("name_a") != F.col("name_b"))
+                      | (F.col("ka") < F.col("kb")))
+              .select(F.least("ka", "kb").alias("key_a"),
+                      F.greatest("ka", "kb").alias("key_b"), "dist"))

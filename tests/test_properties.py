@@ -131,3 +131,47 @@ def test_interval_join_property(spark, points, ivals, width):
                   for iid, (lo, ln) in enumerate(ivals)
                   if lo <= p < lo + ln)
     assert got == want
+
+
+_W64_MAX = 2**64 - 1
+w64_vals = st.integers(min_value=0, max_value=_W64_MAX)
+
+
+@given(vals=st.lists(w64_vals, min_size=1, max_size=12, unique=True))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_word64_boundary_roundtrip(spark, tmp_path_factory, vals):
+    """word64 -> DECIMAL(20,0) mapping (SURVEY.md §7 risk 4): full-range
+    unsigned values — always including the 2^63 sign boundary and
+    2^64-1 — survive CSV import -> content hash -> ordered export, and
+    key ORDER is unsigned-numeric (the reference's order-preserving key
+    encoding property, ``Types.hs:97-111``; a signed-int64 readback
+    would order 2^63.. before 0.. and corrupt the high half)."""
+    import csv as _csv
+    import glob
+
+    from messdb_spark.engine import Engine
+    from messdb_spark.hashing import table_content_hash
+    from messdb_spark.sources.io import export_csv, import_csv
+
+    vals = sorted(set(vals) | {0, 2**63 - 1, 2**63, _W64_MAX})
+    tmp = tmp_path_factory.mktemp("w64")
+    eng = Engine(spark, str(tmp / "wh"))
+    eng.ddl("CREATE TABLE w (k WORD64 PRIMARY KEY, v VARCHAR)")
+    src = tmp / "in.csv"
+    src.write_text("k,v\n" + "".join(f"{v},s{v}\n" for v in vals))
+    t = import_csv(spark, str(src), eng.load_table("w"))
+    # exact value survival through DECIMAL(20,0)
+    got = {int(r["k"]): r["v"] for r in t.df.collect()}
+    assert got == {v: f"s{v}" for v in vals}
+    # deterministic content hash across two independent imports
+    t2 = import_csv(spark, str(src), eng.load_table("w"))
+    assert table_content_hash(t.df) == table_content_hash(t2.df)
+    # ordered export follows unsigned numeric order
+    out = tmp / "out"
+    export_csv(t, str(out))
+    rows = []
+    for f in sorted(glob.glob(str(out / "part-*"))):
+        with open(f) as fh:
+            rows.extend(int(r["k"]) for r in _csv.DictReader(fh))
+    assert rows == sorted(vals)
