@@ -34,12 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50-budget roll to the head of the next round's list; everything stays
 # covered every run by tests/test_oracle_parity.py at sf0.001/sf0.01.
 _CHECK_FIRST = [
-    # (1) never driver-checked: 9 round-3 stragglers + 2 new round-4
-    # engine-path queries (streaming replay, memoized view)
+    # (1) never driver-checked: 9 round-3 stragglers + 6 new round-4
+    # queries (engine-path streaming/memo/CDC, PQ ANN, nearest as-of)
     "token_pmi_pairs", "boilerplate_bigram_docfreq", "bigram_lm_condprob",
     "char_class_profile", "asof_tolerance_join", "cdf_doc_length_per_source",
     "length_percentile_gate", "order_total_histogram", "rollup_cascade_daily",
-    "stream_replay_upsert", "memo_sorted_spend_view",
+    "stream_replay_upsert", "memo_sorted_spend_view", "catalog_table_diff",
+    "stream_windowed_counts_replay", "pq_topk_search", "nearest_event_join",
     # (2) changed in round 4: equal-ts as-of ordering, deterministic
     # session windows, posexploded sketch output, two-level fuzzy blocking
     "asof_join_purchase_view", "active_sessions_per_hour",

@@ -303,3 +303,50 @@ def table_to_rows(table: KeyedTable) -> list[tuple]:
     Driver-side by definition (it returns rows) — use only on small
     results; large exports go through the sinks module."""
     return [tuple(r) for r in table.sorted_df().collect()]
+
+
+def diff_tables(old: KeyedTable, new: KeyedTable) -> DataFrame:
+    """Version diff (CDC): rows added, removed, or changed between two
+    snapshots of the same keyed table — the change feed the reference's
+    content-addressed roots make natural (every catalog version is a
+    live snapshot; ``Repo.hs:42-43`` keeps them all) but its API never
+    exposes.
+
+    Output: key columns + ``change`` ('added'|'removed'|'changed') +
+    ``old_<c>``/``new_<c>`` for every value column. Unchanged rows are
+    dropped (the common case — emitting them would make the diff as
+    big as the table).
+
+    Physical: one full-outer join on the key (null-safe value compare).
+    Both sides shuffle once; at scale prefer ``plans.incremental.
+    diff_bucketed``, which compares bucket digests first and joins ONLY
+    the buckets whose content hash changed — the trie-diff move
+    (``Trie.hs:346-348``: shared subtrees are pruned by hash equality
+    without being read)."""
+    if old.key_cols != new.key_cols:
+        raise ValueError(f"key mismatch: {old.key_cols} != {new.key_cols}")
+    keys = list(old.key_cols)
+    value_cols = [c for c in old.df.columns if c not in keys]
+    if set(value_cols) != set(c for c in new.df.columns if c not in keys):
+        raise ValueError("diff_tables requires identical value columns")
+    # explicit presence flags (value columns may be legitimately null,
+    # so null-ness of a value column cannot encode which side matched)
+    o = (old.df.select(*keys, *[F.col(c).alias(f"old_{c}")
+                                for c in value_cols])
+         .withColumn("_in_old", F.lit(True)))
+    n = (new.df.select(*keys, *[F.col(c).alias(f"new_{c}")
+                                for c in value_cols])
+         .withColumn("_in_new", F.lit(True)))
+    j = o.join(n, on=keys, how="full_outer")
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (F.when(F.col("_in_old").isNull(), "added")
+               .when(F.col("_in_new").isNull(), "removed")
+               .when(changed, "changed"))
+    out_cols = (keys + ["change"]
+                + [f"old_{c}" for c in value_cols]
+                + [f"new_{c}" for c in value_cols])
+    return (j.withColumn("change", status)
+             .filter(F.col("change").isNotNull())
+             .select(*out_cols))

@@ -325,3 +325,26 @@ def incremental_map_view(spark: SparkSession, store: ObjectStore, memo,
     return BucketedRef(key_cols=ref.key_cols, n_buckets=ref.n_buckets,
                        bucket_hashes=tuple(out_hashes),
                        schema_json=out_schema_json)
+
+
+def diff_bucketed(spark: SparkSession, store: ObjectStore,
+                  old: BucketedRef, new: BucketedRef) -> DataFrame:
+    """Version diff with bucket pruning — the trie-diff move
+    (``Trie.hs:346-348`` in reverse): buckets whose content hash is
+    EQUAL in both manifests are provably identical (write-once CAS) and
+    are skipped without being read; only differing buckets pay the
+    full-outer-join diff of ``operators.core.diff_tables``.
+
+    On a 100 TB table where a delta touched 3 of 4096 buckets, the diff
+    reads 2 x 3 bucket objects instead of 2 x 100 TB. Same manifest ⇒
+    provably empty diff with ZERO data jobs."""
+    from ..operators.core import KeyedTable, diff_tables
+
+    if old.key_cols != new.key_cols or old.n_buckets != new.n_buckets:
+        raise ValueError("diff_bucketed requires same key cols and fan-out")
+    changed = [b for b in range(old.n_buckets)
+               if old.bucket_hashes[b] != new.bucket_hashes[b]]
+    o = read_bucketed(spark, store, old, buckets=changed)
+    n = read_bucketed(spark, store, new, buckets=changed)
+    return diff_tables(KeyedTable(o.df, old.key_cols),
+                       KeyedTable(n.df, new.key_cols))

@@ -133,3 +133,128 @@ def memo_sorted_spend_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_custkey", "n_orders",
                       quantize(F.col("spend").cast("double"), 2)
                        .alias("spend"))
+
+
+@query(
+    "catalog_table_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 100 < 5 THEN cents * 2 ELSE cents END
+               AS cents
+      FROM v1 WHERE o_orderkey % 100 NOT IN (5, 6)
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey, cents + 1
+      FROM v1 WHERE o_orderkey % 100 = 7
+    )
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           a.cents AS old_cents, b.cents AS new_cents
+    FROM v1 a FULL OUTER JOIN v2 b USING (o_orderkey)
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+          OR a.cents != b.cents OR a.o_custkey != b.o_custkey
+    """)
+def catalog_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC over catalog versions: two snapshots of one table (v2 =
+    updates + deletes + inserts applied to v1) saved to the catalog,
+    then diffed via time travel (``engine.load_table(version=...)`` —
+    every superseded root stays readable, the messdb immutability
+    dividend) and ``operators.core.diff_tables``. Emits only the
+    changed/added/removed rows with old/new values.
+
+    Scale: this path is one full-outer join; bucket-manifest tables
+    take ``plans.incremental.diff_bucketed`` instead, which skips
+    every bucket whose content hash is unchanged (pytest-covered)."""
+    from ..engine import Engine
+    from ..operators.core import KeyedTable, diff_tables
+
+    (orders,) = load(spark, sf_dir, "orders")
+    v1 = orders.select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+         .alias("cents"))
+    v2 = (v1.filter(F.col("o_orderkey") % 100 != 5)
+            .filter(F.col("o_orderkey") % 100 != 6)
+            .withColumn("cents",
+                        F.when(F.col("o_orderkey") % 100 < 5,
+                               F.col("cents") * 2)
+                         .otherwise(F.col("cents")))
+            .unionByName(
+                v1.filter(F.col("o_orderkey") % 100 == 7)
+                  .select((F.col("o_orderkey") + 1_000_000_000)
+                          .alias("o_orderkey"),
+                          "o_custkey",
+                          (F.col("cents") + 1).alias("cents"))))
+    tmp = tempfile.mkdtemp(prefix="messdb_diff_")
+    try:
+        eng = Engine(spark, os.path.join(tmp, "wh"))
+        eng.save_table("t", KeyedTable(v1, ("o_orderkey",)))
+        v_old = eng.catalog.current_version()
+        eng.save_table("t", KeyedTable(v2, ("o_orderkey",)))
+        out = diff_tables(eng.load_table("t", version=v_old),
+                          eng.load_table("t"))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("o_orderkey", "change", "old_cents", "new_cents")
+
+
+@query(
+    "stream_windowed_counts_replay",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, count(*) AS n,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """)
+def stream_windowed_counts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked tumbling-window aggregation
+    (``streaming.windowed_counts``) driven by a real file stream over
+    the events table (3 micro-batches) and checked against the batch
+    hourly aggregate — the batch-equivalence contract of
+    ``messdb-base-testlib`` under the driver's gate. Complete output
+    mode: every window's final state is emitted once the replay
+    drains, which must equal the one-shot batch GROUP BY exactly."""
+    import uuid
+
+    from ..streaming.stream import windowed_counts
+
+    (e,) = load(spark, sf_dir, "events")
+    e = e.select("event_id", "user_id", "event_type", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="messdb_winstream_")
+    sink = f"win_replay_{uuid.uuid4().hex[:8]}"
+    try:
+        src_dir = os.path.join(tmp, "src")
+        for i in range(3):
+            (e.filter(F.col("event_id") % 3 == i)
+              .coalesce(1)
+              .write.mode("overwrite")
+              .parquet(os.path.join(src_dir, f"part{i}")))
+        stream = (spark.readStream
+                  .schema(e.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("recursiveFileLookup", "true")
+                  .parquet(src_dir))
+        q = (windowed_counts(stream).writeStream.outputMode("complete")
+             .format("memory").queryName(sink)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("window_start", "window_end", "event_type", "n",
+                      quantize("total_value", 2).alias("total_value"))

@@ -394,3 +394,53 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("total_value"),
                        F.count(F.lit(1)).alias("n_active_hours"),
                        F.max("n").alias("peak_hour_events")))
+
+
+@query(
+    "nearest_event_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           (SELECT min(abs(epoch_us(v.ts) - epoch_us(p.ts)))
+            FROM events v
+            WHERE v.event_type = 'view' AND v.user_id = p.user_id
+              AND abs(epoch_us(v.ts) - epoch_us(p.ts)) <= 600000000)
+             AS nearest_view_dist_us
+    FROM events p WHERE p.event_type = 'purchase'
+    """)
+def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, ``direction='nearest'`` (pandas ``merge_asof``'s
+    third mode, completing backward/forward): each purchase reports its
+    temporal distance to the CLOSEST view by the same user in either
+    direction, within a ±10-minute tolerance (NULL when none).
+
+    The nearest view is necessarily either the latest view at-or-before
+    or the earliest view after the purchase, so two frames over ONE
+    user_id-partitioned ordering (equal-ts views ranked before
+    purchases, so ties land in the 'before' frame) replace any range
+    join: last(view_ts) over (-inf, -1) and first(view_ts) over
+    (1, +inf), then least() of the two gaps. One shuffle, state
+    bounded per user — the oracle's correlated range scan done
+    scalably. Distances (not view ids) are the output: at equal
+    distance the id choice is arbitrary on both engines, the distance
+    is unique."""
+    (e,) = load(spark, sf_dir, "events")
+    ev = (e.filter(F.col("event_type").isin("purchase", "view"))
+           .select("event_id", "user_id", "ts", "event_type"))
+    # views sort BEFORE purchases at equal ts: an equal-ts view is a
+    # valid dist-0 match and must be visible in the preceding frame
+    order = ["ts",
+             F.when(F.col("event_type") == "view", 0).otherwise(1),
+             "event_id"]
+    wb = (W.partitionBy("user_id").orderBy(*order)
+           .rowsBetween(W.unboundedPreceding, -1))
+    wf = (W.partitionBy("user_id").orderBy(*order)
+           .rowsBetween(1, W.unboundedFollowing))
+    vt = F.when(F.col("event_type") == "view", F.unix_micros(F.col("ts")))
+    j = (ev.withColumn("prev_us", F.last(vt, ignorenulls=True).over(wb))
+           .withColumn("next_us", F.first(vt, ignorenulls=True).over(wf)))
+    t_us = F.unix_micros(F.col("ts"))
+    dist = F.least(t_us - F.col("prev_us"), F.col("next_us") - t_us)
+    return (j.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"), "user_id",
+                     F.when(dist <= 600_000_000, dist)
+                      .alias("nearest_view_dist_us")))

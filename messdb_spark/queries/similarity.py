@@ -416,3 +416,124 @@ def embedding_rp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sig.groupBy("sig")
                .agg(F.count(F.lit(1)).alias("n_vecs"),
                     F.min("vec_id").cast("long").alias("min_vec_id")))
+
+
+_PQ_M = 4        # subspaces (64 dims -> 4 x 16)
+_PQ_K = 8        # centroids per subspace (codebook = first 8 vectors)
+_PQ_SUB = 16     # dims per subspace
+
+
+def _pq_sub_dist_duck(vec: str, cent: str, j: int) -> str:
+    """DuckDB in-order L2^2 between subspace j of two float lists."""
+    return (f"list_aggregate(list_transform(range(1, {_PQ_SUB} + 1), "
+            f"i -> (CAST({vec}[{j * _PQ_SUB} + i] AS DOUBLE) - "
+            f"CAST({cent}[{j * _PQ_SUB} + i] AS DOUBLE)) * "
+            f"(CAST({vec}[{j * _PQ_SUB} + i] AS DOUBLE) - "
+            f"CAST({cent}[{j * _PQ_SUB} + i] AS DOUBLE))), 'sum')")
+
+
+@query(
+    "pq_topk_search",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+      WHERE vec_id < {_PQ_K}
+    ),
+    subdists AS (
+      SELECT v.vec_id, r.range AS j, c.cid,
+             CASE r.range {" ".join(f"WHEN {j} THEN {_pq_sub_dist_duck('v.embedding', 'c.cemb', j)}" for j in range(_PQ_M))} END AS d
+      FROM embeddings v CROSS JOIN range({_PQ_M}) r CROSS JOIN cents c
+    ),
+    codes AS (
+      SELECT vec_id, j, cid AS code
+      FROM (SELECT vec_id, j, cid,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d, cid) AS rn
+            FROM subdists)
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, j, cid, d FROM subdists
+      WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+      SELECT l.query_id, x.vec_id AS cand_id, sum(l.d) AS approx_d
+      FROM codes x JOIN lut l ON l.j = x.j AND l.cid = x.code
+      WHERE x.vec_id != l.query_id
+      GROUP BY l.query_id, x.vec_id
+    )
+    SELECT query_id, cand_id,
+           floor((approx_d) * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS approx_d, rk
+    FROM (SELECT query_id, cand_id, approx_d,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY approx_d, cand_id) AS rk
+          FROM scored)
+    WHERE rk <= {_TOP_K}
+    """)
+def pq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the compression scale path next to
+    IVF (prune cells) and LSH (prune buckets): each vector is encoded
+    as {_PQ_M} one-byte codes (argmin centroid per {_PQ_SUB}-dim
+    subspace), and search scans CODES, not vectors, via asymmetric
+    distance computation (ADC): the query precomputes its distance to
+    every centroid of every subspace ({_PQ_M}x{_PQ_K} doubles), and a
+    candidate's approximate distance is {_PQ_M} table lookups + adds.
+
+    Scale design: at 100 TB of float32 vectors, PQ codes are ~64x
+    smaller (4 bytes vs 256), so the scan reads codes-only columns;
+    the codebook is collected once ({_PQ_K} vectors — k-means in a
+    real deployment, the first {_PQ_K} here for determinism) and
+    embedded as PLAN LITERALS, making encoding a map-only expression;
+    the per-query LUT is a tiny broadcast; the only shuffle is the
+    final per-query top-k window (WindowGroupLimit-pruned). The
+    fidelity ladder is pq (cheapest) -> ivf/lsh -> brute-force
+    rerank, all four implemented here."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+
+    cents = (emb.filter(F.col("vec_id") < _PQ_K)
+                .select("vec_id", "embedding")
+                .orderBy("vec_id").collect())
+
+    def sub_dist(vec_col: str, cent_row, j: int) -> str:
+        arr = "array(" + ", ".join(
+            f"CAST({float(x)!r} AS DOUBLE)"
+            for x in cent_row["embedding"][j * _PQ_SUB:(j + 1) * _PQ_SUB]) + ")"
+        sub = f"slice({vec_col}, {j * _PQ_SUB + 1}, {_PQ_SUB})"
+        return (f"aggregate(zip_with({sub}, {arr}, "
+                f"(x, w) -> (CAST(x AS DOUBLE) - w) * (CAST(x AS DOUBLE) - w)), "
+                f"CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+
+    # per-subspace distance vectors (fixed in-order arithmetic shared
+    # with the oracle), then argmin -> code, first (lowest cid) wins
+    dist_arrays = [
+        F.expr("array(" + ", ".join(sub_dist("embedding", c, j)
+                                    for c in cents) + ")").alias(f"d{j}")
+        for j in range(_PQ_M)]
+    with_d = emb.select("vec_id", *dist_arrays)
+    codes = with_d.select(
+        "vec_id",
+        *[(F.expr(f"array_position(d{j}, array_min(d{j}))") - 1)
+          .cast("int").alias(f"code{j}") for j in range(_PQ_M)])
+
+    # query LUT rows: the full distance vectors, broadcast
+    lut = (with_d.filter(F.col("vec_id") < _N_QUERIES)
+                 .select(F.col("vec_id").alias("query_id"),
+                         *[F.col(f"d{j}").alias(f"lut{j}")
+                           for j in range(_PQ_M)]))
+
+    # fixed-order ADC sum d0+d1+d2+d3 (the oracle's SUM over j sums in
+    # j order too) — explicit adds keep FP order stable on both engines
+    adc = (F.element_at(F.col("lut0"), F.col("code0") + 1)
+           + F.element_at(F.col("lut1"), F.col("code1") + 1)
+           + F.element_at(F.col("lut2"), F.col("code2") + 1)
+           + F.element_at(F.col("lut3"), F.col("code3") + 1))
+    scored = (codes.join(F.broadcast(lut),
+                         codes["vec_id"] != lut["query_id"])
+                   .select("query_id", F.col("vec_id").alias("cand_id"),
+                           adc.alias("approx_d")))
+    w = W.partitionBy("query_id").orderBy("approx_d", "cand_id")
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= _TOP_K)
+                  .select("query_id", "cand_id",
+                          quantize("approx_d", 4).alias("approx_d"), "rk"))

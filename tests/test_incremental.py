@@ -181,3 +181,55 @@ def test_incremental_agg_view_recomputes_only_changed_buckets(spark, tmp_path):
                                F.max("x").alias("mx"))
     assert {tuple(r) for r in v2.df.collect()} == \
         {tuple(r) for r in full.collect()}
+
+
+def test_diff_bucketed_prunes_unchanged_buckets(spark, tmp_path):
+    """Version diff over bucket manifests reads ONLY buckets whose
+    content hash differs (Trie.hs:346-348 in reverse); equal manifests
+    diff with zero bucket loads."""
+    from messdb_spark.operators.core import KeyedTable
+    from messdb_spark.plans.incremental import (diff_bucketed,
+                                                incremental_upsert,
+                                                write_bucketed)
+    from messdb_spark.store import ObjectStore
+
+    store = ObjectStore(str(tmp_path / "objs"))
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(200)],
+                                 "k int, v string")
+    ref1 = write_bucketed(store, KeyedTable(base, ("k",)), n_buckets=16)
+    delta = spark.createDataFrame(
+        [(3, "changed"), (1000, "added")], "k int, v string")
+    ref2 = incremental_upsert(spark, store, ref1, delta)
+
+    n_changed = sum(1 for a, b in zip(ref1.bucket_hashes, ref2.bucket_hashes)
+                    if a != b)
+    assert 1 <= n_changed <= 2   # the two delta keys touch <= 2 buckets
+
+    store.loads = 0
+    d = diff_bucketed(spark, store, ref1, ref2)
+    rows = {(r["k"], r["change"]): (r["old_v"], r["new_v"])
+            for r in d.collect()}
+    assert rows == {(3, "changed"): ("v3", "changed"),
+                    (1000, "added"): (None, "added")}
+    # only the changed buckets were opened (both versions of each)
+    assert store.loads == 2 * n_changed
+
+    # identical manifests: provably-empty diff, zero loads
+    store.loads = 0
+    assert diff_bucketed(spark, store, ref2, ref2).count() == 0
+    assert store.loads == 0
+
+
+def test_diff_tables_full(spark):
+    from messdb_spark.operators.core import KeyedTable, diff_tables
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30)], "k int, v string, n int")
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)], "k int, v string, n int")
+    d = diff_tables(KeyedTable(old, ("k",)), KeyedTable(new, ("k",)))
+    got = {r["k"]: (r["change"], r["old_v"], r["new_v"]) for r in d.collect()}
+    # row 1 unchanged (dropped); null-safe compare keeps row 3 'removed'
+    assert got == {2: ("changed", "b", "B"),
+                   3: ("removed", None, None),
+                   4: ("added", None, "d")}
