@@ -173,3 +173,82 @@ def cdf_doc_length_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("source").orderBy("n_chars")
     return d.select("doc_id", "source", "n_chars",
                     quantize(F.cume_dist().over(w), 6).alias("len_cdf"))
+
+
+_PPL_GATE_NATS = 6.0   # keep docs whose avg bigram NLL <= this
+
+
+@query(
+    "perplexity_filter_bigram",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_DUCK} AS t FROM documents WHERE length(text) > 0
+    ),
+    bg AS (
+      SELECT doc_id, j, t[j] AS tok_a, t[j+1] AS tok_b
+      FROM tok, unnest(range(1, len(t))) AS r(j)
+      WHERE len(t) >= 2
+    ),
+    ab AS (SELECT tok_a, tok_b, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+    a AS (SELECT tok_a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM ab GROUP BY 1),
+    lp AS (
+      SELECT bg.doc_id, bg.j,
+             ln(CAST(ab.n_ab AS DOUBLE) / CAST(a.n_a AS DOUBLE)) AS l
+      FROM bg JOIN ab USING (tok_a, tok_b) JOIN a USING (tok_a)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             list_aggregate(array_agg(l ORDER BY j), 'sum') AS s
+      FROM lp GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           {quantize_sql("-s / CAST(n_bigrams AS DOUBLE)", 6)} AS avg_nll,
+           (-s / CAST(n_bigrams AS DOUBLE)) <= {_PPL_GATE_NATS} AS kept
+    FROM agg
+    """)
+def perplexity_filter_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the perplexity gate of pretraining
+    pipelines, CCNet-style): score every document by its average
+    negative log-likelihood under the corpus's own bigram LM
+    (``bigram_lm_condprob``'s counts), gate at {_PPL_GATE_NATS} nats —
+    high-NLL docs are unnatural text (boilerplate, mangled encodings,
+    word salad). Self-contained: the LM is estimated from the corpus
+    being scored, no external model.
+
+    FP parity discipline: a per-doc SUM of logs is order-sensitive, so
+    both engines fold the log terms in EXPLICIT bigram-position order
+    (collect → sort by position → in-order aggregate fold), not
+    whatever order the aggregation visits rows — hash-exact without
+    rounding slack beyond the standard quantize.
+
+    Scale: the count sides re-aggregate the same corpus pass as the LM
+    query (vocab²-bounded shuffles); scoring joins the positional
+    bigrams to counts co-partitioned on (tok_a, tok_b); the unigram
+    marginal broadcasts; the per-doc fold carries doc-length lists —
+    bounded by document size, never corpus-wide."""
+    (d,) = load(spark, sf_dir, "documents")
+    toks = (d.filter(F.length("text") > 0)
+             .select("doc_id", F.expr(_TOKS).alias("t"))
+             .filter(F.size("t") >= 2))
+    bg = toks.select("doc_id", F.posexplode(F.expr(
+        "transform(slice(t, 1, size(t) - 1),"
+        " (x, i) -> struct(x AS tok_a, element_at(t, i + 2) AS tok_b))"))
+        .alias("j", "p")).select("doc_id", "j", "p.tok_a", "p.tok_b")
+    ab = bg.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("n_ab"))
+    a = ab.groupBy("tok_a").agg(F.sum("n_ab").alias("n_a"))
+    lp = (bg.join(ab, ["tok_a", "tok_b"])
+            .join(F.broadcast(a), "tok_a")
+            .select("doc_id", "j",
+                    F.log(F.col("n_ab").cast("double")
+                          / F.col("n_a").cast("double")).alias("l")))
+    agg = (lp.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                  F.expr("aggregate(array_sort(collect_list(struct(j, l)),"
+                         " (x, y) -> CASE WHEN x.j < y.j THEN -1"
+                         " WHEN x.j > y.j THEN 1 ELSE 0 END),"
+                         " CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.l)")
+                   .alias("s")))
+    nll = -F.col("s") / F.col("n_bigrams").cast("double")
+    return agg.select("doc_id", "n_bigrams",
+                      quantize(nll, 6).alias("avg_nll"),
+                      (nll <= F.lit(_PPL_GATE_NATS)).alias("kept"))

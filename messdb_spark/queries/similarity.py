@@ -537,3 +537,88 @@ def pq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .filter(F.col("rk") <= _TOP_K)
                   .select("query_id", "cand_id",
                           quantize("approx_d", 4).alias("approx_d"), "rk"))
+
+
+_SEM_THRESH = 0.9   # same-cluster cosine above this => near-duplicate
+
+
+@query(
+    "semantic_dedup_survivors",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM vecs
+      WHERE vec_id < {_N_CELLS}
+    ),
+    scored AS (
+      SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                ORDER BY list_aggregate(list_transform(range(1, len(v.embedding) + 1),
+                       i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+                       'sum') / (v.nrm * c.cnrm) DESC, c.cid) AS crk
+      FROM vecs v CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, embedding, nrm, cid FROM scored WHERE crk = 1),
+    dropped AS (
+      SELECT DISTINCT x.vec_id
+      FROM cells x JOIN cells y
+        ON x.cid = y.cid AND y.vec_id < x.vec_id
+           AND list_aggregate(list_transform(range(1, len(x.embedding) + 1),
+                  i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)),
+                  'sum') / (x.nrm * y.nrm) > {_SEM_THRESH}
+    )
+    SELECT c.vec_id, c.cid,
+           (d.vec_id IS NULL) AS kept
+    FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+    """)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup-style): cluster the embedding
+    space with a coarse codebook, then inside each cluster drop every
+    vector that is near-identical (cosine > {_SEM_THRESH}) to a
+    lower-id survivor — the embedding-space answer to MinHash's
+    lexical near-dup, catching paraphrases and re-encodings that share
+    no shingles. Deterministic survivor rule: lowest vec_id wins.
+
+    Scale: the clustering bounds the candidate set — pairs form ONLY
+    within a cluster (O(Σ cluster²), not O(n²)); the codebook is plan
+    literals (map-only assignment, no shuffle); the pair join shuffles
+    on cid; oversized clusters would be re-split with a finer codebook
+    (the standard SemDeDup recursion). Output keeps every vector with
+    its cluster and verdict, so downstream mixture accounting can
+    reweight by surviving mass."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    vecs = emb.withColumn("nrm", _norm_col("embedding"))
+
+    cents = (vecs.filter(F.col("vec_id") < _N_CELLS)
+                 .select("vec_id", "embedding", "nrm")
+                 .orderBy("vec_id").collect())
+    sim_exprs = []
+    for r in cents:
+        arr = "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)"
+                                   for x in r["embedding"]) + ")"
+        dot = (f"aggregate(zip_with(embedding, {arr}, "
+               f"(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+        sim_exprs.append(f"({dot} / (nrm * CAST({float(r['nrm'])!r} AS DOUBLE)))")
+    csims = F.expr("array(" + ", ".join(sim_exprs) + ")")
+    cells = (vecs.withColumn("csims", csims)
+                 .withColumn("cid", (F.expr("array_position(csims, array_max(csims))") - 1)
+                             .cast("long"))
+                 .drop("csims"))
+
+    x, y = cells.alias("x"), cells.alias("y")
+    cos_xy = (F.expr(_DOT.format(a="x.embedding", b="y.embedding"))
+              / (F.col("x.nrm") * F.col("y.nrm")))
+    dropped = (x.join(y, (F.col("x.cid") == F.col("y.cid")) &
+                         (F.col("y.vec_id") < F.col("x.vec_id")))
+                .filter(cos_xy > _SEM_THRESH)
+                .select(F.col("x.vec_id").alias("vec_id"))
+                .distinct())
+    return (cells.join(dropped.withColumn("_dropped", F.lit(True)),
+                       "vec_id", "left")
+                 .select("vec_id", "cid",
+                         F.col("_dropped").isNull().alias("kept")))

@@ -81,3 +81,60 @@ def test_content_hash_nul_bytes_unambiguous(spark):
     shifted1 = t([("p\x00|q", "r")])              # value contains separator
     shifted2 = t([("p", "q\x00|r")])
     assert table_content_hash(shifted1) != table_content_hash(shifted2)
+
+
+# ---- round-3 advisor findings ---------------------------------------
+
+
+def test_check_table_accepts_empty_table(spark):
+    """An empty table satisfies the key invariants vacuously; the
+    NULL-sum-over-zero-rows bug made check_table reject it (the round-3
+    streaming-test flake)."""
+    from messdb_spark.operators.core import check_table
+
+    empty = spark.createDataFrame([], "k bigint, v string")
+    assert check_table(KeyedTable(empty, ("k",)))
+    two_key = spark.createDataFrame([], "a bigint, b bigint, v string")
+    assert check_table(KeyedTable(two_key, ("a", "b")))
+
+
+def test_asof_excludes_equal_timestamp_views(spark, tmp_path):
+    """A view at exactly the purchase's timestamp must NOT attribute
+    (oracle semantics: strictly v.ts < p.ts). Crafted collision:
+    user 1 has a view and a purchase at the same microsecond."""
+    import datetime
+
+    from messdb_spark.queries.advanced import asof_join_purchase_view
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    earlier = t0 - datetime.timedelta(minutes=5)
+    rows = [
+        (1, 1, "view", earlier, 1.0),      # valid earlier view
+        (2, 1, "view", t0, 1.0),           # equal-ts view: must NOT win
+        (3, 1, "purchase", t0, 9.0),
+        (4, 2, "purchase", t0, 9.0),       # user 2: no views at all
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+    p = tmp_path / "events.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(str(p.parent / "sf"))
+    # query functions read <sf_dir>/events.parquet
+    import os
+    os.rename(str(p.parent / "sf"), str(p.parent / "events.parquet"))
+    out = {r["purchase_id"]: r["last_view_id"]
+           for r in asof_join_purchase_view(spark, str(p.parent)).collect()}
+    assert out == {3: 1, 4: None}
+
+
+def test_read_event_stream_starts_on_empty_dir(spark, tmp_path):
+    """Stream setup must not require a parquet footer to exist yet
+    (the round-3 regression from schema sniffing)."""
+    from messdb_spark.streaming.stream import read_event_stream
+
+    d = tmp_path / "empty_in"
+    d.mkdir()
+    stream = read_event_stream(spark, str(d))
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == [
+        "event_id", "user_id", "event_type", "ts", "value"]
