@@ -258,3 +258,66 @@ def stream_windowed_counts_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(tmp, ignore_errors=True)
     return out.select("window_start", "window_end", "event_type", "n",
                       quantize("total_value", 2).alias("total_value"))
+
+
+@query(
+    "stream_running_totals_replay",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           floor((CAST(sum(CAST(coalesce(floor(value * 100 + 0.5), 0)
+                               AS BIGINT)) AS DOUBLE) / 100.0)
+                 * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY user_id
+    """)
+def stream_running_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL operator (``streaming.running_user_totals``,
+    ``applyInPandasWithState`` — per-user GroupState carried across
+    micro-batches) driven by a 3-batch replay of the events table; the
+    final cumulative row per user must equal the batch GROUP BY.
+
+    Exactness across arbitrary batch carve-ups: the stream feeds CENTS
+    (integer-valued doubles) into the state, so the running sum is
+    exact regardless of summation order — the one discipline that
+    makes a float accumulator replay-deterministic. Update-mode memory
+    sink emits one row per (user, touching batch); the final state is
+    the row with the highest n_events (monotone per user)."""
+    import uuid
+
+    from ..streaming.stream import running_user_totals
+
+    (e,) = load(spark, sf_dir, "events")
+    e = e.select("event_id", "user_id", "ts",
+                 F.coalesce(F.floor(F.col("value") * 100 + F.lit(0.5)), F.lit(0))
+                  .cast("double").alias("value"))
+    tmp = tempfile.mkdtemp(prefix="messdb_statestream_")
+    sink = f"run_totals_{uuid.uuid4().hex[:8]}"
+    try:
+        src_dir = os.path.join(tmp, "src")
+        for i in range(3):
+            (e.filter(F.col("event_id") % 3 == i)
+              .coalesce(1)
+              .write.mode("overwrite")
+              .parquet(os.path.join(src_dir, f"part{i}")))
+        stream = (spark.readStream
+                  .schema(e.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("recursiveFileLookup", "true")
+                  .parquet(src_dir))
+        q = (running_user_totals(stream).writeStream.outputMode("update")
+             .format("memory").queryName(sink)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (out.groupBy("user_id")
+               .agg(F.max("n_events").alias("n_events"),
+                    F.max_by("total_value", "n_events").alias("cents"))
+               .select("user_id", "n_events",
+                       quantize(F.col("cents") / 100.0, 2)
+                        .alias("total_value")))

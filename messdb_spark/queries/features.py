@@ -209,3 +209,48 @@ def length_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("long").alias("n_too_short"),
                   F.sum(F.when(nc > F.col("p95"), 1).otherwise(0))
                    .cast("long").alias("n_too_long")))
+
+
+@query(
+    "global_rank_by_length",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+    FROM documents
+    """)
+def global_rank_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GLOBAL rank over the whole corpus (curriculum ordering:
+    rank every document by a score, no sampling, no approximation)
+    WITHOUT a single-partition window — the classic distributed
+    total-order pattern:
+
+    1. ``repartitionByRange`` on the rank key: range partitioner
+       (sampled split points) gives partition i < partition j =>
+       every row in i sorts before every row in j;
+    2. per-partition counts → cumulative offsets (a P-row window,
+       driver-scale, broadcast back);
+    3. rank = partition offset + within-partition row_number — each
+       window bounded by one partition, never the corpus.
+
+    The naive ``row_number() OVER (ORDER BY ...)`` plans a SinglePartition
+    exchange: one task sorts 100 TB. This shape keeps all P partitions
+    working and is how exact ranking/percentiles ship at scale."""
+    (d,) = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    key = [F.col("n_chars").desc(), F.col("doc_id")]
+    ranged = (d.select("doc_id", "n_chars")
+               .repartitionByRange(par, *key)
+               .withColumn("pid", F.spark_partition_id()))
+    offsets = (ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+                     .withColumn("offset",
+                                 F.coalesce(
+                                     F.sum("n").over(
+                                         W.orderBy("pid")
+                                          .rowsBetween(W.unboundedPreceding, -1)),
+                                     F.lit(0)))
+                     .select("pid", "offset"))
+    wp = W.partitionBy("pid").orderBy(*key)
+    return (ranged.join(F.broadcast(offsets), "pid")
+                  .select("doc_id",
+                          (F.col("offset") + F.row_number().over(wp))
+                           .alias("rnk")))

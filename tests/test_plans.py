@@ -254,3 +254,14 @@ def test_round3_feature_ops_plan_shapes(spark, sf_dir):
     h = QUERIES["order_total_histogram"].fn(spark, sf_dir)
     p = plan_str(h)
     assert "CartesianProduct" not in p
+
+
+def test_global_rank_avoids_corpus_single_partition(spark, sf_dir):
+    """Exact global rank must range-partition the corpus; the only
+    SinglePartition exchange allowed is the P-row offsets window
+    (driver-scale). A second one means the corpus window regressed to
+    the naive one-task global sort."""
+    df = QUERIES["global_rank_by_length"].fn(spark, sf_dir)
+    plan = plan_str(df)
+    assert plan.lower().count("singlepartition") <= 1
+    assert "rangepartitioning" in plan.lower()
