@@ -90,11 +90,17 @@ def cc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle_hashes = (
         f"transform(sequence(1, length(text) - {_SHINGLE_K - 1}), "
         f"i -> CAST(conv(substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15), 16, 10) AS BIGINT))")
+    # persist the signatures: bands feeds BOTH the hub agg and the star
+    # join, and without pinning, each subtree re-runs the md5-per-shingle
+    # scan (the most expensive stage — one hash per character of corpus).
+    # The signature frame is (doc_id, 12 x bigint) — tiny relative to
+    # text, and exactly what a production pipeline materializes anyway.
     sig = (docs.withColumn("hs", F.expr(shingle_hashes))
                .select("doc_id", *[
                    F.expr(f"array_min(transform(hs, h -> h ^ CAST({s} AS BIGINT)))")
                     .alias(f"h{j}")
-                   for j, s in enumerate(_MH_SEEDS)]))
+                   for j, s in enumerate(_MH_SEEDS)])
+               .persist())
     band_exprs = ", ".join(f"{b}, h{2*b}, h{2*b+1}" for b in range(_N_BANDS))
     bands = sig.selectExpr(
         "doc_id", f"stack({_N_BANDS}, {band_exprs}) AS (band_id, bx, by)")
@@ -123,18 +129,30 @@ def cc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     while True:
         nbr_min = (edges.join(labels, edges["dst"] == labels["doc_id"])
                         .groupBy("src").agg(F.min("comp").alias("nbr_comp")))
+        stepped = (labels.join(nbr_min, labels["doc_id"] == nbr_min["src"],
+                               "left")
+                         .select(labels["doc_id"],
+                                 F.least("comp", "nbr_comp").alias("comp")))
+        # pointer jumping: also adopt the label OF the current label
+        # (comp -> comp's comp), squaring path lengths per round —
+        # hub→hub chains otherwise cost one round per hop (measured 9
+        # rounds at sf0.1; ~4 with the jump). The jump join is over the
+        # label frame only (graph nodes, not the corpus).
+        hop = stepped.select(F.col("doc_id").alias("h_id"),
+                             F.col("comp").alias("h_comp"))
         # lazy localCheckpoint: the sum below is the single action per
         # round — it materializes the new labels AND tests convergence
         # (labels only decrease, so a stable sum == fixpoint)
-        labels = (labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
-                        .select(labels["doc_id"],
-                                F.least("comp", "nbr_comp").alias("comp"))
-                        .localCheckpoint(eager=False))
+        labels = (stepped.join(hop, stepped["comp"] == hop["h_id"], "left")
+                         .select(stepped["doc_id"],
+                                 F.least("comp", "h_comp").alias("comp"))
+                         .localCheckpoint(eager=False))
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     edges.unpersist()
+    sig.unpersist()
     return labels
 
 
