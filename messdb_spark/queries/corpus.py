@@ -222,3 +222,70 @@ def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(n_of("[ ]")).alias("n_space"),
                   F.sum(F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
                         .cast("long")).alias("n_other")))
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("data", "model", "training")   # literal query terms
+
+
+@query(
+    "bm25_doc_scores",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS_DUCK} AS t FROM documents WHERE length(text) > 0
+    ),
+    dl AS (SELECT doc_id, len(t) AS doclen FROM tok),
+    n AS (SELECT count(*) AS n_docs,
+                 CAST(sum(doclen) AS BIGINT) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+      WHERE term IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           {quantize_sql(
+               "sum(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)"
+               " * (tf * (" + str(_BM25_K1) + " + 1.0))"
+               " / (tf + " + str(_BM25_K1) + " * (1.0 - " + str(_BM25_B) +
+               " + " + str(_BM25_B) + " * CAST(doclen AS DOUBLE)"
+               " / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))",
+               6)} AS bm25
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+    GROUP BY tf.doc_id
+    """)
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scores for a literal query ({', '.join(_BM25_TERMS)})
+    over the corpus — the retrieval-side scorer next to the TF-IDF
+    keyword extractor; the shape a data pipeline uses to mine
+    task-relevant pretraining documents for a target distribution.
+
+    FP note: the per-doc score sums <= {len(_BM25_TERMS)} term
+    contributions; both engines group tiny per-doc sets, and the
+    contributions differ by whole-term magnitudes, so quantize(6) is
+    robust. Scale: query terms prune BEFORE any shuffle (the IN-list
+    filter rides the scan); tf is (docs x matched terms) rows only; df
+    and the corpus stats are broadcast scalars; no corpus-wide join."""
+    (d,) = load(spark, sf_dir, "documents")
+    toks = (d.filter(F.length("text") > 0)
+             .select("doc_id", F.expr(_TOKS).alias("t")))
+    dl = toks.select("doc_id", F.size("t").alias("doclen"))
+    n = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+               F.sum("doclen").alias("total_len"))
+    tf = (toks.select("doc_id", F.explode("t").alias("term"))
+              .filter(F.col("term").isin(*_BM25_TERMS))
+              .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avg_dl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log((F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    contrib = (idf * (F.col("tf") * (_BM25_K1 + 1.0))
+               / (F.col("tf") + _BM25_K1 * (1.0 - _BM25_B
+                  + _BM25_B * F.col("doclen").cast("double") / avg_dl)))
+    return (tf.join(F.broadcast(df), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(n))
+              .groupBy("doc_id")
+              .agg(quantize(F.sum(contrib), 6).alias("bm25")))

@@ -444,3 +444,44 @@ def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("event_id").alias("purchase_id"), "user_id",
                      F.when(dist <= 600_000_000, dist)
                       .alias("nearest_view_dist_us")))
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    c AS (SELECT cur, nxt, count(*) AS n FROM seq
+          WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+    tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur FROM c GROUP BY cur)
+    SELECT c.cur, c.nxt, c.n,
+           floor((CAST(c.n AS DOUBLE) / CAST(t.n_cur AS DOUBLE))
+                 * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE)
+             AS p
+    FROM c JOIN tot t USING (cur)
+    """)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the behavioral model
+    behind funnel design and next-event prediction features, and the
+    sequence analog of the corpus bigram LM.
+
+    Scale: one user_id window (lead) shares the shuffle with nothing
+    else but is the only corpus-wide operation; the count matrix is
+    |event_types|² rows, and the marginal re-aggregates the matrix
+    (no second corpus pass) then broadcasts into the divide."""
+    (e,) = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(F.col("event_type").alias("cur"),
+                   F.lead("event_type").over(w).alias("nxt"))
+    c = (seq.filter(F.col("nxt").isNotNull())
+            .groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n")))
+    tot = c.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    return (c.join(F.broadcast(tot), "cur")
+             .select("cur", "nxt", "n",
+                     quantize(F.col("n").cast("double")
+                              / F.col("n_cur").cast("double"), 6).alias("p")))

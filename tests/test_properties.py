@@ -175,3 +175,28 @@ def test_word64_boundary_roundtrip(spark, tmp_path_factory, vals):
         with open(f) as fh:
             rows.extend(int(r["k"]) for r in _csv.DictReader(fh))
     assert rows == sorted(vals)
+
+
+@given(old=kv_lists, new=kv_lists)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_diff_tables_reconstructs_new(spark, old, new):
+    """diff(old, new) is a faithful changelog: applying it to old's
+    dict (adds/changes set, removes delete) reproduces new's dict, and
+    unchanged keys never appear."""
+    from messdb_spark.operators.core import diff_tables, table_from_rows
+
+    t_old = table_from_rows(spark, old, "k string, v string", ("k",))
+    t_new = table_from_rows(spark, new, "k string, v string", ("k",))
+    d_old, d_new = dict(old), dict(new)
+    diff = diff_tables(t_old, t_new).collect()
+    applied = dict(d_old)
+    for r in diff:
+        if r["change"] in ("added", "changed"):
+            applied[r["k"]] = r["new_v"]
+        elif r["change"] == "removed":
+            applied.pop(r["k"], None)
+        # unchanged keys must not be emitted
+        assert not (r["k"] in d_old and r["k"] in d_new
+                    and d_old[r["k"]] == d_new[r["k"]])
+    assert applied == d_new
