@@ -321,3 +321,151 @@ def stream_running_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("user_id", "n_events",
                        quantize(F.col("cents") / 100.0, 2)
                         .alias("total_value")))
+
+
+@query(
+    "stream_session_windows_replay",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """)
+def stream_session_windows_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in streaming SESSION windows (``session_window`` with a
+    30-minute gap) driven by a 3-batch replay and checked against the
+    batch gap-sessionization: Spark merges session windows across
+    micro-batches in state, and the drained complete-mode output must
+    equal the one-shot batch computation (session_end = last event +
+    gap, Spark's session_window semantics). Integer-microsecond gap
+    logic on both engines — exact.
+
+    The replay splits by TIME TERCILE (not by id): session state
+    eviction follows the watermark, so batches must arrive roughly in
+    event-time order — exactly like a real log. Sessions spanning a
+    tercile boundary still exercise the cross-batch window merge."""
+    import uuid
+
+    from ..streaming.stream import session_counts
+
+    (e,) = load(spark, sf_dir, "events")
+    e = e.select("event_id", "user_id", "ts")
+    cuts = e.select(
+        F.percentile_approx("ts", [1.0 / 3, 2.0 / 3], 10000).alias("c")
+    ).first()["c"]
+    tmp = tempfile.mkdtemp(prefix="messdb_sessstream_")
+    sink = f"sess_replay_{uuid.uuid4().hex[:8]}"
+    try:
+        src_dir = os.path.join(tmp, "src")
+        bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+        for i, (lo, hi) in enumerate(bounds):
+            part = e
+            if lo is not None:
+                part = part.filter(F.col("ts") > F.lit(lo))
+            if hi is not None:
+                part = part.filter(F.col("ts") <= F.lit(hi))
+            (part.coalesce(1)
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(src_dir, f"part{i}")))
+        stream = (spark.readStream
+                  .schema(e.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("recursiveFileLookup", "true")
+                  .parquet(src_dir))
+        q = (session_counts(stream).writeStream.outputMode("complete")
+             .format("memory").queryName(sink)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+@query(
+    "incremental_rollup_refresh",
+    oracle="""
+    WITH all_events AS (
+      SELECT ts, CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT)
+               AS cents
+      FROM events
+      UNION ALL
+      SELECT ts, CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) + 1
+      FROM events WHERE event_id % 1000 = 0
+    )
+    SELECT date_trunc('hour', ts) AS hour,
+           count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM all_events GROUP BY 1
+    """)
+def incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable-rollup feature end-to-end under the driver gate:
+    an hourly continuous aggregate over a BUCKET-GRANULAR events table
+    (``plans.incremental.incremental_agg_view``) is built, a small
+    delta upserts (touching few buckets), and the REFRESH must (a)
+    recompute only the touched buckets' partials — asserted in-body
+    from the memo miss counters — and (b) hash-equal the full GROUP BY
+    over base∪delta. This is the reference's promise ("incrementally
+    updated materialized views", memoize per node) composed with the
+    untouched-subtree passthrough, as one driver-checked query.
+
+    Scale: refresh cost ∝ touched buckets (delta keys), not table
+    size; the final combine unions B tiny partial objects."""
+    from ..plans.incremental import (incremental_agg_view,
+                                     incremental_upsert, write_bucketed)
+    from ..operators.core import KeyedTable
+    from ..store import MemoStore, ObjectStore
+
+    (e,) = load(spark, sf_dir, "events")
+    base = e.select("event_id",
+                    F.date_trunc("hour", "ts").alias("hour"),
+                    F.floor(F.coalesce("value", F.lit(0.0)) * 100 + F.lit(0.5))
+                     .cast("long").alias("cents"))
+    delta = (e.filter(F.col("event_id") % 1000 == 0)
+              .select((F.col("event_id") + 1_000_000_000).alias("event_id"),
+                      F.date_trunc("hour", "ts").alias("hour"),
+                      (F.floor(F.coalesce("value", F.lit(0.0)) * 100
+                               + F.lit(0.5)).cast("long") + 1).alias("cents")))
+    tmp = tempfile.mkdtemp(prefix="messdb_rollup_")
+    try:
+        store = ObjectStore(os.path.join(tmp, "wh"))
+        memo = MemoStore(os.path.join(tmp, "wh"))
+        aggs = {"n": ("sum", F.count(F.lit(1)).alias("n")),
+                "cents": ("sum", F.sum("cents").alias("cents"))}
+        ref1 = write_bucketed(store, KeyedTable(base, ("event_id",)),
+                              n_buckets=32)
+        incremental_agg_view(spark, store, memo, ref1, "hourly_rollup",
+                             ["hour"], aggs)
+        misses_full = memo.misses
+        ref2 = incremental_upsert(spark, store, ref1, delta)
+        n_changed = sum(1 for a, b in zip(ref1.bucket_hashes,
+                                          ref2.bucket_hashes) if a != b)
+        out = incremental_agg_view(spark, store, memo, ref2,
+                                   "hourly_rollup", ["hour"], aggs)
+        refresh_misses = memo.misses - misses_full
+        if refresh_misses > n_changed or n_changed == 0:
+            raise AssertionError(
+                f"refresh recomputed {refresh_misses} buckets, "
+                f"delta changed {n_changed}")
+        result = out.df.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result.select("hour", "n", "cents")
