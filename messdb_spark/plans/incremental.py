@@ -74,10 +74,18 @@ def _write_buckets(store: ObjectStore, df: DataFrame, key_cols: tuple[str, ...],
     are then renamed to their content address (pure filesystem moves —
     no second data pass). Returns bucket → hash for non-empty buckets.
     """
-    spark = df.sparkSession
     with_b = df.withColumn(_BUCKET, _bucket_expr(key_cols, n_buckets))
     if bucket_whitelist is not None:
         with_b = with_b.filter(F.col(_BUCKET).isin(*bucket_whitelist))
+    return _write_tagged_buckets(store, with_b)
+
+
+def _write_tagged_buckets(store: ObjectStore, with_b: DataFrame
+                          ) -> dict[int, str]:
+    """Write a frame already carrying ``_BUCKET`` into per-bucket CAS
+    objects: ONE partitioned write + ONE digest aggregation, then pure
+    renames — never a job per bucket."""
+    spark = with_b.sparkSession
     staging = os.path.join(store.warehouse, "staging",
                            hashlib.sha256(os.urandom(16)).hexdigest()[:16])
     # stage-write FIRST, digest the staged bytes second — the plan
@@ -244,13 +252,20 @@ def incremental_agg_view(spark: SparkSession, store: ObjectStore, memo,
             missed.append(b)
 
     if missed:
+        # ALL missed partials in one pass: one multi-path read of the
+        # missed buckets, bucket id re-derived from the key hash (rows
+        # in bucket b hash to b by construction), one (bucket, group)
+        # aggregation, one partitioned stage-write + one digest job
+        # (_write_tagged_buckets) — a fixed number of jobs regardless
+        # of how many buckets missed, instead of ~3 jobs per bucket.
+        tagged = (read_bucketed(spark, store, ref, buckets=missed).df
+                  .withColumn(_BUCKET,
+                              _bucket_expr(ref.key_cols, ref.n_buckets)))
+        partials = tagged.groupBy(_BUCKET, *group_cols).agg(
+            *[c.alias(n) for n, (_op, c) in aggs.items()])
+        new_hashes = _write_tagged_buckets(store, partials)
         for b in missed:
-            rows = read_bucketed(spark, store, ref, buckets=[b]).df
-            part = rows.groupBy(*group_cols).agg(
-                *[c.alias(n) for n, (_op, c) in aggs.items()])
-            from ..hashing import table_content_hash
-            # single evaluation: hash the staged write, not the plan
-            h = store.put(part, table_content_hash)
+            h = new_hashes[b]
             memo.put(bucket_digest(ref.bucket_hashes[b]), h)
             partial_hashes.append(h)
 
