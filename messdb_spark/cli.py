@@ -78,6 +78,16 @@ def main(argv: list[str] | None = None) -> int:
     mat.add_argument("-t", "--table", required=True, help="result table name")
     mat.add_argument("-c", "--command", required=True, help="SELECT text")
 
+    d = sub.add_parser(
+        "diff",
+        help="CDC changelog between two catalog versions of a table "
+             "(added/removed/changed rows, JSON lines)")
+    d.add_argument("-t", "--table", required=True)
+    d.add_argument("--from-version", type=int, required=True,
+                   help="older catalog version (see time travel)")
+    d.add_argument("--to-version", type=int, default=None,
+                   help="newer catalog version (default: current)")
+
     g = sub.add_parser("gc", help="mark-and-sweep unreferenced CAS objects")
     g.add_argument("--keep-versions", type=int, default=None,
                    help="catalog-history horizon (default: keep all)")
@@ -146,6 +156,11 @@ def main(argv: list[str] | None = None) -> int:
         exporter = export_parquet if a.cmd == "export-parquet" else export_orc
         exporter(eng.load_table(a.table), a.path)
         print(json.dumps({"ok": True, "path": a.path}))
+    elif a.cmd == "diff":
+        from .operators.core import diff_tables
+        old = eng.load_table(a.table, version=a.from_version)
+        new = eng.load_table(a.table, version=a.to_version)
+        _print_json_lines(diff_tables(old, new))
     elif a.cmd == "gc":
         stats = eng.gc(keep_versions=a.keep_versions,
                        collect_memoized=a.collect_memoized,

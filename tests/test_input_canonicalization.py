@@ -137,3 +137,28 @@ def test_stream_upsert_live_rate_smoke(spark, warehouse, tmp_path):
     t = eng.load_table("s")
     assert check_table(t)  # rate source repeats k in one batch; must fold
     assert t.df.count() > 0
+
+
+def test_stream_upsert_batch_replay_is_idempotent(spark, warehouse):
+    """foreachBatch is at-least-once: after a crash between the table
+    commit and the checkpoint commit, the SAME micro-batch replays.
+    The last-wins merge must make that replay a no-op — same content
+    hash, so the CAS write dedups and the catalog root is unchanged
+    modulo version — which is what turns the at-least-once sink into
+    an effectively-once pipeline."""
+    from messdb_spark.engine import Engine
+    from messdb_spark.hashing import table_content_hash
+    from messdb_spark.streaming.stream import upsert_batch
+
+    eng = Engine(spark, warehouse)
+    eng.ddl("CREATE TABLE s (k BIGINT PRIMARY KEY, v VARCHAR)")
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (1, "a2")], "k bigint, v string").coalesce(1)
+    upsert_batch(eng, "s", batch, key_cols=("k",))
+    h1 = eng.table_hash("s")
+    saves_before = eng.objects.saves
+    upsert_batch(eng, "s", batch, key_cols=("k",))   # replay same batch
+    assert eng.table_hash("s") == h1                 # content unchanged
+    assert eng.objects.saves == saves_before         # CAS dedup, no new object
+    got = {r["k"]: r["v"] for r in eng.load_table("s").df.collect()}
+    assert got == {1: "a2", 2: "b"}

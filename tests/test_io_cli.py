@@ -147,3 +147,31 @@ def test_cli_parquet_roundtrip(spark, tmp_path, capsys):
                     {"id": 3, "name": "c"}]
     got = {tuple(r) for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_cli_diff_versions(spark, warehouse, tmp_path):
+    """`diff` verb: CDC changelog between two catalog versions."""
+    import json as _json
+    import subprocess
+    import sys
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "messdb_spark.cli", "-w", warehouse, *args],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout
+
+    run("sql", "-c", "CREATE TABLE t (k BIGINT PRIMARY KEY, v VARCHAR)")
+    p1 = tmp_path / "v1.csv"
+    p1.write_text("k,v\n1,a\n2,b\n3,c\n")
+    run("import-csv", "-t", "t", str(p1))
+    p2 = tmp_path / "v2.csv"
+    p2.write_text("k,v\n2,B\n4,d\n")   # change 2, add 4 (1 and 3 unchanged)
+    run("import-csv", "-t", "t", str(p2))
+    # the first import committed version 2 (DDL was 1); diff v2 -> current
+    lines = [l for l in run("diff", "-t", "t", "--from-version", "2").splitlines()
+             if l.strip()]
+    rows = {r["k"]: (r["change"], r.get("old_v"), r.get("new_v"))
+            for r in map(_json.loads, lines)}
+    assert rows == {2: ("changed", "b", "B"), 4: ("added", None, "d")}
