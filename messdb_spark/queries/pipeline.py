@@ -191,3 +191,42 @@ def corpus_prep_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("n_tokens").alias("total_tokens"),
                      quantize(F.avg(F.col("n_tokens").cast("double")), 4)
                       .alias("avg_tokens")))
+
+
+_N_FOLDS = 5
+
+
+@query(
+    "dataset_fold_split",
+    oracle=f"""
+    WITH f AS (
+      SELECT source,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_N_FOLDS} AS fold,
+             len({_TOKS_DUCK}) AS n_tokens
+      FROM documents
+    )
+    SELECT source, fold, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM f GROUP BY source, fold
+    """)
+def dataset_fold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (train/val/test splitting by
+    content-stable hash, never by position or RNG): fold =
+    md5(doc_id) mod {_N_FOLDS}, so membership is reproducible across
+    runs, engines, and repartitions — the property a data pipeline
+    needs so that later incremental additions never reshuffle existing
+    examples between folds. Output: per-(source, fold) doc and token
+    accounting to check balance.
+
+    Scale: pure map (hash + mod) then one small-keyed agg; fold
+    assignment never shuffles the corpus."""
+    (d,) = load(spark, sf_dir, "documents")
+    fold = (F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            % _N_FOLDS)
+    n_tokens = F.size(F.expr(_TOKS_SPARK))
+    return (d.select("source", fold.alias("fold"),
+                     n_tokens.cast("long").alias("n_tokens"))
+             .groupBy("source", "fold")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").alias("total_tokens")))

@@ -479,3 +479,96 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       | (F.col("ka") < F.col("kb")))
               .select(F.least("ka", "kb").alias("key_a"),
                       F.greatest("ka", "kb").alias("key_b"), "dist"))
+
+
+_JAC_THRESH = 0.5
+
+
+@query(
+    "lsh_candidates_verified",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(text) - {_SHINGLE_K - 2}),
+               i -> CAST(concat('0x', substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15)) AS BIGINT))) AS hset
+      FROM documents WHERE length(text) >= {_SHINGLE_K}
+    ),
+    sig AS (
+      SELECT doc_id, {", ".join(
+          f"list_aggregate(list_transform(hset, h -> xor(h, CAST({s} AS BIGINT))), 'min') AS h{j}"
+          for j, s in enumerate(_MH_SEEDS))}
+      FROM sh
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_id, h{2*b} AS bx, h{2*b+1} AS by FROM sig"
+          for b in range(_N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        USING (band_id, bx, by)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           floor((CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE)
+                  / CAST(len(x.hset) + len(y.hset)
+                         - len(list_intersect(x.hset, y.hset)) AS DOUBLE))
+                 * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE)
+             AS jaccard
+    FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                JOIN sh y ON y.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE)
+          / CAST(len(x.hset) + len(y.hset)
+                 - len(list_intersect(x.hset, y.hset)) AS DOUBLE)
+          >= {_JAC_THRESH}
+    """)
+def lsh_candidates_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical two-stage near-dup pipeline in ONE query:
+    MinHash-LSH candidate generation (probabilistic, band equi-join)
+    followed by EXACT shingle-Jaccard verification of only the
+    candidates, gated at {_JAC_THRESH} — generation bounds the pair
+    space, verification removes the false positives, so the output is
+    exact-above-threshold minus only LSH false negatives.
+
+    Note the signature functions min over the DISTINCT shingle set
+    (equivalent to min over the multiset — duplicates never win a
+    min twice) so one shingle-set frame serves both stages.
+
+    Scale: stage 1 is the banded equi-join (no all-pairs); stage 2
+    joins candidate PAIRS (tiny) back to the shingle-set frame twice —
+    the sets travel only for candidate docs, never corpus-wide.
+    array_intersect on two sorted-ish arrays is per-pair CPU bounded
+    by doc length."""
+    (d,) = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    docs = d.filter(F.length("text") >= _SHINGLE_K).repartition(par)
+    shingle_hashes = (
+        f"array_distinct(transform(sequence(1, length(text) - {_SHINGLE_K - 1}), "
+        f"i -> CAST(conv(substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15), 16, 10) AS BIGINT)))")
+    sh = (docs.select("doc_id", F.expr(shingle_hashes).alias("hset"))
+              .persist())
+    sig = sh.select("doc_id", *[
+        F.expr(f"array_min(transform(hset, h -> h ^ CAST({s} AS BIGINT)))")
+         .alias(f"h{j}")
+        for j, s in enumerate(_MH_SEEDS)])
+    band_exprs = ", ".join(f"{b}, h{2*b}, h{2*b+1}" for b in range(_N_BANDS))
+    bands = sig.selectExpr(
+        "doc_id", f"stack({_N_BANDS}, {band_exprs}) AS (band_id, bx, by)")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id")) &
+                      (F.col("a.bx") == F.col("b.bx")) &
+                      (F.col("a.by") == F.col("b.by")) &
+                      (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("hx"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hy"))
+    inter = F.size(F.array_intersect("hx", "hy")).cast("double")
+    union = (F.size("hx") + F.size("hy")).cast("double") - inter
+    jac = inter / union
+    out = (cand.join(x, "doc_a").join(y, "doc_b")
+               .filter(jac >= _JAC_THRESH)
+               .select("doc_a", "doc_b", quantize(jac, 4).alias("jaccard")))
+    return out
