@@ -267,7 +267,10 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions differ by whole-term magnitudes, so quantize(6) is
     robust. Scale: query terms prune BEFORE any shuffle (the IN-list
     filter rides the scan); tf is (docs x matched terms) rows only; df
-    and the corpus stats are broadcast scalars; no corpus-wide join."""
+    and the corpus stats are broadcast scalars. The doclen join is the
+    one corpus-cardinality shuffle, but it carries 16-byte
+    (doc_id, doclen) rows — never text — and AQE broadcasts the tf
+    side when the query is selective."""
     (d,) = load(spark, sf_dir, "documents")
     toks = (d.filter(F.length("text") > 0)
              .select("doc_id", F.expr(_TOKS).alias("t")))
