@@ -265,3 +265,33 @@ def test_global_rank_avoids_corpus_single_partition(spark, sf_dir):
     plan = plan_str(df)
     assert plan.lower().count("singlepartition") <= 1
     assert "rangepartitioning" in plan.lower()
+
+
+def test_round4_dedup_ops_never_cartesian(spark, sf_dir):
+    """The round-4 candidate-pair operators must stay banded/bucketed
+    equi-joins: a CartesianProduct or un-broadcast nested loop in any
+    of them is the O(n²) scale regression the designs exist to avoid."""
+    for name in ("semantic_dedup_survivors", "lsh_candidates_verified",
+                 "perplexity_filter_bigram"):
+        plan = plan_str(QUERIES[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        # BroadcastNestedLoopJoin only acceptable with a broadcast side
+        # (the tiny-query-side pattern); these queries shouldn't need it
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_catalog_diff_is_single_full_outer(spark, sf_dir, warehouse):
+    """diff_tables: one full-outer sort-merge/hash join on the key —
+    no extra exchanges from the presence flags."""
+    from messdb_spark.operators.core import KeyedTable, diff_tables
+
+    a = spark.createDataFrame([(1, "x")], "k int, v string")
+    b = spark.createDataFrame([(1, "y")], "k int, v string")
+    plan = plan_str(diff_tables(KeyedTable(a, ("k",)), KeyedTable(b, ("k",))))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one join operator in the physical tree (tree summary lists
+    # each operator once with an id like "(9) SortMergeJoin")
+    import re
+    joins = re.findall(r"\(\d+\)\s+(\w*Join\w*)", plan)
+    assert len(joins) == 1, joins
