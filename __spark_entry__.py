@@ -45,7 +45,7 @@ _CHECK_FIRST = [
     "global_rank_by_length", "stream_running_totals_replay",
     "embedding_quantize_int8", "bm25_doc_scores", "event_transition_matrix",
     "stream_session_windows_replay", "incremental_rollup_refresh",
-    "lsh_candidates_verified", "dataset_fold_split",
+    "lsh_candidates_verified", "dataset_fold_split", "debounce_event_dedup",
     # (2) changed in round 4: equal-ts as-of ordering, deterministic
     # session windows, posexploded sketch output, two-level fuzzy blocking
     "asof_join_purchase_view", "active_sessions_per_hour",

@@ -485,3 +485,39 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("cur", "nxt", "n",
                      quantize(F.col("n").cast("double")
                               / F.col("n_cur").cast("double"), 6).alias("p")))
+
+
+@query(
+    "debounce_event_dedup",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM seq
+    WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 60000000
+    """)
+def debounce_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / rate-limit dedup: drop an event when the same
+    (user, type) fired within the previous minute — the telemetry
+    de-noising pass that removes double-clicks, retry storms, and
+    sensor chatter while keeping the first occurrence of each burst.
+    Distinct from exact dedup (different event_ids!) and from
+    watermark dedup (keys equal): here SIMILARITY IS TEMPORAL.
+
+    Note the chained semantics: the gap compares to the previous RAW
+    event, not the previous survivor — a long burst collapses to its
+    first event only if no internal gap exceeds the window, matching
+    the lag-based oracle exactly. One (user_id, event_type) window,
+    integer-microsecond arithmetic — exact and single-shuffle."""
+    (e,) = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return (e.withColumn("_prev", prev)
+             .filter(F.col("_prev").isNull()
+                     | ((F.unix_micros(F.col("ts")) - F.col("_prev"))
+                        > 60_000_000))
+             .select("event_id", "user_id", "event_type", "ts"))

@@ -115,3 +115,27 @@ def test_gc_traces_bucketed_manifests(spark, warehouse):
     t = eng.load_table("bt")
     assert t.df.count() == 3001
     assert t.df.filter(F.col("k") == 7).collect()[0]["v"] == "NEW"
+
+
+def test_gc_pruned_version_fails_cleanly_but_diff_on_live_works(spark, tmp_path):
+    """GC with a version horizon: diffing two RETAINED versions still
+    works; loading a pruned version raises KeyError (not a dangling
+    parquet read)."""
+    from messdb_spark.engine import Engine
+    from messdb_spark.operators.core import KeyedTable, diff_tables
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.ddl("CREATE TABLE t (k BIGINT PRIMARY KEY, v VARCHAR)")
+    for i in range(3):
+        df = spark.createDataFrame([(1, f"v{i}"), (2, "const")],
+                                   "k bigint, v string")
+        eng.save_table("t", KeyedTable(df, ("k",)))
+    v_latest = eng.catalog.current_version()
+    eng.gc(keep_versions=2)
+    d = diff_tables(eng.load_table("t", version=v_latest - 1),
+                    eng.load_table("t", version=v_latest))
+    got = {r["k"]: (r["old_v"], r["new_v"]) for r in d.collect()}
+    assert got == {1: ("v1", "v2")}
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        eng.load_table("t", version=1)
