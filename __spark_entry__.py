@@ -46,6 +46,7 @@ _CHECK_FIRST = [
     "embedding_quantize_int8", "bm25_doc_scores", "event_transition_matrix",
     "stream_session_windows_replay", "incremental_rollup_refresh",
     "lsh_candidates_verified", "dataset_fold_split", "debounce_event_dedup",
+    "merge_schema_evolution", "weekly_revenue_wow",
     # (2) changed in round 4: equal-ts as-of ordering, deterministic
     # session windows, posexploded sketch output, two-level fuzzy blocking
     "asof_join_purchase_view", "active_sessions_per_hour",

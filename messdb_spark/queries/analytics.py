@@ -325,3 +325,44 @@ def semi_join_active_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (p.filter(F.col("p_size") > 40)
              .join(li, p.p_partkey == li.l_partkey, "left_semi")
              .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts")))
+
+
+@query(
+    "weekly_revenue_wow",
+    oracle="""
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT week,
+           CAST(CAST(cents AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
+           floor((CAST(cents - lag(cents) OVER (ORDER BY week) AS DOUBLE)
+                  / CAST(lag(cents) OVER (ORDER BY week) AS DOUBLE))
+                 * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE)
+             AS wow_change
+    FROM weekly
+    """)
+def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth: the reporting shape every revenue
+    dashboard draws — periodic rollup, then lag on the AGGREGATED
+    series. Exact integer cents through the rollup; the percent change
+    is one double division on exact numerators.
+
+    Scale: the lag window is over the weekly series (|weeks| rows —
+    driver-scale after aggregation), so the single-partition window is
+    bounded by calendar length, never data volume; the corpus-wide
+    work is one hash agg with map-side partials."""
+    (o,) = load(spark, sf_dir, "orders")
+    weekly = (o.groupBy(F.date_trunc("week", "o_orderdate").cast("date")
+                         .alias("week"))
+               .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                           .cast("long")).alias("cents")))
+    w = W.orderBy("week")
+    prev = F.lag("cents").over(w)
+    return weekly.select(
+        "week",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        quantize((F.col("cents") - prev).cast("double")
+                 / prev.cast("double"), 6).alias("wow_change"))

@@ -139,3 +139,55 @@ def core_table_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = table_insert(t, {"r_regionkey": 5, "r_name": "MIDDLE EARTH"})
     t = table_insert(t, {"r_regionkey": 0, "r_name": "AFRICA (UPDATED)"})
     return t.df.select("r_regionkey", "r_name")
+
+
+@query(
+    "merge_schema_evolution",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    delta AS (
+      SELECT o_orderkey, o_custkey, cents * 2 AS cents,
+             'rush' AS priority_tag
+      FROM base WHERE o_orderkey % 10 = 0
+    )
+    SELECT b.o_orderkey,
+           coalesce(d.o_custkey, b.o_custkey) AS o_custkey,
+           coalesce(d.cents, b.cents) AS cents,
+           d.priority_tag
+    FROM base b LEFT JOIN delta d USING (o_orderkey)
+    """)
+def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 merge with SCHEMA EVOLUTION: the delta carries a column the
+    base table has never seen (``priority_tag``); the merge widens the
+    value schema, backfilling typed NULLs for untouched base rows —
+    the ADD-COLUMN upsert the reference's static Haskell schemas
+    cannot express (its schema is fixed at table creation,
+    ``Repo.hs:57-68``) but any long-lived 100 TB table needs.
+
+    The oracle states the same result relationally: delta rows win on
+    collision (all delta keys exist in base here, so last-wins ==
+    LEFT JOIN + coalesce), non-delta rows keep their values with a
+    NULL new column. Physical: same anti-join + union as every
+    last-wins merge — schema width changes, the plan shape doesn't."""
+    from ..operators.core import KeyedTable, merge_tables
+
+    (orders,) = load(spark, sf_dir, "orders")
+    base = KeyedTable(
+        orders.select("o_orderkey", "o_custkey",
+                      F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                       .cast("long").alias("cents")),
+        ("o_orderkey",))
+    delta = KeyedTable(
+        base.df.filter(F.col("o_orderkey") % 10 == 0)
+              .select("o_orderkey", "o_custkey",
+                      (F.col("cents") * 2).alias("cents"),
+                      F.lit("rush").alias("priority_tag")),
+        ("o_orderkey",))
+    merged = merge_tables([base, delta], FOLD_TO_LAST,
+                          allow_schema_evolution=True)
+    return merged.df.select("o_orderkey", "o_custkey", "cents",
+                            "priority_tag")
