@@ -123,6 +123,54 @@ class Engine:
                 .df.createOrReplaceTempView(name)
         return self.spark.sql(query)
 
+    # -- maintenance ----------------------------------------------------
+    def compact_table(self, name: str,
+                      target_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Small-file compaction: rewrite a table's object with file
+        count sized to ``target_bytes`` per file. Streaming upserts and
+        incremental merges accumulate small parquet files; at 100 TB
+        the resulting footer/task overhead dominates scans, so
+        compaction is routine maintenance (the OPTIMIZE of lakehouse
+        engines). Content is unchanged, so the content hash is
+        unchanged and history/time travel are untouched — ONLY the
+        physical layout of the current object is rewritten (CAS
+        object replaced in place with identical logical content;
+        write-once applies to content, which is preserved).
+
+        Returns {files_before, files_after, bytes}."""
+        import math
+        import os as _os
+
+        e = self.catalog.get(name)
+        if e is None:
+            raise KeyError(name)
+        path = self.objects.path(e.table_hash)
+        files = [f for f in _os.listdir(path)
+                 if f.endswith(".parquet") or f.startswith("part-")]
+        size = sum(_os.path.getsize(_os.path.join(path, f)) for f in files)
+        n_target = max(1, math.ceil(size / target_bytes))
+        if n_target >= len(files):
+            return {"files_before": len(files), "files_after": len(files),
+                    "bytes": size, "skipped": True}
+        df = self.objects.load(self.spark, e.table_hash)
+        staging = path + ".compact"
+        (df.repartition(n_target)
+           .write.mode("overwrite")
+           .option("compression", self.objects.compression)
+           .parquet(staging))
+        # verify the rewrite preserved content before swapping layouts
+        if table_content_hash(self.spark.read.parquet(staging)) \
+                != e.table_hash:
+            import shutil as _shutil
+            _shutil.rmtree(staging, ignore_errors=True)
+            raise RuntimeError(f"compaction changed content of {name}")
+        import shutil as _shutil
+        _shutil.rmtree(path)
+        _os.rename(staging, path)
+        after = [f for f in _os.listdir(path) if f.startswith("part-")]
+        return {"files_before": len(files), "files_after": len(after),
+                "bytes": size, "skipped": False}
+
     # -- garbage collection --------------------------------------------
     def gc(self, keep_versions: int | None = None, extra_live=(),
            collect_memoized: bool = False, dry_run: bool = False) -> dict:

@@ -254,3 +254,56 @@ def global_rank_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("doc_id",
                           (F.col("offset") + F.row_number().over(wp))
                            .alias("rnk")))
+
+
+def _z_interleave(a: str, b: str, bits: int = 16) -> str:
+    """Portable bit-interleave (Morton/Z code): arithmetic only
+    (div/mod/multiply), identical text in Spark SQL and DuckDB."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({b} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_EXPR = _z_interleave("u16", "m16")
+
+
+@query(
+    "zorder_locality_buckets",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id % 65536 AS u16,
+             (epoch_us(ts) // 60000000) % 65536 AS m16
+      FROM events
+    ),
+    z AS (SELECT u16, m16, {_Z_EXPR} // 16777216 AS zbucket FROM base)
+    SELECT zbucket, count(*) AS n,
+           min(u16) AS u_lo, max(u16) AS u_hi,
+           min(m16) AS m_lo, max(m16) AS m_hi
+    FROM z GROUP BY zbucket
+    """)
+def zorder_locality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering for multi-dimensional data
+    skipping: interleave the bits of (user, minute) into one sort key;
+    writing the table ordered by it makes every file tight in BOTH
+    dimensions at once, so either predicate prunes files — the
+    lakehouse OPTIMIZE ZORDER BY technique, as a checkable query: per
+    top-8-bit z-bucket, the (user, minute) bounding box must be narrow
+    (the oracle verifies the exact same integer interleave).
+
+    Scale: the z-value is pure integer arithmetic in whole-stage
+    codegen (no UDF); the layout path is ``repartitionByRange(zval)``
+    + sortWithinPartitions — the distributed total-order machinery of
+    ``global_rank_by_length`` reused for physical clustering."""
+    (e,) = load(spark, sf_dir, "events")
+    base = e.selectExpr("user_id % 65536 AS u16",
+                        "(unix_micros(ts) div 60000000) % 65536 AS m16")
+    # Spark uses `div`; the shared interleave text uses `//` — translate
+    z = base.selectExpr(
+        "u16", "m16",
+        f"({_Z_EXPR.replace('//', 'div')}) div 16777216 AS zbucket")
+    return (z.groupBy("zbucket")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("u16").alias("u_lo"), F.max("u16").alias("u_hi"),
+                  F.min("m16").alias("m_lo"), F.max("m16").alias("m_hi")))

@@ -200,3 +200,27 @@ def test_catalog_time_travel(spark, warehouse):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         eng.load_table("nope", version=2)
+
+
+def test_compact_table_preserves_content_hash(spark, warehouse):
+    """Compaction rewrites layout only: fewer files, same content hash,
+    same rows; a no-op when already compact."""
+    from messdb_spark.engine import Engine
+    from messdb_spark.operators.core import KeyedTable
+
+    eng = Engine(spark, warehouse)
+    df = (spark.range(0, 5000)
+          .select(F.col("id").alias("k"),
+                  (F.col("id") % 7).cast("string").alias("v"))
+          .repartition(16))   # force many small files
+    eng.save_table("t", KeyedTable(df, ("k",)))
+    h = eng.table_hash("t")
+    stats = eng.compact_table("t", target_bytes=64 * 1024 * 1024)
+    assert stats["files_after"] < stats["files_before"]
+    assert eng.table_hash("t") == h            # catalog entry untouched
+    reloaded = eng.load_table("t")
+    assert reloaded.df.count() == 5000
+    from messdb_spark.hashing import table_content_hash
+    assert table_content_hash(reloaded.df) == h
+    again = eng.compact_table("t", target_bytes=64 * 1024 * 1024)
+    assert again["skipped"] is True
