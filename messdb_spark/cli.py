@@ -88,6 +88,12 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--to-version", type=int, default=None,
                    help="newer catalog version (default: current)")
 
+    cp = sub.add_parser("compact", help="rewrite a table's object with "
+                        "target-sized files (layout only; content hash "
+                        "verified unchanged)")
+    cp.add_argument("-t", "--table", required=True)
+    cp.add_argument("--target-mb", type=int, default=128)
+
     g = sub.add_parser("gc", help="mark-and-sweep unreferenced CAS objects")
     g.add_argument("--keep-versions", type=int, default=None,
                    help="catalog-history horizon (default: keep all)")
@@ -161,6 +167,10 @@ def main(argv: list[str] | None = None) -> int:
         old = eng.load_table(a.table, version=a.from_version)
         new = eng.load_table(a.table, version=a.to_version)
         _print_json_lines(diff_tables(old, new))
+    elif a.cmd == "compact":
+        stats = eng.compact_table(a.table,
+                                  target_bytes=a.target_mb * 1024 * 1024)
+        print(json.dumps({"ok": True, "table": a.table, **stats}))
     elif a.cmd == "gc":
         stats = eng.gc(keep_versions=a.keep_versions,
                        collect_memoized=a.collect_memoized,

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from . import query, load
 
@@ -78,3 +79,63 @@ def salted_agg_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       quantize(F.col("total_dec").cast("double"), 2)
                        .alias("total_value"),
                       "max_value")
+
+
+_CM_W = 1024   # counters per hash row
+_CM_D = 4      # hash rows
+
+
+def countmin_counters(tokens, w: int = _CM_W, d: int = _CM_D):
+    """Count-min sketch as a DataFrame: (seed, bucket) -> counter.
+    d hash rows of w counters; mergeable by simple addition (counter
+    tables from shards/partitions/days just union + re-sum), bounded
+    memory d*w regardless of vocabulary — the sketch property that
+    matters when the true vocab would blow the heavy-hitter agg.
+    tokens: DataFrame with a ``token`` column."""
+    rows = None
+    for s in range(d):
+        r = (tokens.select(F.lit(s).alias("seed"),
+                           F.pmod(F.xxhash64("token", F.lit(s)), F.lit(w))
+                            .alias("bucket")))
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).alias("counter"))
+
+
+@query("countmin_heavy_hitters", oracle=None)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via count-min estimate: build the d x w counter
+    table over corpus tokens, then score each DISTINCT token by its
+    sketch estimate (min over its d counters) — the bounded-memory
+    path when exact token counting would shuffle an unbounded vocab.
+    Overestimates only (collisions add, never subtract); pytest bounds
+    the estimates against exact counts. No oracle by design: the
+    estimate values depend on the hash family (rows-only check).
+
+    Scale: counters are d x w rows TOTAL (constant); the estimate join
+    broadcasts them; distinct tokens stream through map-side."""
+    from .text import _TOKENS
+
+    (doc,) = load(spark, sf_dir, "documents")
+    tokens = (doc.filter(F.length("text") > 0)
+                 .select(F.explode(F.expr(_TOKENS)).alias("token")))
+    counters = countmin_counters(tokens)
+    distinct = tokens.distinct()
+    est = None
+    for s in range(_CM_D):
+        side = (counters.filter(F.col("seed") == s)
+                        .select("bucket",
+                                F.col("counter").alias(f"c{s}")))
+        keyed = distinct.select(
+            "token",
+            F.pmod(F.xxhash64("token", F.lit(s)), F.lit(_CM_W))
+             .alias("bucket"))
+        j = keyed.join(F.broadcast(side), "bucket").select("token", f"c{s}")
+        est = j if est is None else est.join(j, "token")
+    out = est.select("token",
+                     F.least(*[F.col(f"c{s}") for s in range(_CM_D)])
+                      .alias("est_count"))
+    w = W.orderBy(F.col("est_count").desc(), F.col("token"))
+    return (out.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") <= 20)
+               .select("token", "est_count", "rk"))

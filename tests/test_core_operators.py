@@ -299,3 +299,31 @@ def test_merge_schema_evolution_adds_column(spark):
     # without the flag, mismatched schemas still follow the base schema
     out3 = merge_tables([base, KeyedTable(delta.df, ("k",))])
     assert out3.df.columns == ["k", "v"]
+
+
+def test_countmin_bounds_vs_exact(spark):
+    """Count-min property: estimate >= exact for every token, and the
+    top-20 estimates stay within the eps*N additive bound (w=1024,
+    d=4 => overwhelming probability on this vocab)."""
+    from messdb_spark.queries import QUERIES
+    from messdb_spark.queries.text import _TOKENS
+    from messdb_spark.session import read_table
+    import pyspark.sql.functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    doc = read_table(spark, sf_dir, "documents")
+    tokens = (doc.filter(F.length("text") > 0)
+                 .select(F.explode(F.expr(_TOKENS)).alias("token")))
+    exact = {r["token"]: r["n"] for r in
+             tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+                   .collect()}
+    n_total = sum(exact.values())
+    est = {r["token"]: r["est_count"] for r in
+           QUERIES["countmin_heavy_hitters"].fn(spark, sf_dir).collect()}
+    eps_bound = (2.0 / 1024) * n_total   # e/w additive error, generous
+    for tok, e_cnt in est.items():
+        assert e_cnt >= exact[tok], tok            # never underestimates
+        assert e_cnt <= exact[tok] + eps_bound, tok
+    # the true top token must appear in the sketch top-20
+    true_top = max(exact, key=lambda t: (exact[t], t))
+    assert true_top in est
