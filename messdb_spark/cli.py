@@ -88,6 +88,12 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--to-version", type=int, default=None,
                    help="newer catalog version (default: current)")
 
+    sy = sub.add_parser("sync", help="push a table's object closure into "
+                        "another warehouse (incremental by content "
+                        "address; O9 syncTrie analog)")
+    sy.add_argument("-t", "--table", required=True)
+    sy.add_argument("--dest", required=True, help="destination warehouse dir")
+
     cp = sub.add_parser("compact", help="rewrite a table's object with "
                         "target-sized files (layout only; content hash "
                         "verified unchanged)")
@@ -167,6 +173,10 @@ def main(argv: list[str] | None = None) -> int:
         old = eng.load_table(a.table, version=a.from_version)
         new = eng.load_table(a.table, version=a.to_version)
         _print_json_lines(diff_tables(old, new))
+    elif a.cmd == "sync":
+        dst = Engine(spark, a.dest, manifest_backend=a.manifest_backend)
+        stats = eng.sync_table(a.table, dst)
+        print(json.dumps({"ok": True, "table": a.table, **stats}))
     elif a.cmd == "compact":
         stats = eng.compact_table(a.table,
                                   target_bytes=a.target_mb * 1024 * 1024)

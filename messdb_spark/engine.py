@@ -123,6 +123,43 @@ class Engine:
                 .df.createOrReplaceTempView(name)
         return self.spark.sql(query)
 
+    # -- cross-store sync (O9 syncTrie/syncTable, Trie.hs:256-260) ------
+    def sync_table(self, name: str, dst: "Engine") -> dict:
+        """Push a table to ANOTHER warehouse: copy its object closure
+        into the destination CAS and register the catalog entry — the
+        reference's ``syncTrie`` (save into a store that may not hold
+        the nodes yet, skipping nodes it already has, then rehydrate).
+
+        Because objects are content-addressed and write-once, sync is
+        INCREMENTAL for free: objects the destination already holds
+        (from an earlier sync, or shared buckets of an updated table)
+        are skipped without reading their bytes — re-syncing a 100 TB
+        bucketed table after a small upsert ships only the changed
+        bucket objects plus a manifest. Returns {copied, skipped}."""
+        import shutil as _shutil
+
+        e = self.catalog.get(name)
+        if e is None:
+            raise KeyError(f"no such table: {name}")
+        from .plans.incremental import EMPTY, load_manifest
+        hashes = [e.table_hash]
+        ref = load_manifest(self.objects, e.table_hash)
+        if ref is not None:
+            hashes += [h for h in ref.bucket_hashes if h != EMPTY]
+        copied = skipped = 0
+        for h in hashes:
+            if dst.objects.exists(h):
+                skipped += 1
+                continue
+            dst_path = dst.objects.path(h)
+            os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+            _shutil.copytree(self.objects.path(h), dst_path)
+            copied += 1
+        dst.catalog.put(name, CatalogEntry(
+            table_hash=e.table_hash, schema_json=e.schema_json,
+            key_cols=list(e.key_cols)))
+        return {"copied": copied, "skipped": skipped}
+
     # -- maintenance ----------------------------------------------------
     def compact_table(self, name: str,
                       target_bytes: int = 128 * 1024 * 1024) -> dict:

@@ -175,3 +175,26 @@ def test_cli_diff_versions(spark, warehouse, tmp_path):
     rows = {r["k"]: (r["change"], r.get("old_v"), r.get("new_v"))
             for r in map(_json.loads, lines)}
     assert rows == {2: ("changed", "b", "B"), 4: ("added", None, "d")}
+
+
+def test_cli_sync_verb(spark, warehouse, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "messdb_spark.cli", "-w", warehouse, *args],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout
+
+    run("sql", "-c", "CREATE TABLE t (k BIGINT PRIMARY KEY, v VARCHAR)")
+    p = tmp_path / "in.csv"
+    p.write_text("k,v\n1,a\n2,b\n")
+    run("import-csv", "-t", "t", str(p))
+    dest = str(tmp_path / "B")
+    first = _json.loads(run("sync", "-t", "t", "--dest", dest).splitlines()[-1])
+    assert first["copied"] == 1 and first["skipped"] == 0
+    second = _json.loads(run("sync", "-t", "t", "--dest", dest).splitlines()[-1])
+    assert second["copied"] == 0 and second["skipped"] == 1

@@ -224,3 +224,46 @@ def test_compact_table_preserves_content_hash(spark, warehouse):
     assert table_content_hash(reloaded.df) == h
     again = eng.compact_table("t", target_bytes=64 * 1024 * 1024)
     assert again["skipped"] is True
+
+
+def test_sync_table_cross_store_incremental(spark, tmp_path):
+    """O9 syncTrie analog: push a table's object closure into another
+    warehouse; content addresses make the second sync incremental
+    (shared bucket objects ship once — Trie.hs:256-260 semantics at
+    bucket granularity)."""
+    from messdb_spark.engine import Engine
+    from messdb_spark.operators.core import KeyedTable
+    from messdb_spark.plans.incremental import incremental_upsert, load_manifest
+
+    a = Engine(spark, str(tmp_path / "A"))
+    b = Engine(spark, str(tmp_path / "B"))
+
+    # plain table: sync, verify, re-sync skips
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, v string")
+    a.save_table("t", KeyedTable(df, ("k",)))
+    s1 = a.sync_table("t", b)
+    assert s1 == {"copied": 1, "skipped": 0}
+    assert b.table_hash("t") == a.table_hash("t")
+    assert {r["k"]: r["v"] for r in b.load_table("t").df.collect()} \
+        == {1: "x", 2: "y"}
+    assert a.sync_table("t", b) == {"copied": 0, "skipped": 1}
+
+    # bucketed table: small upsert => only changed buckets re-ship
+    big = spark.createDataFrame([(i, f"v{i}") for i in range(200)],
+                                "k bigint, v string")
+    from messdb_spark.plans.incremental import write_bucketed
+    ref = write_bucketed(a.objects, KeyedTable(big, ("k",)), n_buckets=16)
+    a.save_bucketed_table("bt", ref)
+    s2 = a.sync_table("bt", b)
+    n_nonempty = sum(1 for h in ref.bucket_hashes if h != "empty")
+    assert s2["copied"] == 1 + n_nonempty   # manifest + buckets
+    delta = spark.createDataFrame([(3, "changed")], "k bigint, v string")
+    ref2 = incremental_upsert(spark, a.objects, ref, delta)
+    a.save_bucketed_table("bt", ref2)
+    s3 = a.sync_table("bt", b)
+    n_changed = sum(1 for x, y in zip(ref.bucket_hashes, ref2.bucket_hashes)
+                    if x != y)
+    assert s3["copied"] == 1 + n_changed    # new manifest + changed buckets
+    assert s3["skipped"] == n_nonempty - n_changed
+    assert {r["k"]: r["v"] for r in b.load_table("bt").df.collect()}[3] \
+        == "changed"
