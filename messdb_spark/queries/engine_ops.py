@@ -29,10 +29,33 @@ import os
 import shutil
 import tempfile
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query, load, quantize
+
+
+@contextlib.contextmanager
+def _replay_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Streaming state-store operators fix their partition count from
+    ``spark.sql.shuffle.partitions`` at query start — under a default
+    (200) session, a 3-batch replay pays hundreds of near-empty state
+    tasks per stage. Pin a replay-sized value for the duration of the
+    streaming query and restore the session's setting after (queries
+    run sequentially under the driver, so the temporary set is safe)."""
+    key = "spark.sql.shuffle.partitions"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
 
 
 @query(
@@ -70,18 +93,19 @@ def stream_replay_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng.ddl("CREATE TABLE replay (event_id BIGINT PRIMARY KEY, "
                 "user_id BIGINT, event_type VARCHAR, ts TIMESTAMP, "
                 "cents DOUBLE)")
-        stream = (spark.readStream
-                  .schema(e.schema)
-                  .option("maxFilesPerTrigger", 1)
-                  .option("recursiveFileLookup", "true")
-                  .parquet(src_dir))
-        q = stream_upsert_into(eng, "replay", stream,
-                               key_cols=("event_id",),
-                               checkpoint_dir=os.path.join(tmp, "ckpt"))
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _replay_shuffle_partitions(spark):
+            stream = (spark.readStream
+                      .schema(e.schema)
+                      .option("maxFilesPerTrigger", 1)
+                      .option("recursiveFileLookup", "true")
+                      .parquet(src_dir))
+            q = stream_upsert_into(eng, "replay", stream,
+                                   key_cols=("event_id",),
+                                   checkpoint_dir=os.path.join(tmp, "ckpt"))
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         out = eng.load_table("replay").df
         # pin the result before the temp warehouse is deleted
         out = out.localCheckpoint(eager=True)
@@ -240,19 +264,20 @@ def stream_windowed_counts_replay(spark: SparkSession, sf_dir: str) -> DataFrame
               .coalesce(1)
               .write.mode("overwrite")
               .parquet(os.path.join(src_dir, f"part{i}")))
-        stream = (spark.readStream
-                  .schema(e.schema)
-                  .option("maxFilesPerTrigger", 1)
-                  .option("recursiveFileLookup", "true")
-                  .parquet(src_dir))
-        q = (windowed_counts(stream).writeStream.outputMode("complete")
-             .format("memory").queryName(sink)
-             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-             .start())
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _replay_shuffle_partitions(spark):
+            stream = (spark.readStream
+                      .schema(e.schema)
+                      .option("maxFilesPerTrigger", 1)
+                      .option("recursiveFileLookup", "true")
+                      .parquet(src_dir))
+            q = (windowed_counts(stream).writeStream.outputMode("complete")
+                 .format("memory").queryName(sink)
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         out = spark.table(sink).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -299,19 +324,20 @@ def stream_running_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
               .coalesce(1)
               .write.mode("overwrite")
               .parquet(os.path.join(src_dir, f"part{i}")))
-        stream = (spark.readStream
-                  .schema(e.schema)
-                  .option("maxFilesPerTrigger", 1)
-                  .option("recursiveFileLookup", "true")
-                  .parquet(src_dir))
-        q = (running_user_totals(stream).writeStream.outputMode("update")
-             .format("memory").queryName(sink)
-             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-             .start())
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _replay_shuffle_partitions(spark):
+            stream = (spark.readStream
+                      .schema(e.schema)
+                      .option("maxFilesPerTrigger", 1)
+                      .option("recursiveFileLookup", "true")
+                      .parquet(src_dir))
+            q = (running_user_totals(stream).writeStream.outputMode("update")
+                 .format("memory").queryName(sink)
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         out = spark.table(sink).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -381,19 +407,20 @@ def stream_session_windows_replay(spark: SparkSession, sf_dir: str) -> DataFrame
             (part.coalesce(1)
                  .write.mode("overwrite")
                  .parquet(os.path.join(src_dir, f"part{i}")))
-        stream = (spark.readStream
-                  .schema(e.schema)
-                  .option("maxFilesPerTrigger", 1)
-                  .option("recursiveFileLookup", "true")
-                  .parquet(src_dir))
-        q = (session_counts(stream).writeStream.outputMode("complete")
-             .format("memory").queryName(sink)
-             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-             .start())
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _replay_shuffle_partitions(spark):
+            stream = (spark.readStream
+                      .schema(e.schema)
+                      .option("maxFilesPerTrigger", 1)
+                      .option("recursiveFileLookup", "true")
+                      .parquet(src_dir))
+            q = (session_counts(stream).writeStream.outputMode("complete")
+                 .format("memory").queryName(sink)
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         out = spark.table(sink).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -472,3 +499,68 @@ def incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result.select("hour", "n", "cents")
+
+
+@query(
+    "stream_stream_join_replay",
+    oracle="""
+    SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id
+    FROM events p JOIN events v
+      ON p.event_type = 'purchase' AND v.event_type = 'view'
+         AND v.user_id = p.user_id
+         AND v.ts < p.ts
+         AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    """)
+def stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join replayed against the batch range
+    join: purchases and views arrive as two file streams (time-tercile
+    batches — watermark-ordered like a real log), Spark buffers each
+    side's state only within the watermark+horizon bound, and the
+    drained inner-join output must equal the batch interval join
+    exactly. Inner time-bound joins emit eagerly, so no results wait
+    on watermark advancement at drain time."""
+    import uuid
+
+    from ..streaming.stream import stream_stream_purchase_views
+
+    (e,) = load(spark, sf_dir, "events")
+    e = e.select("event_id", "user_id", "event_type", "ts")
+    cuts = e.select(
+        F.percentile_approx("ts", [1.0 / 3, 2.0 / 3], 10000).alias("c")
+    ).first()["c"]
+    tmp = tempfile.mkdtemp(prefix="messdb_ssjoin_")
+    sink = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    try:
+        src_dir = os.path.join(tmp, "src")
+        bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+        for i, (lo, hi) in enumerate(bounds):
+            part = e
+            if lo is not None:
+                part = part.filter(F.col("ts") > F.lit(lo))
+            if hi is not None:
+                part = part.filter(F.col("ts") <= F.lit(hi))
+            (part.coalesce(1)
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(src_dir, f"part{i}")))
+
+        def stream():
+            return (spark.readStream
+                    .schema(e.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(src_dir))
+
+        with _replay_shuffle_partitions(spark):
+            joined = stream_stream_purchase_views(stream(), stream())
+            q = (joined.writeStream.outputMode("append")
+                 .format("memory").queryName(sink)
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        out = spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("p_id", "v_id", F.col("p_user").alias("user_id"))

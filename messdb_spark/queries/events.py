@@ -521,3 +521,58 @@ def debounce_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      | ((F.unix_micros(F.col("ts")) - F.col("_prev"))
                         > 60_000_000))
              .select("event_id", "user_id", "event_type", "ts"))
+
+
+@query(
+    "sequence_pattern_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                        WHEN 'click' THEN 'c'
+                                        WHEN 'purchase' THEN 'p'
+                                        ELSE 'x' END, ''
+                        ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN regexp_matches(s, 'v[^p]*p') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view_then_purchase,
+           CAST(sum(CASE WHEN regexp_matches(s, 'vc+p') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view_click_purchase,
+           CAST(sum(CASE WHEN regexp_matches(s, 'p.*p') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repeat_purchasers
+    FROM seq
+    """)
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE class):
+    each user's journey compresses to a character string in strict
+    event order, and behavioral patterns become REGEXES over it —
+    view-then-eventual-purchase, view→clicks→purchase funnels, repeat
+    purchasing. Arbitrary-step sequences in one query, where the
+    funnel/transition operators cover 1-2 steps.
+
+    Exactness: the string is built in (ts, event_id) order on both
+    engines (sort_array of structs here, string_agg ORDER BY there) —
+    same string, same Java/RE2-portable regex results. Scale: one
+    user-keyed agg; the journey string is per-user bounded; regexes
+    run in whole-stage codegen over it."""
+    (e,) = load(spark, sf_dir, "events")
+    ch = (F.when(F.col("event_type") == "view", "v")
+           .when(F.col("event_type") == "click", "c")
+           .when(F.col("event_type") == "purchase", "p")
+           .otherwise("x"))
+    seq = (e.select("user_id", F.struct(F.col("ts"), F.col("event_id"),
+                                        ch.alias("ch")).alias("evt"))
+            .groupBy("user_id")
+            .agg(F.concat_ws("", F.expr(
+                "transform(array_sort(collect_list(evt)), x -> x.ch)"))
+                 .alias("s")))
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("s").rlike("v[^p]*p"), 1).otherwise(0))
+         .cast("long").alias("n_view_then_purchase"),
+        F.sum(F.when(F.col("s").rlike("vc+p"), 1).otherwise(0))
+         .cast("long").alias("n_view_click_purchase"),
+        F.sum(F.when(F.col("s").rlike("p.*p"), 1).otherwise(0))
+         .cast("long").alias("n_repeat_purchasers"))
