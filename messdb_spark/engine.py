@@ -15,6 +15,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .hashing import table_content_hash
@@ -161,6 +162,38 @@ class Engine:
         return {"copied": copied, "skipped": skipped}
 
     # -- maintenance ----------------------------------------------------
+    def verify_table(self, name: str) -> bool:
+        """Scrub: recompute the table's content digest from its stored
+        bytes and compare to its catalog address — bit-rot / partial-
+        write / tampering detection, the anti-entropy check every CAS
+        needs on a schedule (the reference gets the same property
+        implicitly because every load re-derives from hashed nodes).
+        One scan of the object, no shuffle beyond the digest agg."""
+        e = self.catalog.get(name)
+        if e is None:
+            raise KeyError(f"no such table: {name}")
+        from .hashing import bucket_content_hashes
+        from .plans.incremental import EMPTY, load_manifest
+        try:
+            ref = load_manifest(self.objects, e.table_hash)
+            if ref is None:
+                df = self.objects.load(self.spark, e.table_hash)
+                return table_content_hash(df) == e.table_hash
+            # bucketed: verify every bucket object against its manifest
+            for b, h in enumerate(ref.bucket_hashes):
+                if h == EMPTY:
+                    continue
+                df = self.objects.load(self.spark, h)
+                got = bucket_content_hashes(
+                    df.withColumn("__messdb_bucket", F.lit(b)),
+                    "__messdb_bucket")
+                if got.get(b) != h:
+                    return False
+            return True
+        except Exception:
+            # unreadable bytes (torn write, CRC mismatch, missing file)
+            # are corruption by definition
+            return False
     def compact_table(self, name: str,
                       target_bytes: int = 128 * 1024 * 1024) -> dict:
         """Small-file compaction: rewrite a table's object with file

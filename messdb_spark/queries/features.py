@@ -362,3 +362,77 @@ def exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .orderBy(F.col("cents").desc()).limit(1))
     return in_bucket.select(F.col("cents").alias("median_cents"),
                             F.lit(n_rows).cast("long").alias("n_rows"))
+
+
+@query(
+    "exact_median_per_segment",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS seg,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    n AS (SELECT seg, count(*) AS n_rows FROM c GROUP BY seg),
+    ranked AS (
+      SELECT seg, cents,
+             row_number() OVER (PARTITION BY seg ORDER BY cents) AS rn
+      FROM c
+    )
+    SELECT r.seg, r.cents AS median_cents, n.n_rows
+    FROM ranked r JOIN n USING (seg)
+    WHERE r.rn = (n.n_rows + 1) // 2
+    """)
+def exact_median_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED exact median by distributed selection — the per-group
+    generalization of ``exact_median_twopass``: ONE histogram pass
+    builds (group, bucket) counts, the driver walks each group's
+    cumulative histogram (groups x 1024 rows — small) to find its
+    target bucket, and ONE filtered second pass joins the per-group
+    bucket bounds (broadcast) and ranks only in-bucket rows — a window
+    over ~1/1024 of each group instead of a full per-group sort.
+
+    At 100 TB this is how you get exact per-group quantiles: two scans
+    plus a bucket-sized window, versus percentile_disc's full sort per
+    group, versus approx_percentile's error. All integer arithmetic."""
+    (o, c) = load(spark, sf_dir, "orders", "customer")
+    rows = (o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+             .select(F.col("c_mktsegment").alias("seg"),
+                     F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                      .cast("long").alias("cents")))
+    bounds = {r["seg"]: (r["lo"], r["hi"], r["n"]) for r in
+              rows.groupBy("seg").agg(F.min("cents").alias("lo"),
+                                      F.max("cents").alias("hi"),
+                                      F.count(F.lit(1)).alias("n")).collect()}
+    widths = {s: max(1, (hi - lo + 1024) // 1024)
+              for s, (lo, hi, _n) in bounds.items()}
+    w_map = F.create_map(*[x for s in bounds
+                           for x in (F.lit(s), F.lit(widths[s]))])
+    lo_map = F.create_map(*[x for s in bounds
+                            for x in (F.lit(s), F.lit(bounds[s][0]))])
+    hist = (rows.groupBy("seg",
+                         ((F.col("cents") - lo_map[F.col("seg")])
+                          / w_map[F.col("seg")]).cast("long").alias("b"))
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+    by_seg: dict = {}
+    for r in hist:
+        by_seg.setdefault(r["seg"], {})[r["b"]] = r["n"]
+    target = {}
+    for s, (lo, _hi, n) in bounds.items():
+        k = (n + 1) // 2
+        cum = 0
+        for b in sorted(by_seg[s]):
+            if cum + by_seg[s][b] >= k:
+                target[s] = (lo + b * widths[s],
+                             lo + (b + 1) * widths[s], k - cum, n)
+                break
+            cum += by_seg[s][b]
+    tgt = spark.createDataFrame(
+        [(s, blo, bhi, rk, n) for s, (blo, bhi, rk, n) in target.items()],
+        "seg string, b_lo long, b_hi long, rk long, n_rows long")
+    in_bucket = rows.join(F.broadcast(tgt), "seg").filter(
+        (F.col("cents") >= F.col("b_lo")) & (F.col("cents") < F.col("b_hi")))
+    wr = W.partitionBy("seg").orderBy("cents")
+    return (in_bucket.withColumn("rn", F.row_number().over(wr))
+                     .filter(F.col("rn") == F.col("rk"))
+                     .select("seg", F.col("cents").alias("median_cents"),
+                             "n_rows"))
