@@ -100,6 +100,10 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("-t", "--table", required=True)
     cp.add_argument("--target-mb", type=int, default=128)
 
+    vf = sub.add_parser("verify", help="scrub: recompute a table's content "
+                        "digest from stored bytes vs its catalog address")
+    vf.add_argument("-t", "--table", required=True)
+
     g = sub.add_parser("gc", help="mark-and-sweep unreferenced CAS objects")
     g.add_argument("--keep-versions", type=int, default=None,
                    help="catalog-history horizon (default: keep all)")
@@ -181,6 +185,10 @@ def main(argv: list[str] | None = None) -> int:
         stats = eng.compact_table(a.table,
                                   target_bytes=a.target_mb * 1024 * 1024)
         print(json.dumps({"ok": True, "table": a.table, **stats}))
+    elif a.cmd == "verify":
+        ok = eng.verify_table(a.table)
+        print(json.dumps({"ok": ok, "table": a.table}))
+        return 0 if ok else 1
     elif a.cmd == "gc":
         stats = eng.gc(keep_versions=a.keep_versions,
                        collect_memoized=a.collect_memoized,

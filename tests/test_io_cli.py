@@ -198,3 +198,23 @@ def test_cli_sync_verb(spark, warehouse, tmp_path):
     assert first["copied"] == 1 and first["skipped"] == 0
     second = _json.loads(run("sync", "-t", "t", "--dest", dest).splitlines()[-1])
     assert second["copied"] == 0 and second["skipped"] == 1
+
+
+def test_cli_verify_verb(spark, warehouse, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    def run(*args, expect_rc=0):
+        out = subprocess.run(
+            [sys.executable, "-m", "messdb_spark.cli", "-w", warehouse, *args],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert out.returncode == expect_rc, out.stderr[-2000:]
+        return out.stdout
+
+    run("sql", "-c", "CREATE TABLE t (k BIGINT PRIMARY KEY, v VARCHAR)")
+    p = tmp_path / "in.csv"
+    p.write_text("k,v\n1,a\n")
+    run("import-csv", "-t", "t", str(p))
+    res = _json.loads(run("verify", "-t", "t").splitlines()[-1])
+    assert res["ok"] is True
