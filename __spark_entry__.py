@@ -50,6 +50,7 @@ _CHECK_FIRST = [
     "zorder_locality_buckets", "countmin_heavy_hitters",
     "sequence_pattern_match", "stream_stream_join_replay",
     "exact_median_twopass", "exact_median_per_segment",
+    "incremental_map_view_refresh",
     # (2) changed in round 4: equal-ts as-of ordering, deterministic
     # session windows, posexploded sketch output, two-level fuzzy blocking
     "asof_join_purchase_view", "active_sessions_per_hour",

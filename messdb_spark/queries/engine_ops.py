@@ -564,3 +564,88 @@ def stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out.select("p_id", "v_id", F.col("p_user").alias("user_id"))
+
+
+from ..registry import REGISTRY as _REGISTRY
+
+_REGISTRY.transforms.pop("events_enrich", None)
+
+
+@_REGISTRY.transform("events_enrich", new_key_cols=("event_id",))
+def _events_enrich(df: DataFrame) -> DataFrame:
+    """Key-preserving enrichment: derive cents + value tier."""
+    cents = F.floor(F.coalesce("value", F.lit(0.0)) * 100 + F.lit(0.5)) \
+             .cast("long")
+    return df.select(
+        "event_id", "user_id", "event_type",
+        cents.alias("cents"),
+        F.when(cents >= 50000, "high").when(cents >= 5000, "mid")
+         .otherwise("low").alias("tier"),
+        "__messdb_ord")
+
+
+@query(
+    "incremental_map_view_refresh",
+    oracle="""
+    WITH all_events AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+      UNION ALL
+      SELECT event_id + 1000000000, user_id, event_type,
+             CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) + 1
+      FROM events WHERE event_id % 1000 = 0 AND event_id < 10000
+    )
+    SELECT event_id, user_id, event_type, cents,
+           CASE WHEN cents >= 50000 THEN 'high'
+                WHEN cents >= 5000 THEN 'mid'
+                ELSE 'low' END AS tier
+    FROM all_events
+    """)
+def incremental_map_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The key-preserving MATERIALIZED VIEW maintained incrementally
+    (``plans.incremental.incremental_map_view`` — per-bucket memo keyed
+    by op-tag ‖ transform key ‖ input bucket hash, the reference's
+    per-node memoize at bucket granularity): build the view over a
+    bucketed events table, upsert a small delta, refresh, and assert
+    in-body that ONLY the delta's buckets recomputed; the refreshed
+    view must hash-equal the transform over base∪delta. Completes the
+    driver-checked pair with the aggregation view
+    (``incremental_rollup_refresh``)."""
+    from ..operators.core import KeyedTable
+    from ..plans.incremental import (incremental_map_view,
+                                     incremental_upsert, read_bucketed,
+                                     write_bucketed)
+    from ..store import MemoStore, ObjectStore
+
+    (e,) = load(spark, sf_dir, "events")
+    base = e.select("event_id", "user_id", "event_type",
+                    F.coalesce("value", F.lit(0.0)).alias("value"))
+    delta = (e.filter((F.col("event_id") % 1000 == 0)
+                      & (F.col("event_id") < 10000))
+              .select((F.col("event_id") + 1_000_000_000).alias("event_id"),
+                      "user_id", "event_type",
+                      (F.coalesce("value", F.lit(0.0)) + 0.01).alias("value")))
+    tmp = tempfile.mkdtemp(prefix="messdb_mapview_")
+    try:
+        store = ObjectStore(os.path.join(tmp, "wh"))
+        memo = MemoStore(os.path.join(tmp, "wh"))
+        ref1 = write_bucketed(store, KeyedTable(base, ("event_id",)),
+                              n_buckets=32)
+        incremental_map_view(spark, store, memo, ref1, "events_enrich")
+        misses_full = memo.misses
+        ref2 = incremental_upsert(spark, store, ref1, delta)
+        n_changed = sum(1 for a, b in zip(ref1.bucket_hashes,
+                                          ref2.bucket_hashes) if a != b)
+        view_ref = incremental_map_view(spark, store, memo, ref2,
+                                        "events_enrich")
+        refresh_misses = memo.misses - misses_full
+        if refresh_misses > n_changed or n_changed == 0:
+            raise AssertionError(
+                f"map-view refresh recomputed {refresh_misses} buckets, "
+                f"delta changed {n_changed}")
+        out = read_bucketed(spark, store, view_ref).df \
+            .localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("event_id", "user_id", "event_type", "cents", "tier")
