@@ -51,6 +51,14 @@ _CHECK_FIRST = [
     "sequence_pattern_match", "stream_stream_join_replay",
     "exact_median_twopass", "exact_median_per_segment",
     "incremental_map_view_refresh",
+    # round-4 session 2: mining/diagnostics set (queries/mining.py)
+    "paragraph_dedup_stats", "ppjoin_jaccard_pairs",
+    "pagerank_customer_supplier", "mad_outlier_events",
+    "chisq_keywords_per_source", "join_skew_profile", "ewma_user_spend",
+    "data_quality_audit", "table_stats_profile",
+    # timestamp-family representatives (ADVICE: keep one green rep per
+    # family inside the checked window after any read-path change)
+    "events_gap_fill_hourly", "events_retention_cohorts",
     # (2) changed in round 4: equal-ts as-of ordering, deterministic
     # session windows, posexploded sketch output, two-level fuzzy blocking
     "asof_join_purchase_view", "active_sessions_per_hour",

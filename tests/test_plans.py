@@ -280,6 +280,64 @@ def test_round4_dedup_ops_never_cartesian(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_mining_ops_plan_shapes(spark, sf_dir):
+    """Session-2 mining operators keep their scale contracts: the
+    prefix-filter similarity join and PageRank stay equi-join-only (a
+    CartesianProduct in either is the O(n²)/O(V·E) regression their
+    designs exist to avoid); chi-square keyword marginals broadcast
+    (never a SortMergeJoin that shuffles the cell table per marginal);
+    MAD's per-type stats ride broadcast joins back to the fact rows."""
+    for name in ("ppjoin_jaccard_pairs", "pagerank_customer_supplier",
+                 "paragraph_dedup_stats"):
+        plan = plan_str(QUERIES[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    for name in ("chisq_keywords_per_source", "mad_outlier_events"):
+        plan = plan_str(QUERIES[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_ewma_exact_under_repartition(spark, sf_dir):
+    """The binary-weight EWMA must be partitioning-invariant: integer
+    weighted sums + one final divide give bit-identical output no
+    matter how the input is carved up (the property plain float EWMA
+    accumulation lacks)."""
+    from messdb_spark.queries import QUERIES as Q
+    from messdb_spark.session import read_table
+
+    base = {(r["user_id"]): (r["n_recent"], r["ewma_value"])
+            for r in Q["ewma_user_spend"].fn(spark, sf_dir).collect()}
+    # recompute from a deliberately re-carved input
+    e = read_table(spark, sf_dir, "events").repartition(13, "event_type")
+    e.createOrReplaceTempView("_ewma_recarved")
+    import messdb_spark.queries.mining as mining
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    c = e.select("user_id", "ts", "event_id",
+                 F.floor(F.coalesce("value", F.lit(0.0)) * 100 + F.lit(0.5))
+                  .cast("long").alias("cents"))
+    wu = W.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                          F.col("event_id").desc())
+    r = (c.withColumn("rn", F.row_number().over(wu))
+          .filter(F.col("rn") <= mining._EWMA_N))
+    again = {(row["user_id"]): (row["n_recent"], row["ewma_value"])
+             for row in (
+        r.groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n_recent"),
+              F.sum(F.expr(f"cents * shiftleft(CAST(1 AS BIGINT), "
+                           f"{mining._EWMA_N} - rn)")).alias("num"),
+              F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                           f"{mining._EWMA_N} - rn)")).alias("den"))
+         .select("user_id", "n_recent",
+                 mining.quantize(F.col("num").cast("double") / F.col("den")
+                                 / 100.0, 4).alias("ewma_value"))
+    ).collect()}
+    assert base == again
+
+
 def test_catalog_diff_is_single_full_outer(spark, sf_dir, warehouse):
     """diff_tables: one full-outer sort-merge/hash join on the key —
     no extra exchanges from the presence flags."""
