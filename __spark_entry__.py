@@ -56,13 +56,15 @@ _CHECK_FIRST = [
     "pagerank_customer_supplier", "mad_outlier_events",
     "chisq_keywords_per_source", "join_skew_profile", "ewma_user_spend",
     "data_quality_audit", "table_stats_profile",
-    # timestamp-family representatives (ADVICE: keep one green rep per
-    # family inside the checked window after any read-path change)
-    "events_gap_fill_hourly", "events_retention_cohorts",
     # (2) changed in round 4: equal-ts as-of ordering, deterministic
     # session windows, posexploded sketch output, two-level fuzzy blocking
     "asof_join_purchase_view", "active_sessions_per_hour",
     "approx_price_quantiles", "fuzzy_name_pairs",
+    # timestamp-family representatives (ADVICE: keep one green rep per
+    # family inside the checked window after any read-path change)
+    "events_gap_fill_hourly", "events_retention_cohorts",
+    # (2b) added after the round-4 budget filled — rolls to the r5 head
+    "frequent_part_pairs",
     # (3) oldest rows first: r1-only, then the r2 cohort in stable order
     "date_funcs_monthly_revenue", "multimodal_frame_sample",
     "core_merge_upsert", "core_merge_fold_sum", "core_sort_rekey",

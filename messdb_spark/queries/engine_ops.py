@@ -37,6 +37,21 @@ from pyspark.sql import functions as F
 from . import query, load, quantize
 
 
+def _write_id_splits(df, src_dir: str, n: int = 3) -> None:
+    """Write ``n`` single-file splits of ``df`` (split = event_id mod n)
+    in ONE job: a keyed repartition + partitionBy write replaces the
+    previous n filtered scans + coalesce(1) writes. Only for replays
+    whose state folds are arrival-order-insensitive (unique-key upsert,
+    complete-mode aggs, integer-sum state): the file stream source
+    orders same-mtime files arbitrarily, so each split must commute.
+    Order-critical (time-tercile) replays keep ordered sequential
+    writes."""
+    from pyspark.sql import functions as F  # local alias for clarity
+    (df.withColumn("__sp", F.pmod(F.col("event_id"), F.lit(n)).cast("int"))
+       .repartition(n, "__sp")
+       .write.partitionBy("__sp").mode("overwrite").parquet(src_dir))
+
+
 @contextlib.contextmanager
 def _replay_shuffle_partitions(spark: SparkSession, n: int = 8):
     """Streaming state-store operators fix their partition count from
@@ -84,11 +99,7 @@ def stream_replay_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="messdb_replay_")
     try:
         src_dir = os.path.join(tmp, "src")
-        for i in range(3):
-            (e.filter(F.col("event_id") % 3 == i)
-              .coalesce(1)   # one file per split => exactly 3 micro-batches
-              .write.mode("overwrite")
-              .parquet(os.path.join(src_dir, f"part{i}")))
+        _write_id_splits(e, src_dir)  # 3 files => 3 micro-batches
         eng = Engine(spark, os.path.join(tmp, "wh"))
         eng.ddl("CREATE TABLE replay (event_id BIGINT PRIMARY KEY, "
                 "user_id BIGINT, event_type VARCHAR, ts TIMESTAMP, "
@@ -259,11 +270,7 @@ def stream_windowed_counts_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     sink = f"win_replay_{uuid.uuid4().hex[:8]}"
     try:
         src_dir = os.path.join(tmp, "src")
-        for i in range(3):
-            (e.filter(F.col("event_id") % 3 == i)
-              .coalesce(1)
-              .write.mode("overwrite")
-              .parquet(os.path.join(src_dir, f"part{i}")))
+        _write_id_splits(e, src_dir)
         with _replay_shuffle_partitions(spark):
             stream = (spark.readStream
                       .schema(e.schema)
@@ -319,11 +326,7 @@ def stream_running_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"run_totals_{uuid.uuid4().hex[:8]}"
     try:
         src_dir = os.path.join(tmp, "src")
-        for i in range(3):
-            (e.filter(F.col("event_id") % 3 == i)
-              .coalesce(1)
-              .write.mode("overwrite")
-              .parquet(os.path.join(src_dir, f"part{i}")))
+        _write_id_splits(e, src_dir)
         with _replay_shuffle_partitions(spark):
             stream = (spark.readStream
                       .schema(e.schema)

@@ -2,7 +2,8 @@
 the north-star LLM-pipeline set, SURVEY.md §2.9): passage-level dedup,
 prefix-filtered exact similarity join, PageRank centrality, robust
 (median/MAD) outlier detection, chi-square keyword extraction, join-key
-skew profiling, and exact EWMA smoothing.
+skew profiling, exact EWMA smoothing, a Deequ-style data-quality audit,
+ANALYZE-style column statistics, and market-basket association mining.
 
 Cross-engine determinism discipline (driver hash gate): every formula
 is either (a) pure integer arithmetic (PageRank's damping is 4/5 with
@@ -101,7 +102,15 @@ def paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prefix-filtered exact-Jaccard similarity join (All-Pairs / PPJoin family)
 # ---------------------------------------------------------------------------
 
-_PP_K = 8  # char-shingle width (same family as text.py's _SHINGLE_K)
+# Char-shingle width. Deliberately WIDE (spans ~4-5 words of the
+# synthetic corpus): prefix filtering is only effective when element
+# frequencies are heavy-tailed-rare, and on a low-entropy corpus short
+# shingles are all common — measured at sf0.1, k=8 gives Σf² ≈ 5.6·10⁸
+# candidate mass (max f 3859) vs k=24's 1.6·10⁶ (max f 18), with the
+# SAME J ≥ 0.5 result set. Sizing the token so its entropy exceeds the
+# corpus's per-position entropy is the standard guard; on real text
+# (large vocab) k=8 would already be fine.
+_PP_K = 24
 
 
 @query(
@@ -149,8 +158,8 @@ _PP_K = 8  # char-shingle width (same family as text.py's _SHINGLE_K)
     FROM inter WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.5
     """)
 def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT-threshold similarity join (Jaccard >= 0.5 over 8-char
-    shingle sets) via prefix filtering — the All-Pairs/PPJoin guarantee:
+    """EXACT-threshold similarity join (Jaccard >= 0.5 over wide char
+    shingle sets, see _PP_K) via prefix filtering — the All-Pairs/PPJoin guarantee:
     under one global element order (rarest-first), two sets with
     J >= t must share an element within their first n - ceil(t*n) + 1
     elements, so only prefix collisions become candidates. Completes
@@ -171,12 +180,13 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           f"i -> CAST(conv(substring(md5(substring(text, i, {_PP_K})), 1, 15), "
           f"16, 10) AS BIGINT)))")
     ex = docs.select("doc_id", F.explode(F.expr(sh)).alias("h")).cache()
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
-    wdoc = W.partitionBy("doc_id").orderBy("f", "h")
+    # set size rides the same doc_id window partitioning as the prefix
+    # rank — no separate sizes agg + join (one fewer shuffle)
+    wdoc = W.partitionBy("doc_id")
     pref = (ex.join(freq, "h")
-              .join(sizes, "doc_id")
-              .withColumn("rn", F.row_number().over(wdoc))
+              .withColumn("n", F.count(F.lit(1)).over(wdoc))
+              .withColumn("rn", F.row_number().over(wdoc.orderBy("f", "h")))
               .filter(F.col("rn") <= F.expr("n - (n + 1) DIV 2 + 1"))
               .select("doc_id", "h", "n"))
     a, b = pref.alias("a"), pref.alias("b")
@@ -187,14 +197,16 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("b.doc_id").alias("db"),
                      F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
              .distinct())
+    # candidate list ≪ corpus: broadcast it through the verify joins so
+    # the only corpus-sized movement is one hash of ex per side
     ea = ex.select(F.col("doc_id").alias("da"), F.col("h").alias("ha"))
     eb = ex.select(F.col("doc_id").alias("db2"), F.col("h").alias("hb"))
-    inter = (cand.join(ea, "da")
-                 .join(eb, (F.col("db") == F.col("db2"))
-                           & (F.col("ha") == F.col("hb")))
-                 .groupBy("da", "db")
-                 .agg(F.first("na").alias("na"), F.first("nb").alias("nb"),
-                      F.count(F.lit(1)).alias("c")))
+    inter = (ea.join(F.broadcast(cand), "da")
+               .join(eb, (F.col("db") == F.col("db2"))
+                         & (F.col("ha") == F.col("hb")))
+               .groupBy("da", "db")
+               .agg(F.first("na").alias("na"), F.first("nb").alias("nb"),
+                    F.count(F.lit(1)).alias("c")))
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return (inter.filter(jac >= 0.5)
                  .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
@@ -271,7 +283,11 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = deg.select(F.col("src").alias("node"),
                    F.lit(_PR_R0).cast("long").alias("r"))
     for _ in range(_PR_ITERS):
-        r = (ed.join(r, ed.src == r.node)
+        # |V| ≪ |E|: the rank frame is the dim side, broadcast it so
+        # each iteration is a map-side join + ONE agg shuffle on dst.
+        # (When V outgrows broadcast, the fallback is co-partitioning
+        # ed and r on src/node and reusing that exchange per iter.)
+        r = (ed.join(F.broadcast(r), ed.src == r.node)
                .select(F.col("dst"), F.expr("r DIV deg").alias("con"))
                .groupBy("dst")
                .agg(F.expr(f"CAST({_PR_BASE} AS BIGINT) "
@@ -715,3 +731,53 @@ def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in outs[1:]:
         out = out.unionAll(x)
     return out
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence (association mining, A-priori level 2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "frequent_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, count(*) AS support
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    ),
+    ranked AS (
+      SELECT part_a, part_b, support,
+             row_number() OVER (ORDER BY support DESC, part_a, part_b) AS rn
+      FROM pairs WHERE support >= 2
+    )
+    SELECT part_a, part_b, support FROM ranked WHERE rn <= 20
+    """)
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (A-priori level 2): the top-20
+    part pairs most often bought together in one order — the
+    recommendation / bundling signal. Pure integer counts, rank
+    tiebroken on the pair ids, so the hash oracle is exact.
+
+    Scale: the pair generation is the per-basket self-join — fan-out
+    bounded by basket size squared (≤ 13² here, and in any real order
+    system two-digit), NEVER corpus-sized; the count agg map-side
+    combines on 16-byte pair keys. The top-20 is a TakeOrdered, no
+    global window. A-priori's support-threshold pruning (drop items
+    below min support before pairing) is the same broadcast-filter
+    pattern as ``benchmark_contamination`` when baskets are wider."""
+    (l,) = load(spark, sf_dir, "lineitem")
+    items = l.select(F.col("l_orderkey").alias("o"),
+                     F.col("l_partkey").alias("p")).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (a.join(b, (F.col("a.o") == F.col("b.o"))
+                       & (F.col("a.p") < F.col("b.p")))
+              .groupBy(F.col("a.p").alias("part_a"),
+                       F.col("b.p").alias("part_b"))
+              .agg(F.count(F.lit(1)).alias("support"))
+              .filter(F.col("support") >= 2))
+    return (pairs.orderBy(F.col("support").desc(), "part_a", "part_b")
+                 .limit(20)
+                 .select("part_a", "part_b", "support"))
