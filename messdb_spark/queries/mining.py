@@ -3,7 +3,8 @@ the north-star LLM-pipeline set, SURVEY.md §2.9): passage-level dedup,
 prefix-filtered exact similarity join, PageRank centrality, robust
 (median/MAD) outlier detection, chi-square keyword extraction, join-key
 skew profiling, exact EWMA smoothing, a Deequ-style data-quality audit,
-ANALYZE-style column statistics, and market-basket association mining.
+ANALYZE-style column statistics, market-basket association mining,
+hopping windows in batch mode, and rolling exact medians.
 
 Cross-engine determinism discipline (driver hash gate): every formula
 is either (a) pure integer arithmetic (PageRank's damping is 4/5 with
@@ -159,7 +160,8 @@ _PP_K = 24
     """)
 def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-threshold similarity join (Jaccard >= 0.5 over wide char
-    shingle sets, see _PP_K) via prefix filtering — the All-Pairs/PPJoin guarantee:
+    shingle sets, see _PP_K) via prefix filtering — the
+    All-Pairs/PPJoin guarantee:
     under one global element order (rarest-first), two sets with
     J >= t must share an element within their first n - ceil(t*n) + 1
     elements, so only prefix collisions become candidates. Completes
@@ -228,7 +230,9 @@ def _pr_oracle() -> str:
     for i in range(1, _PR_ITERS + 1):
         its.append(
             f"it{i} AS (SELECT e.dst AS node, "
-            f"{_PR_BASE} + (4 * sum(r.r // d.deg)) // 5 AS r "
+            # CAST: DuckDB's sum(BIGINT) widens to HUGEINT, which the
+            # driver's (type, value) hash can't match to Spark's BIGINT
+            f"CAST({_PR_BASE} + (4 * sum(r.r // d.deg)) // 5 AS BIGINT) AS r "
             f"FROM edges e JOIN deg d ON d.src = e.src "
             f"JOIN {prev} r ON r.node = e.src GROUP BY e.dst)")
         prev = f"it{i}"
@@ -781,3 +785,92 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.orderBy(F.col("support").desc(), "part_a", "part_b")
                  .limit(20)
                  .select("part_a", "part_b", "support"))
+
+
+# ---------------------------------------------------------------------------
+# hopping (sliding) windows in batch mode
+# ---------------------------------------------------------------------------
+
+@query(
+    "hopping_window_counts",
+    oracle="""
+    WITH hops AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - j * INTERVAL '15 minutes' AS window_start,
+             event_type,
+             CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+      FROM events, unnest([0, 1, 2, 3]) AS t(j)
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           event_type, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM hops GROUP BY window_start, event_type
+    """)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) event-time windows in batch mode: 1-hour
+    windows advancing every 15 minutes, so each event lands in exactly
+    4 overlapping windows — the smoothed-rate view dashboards want,
+    complementing the tumbling/session replays in the streaming layer
+    (the same ``F.window`` spec runs unchanged under readStream).
+    Value folded as BIGINT cents — exact.
+
+    Scale: Spark's window() assignment is a map-side generate (4 rows
+    per event, a constant), then one partial-aggregated shuffle on
+    (window, type) — cardinality = time-range/slide × types, not event
+    count. The epoch-aligned window origin matches DuckDB's
+    time_bucket, so both engines assign identical windows."""
+    (e,) = load(spark, sf_dir, "events")
+    cents = F.floor(F.coalesce("value", F.lit(0.0)) * 100 + F.lit(0.5)) \
+             .cast("long")
+    return (e.select(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                     "event_type", cents.alias("cents"))
+             .groupBy("w", "event_type")
+             .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+             .select(F.col("w.start").alias("window_start"),
+                     F.col("w.end").alias("window_end"),
+                     "event_type", "n", "cents"))
+
+
+# ---------------------------------------------------------------------------
+# rolling exact median (robust rolling statistics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rolling_median_user_value",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, user_id,
+           floor(CAST(median(cents) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / 100.0 * 10000.0 + 0.5) / 10000.0 AS med5_value
+    FROM c
+    """)
+def rolling_median_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median of each user's last 5 event values — the
+    robust trend line (a rolling mean follows every spike; the rolling
+    median doesn't). Pairs with ``mad_outlier_events`` (global robust
+    stats) as the windowed variant.
+
+    Exactness: BIGINT cents in, so the 5-row exact median is an
+    integer or an exact half — bit-equal across engines (module doc).
+    Scale: one per-user window with a constant 5-row frame — state is
+    O(frame), partitioning grows with users; the percentile aggregate
+    over a ROWS frame recomputes per row over 5 values, a constant."""
+    from pyspark.sql.window import Window
+    (e,) = load(spark, sf_dir, "events")
+    c = e.select(
+        "event_id", "user_id", "ts",
+        F.floor(F.coalesce("value", F.lit(0.0)) * 100 + F.lit(0.5))
+         .cast("long").alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(-4, 0))
+    return c.select(
+        "event_id", "user_id",
+        quantize(F.expr("percentile(cents, 0.5)").over(w) / 100.0, 4)
+         .alias("med5_value"))
