@@ -1,0 +1,173 @@
+"""Catalog branching — git-like named lines of table history.
+
+The reference's stated heritage is Noms ("borrowing ideas from Noms
+and Nix", ``/root/reference/README.md:1-4``), and Noms IS the
+git-for-data database: versioned, content-addressed, branch-and-merge.
+The reference itself stops at one mutable root cell
+(``messdb-repo/src/MessDB/Repo.hs:75-77``); this module completes the
+Noms move on top of the engine's existing machinery — no new storage
+concepts:
+
+- a BRANCH is a name → (head, base) pair of catalog ROOT VERSIONS
+  (the append-only ``roots/root-v{N}`` archive every swap already
+  writes);
+- CHECKOUT restores the branch head's root as a new version
+  (``Catalog.restore_version`` — history stays linear/append-only,
+  like a git checkout recorded as a commit);
+- a POINTER MERGE (table changed on one side only) copies the catalog
+  entry — zero data movement, because tables are immutable
+  content-addressed objects shared by every root that references them;
+- a 3-WAY MERGE (same table changed on both sides) resolves at KEY
+  granularity: a key changed on one side takes that side's row; a key
+  changed on both sides to the same value is no conflict; a key
+  changed on both sides differently is a conflict — fail (default),
+  or take ``theirs``/``ours``.
+
+Scale: branch/checkout/pointer-merge are O(catalog) metadata ops that
+never touch table bytes. The 3-way merge is one 3-frame key-hash
+full-outer join (8-byte key + 8-byte xxhash row digests — row WIDTH
+never shuffles) followed by two semi-joins against the winning sides;
+unchanged tables cost nothing. That is the same untouched-work-is-free
+dividend as the memo layer (``Trie.hs:346-348``), applied to history.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.core import KeyedTable
+from .store import _atomic_write_json, _read_json
+
+
+class MergeConflict(Exception):
+    """Raised when a merge cannot resolve under the given policy."""
+
+
+@dataclass(frozen=True)
+class BranchInfo:
+    head: int   # catalog root version this branch points at
+    base: int   # fork point (root version when branched / last merged)
+
+
+class BranchManager:
+    """Branch name → (head, base) bookkeeping, stored next to the
+    catalog root (``branches.json``). The active branch's head follows
+    every catalog write (Engine hooks ``advance_active``)."""
+
+    def __init__(self, warehouse: str) -> None:
+        self.path = os.path.join(warehouse, "branches.json")
+
+    def _load(self) -> dict:
+        return _read_json(self.path, {"active": None, "branches": {}})
+
+    def _save(self, state: dict) -> None:
+        _atomic_write_json(self.path, state)
+
+    def list(self) -> dict[str, BranchInfo]:
+        s = self._load()
+        return {n: BranchInfo(b["head"], b["base"])
+                for n, b in s["branches"].items()}
+
+    def get(self, name: str) -> BranchInfo:
+        b = self._load()["branches"].get(name)
+        if b is None:
+            raise KeyError(f"no such branch: {name}")
+        return BranchInfo(b["head"], b["base"])
+
+    def active(self) -> str | None:
+        return self._load()["active"]
+
+    def create(self, name: str, version: int) -> None:
+        s = self._load()
+        if name in s["branches"]:
+            raise ValueError(f"branch exists: {name}")
+        s["branches"][name] = {"head": version, "base": version}
+        self._save(s)
+
+    def set_active(self, name: str | None) -> None:
+        s = self._load()
+        s["active"] = name
+        self._save(s)
+
+    def set_head(self, name: str, version: int) -> None:
+        s = self._load()
+        s["branches"][name]["head"] = version
+        self._save(s)
+
+    def set_base(self, name: str, version: int) -> None:
+        s = self._load()
+        s["branches"][name]["base"] = version
+        self._save(s)
+
+    def advance_active(self, version: int) -> None:
+        s = self._load()
+        a = s["active"]
+        if a is not None and a in s["branches"]:
+            s["branches"][a]["head"] = version
+            self._save(s)
+
+
+def three_way_merge(base: KeyedTable | None, ours: KeyedTable,
+                    theirs: KeyedTable, policy: str = "fail",
+                    table_name: str = "?") -> tuple[DataFrame, int]:
+    """Key-granular 3-way merge; returns (merged rows, n_conflicts).
+
+    Classification per key (row digest = xxhash64 over the sorted
+    column list — null-safe, order-fixed):
+      theirs-changed  = digest(theirs) ≠ digest(base)   [incl. add/del]
+      ours-changed    = digest(ours)   ≠ digest(base)
+      conflict        = both changed AND digest(theirs) ≠ digest(ours)
+    Winner: theirs when theirs-changed and (ours unchanged, or both
+    landed on the same row, or policy == "theirs"); ours otherwise.
+    The winning side missing the key ⇒ the key is deleted.
+    """
+    if policy not in ("fail", "ours", "theirs"):
+        raise ValueError(f"unknown merge policy: {policy}")
+    keys = list(ours.key_cols)
+    vcols = sorted(ours.df.columns)
+    if sorted(theirs.df.columns) != vcols or \
+            tuple(theirs.key_cols) != tuple(ours.key_cols):
+        raise MergeConflict(
+            f"{table_name}: schema/key mismatch between branches")
+
+    def kh(t: KeyedTable | None, alias: str) -> DataFrame | None:
+        if t is None:
+            return None
+        return t.df.select(
+            *keys, F.xxhash64(*[F.col(c) for c in vcols]).alias(alias))
+
+    j = kh(ours, "h_o")
+    b = kh(base, "h_b")
+    t = kh(theirs, "h_t")
+    j = j.join(t, on=keys, how="full_outer")
+    if b is not None:
+        j = j.join(b, on=keys, how="full_outer")
+    else:
+        j = j.withColumn("h_b", F.lit(None).cast("long"))
+
+    tc = ~F.col("h_t").eqNullSafe(F.col("h_b"))
+    oc = ~F.col("h_o").eqNullSafe(F.col("h_b"))
+    same = F.col("h_t").eqNullSafe(F.col("h_o"))
+    conflict = tc & oc & ~same
+
+    n_conflicts = j.filter(conflict).count()
+    if n_conflicts and policy == "fail":
+        sample = [tuple(r[k] for k in keys)
+                  for r in j.filter(conflict).select(*keys).head(5)]
+        raise MergeConflict(
+            f"{table_name}: {n_conflicts} key(s) changed differently on "
+            f"both branches, e.g. {sample}; re-merge with "
+            f"policy='theirs' or policy='ours'")
+
+    take_theirs = tc & (~oc | same | F.lit(policy == "theirs"))
+    wk = j.select(*keys, take_theirs.alias("w")).cache()
+    t_keys = wk.filter(F.col("w")).select(*keys)
+    o_keys = wk.filter(~F.col("w")).select(*keys)
+    merged = (theirs.df.join(t_keys, on=keys, how="left_semi")
+              .unionByName(ours.df.join(o_keys, on=keys, how="left_semi")))
+    return merged, n_conflicts

@@ -104,6 +104,20 @@ def main(argv: list[str] | None = None) -> int:
                         "digest from stored bytes vs its catalog address")
     vf.add_argument("-t", "--table", required=True)
 
+    br = sub.add_parser("branch", help="create a branch at the current "
+                        "root (or list branches with no name)")
+    br.add_argument("name", nargs="?")
+
+    co = sub.add_parser("checkout", help="switch the catalog to a branch")
+    co.add_argument("name")
+
+    mg = sub.add_parser("merge", help="merge a branch into the active line "
+                        "(pointer merge when one side changed; key-granular "
+                        "3-way otherwise)")
+    mg.add_argument("name")
+    mg.add_argument("--policy", choices=["fail", "ours", "theirs"],
+                    default="fail")
+
     g = sub.add_parser("gc", help="mark-and-sweep unreferenced CAS objects")
     g.add_argument("--keep-versions", type=int, default=None,
                    help="catalog-history horizon (default: keep all)")
@@ -189,6 +203,27 @@ def main(argv: list[str] | None = None) -> int:
         ok = eng.verify_table(a.table)
         print(json.dumps({"ok": ok, "table": a.table}))
         return 0 if ok else 1
+    elif a.cmd == "branch":
+        if a.name:
+            eng.create_branch(a.name)
+            print(json.dumps({"ok": True, "branch": a.name,
+                              "at_version": eng.catalog.current_version()}))
+        else:
+            print(json.dumps({
+                "active": eng.branches.active(),
+                "branches": {n: {"head": b.head, "base": b.base}
+                             for n, b in eng.branches.list().items()}}))
+    elif a.cmd == "checkout":
+        v = eng.checkout(a.name)
+        print(json.dumps({"ok": True, "branch": a.name, "version": v}))
+    elif a.cmd == "merge":
+        from .branches import MergeConflict
+        try:
+            actions = eng.merge_branch(a.name, policy=a.policy)
+        except MergeConflict as e:
+            print(json.dumps({"ok": False, "conflict": str(e)}))
+            return 1
+        print(json.dumps({"ok": True, "merged": a.name, "actions": actions}))
     elif a.cmd == "gc":
         stats = eng.gc(keep_versions=a.keep_versions,
                        collect_memoized=a.collect_memoized,

@@ -45,6 +45,8 @@ class Engine:
             raise ValueError(f"unknown manifest backend: {manifest_backend}")
         self.materializer = Materializer(spark, self.objects, self.memo,
                                          table_content_hash)
+        from .branches import BranchManager
+        self.branches = BranchManager(warehouse)
 
     # -- catalog write path (R2 saveRepoTable, Repo.hs:115-118) --------
     def save_table(self, name: str, table: KeyedTable) -> str:
@@ -52,7 +54,7 @@ class Engine:
         # the plan evaluates exactly once, so nondeterministic plans
         # can't store bytes that mismatch their content address
         h = self.objects.put(table.df, table_content_hash)
-        self.catalog.put(name, CatalogEntry(
+        self._register(name, CatalogEntry(
             table_hash=h,
             schema_json=table.df.schema.json(),
             key_cols=list(table.key_cols)))
@@ -65,10 +67,99 @@ class Engine:
         any plain table."""
         from .plans.incremental import save_manifest
         h = save_manifest(self.objects, ref)
-        self.catalog.put(name, CatalogEntry(
+        self._register(name, CatalogEntry(
             table_hash=h, schema_json=ref.schema_json,
             key_cols=list(ref.key_cols)))
         return h
+
+    def _register(self, name: str, entry: CatalogEntry) -> int:
+        """Catalog put + active-branch head advance (every write path
+        funnels here so a checked-out branch tracks its commits)."""
+        v = self.catalog.put(name, entry)
+        self.branches.advance_active(v)
+        return v
+
+    # -- branches (Noms-style; see branches.py module doc) -------------
+    def create_branch(self, name: str) -> None:
+        """Fork a branch at the current root. The first branch ever
+        created also registers ``main`` for the implicit current line
+        and makes it active, so checkout/merge are symmetric."""
+        v = self.catalog.current_version()
+        if self.branches.active() is None and \
+                "main" not in self.branches.list():
+            self.branches.create("main", v)
+            self.branches.set_active("main")
+        self.branches.create(name, v)
+
+    def checkout(self, name: str) -> int:
+        """Switch the working catalog to a branch: restore its head
+        root as a new version (append-only history) and activate it."""
+        info = self.branches.get(name)
+        v = self.catalog.restore_version(info.head)
+        self.branches.set_head(name, v)
+        self.branches.set_active(name)
+        return v
+
+    def merge_branch(self, name: str, policy: str = "fail") -> dict:
+        """Merge branch ``name`` into the ACTIVE line. Per table:
+        changed on one side only → pointer merge (catalog entry copy,
+        zero data movement — CAS); changed on both → key-granular
+        3-way merge (``branches.three_way_merge``); deleted on the
+        only-changed side → dropped. Returns {table: action}. After a
+        successful merge the branch's fork base advances to its head,
+        so re-merging is a no-op."""
+        from .branches import MergeConflict, three_way_merge
+
+        info = self.branches.get(name)
+        base_v, theirs_v = info.base, info.head
+        actions: dict[str, str] = {}
+        names = set(self.catalog.names()) | set(self.catalog.names(theirs_v)) \
+            | set(self.catalog.names(base_v))
+        for n in sorted(names):
+            eb = self.catalog.get(n, version=base_v)
+            eo = self.catalog.get(n)
+            et = self.catalog.get(n, version=theirs_v)
+            hb = eb.table_hash if eb else None
+            ho = eo.table_hash if eo else None
+            ht = et.table_hash if et else None
+            if ht == hb or ht == ho:
+                actions[n] = "unchanged"
+                continue
+            if ho == hb:                       # changed only on theirs
+                if et is None:
+                    v = self.catalog.drop(n)
+                    self.branches.advance_active(v)
+                    actions[n] = "pointer_drop"
+                else:
+                    self._register(n, et)      # pointer merge, no data
+                    actions[n] = "pointer_merge"
+                continue
+            # both sides changed differently → key-granular 3-way
+            if eo is None or et is None:
+                if policy == "fail":
+                    raise MergeConflict(
+                        f"{n}: deleted on one branch but changed on the "
+                        f"other; re-merge with policy='theirs'/'ours'")
+                if policy == "theirs":
+                    if et is None:
+                        v = self.catalog.drop(n)
+                        self.branches.advance_active(v)
+                        actions[n] = "pointer_drop"
+                    else:
+                        self._register(n, et)
+                        actions[n] = "pointer_merge"
+                else:
+                    actions[n] = "kept_ours"
+                continue
+            base_t = self.load_table(n, version=base_v) if eb else None
+            ours_t = self.load_table(n)
+            theirs_t = self.load_table(n, version=theirs_v)
+            merged, n_conf = three_way_merge(base_t, ours_t, theirs_t,
+                                             policy=policy, table_name=n)
+            self.save_table(n, KeyedTable(merged, ours_t.key_cols))
+            actions[n] = f"three_way({n_conf} conflicts)"
+        self.branches.set_base(name, theirs_v)
+        return actions
 
     # -- catalog read path (R1 getRepoTable, Repo.hs:100-111) ----------
     def load_table(self, name: str, version: int | None = None) -> KeyedTable:

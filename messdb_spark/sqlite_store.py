@@ -134,6 +134,11 @@ class SqliteCatalog:
         root.pop(name, None)
         return self._swap_root(root)
 
+    def restore_version(self, version: int) -> int:
+        """Archived root → current again, as a NEW version (append-only
+        history; see ``store.Catalog.restore_version``)."""
+        return self._swap_root(self._load_root(version))
+
     def prune_roots(self, min_version: int) -> int:
         cur = self._con.execute(
             "SELECT count(*) FROM repo_root WHERE version < ?",

@@ -275,6 +275,12 @@ class Catalog:
         root.pop(name, None)
         return self._swap_root(root)
 
+    def restore_version(self, version: int) -> int:
+        """Make an archived root current again (as a NEW version — the
+        linear history is append-only, like a git checkout recorded as
+        a commit). The branch layer (``branches.py``) builds on this."""
+        return self._swap_root(self._load_root(version))
+
     def prune_roots(self, min_version: int) -> int:
         """Delete archived roots older than ``min_version`` (bounds the
         time-travel horizon so GC can reclaim their objects)."""

@@ -1,0 +1,175 @@
+"""Branch/checkout/merge — the Noms move (git-for-data) on the catalog.
+
+Contract under test: branches fork metadata only; checkout restores a
+branch head as a new root version (append-only history); a table
+changed on one side merges by POINTER (no data job — asserted from the
+object-store save counters); tables changed on both sides merge at key
+granularity with conflict detection and explicit policies; deletes
+propagate; re-merge after a merge is a no-op (fork base advances)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from messdb_spark.branches import MergeConflict
+from messdb_spark.engine import Engine
+from messdb_spark.operators.core import KeyedTable
+
+
+def _t(spark, rows):
+    return KeyedTable(
+        spark.createDataFrame(rows, "k bigint, v string"), ("k",))
+
+
+@pytest.fixture()
+def eng(spark, warehouse):
+    return Engine(spark, warehouse)
+
+
+def rows(eng, name):
+    return {r["k"]: r["v"] for r in eng.load_table(name).df.collect()}
+
+
+def test_branch_isolation_and_checkout(eng, spark):
+    eng.save_table("t", _t(spark, [(1, "a"), (2, "b")]))
+    eng.create_branch("dev")
+    eng.checkout("dev")
+    eng.save_table("t", _t(spark, [(1, "a"), (2, "DEV")]))
+    assert rows(eng, "t") == {1: "a", 2: "DEV"}
+    eng.checkout("main")
+    # main unaffected by dev's commit
+    assert rows(eng, "t") == {1: "a", 2: "b"}
+    eng.checkout("dev")
+    assert rows(eng, "t") == {1: "a", 2: "DEV"}
+
+
+def test_pointer_merge_moves_no_data(eng, spark):
+    eng.save_table("t", _t(spark, [(1, "a")]))
+    eng.save_table("other", _t(spark, [(9, "z")]))
+    eng.create_branch("dev")
+    eng.checkout("dev")
+    eng.save_table("t", _t(spark, [(1, "a"), (2, "new")]))
+    dev_hash = eng.table_hash("t")
+    eng.checkout("main")
+    saves_before = eng.objects.saves
+    actions = eng.merge_branch("dev")
+    assert actions["t"] == "pointer_merge"
+    assert actions["other"] == "unchanged"
+    # CAS pointer copy: the merge wrote NO new objects
+    assert eng.objects.saves == saves_before
+    assert eng.table_hash("t") == dev_hash
+    assert rows(eng, "t") == {1: "a", 2: "new"}
+
+
+def test_three_way_merge_disjoint_keys(eng, spark):
+    eng.save_table("t", _t(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    eng.create_branch("dev")
+    eng.checkout("dev")
+    eng.save_table("t", _t(spark, [(1, "a"), (2, "DEV"), (3, "c"),
+                                   (4, "added")]))
+    eng.checkout("main")
+    eng.save_table("t", _t(spark, [(1, "MAIN"), (2, "b")]))  # del 3, chg 1
+    actions = eng.merge_branch("dev")
+    assert actions["t"].startswith("three_way(0 conflicts")
+    # both sides' changes land: 1=MAIN (ours), 2=DEV (theirs), 3 deleted
+    # by ours (theirs didn't touch it), 4 added by theirs
+    assert rows(eng, "t") == {1: "MAIN", 2: "DEV", 4: "added"}
+
+
+def test_conflicting_key_fails_then_resolves(eng, spark):
+    eng.save_table("t", _t(spark, [(1, "base")]))
+    eng.create_branch("dev")
+    eng.checkout("dev")
+    eng.save_table("t", _t(spark, [(1, "theirs")]))
+    eng.checkout("main")
+    eng.save_table("t", _t(spark, [(1, "ours")]))
+    with pytest.raises(MergeConflict):
+        eng.merge_branch("dev")
+    actions = eng.merge_branch("dev", policy="theirs")
+    assert actions["t"] == "three_way(1 conflicts)"
+    assert rows(eng, "t") == {1: "theirs"}
+
+
+def test_conflict_same_value_both_sides_is_clean(eng, spark):
+    eng.save_table("t", _t(spark, [(1, "base"), (2, "b")]))
+    eng.create_branch("dev")
+    eng.checkout("dev")
+    eng.save_table("t", _t(spark, [(1, "same"), (2, "b")]))
+    eng.checkout("main")
+    eng.save_table("t", _t(spark, [(1, "same"), (2, "b")]))
+    actions = eng.merge_branch("dev")   # both changed key 1 identically
+    assert rows(eng, "t") == {1: "same", 2: "b"}
+    assert "conflict" not in str(actions["t"]) or \
+        actions["t"] in ("unchanged",) or "0 conflicts" in actions["t"]
+
+
+def test_remerge_is_noop_and_policy_ours(eng, spark):
+    eng.save_table("t", _t(spark, [(1, "base")]))
+    eng.create_branch("dev")
+    eng.checkout("dev")
+    eng.save_table("t", _t(spark, [(1, "theirs")]))
+    eng.checkout("main")
+    eng.save_table("t", _t(spark, [(1, "ours")]))
+    actions = eng.merge_branch("dev", policy="ours")
+    assert rows(eng, "t") == {1: "ours"}
+    # fork base advanced to the merged head: re-merge sees no change
+    actions2 = eng.merge_branch("dev", policy="fail")
+    assert actions2["t"] == "unchanged"
+
+
+def test_table_added_on_branch_only(eng, spark):
+    eng.save_table("t", _t(spark, [(1, "a")]))
+    eng.create_branch("dev")
+    eng.checkout("dev")
+    eng.save_table("feat", _t(spark, [(10, "x")]))
+    eng.checkout("main")
+    actions = eng.merge_branch("dev")
+    assert actions["feat"] == "pointer_merge"
+    assert rows(eng, "feat") == {10: "x"}
+
+
+def test_table_dropped_on_branch_only(eng, spark):
+    eng.save_table("t", _t(spark, [(1, "a")]))
+    eng.save_table("tmp", _t(spark, [(5, "q")]))
+    eng.create_branch("dev")
+    eng.checkout("dev")
+    eng.catalog.drop("tmp")
+    eng.branches.advance_active(eng.catalog.current_version())
+    eng.checkout("main")
+    actions = eng.merge_branch("dev")
+    assert actions["tmp"] == "pointer_drop"
+    assert eng.catalog.get("tmp") is None
+
+
+def test_branching_on_sqlite_backend(spark, warehouse):
+    """restore_version + branches work identically on the sqlite
+    manifest backend (the reference's own backend choice)."""
+    eng = Engine(spark, warehouse, manifest_backend="sqlite")
+    eng.save_table("t", _t(spark, [(1, "a")]))
+    eng.create_branch("dev")
+    eng.checkout("dev")
+    eng.save_table("t", _t(spark, [(1, "a"), (2, "sq")]))
+    eng.checkout("main")
+    assert rows(eng, "t") == {1: "a"}
+    actions = eng.merge_branch("dev")
+    assert actions["t"] == "pointer_merge"
+    assert rows(eng, "t") == {1: "a", 2: "sq"}
+
+
+def test_branch_cli_roundtrip(spark, warehouse, tmp_path):
+    """CLI verbs: branch / checkout / merge drive the same engine paths
+    (subprocess-free — the CLI main() is importable)."""
+    import json as _json
+
+    from messdb_spark.cli import main
+
+    eng = Engine(spark, warehouse)
+    eng.save_table("t", _t(spark, [(1, "a")]))
+    assert main(["-w", warehouse, "branch", "dev"]) == 0
+    assert main(["-w", warehouse, "checkout", "dev"]) == 0
+    eng2 = Engine(spark, warehouse)
+    eng2.save_table("t", _t(spark, [(1, "a"), (2, "cli")]))
+    assert main(["-w", warehouse, "checkout", "main"]) == 0
+    assert main(["-w", warehouse, "merge", "dev"]) == 0
+    assert rows(Engine(spark, warehouse), "t") == {1: "a", 2: "cli"}
