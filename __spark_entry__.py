@@ -65,7 +65,7 @@ _CHECK_FIRST = [
     "events_gap_fill_hourly", "events_retention_cohorts",
     # (2b) added after the round-4 budget filled — rolls to the r5 head
     "frequent_part_pairs", "hopping_window_counts",
-    "rolling_median_user_value",
+    "rolling_median_user_value", "branch_merge_replay",
     # (3) oldest rows first: r1-only, then the r2 cohort in stable order
     "date_funcs_monthly_revenue", "multimodal_frame_sample",
     "core_merge_upsert", "core_merge_fold_sum", "core_sort_rekey",

@@ -652,3 +652,94 @@ def incremental_map_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out.select("event_id", "user_id", "event_type", "cents", "tier")
+
+
+@query(
+    "branch_merge_replay",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    -- survivors of both branches' deletes, with each side's disjoint
+    -- edits applied (dev: %100<3 gets +5; main: %100 in 50..52 doubles)
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 100 < 3 THEN cents + 5
+                WHEN o_orderkey % 100 BETWEEN 50 AND 52 THEN cents * 2
+                ELSE cents END AS cents
+    FROM base
+    WHERE o_orderkey % 100 != 7 AND o_orderkey % 100 != 57
+    UNION ALL
+    -- rows inserted on the dev branch
+    SELECT o_orderkey + 1000000000, o_custkey, cents + 1
+    FROM base WHERE o_orderkey % 100 = 7
+    """)
+def branch_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BRANCH/MERGE feature end-to-end under the driver gate
+    (``branches.py`` — the Noms git-for-data move): a table forks onto
+    a dev branch, BOTH branches diverge (dev: update %100<3, delete
+    %100==7, insert shifted copies; main: double %100 in 50..52,
+    delete %100==57 — disjoint key sets), and the key-granular 3-way
+    merge must produce exactly the union of both edit sets. The oracle
+    reproduces the MERGE SEMANTICS independently as plain SQL over the
+    base table, so a merge that loses, duplicates, or misattributes
+    any key breaks the hash. In-body asserts: branch isolation before
+    the merge, zero conflicts, and a second untouched-on-main table
+    pointer-merging to dev's exact content hash (the CAS zero-copy
+    path).
+
+    Scale: the only data job is the one 3-way merged table (key-digest
+    full-outer join + two semi-joins); branch/checkout/pointer-merge
+    are catalog-metadata ops regardless of table size."""
+    from ..engine import Engine
+    from ..operators.core import KeyedTable
+
+    (o,) = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+         .alias("cents"))
+    tmp = tempfile.mkdtemp(prefix="messdb_branch_")
+    try:
+        eng = Engine(spark, os.path.join(tmp, "wh"))
+        eng.save_table("t", KeyedTable(base, ("o_orderkey",)))
+        eng.save_table("side", KeyedTable(
+            base.filter(F.col("o_orderkey") % 100 == 0), ("o_orderkey",)))
+        eng.create_branch("dev")
+        eng.checkout("dev")
+        dev = (base.filter(F.col("o_orderkey") % 100 != 7)
+                   .withColumn("cents",
+                               F.when(F.col("o_orderkey") % 100 < 3,
+                                      F.col("cents") + 5)
+                                .otherwise(F.col("cents")))
+                   .unionByName(
+                       base.filter(F.col("o_orderkey") % 100 == 7)
+                           .select((F.col("o_orderkey") + 1_000_000_000)
+                                   .alias("o_orderkey"), "o_custkey",
+                                   (F.col("cents") + 1).alias("cents"))))
+        eng.save_table("t", KeyedTable(dev, ("o_orderkey",)))
+        eng.save_table("side", KeyedTable(
+            base.filter(F.col("o_orderkey") % 200 == 0), ("o_orderkey",)))
+        side_dev_hash = eng.table_hash("side")
+        eng.checkout("main")
+        # branch isolation: main must not see dev's commits
+        if eng.table_hash("side") == side_dev_hash:
+            raise AssertionError("branch isolation broken: main sees dev")
+        main = (base.filter(F.col("o_orderkey") % 100 != 57)
+                    .withColumn("cents",
+                                F.when((F.col("o_orderkey") % 100 >= 50)
+                                       & (F.col("o_orderkey") % 100 <= 52),
+                                       F.col("cents") * 2)
+                                 .otherwise(F.col("cents"))))
+        eng.save_table("t", KeyedTable(main, ("o_orderkey",)))
+        actions = eng.merge_branch("dev")
+        if actions["t"] != "three_way(0 conflicts)":
+            raise AssertionError(f"unexpected merge action: {actions['t']}")
+        if actions["side"] != "pointer_merge" \
+                or eng.table_hash("side") != side_dev_hash:
+            raise AssertionError("pointer merge did not adopt dev's hash")
+        out = eng.load_table("t").df.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("o_orderkey", "o_custkey", "cents")
