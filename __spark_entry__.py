@@ -60,12 +60,15 @@ _CHECK_FIRST = [
     # session windows, posexploded sketch output, two-level fuzzy blocking
     "asof_join_purchase_view", "active_sessions_per_hour",
     "approx_price_quantiles", "fuzzy_name_pairs",
-    # timestamp-family representatives (ADVICE: keep one green rep per
-    # family inside the checked window after any read-path change)
+    # (2b) added after the round-4 budget filled: the engine-feature
+    # showcase takes the last in-budget slot; the rest roll to the r5
+    # head (all locally parity-green at sf0.001 + sf0.01)
+    "branch_merge_replay", "frequent_part_pairs", "hopping_window_counts",
+    "rolling_median_user_value",
+    # timestamp-family representatives (ADVICE) — the round-4 changed
+    # group above already re-checks asof/session/streaming timestamp
+    # consumers; these two old-green reps rotate next
     "events_gap_fill_hourly", "events_retention_cohorts",
-    # (2b) added after the round-4 budget filled — rolls to the r5 head
-    "frequent_part_pairs", "hopping_window_counts",
-    "rolling_median_user_value", "branch_merge_replay",
     # (3) oldest rows first: r1-only, then the r2 cohort in stable order
     "date_funcs_monthly_revenue", "multimodal_frame_sample",
     "core_merge_upsert", "core_merge_fold_sum", "core_sort_rekey",

@@ -200,9 +200,15 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
              .distinct())
     # candidate list ≪ corpus: broadcast it through the verify joins so
-    # the only corpus-sized movement is one hash of ex per side
+    # NO corpus-sized frame shuffles — ea rides a broadcast join where
+    # it sits, and eb is broadcast-semi-filtered to candidate docs
+    # before its shuffle (candidate shingles only, not the corpus)
+    cand = cand.cache()
     ea = ex.select(F.col("doc_id").alias("da"), F.col("h").alias("ha"))
-    eb = ex.select(F.col("doc_id").alias("db2"), F.col("h").alias("hb"))
+    eb = (ex.select(F.col("doc_id").alias("db2"), F.col("h").alias("hb"))
+            .join(F.broadcast(cand.select(F.col("db").alias("db2"))
+                              .distinct()),
+                  "db2", "left_semi"))
     inter = (ea.join(F.broadcast(cand), "da")
                .join(eb, (F.col("db") == F.col("db2"))
                          & (F.col("ha") == F.col("hb")))
