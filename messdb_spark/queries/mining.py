@@ -4,7 +4,8 @@ prefix-filtered exact similarity join, PageRank centrality, robust
 (median/MAD) outlier detection, chi-square keyword extraction, join-key
 skew profiling, exact EWMA smoothing, a Deequ-style data-quality audit,
 ANALYZE-style column statistics, market-basket association mining,
-hopping windows in batch mode, and rolling exact medians.
+hopping windows in batch mode, rolling exact medians, and
+linear-interpolation missing-value imputation.
 
 Cross-engine determinism discipline (driver hash gate): every formula
 is either (a) pure integer arithmetic (PageRank's damping is 4/5 with
@@ -880,3 +881,90 @@ def rolling_median_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         quantize(F.expr("percentile(cents, 0.5)").over(w) / 100.0, 4)
          .alias("med5_value"))
+
+
+# ---------------------------------------------------------------------------
+# time-series imputation: linear interpolation of missing values
+# ---------------------------------------------------------------------------
+
+@query(
+    "linear_interpolation_fill",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+             CASE WHEN value IS NULL THEN NULL
+                  ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
+      FROM events
+    ),
+    nav AS (
+      SELECT event_id, user_id, t, cents,
+             last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN cents IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+             first_value(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN cents IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM c
+    )
+    SELECT event_id, user_id, (cents IS NULL) AS was_null,
+           floor(CASE
+             WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                 * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+             WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE)
+             ELSE CAST(nv AS DOUBLE)
+           END / 100.0 * 10000.0 + 0.5) / 10000.0 AS filled_value
+    FROM nav
+    """)
+def linear_interpolation_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation over a real gap pattern (events.value
+    is genuinely null for ~several %% of rows — the audit query counts
+    them): per user, a null value fills by LINEAR INTERPOLATION in
+    event time between the nearest non-null neighbors, falling back to
+    last/next-observation-carried at the sequence edges. The standard
+    sensor/metrics repair pass.
+
+    Exactness: neighbors and timestamps are BIGINTs (cents, epoch
+    micros); the one interpolation expression is an identical chain of
+    correctly-rounded double ops on both engines (module doc), then
+    quantized. Scale: two navigation windows per user partition (state
+    = one value+timestamp pair each direction), no joins at all."""
+    (e,) = load(spark, sf_dir, "events")
+    c = e.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.when(F.col("value").isNull(), F.lit(None).cast("long"))
+         .otherwise(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+         .alias("cents"))
+    back = (W.partitionBy("user_id").orderBy("t", "event_id")
+             .rowsBetween(W.unboundedPreceding, -1))
+    fwd = (W.partitionBy("user_id").orderBy("t", "event_id")
+            .rowsBetween(1, W.unboundedFollowing))
+    t_nn = F.when(F.col("cents").isNotNull(), F.col("t"))
+    nav = c.select(
+        "event_id", "user_id", "t", "cents",
+        F.last("cents", ignorenulls=True).over(back).alias("pv"),
+        F.last(t_nn, ignorenulls=True).over(back).alias("pt"),
+        F.first("cents", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(t_nn, ignorenulls=True).over(fwd).alias("nt"))
+    filled = F.when(
+        F.col("cents").isNotNull(), F.col("cents").cast("double")
+    ).when(
+        F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+        F.col("pv").cast("double")
+        + (F.col("nv").cast("double") - F.col("pv").cast("double"))
+        * ((F.col("t") - F.col("pt")).cast("double")
+           / (F.col("nt") - F.col("pt")).cast("double"))
+    ).when(F.col("pv").isNotNull(), F.col("pv").cast("double")
+    ).otherwise(F.col("nv").cast("double"))
+    return nav.select(
+        "event_id", "user_id",
+        F.col("cents").isNull().alias("was_null"),
+        quantize(filled / 100.0, 4).alias("filled_value"))
