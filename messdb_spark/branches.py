@@ -33,7 +33,6 @@ dividend as the memo layer (``Trie.hs:346-348``), applied to history.
 
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass
 
@@ -114,11 +113,16 @@ class BranchManager:
 
 def three_way_merge(base: KeyedTable | None, ours: KeyedTable,
                     theirs: KeyedTable, policy: str = "fail",
-                    table_name: str = "?") -> tuple[DataFrame, int]:
-    """Key-granular 3-way merge; returns (merged rows, n_conflicts).
+                    table_name: str = "?"
+                    ) -> tuple[DataFrame, int, DataFrame]:
+    """Key-granular 3-way merge; returns (merged rows, n_conflicts,
+    pinned winner-key frame — the caller unpersists it after the
+    merged rows are materialized).
 
     Classification per key (row digest = xxhash64 over the sorted
-    column list — null-safe, order-fixed):
+    column list, each column paired with its isNull flag — Spark's
+    xxhash64 SKIPS null inputs, so without the flags ('x', NULL) and
+    (NULL, 'x') would collide and a real edit could silently vanish):
       theirs-changed  = digest(theirs) ≠ digest(base)   [incl. add/del]
       ours-changed    = digest(ours)   ≠ digest(base)
       conflict        = both changed AND digest(theirs) ≠ digest(ours)
@@ -134,12 +138,20 @@ def three_way_merge(base: KeyedTable | None, ours: KeyedTable,
             tuple(theirs.key_cols) != tuple(ours.key_cols):
         raise MergeConflict(
             f"{table_name}: schema/key mismatch between branches")
+    if dict(ours.df.dtypes) != dict(theirs.df.dtypes):
+        raise MergeConflict(
+            f"{table_name}: column types diverged between branches")
+    if base is not None and sorted(base.df.columns) != vcols:
+        raise MergeConflict(
+            f"{table_name}: schema evolved since the fork point; "
+            f"re-create the branch from the current root")
 
     def kh(t: KeyedTable | None, alias: str) -> DataFrame | None:
         if t is None:
             return None
-        return t.df.select(
-            *keys, F.xxhash64(*[F.col(c) for c in vcols]).alias(alias))
+        hashed = [x for c in vcols
+                  for x in (F.col(c), F.col(c).isNull())]
+        return t.df.select(*keys, F.xxhash64(*hashed).alias(alias))
 
     j = kh(ours, "h_o")
     b = kh(base, "h_b")
@@ -154,20 +166,25 @@ def three_way_merge(base: KeyedTable | None, ours: KeyedTable,
     oc = ~F.col("h_o").eqNullSafe(F.col("h_b"))
     same = F.col("h_t").eqNullSafe(F.col("h_o"))
     conflict = tc & oc & ~same
+    take_theirs = tc & (~oc | same | F.lit(policy == "theirs"))
 
-    n_conflicts = j.filter(conflict).count()
+    # one evaluation of the 3-frame join: winner flag + conflict flag
+    # ride the same cached key frame (conflict count, conflict sample,
+    # and both semi-join sides all read from it)
+    wk = j.select(*keys, take_theirs.alias("w"),
+                  conflict.alias("conf")).cache()
+    n_conflicts = wk.filter(F.col("conf")).count()
     if n_conflicts and policy == "fail":
         sample = [tuple(r[k] for k in keys)
-                  for r in j.filter(conflict).select(*keys).head(5)]
+                  for r in wk.filter(F.col("conf")).select(*keys).head(5)]
+        wk.unpersist()
         raise MergeConflict(
             f"{table_name}: {n_conflicts} key(s) changed differently on "
             f"both branches, e.g. {sample}; re-merge with "
             f"policy='theirs' or policy='ours'")
 
-    take_theirs = tc & (~oc | same | F.lit(policy == "theirs"))
-    wk = j.select(*keys, take_theirs.alias("w")).cache()
     t_keys = wk.filter(F.col("w")).select(*keys)
     o_keys = wk.filter(~F.col("w")).select(*keys)
     merged = (theirs.df.join(t_keys, on=keys, how="left_semi")
               .unionByName(ours.df.join(o_keys, on=keys, how="left_semi")))
-    return merged, n_conflicts
+    return merged, n_conflicts, wk

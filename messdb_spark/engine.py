@@ -154,9 +154,12 @@ class Engine:
             base_t = self.load_table(n, version=base_v) if eb else None
             ours_t = self.load_table(n)
             theirs_t = self.load_table(n, version=theirs_v)
-            merged, n_conf = three_way_merge(base_t, ours_t, theirs_t,
-                                             policy=policy, table_name=n)
-            self.save_table(n, KeyedTable(merged, ours_t.key_cols))
+            merged, n_conf, pinned = three_way_merge(
+                base_t, ours_t, theirs_t, policy=policy, table_name=n)
+            try:
+                self.save_table(n, KeyedTable(merged, ours_t.key_cols))
+            finally:
+                pinned.unpersist()
             actions[n] = f"three_way({n_conf} conflicts)"
         self.branches.set_base(name, theirs_v)
         return actions

@@ -178,7 +178,13 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     length n - (n+1) DIV 2 + 1 is pure integer math on both engines."""
     par = spark.sparkContext.defaultParallelism
     (d,) = load(spark, sf_dir, "documents")
-    docs = d.filter(F.length("text") >= _PP_K).repartition(par)
+    docs = d.filter(F.length("text") >= _PP_K)
+    # local[] artifact: the testdata corpus is ONE small parquet file
+    # (one input split), which would serialize the md5 shingle scan on
+    # a single core. Spread it only in that case; at scale the input
+    # has thousands of splits and the text never moves.
+    if docs.rdd.getNumPartitions() < par // 2:
+        docs = docs.repartition(par)
     sh = (f"array_distinct(transform(sequence(1, length(text) - {_PP_K - 1}), "
           f"i -> CAST(conv(substring(md5(substring(text, i, {_PP_K})), 1, 15), "
           f"16, 10) AS BIGINT)))")
@@ -371,8 +377,11 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.first("med").alias("med"),
         F.expr("percentile(dev, 0.5)").alias("mad"))
-    out = (j.select("event_type", "dev")
-            .join(F.broadcast(stats), "event_type")
+    # third pass re-derives dev from the base cents + broadcast stats
+    # (NOT from j): referencing j here would embed its subtree twice
+    # and run the expensive grouped exact median twice per execution
+    out = (c.join(F.broadcast(stats), "event_type")
+            .withColumn("dev", F.abs(F.col("cents") - F.col("med")))
             .groupBy("event_type")
             .agg(F.first("n").alias("n"), F.first("med").alias("med"),
                  F.first("mad").alias("mad"),
@@ -869,14 +878,13 @@ def rolling_median_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one per-user window with a constant 5-row frame — state is
     O(frame), partitioning grows with users; the percentile aggregate
     over a ROWS frame recomputes per row over 5 values, a constant."""
-    from pyspark.sql.window import Window
     (e,) = load(spark, sf_dir, "events")
     c = e.select(
         "event_id", "user_id", "ts",
         F.floor(F.coalesce("value", F.lit(0.0)) * 100 + F.lit(0.5))
          .cast("long").alias("cents"))
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
-               .rowsBetween(-4, 0))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-4, 0))
     return c.select(
         "event_id", "user_id",
         quantize(F.expr("percentile(cents, 0.5)").over(w) / 100.0, 4)
@@ -915,7 +923,7 @@ def rolling_median_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, (cents IS NULL) AS was_null,
            floor(CASE
              WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
-             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+             WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt != pt THEN
                CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
                  * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
              WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE)
@@ -954,10 +962,14 @@ def linear_interpolation_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(t_nn, ignorenulls=True).over(back).alias("pt"),
         F.first("cents", ignorenulls=True).over(fwd).alias("nv"),
         F.first(t_nn, ignorenulls=True).over(fwd).alias("nt"))
+    # nt != pt guard: both neighbors can share one micro-timestamp
+    # (nanos-truncated ts) — 0/0 there is NULL on Spark but NaN on
+    # DuckDB, so the degenerate case must fall through to LOCF
     filled = F.when(
         F.col("cents").isNotNull(), F.col("cents").cast("double")
     ).when(
-        F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+        F.col("pv").isNotNull() & F.col("nv").isNotNull()
+        & (F.col("nt") != F.col("pt")),
         F.col("pv").cast("double")
         + (F.col("nv").cast("double") - F.col("pv").cast("double"))
         * ((F.col("t") - F.col("pt")).cast("double")

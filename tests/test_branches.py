@@ -142,6 +142,50 @@ def test_table_dropped_on_branch_only(eng, spark):
     assert eng.catalog.get("tmp") is None
 
 
+def test_null_column_swap_is_a_detected_change(eng, spark):
+    """Spark's xxhash64 skips NULL inputs, so without per-column null
+    flags the rows ('x', NULL) and (NULL, 'x') would digest equal and
+    a branch edit that moves a value between nullable columns would
+    silently vanish from the merge. Pin the fix: the swap IS detected
+    and theirs' edit lands."""
+    def t2(rows):
+        return KeyedTable(
+            spark.createDataFrame(rows, "k bigint, a string, b string"),
+            ("k",))
+
+    eng.save_table("t", t2([(1, "x", None), (2, "m", "m")]))
+    eng.create_branch("dev")
+    eng.checkout("dev")
+    # dev: value moves a -> b on key 1
+    eng.save_table("t", t2([(1, None, "x"), (2, "m", "m")]))
+    eng.checkout("main")
+    # main: edits key 2, forcing the KEY-GRANULAR 3-way path (a
+    # one-side-only change would pointer-merge and never hit digests)
+    eng.save_table("t", t2([(1, "x", None), (2, "M", "m")]))
+    actions = eng.merge_branch("dev")
+    assert actions["t"] == "three_way(0 conflicts)"
+    got = {r["k"]: (r["a"], r["b"])
+           for r in eng.load_table("t").df.collect()}
+    assert got == {1: (None, "x"), 2: ("M", "m")}
+
+
+def test_schema_evolution_raises_clean_conflict(eng, spark):
+    """Both branches adding a column (or diverging types) must raise
+    MergeConflict, not an AnalysisException mid-merge."""
+    eng.save_table("t", _t(spark, [(1, "a")]))
+    eng.create_branch("dev")
+    eng.checkout("dev")
+    eng.save_table("t", KeyedTable(
+        spark.createDataFrame([(1, "a", 7)], "k bigint, v string, w bigint"),
+        ("k",)))
+    eng.checkout("main")
+    eng.save_table("t", KeyedTable(
+        spark.createDataFrame([(1, "a", 1.5)], "k bigint, v string, w double"),
+        ("k",)))
+    with pytest.raises(MergeConflict):
+        eng.merge_branch("dev")
+
+
 def test_branching_on_sqlite_backend(spark, warehouse):
     """restore_version + branches work identically on the sqlite
     manifest backend (the reference's own backend choice)."""
