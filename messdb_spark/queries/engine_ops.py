@@ -660,7 +660,7 @@ def incremental_map_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT o_orderkey, o_custkey,
              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-      FROM orders
+      FROM orders WHERE o_orderkey % 3 = 0
     )
     -- survivors of both branches' deletes, with each side's disjoint
     -- edits applied (dev: %100<3 gets +5; main: %100 in 50..52 doubles)
@@ -696,10 +696,13 @@ def branch_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.core import KeyedTable
 
     (o,) = load(spark, sf_dir, "orders")
-    base = o.select(
-        "o_orderkey", "o_custkey",
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-         .alias("cents"))
+    # 1/3 slice: the demo writes THREE content-hashed versions of this
+    # table (base, dev, main) plus the merged result — same code paths
+    # at a third of the bench IO
+    base = (o.filter(F.col("o_orderkey") % 3 == 0)
+             .select("o_orderkey", "o_custkey",
+                     F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                      .cast("long").alias("cents")))
     tmp = tempfile.mkdtemp(prefix="messdb_branch_")
     try:
         eng = Engine(spark, os.path.join(tmp, "wh"))
