@@ -65,6 +65,7 @@ _CHECK_FIRST = [
     # head (all locally parity-green at sf0.001 + sf0.01)
     "branch_merge_replay", "frequent_part_pairs", "hopping_window_counts",
     "rolling_median_user_value", "linear_interpolation_fill",
+    "weighted_doc_sample", "simpson_diversity_users",
     # timestamp-family representatives (ADVICE) — the round-4 changed
     # group above already re-checks asof/session/streaming timestamp
     # consumers; these two old-green reps rotate next

@@ -980,3 +980,97 @@ def linear_interpolation_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.col("cents").isNull().alias("was_null"),
         quantize(filled / 100.0, 4).alias("filled_value"))
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling via hash priorities (reservoir-style, deterministic)
+# ---------------------------------------------------------------------------
+
+@query(
+    "weighted_doc_sample",
+    oracle="""
+    WITH pr AS (
+      SELECT source, doc_id, n_chars,
+             CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 15)) AS BIGINT) AS DOUBLE)
+               / n_chars AS priority
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY priority, doc_id) AS rn
+      FROM pr
+    )
+    SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 10
+    """)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement (10 docs per source,
+    inclusion odds ∝ n_chars): each doc gets priority hash(id)/weight
+    and the k smallest priorities win — the hash-priority variant of
+    reservoir sampling (A-Res family) with the random draw replaced by
+    a content hash, so the sample is REPRODUCIBLE across runs, engines
+    and repartitionings (the property a training-data pipeline needs
+    for auditable subsets). The usual u^(1/w) form needs pow — not
+    correctly rounded across libms — while hash/weight is one exact
+    division, identical on both engines.
+
+    Scale: priorities are map-only; the per-stratum top-k runs as a
+    rank window that WindowGroupLimit prunes map-side (each partition
+    keeps ≤ k candidates before the shuffle), the same shape as
+    ``stratified_sample_per_lang``."""
+    (d,) = load(spark, sf_dir, "documents")
+    pr = (d.filter(F.col("n_chars") > 0)
+           .select("source", "doc_id", "n_chars",
+                   (F.conv(F.md5(F.col("doc_id").cast("string"))
+                           .substr(1, 15), 16, 10).cast("bigint")
+                    .cast("double") / F.col("n_chars")).alias("priority")))
+    w = W.partitionBy("source").orderBy("priority", "doc_id")
+    return (pr.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 10)
+              .select("source", "doc_id", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# behavioral diversity: Gini-Simpson index (log-free entropy analog)
+# ---------------------------------------------------------------------------
+
+@query(
+    "simpson_diversity_users",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    agg AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+             count(*) AS n_types, CAST(sum(c * c) AS BIGINT) AS ss
+      FROM cnt GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           floor((1.0 - CAST(ss AS DOUBLE) / (n_events * n_events))
+                 * 1000000.0 + 0.5) / 1000000.0 AS simpson_diversity
+    FROM agg
+    """)
+def simpson_diversity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity as the GINI-SIMPSON index
+    1 − Σpᵢ² over the user's event-type distribution — the quality/
+    anomaly signal (bots repeat one action → index ≈ 0) a pipeline
+    would normally reach for Shannon entropy to get; Simpson is chosen
+    because it is a pure RATIONAL statistic: Σc² and n² are exact
+    BIGINTs and one division + subtraction are correctly-rounded — no
+    `ln`, so both engines agree bit-for-bit (module doc).
+
+    Scale: two map-side-combined aggregations, (user, type) then user;
+    state is types-bounded per user; no windows, no joins."""
+    (e,) = load(spark, sf_dir, "events")
+    cnt = (e.groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("c")))
+    return (cnt.groupBy("user_id")
+               .agg(F.sum("c").alias("n_events"),
+                    F.count(F.lit(1)).alias("n_types"),
+                    F.sum(F.col("c") * F.col("c")).alias("ss"))
+               .select("user_id", "n_events", "n_types",
+                       quantize(F.lit(1.0) - F.col("ss").cast("double")
+                                / (F.col("n_events") * F.col("n_events")),
+                                6).alias("simpson_diversity")))
