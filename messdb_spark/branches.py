@@ -56,10 +56,19 @@ class BranchInfo:
 class BranchManager:
     """Branch name → (head, base) bookkeeping, stored next to the
     catalog root (``branches.json``). The active branch's head follows
-    every catalog write (Engine hooks ``advance_active``)."""
+    every catalog write (Engine hooks ``advance_active``).
 
-    def __init__(self, warehouse: str) -> None:
+    Crash safety (two files, atomic-rename each): Engine advances the
+    head to the NEXT version BEFORE the root swap, so a durably
+    committed root is never left behind a stale head. The inverse
+    window — head written, root swap never happened — is healed on
+    read: ``current_version`` (when wired) clamps a head pointing past
+    the newest real root back down, so the phantom version is simply
+    invisible."""
+
+    def __init__(self, warehouse: str, current_version=None) -> None:
         self.path = os.path.join(warehouse, "branches.json")
+        self._current_version = current_version
 
     def _load(self) -> dict:
         return _read_json(self.path, {"active": None, "branches": {}})
@@ -67,16 +76,21 @@ class BranchManager:
     def _save(self, state: dict) -> None:
         _atomic_write_json(self.path, state)
 
+    def _clamp(self, v: int) -> int:
+        if self._current_version is None:
+            return v
+        return min(v, self._current_version())
+
     def list(self) -> dict[str, BranchInfo]:
         s = self._load()
-        return {n: BranchInfo(b["head"], b["base"])
+        return {n: BranchInfo(self._clamp(b["head"]), self._clamp(b["base"]))
                 for n, b in s["branches"].items()}
 
     def get(self, name: str) -> BranchInfo:
         b = self._load()["branches"].get(name)
         if b is None:
             raise KeyError(f"no such branch: {name}")
-        return BranchInfo(b["head"], b["base"])
+        return BranchInfo(self._clamp(b["head"]), self._clamp(b["base"]))
 
     def active(self) -> str | None:
         return self._load()["active"]
@@ -101,6 +115,17 @@ class BranchManager:
     def set_base(self, name: str, version: int) -> None:
         s = self._load()
         s["branches"][name]["base"] = version
+        self._save(s)
+
+    def activate(self, name: str, version: int) -> None:
+        """Set head AND active in ONE atomic write (checkout path —
+        splitting them would open a window where the new branch is
+        active with its pre-restore head)."""
+        s = self._load()
+        if name not in s["branches"]:
+            raise KeyError(f"no such branch: {name}")
+        s["branches"][name]["head"] = version
+        s["active"] = name
         self._save(s)
 
     def advance_active(self, version: int) -> None:

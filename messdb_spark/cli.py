@@ -205,7 +205,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0 if ok else 1
     elif a.cmd == "branch":
         if a.name:
-            eng.create_branch(a.name)
+            try:
+                eng.create_branch(a.name)
+            except ValueError as e:          # branch exists
+                print(json.dumps({"ok": False, "error": str(e)}))
+                return 1
             print(json.dumps({"ok": True, "branch": a.name,
                               "at_version": eng.catalog.current_version()}))
         else:
@@ -214,7 +218,11 @@ def main(argv: list[str] | None = None) -> int:
                 "branches": {n: {"head": b.head, "base": b.base}
                              for n, b in eng.branches.list().items()}}))
     elif a.cmd == "checkout":
-        v = eng.checkout(a.name)
+        try:
+            v = eng.checkout(a.name)
+        except KeyError as e:                # no such branch
+            print(json.dumps({"ok": False, "error": str(e.args[0])}))
+            return 1
         print(json.dumps({"ok": True, "branch": a.name, "version": v}))
     elif a.cmd == "merge":
         from .branches import MergeConflict
@@ -222,6 +230,10 @@ def main(argv: list[str] | None = None) -> int:
             actions = eng.merge_branch(a.name, policy=a.policy)
         except MergeConflict as e:
             print(json.dumps({"ok": False, "conflict": str(e)}))
+            return 1
+        except (KeyError, ValueError) as e:  # no such branch / bad policy
+            print(json.dumps({"ok": False, "error": str(
+                e.args[0] if e.args else e)}))
             return 1
         print(json.dumps({"ok": True, "merged": a.name, "actions": actions}))
     elif a.cmd == "gc":

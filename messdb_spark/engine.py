@@ -45,8 +45,17 @@ class Engine:
             raise ValueError(f"unknown manifest backend: {manifest_backend}")
         self.materializer = Materializer(spark, self.objects, self.memo,
                                          table_content_hash)
-        from .branches import BranchManager
-        self.branches = BranchManager(warehouse)
+        if manifest_backend == "sqlite":
+            # branch state rides the SAME sqlite file (and, in
+            # _register, the same transaction) as the catalog root —
+            # the two-file torn-write window of the JSON backend
+            # doesn't exist here
+            from .sqlite_store import SqliteBranchManager
+            self.branches = SqliteBranchManager(self.catalog)
+        else:
+            from .branches import BranchManager
+            self.branches = BranchManager(
+                warehouse, current_version=self.catalog.current_version)
 
     # -- catalog write path (R2 saveRepoTable, Repo.hs:115-118) --------
     def save_table(self, name: str, table: KeyedTable) -> str:
@@ -74,10 +83,39 @@ class Engine:
 
     def _register(self, name: str, entry: CatalogEntry) -> int:
         """Catalog put + active-branch head advance (every write path
-        funnels here so a checked-out branch tracks its commits)."""
-        v = self.catalog.put(name, entry)
-        self.branches.advance_active(v)
-        return v
+        funnels here so a checked-out branch tracks its commits).
+
+        Crash ordering (JSON backend — two separate files): the branch
+        head is advanced to the NEXT version BEFORE the root swap. A
+        crash between the two leaves the head pointing at a version
+        that never materialized, which reads clamp back to the real
+        current version (``BranchManager`` head clamp) — the write
+        simply never happened. The old order (root first, head second)
+        could instead leave a DURABLY COMMITTED root behind a stale
+        head, so the next checkout would silently revert it. Version
+        prediction is safe under the single-writer contract the JSON
+        backend already assumes; the sqlite backend does both writes
+        in one transaction and ignores the ordering question."""
+        txn = getattr(self.catalog, "transaction", None)
+        if txn is not None:
+            with txn():
+                v = self.catalog.put(name, entry)
+                self.branches.advance_active(v)
+            return v
+        self.branches.advance_active(self.catalog.current_version() + 1)
+        return self.catalog.put(name, entry)
+
+    def _drop(self, name: str) -> int:
+        """Catalog drop + head advance, same crash ordering as
+        ``_register``."""
+        txn = getattr(self.catalog, "transaction", None)
+        if txn is not None:
+            with txn():
+                v = self.catalog.drop(name)
+                self.branches.advance_active(v)
+            return v
+        self.branches.advance_active(self.catalog.current_version() + 1)
+        return self.catalog.drop(name)
 
     # -- branches (Noms-style; see branches.py module doc) -------------
     def create_branch(self, name: str) -> None:
@@ -96,8 +134,10 @@ class Engine:
         root as a new version (append-only history) and activate it."""
         info = self.branches.get(name)
         v = self.catalog.restore_version(info.head)
-        self.branches.set_head(name, v)
-        self.branches.set_active(name)
+        # head + active move in ONE atomic write; a crash between the
+        # restore and the activate leaves the old branch active with
+        # its (still correct) old head — re-running the checkout heals
+        self.branches.activate(name, v)
         return v
 
     def merge_branch(self, name: str, policy: str = "fail") -> dict:
@@ -107,62 +147,89 @@ class Engine:
         3-way merge (``branches.three_way_merge``); deleted on the
         only-changed side → dropped. Returns {table: action}. After a
         successful merge the branch's fork base advances to its head,
-        so re-merging is a no-op."""
+        so re-merging is a no-op.
+
+        ATOMIC: a ``MergeConflict`` raised on any table (delete-vs-
+        change under policy='fail', schema drift, or a key conflict)
+        rolls the active line back to its pre-merge root — earlier
+        tables' pointer/3-way merges are undone and the branch head
+        restored, so a user who declines the merge loses nothing.
+        (Objects written by a rolled-back 3-way stay in the CAS as
+        garbage; the next ``gc`` sweeps them.)"""
         from .branches import MergeConflict, three_way_merge
 
+        if policy not in ("fail", "ours", "theirs"):
+            raise ValueError(f"unknown merge policy: {policy!r} "
+                             f"(expected 'fail', 'ours' or 'theirs')")
         info = self.branches.get(name)
         base_v, theirs_v = info.base, info.head
+        v0 = self.catalog.current_version()
         actions: dict[str, str] = {}
         names = set(self.catalog.names()) | set(self.catalog.names(theirs_v)) \
             | set(self.catalog.names(base_v))
-        for n in sorted(names):
-            eb = self.catalog.get(n, version=base_v)
-            eo = self.catalog.get(n)
-            et = self.catalog.get(n, version=theirs_v)
-            hb = eb.table_hash if eb else None
-            ho = eo.table_hash if eo else None
-            ht = et.table_hash if et else None
-            if ht == hb or ht == ho:
-                actions[n] = "unchanged"
-                continue
-            if ho == hb:                       # changed only on theirs
-                if et is None:
-                    v = self.catalog.drop(n)
-                    self.branches.advance_active(v)
-                    actions[n] = "pointer_drop"
-                else:
-                    self._register(n, et)      # pointer merge, no data
-                    actions[n] = "pointer_merge"
-                continue
-            # both sides changed differently → key-granular 3-way
-            if eo is None or et is None:
-                if policy == "fail":
-                    raise MergeConflict(
-                        f"{n}: deleted on one branch but changed on the "
-                        f"other; re-merge with policy='theirs'/'ours'")
-                if policy == "theirs":
+        try:
+            for n in sorted(names):
+                eb = self.catalog.get(n, version=base_v)
+                eo = self.catalog.get(n)
+                et = self.catalog.get(n, version=theirs_v)
+                hb = eb.table_hash if eb else None
+                ho = eo.table_hash if eo else None
+                ht = et.table_hash if et else None
+                if ht == hb or ht == ho:
+                    actions[n] = "unchanged"
+                    continue
+                if ho == hb:                   # changed only on theirs
                     if et is None:
-                        v = self.catalog.drop(n)
-                        self.branches.advance_active(v)
+                        self._drop(n)
                         actions[n] = "pointer_drop"
                     else:
-                        self._register(n, et)
+                        self._register(n, et)  # pointer merge, no data
                         actions[n] = "pointer_merge"
-                else:
-                    actions[n] = "kept_ours"
-                continue
-            base_t = self.load_table(n, version=base_v) if eb else None
-            ours_t = self.load_table(n)
-            theirs_t = self.load_table(n, version=theirs_v)
-            merged, n_conf, pinned = three_way_merge(
-                base_t, ours_t, theirs_t, policy=policy, table_name=n)
-            try:
-                self.save_table(n, KeyedTable(merged, ours_t.key_cols))
-            finally:
-                pinned.unpersist()
-            actions[n] = f"three_way({n_conf} conflicts)"
+                    continue
+                # both sides changed differently → key-granular 3-way
+                if eo is None or et is None:
+                    if policy == "fail":
+                        raise MergeConflict(
+                            f"{n}: deleted on one branch but changed on the "
+                            f"other; re-merge with policy='theirs'/'ours'")
+                    if policy == "theirs":
+                        if et is None:
+                            self._drop(n)
+                            actions[n] = "pointer_drop"
+                        else:
+                            self._register(n, et)
+                            actions[n] = "pointer_merge"
+                    else:
+                        actions[n] = "kept_ours"
+                    continue
+                base_t = self.load_table(n, version=base_v) if eb else None
+                ours_t = self.load_table(n)
+                theirs_t = self.load_table(n, version=theirs_v)
+                merged, n_conf, pinned = three_way_merge(
+                    base_t, ours_t, theirs_t, policy=policy, table_name=n)
+                try:
+                    self.save_table(n, KeyedTable(merged, ours_t.key_cols))
+                finally:
+                    pinned.unpersist()
+                actions[n] = f"three_way({n_conf} conflicts)"
+        except MergeConflict:
+            if self.catalog.current_version() != v0:
+                self._rollback_to(v0)
+            raise
         self.branches.set_base(name, theirs_v)
         return actions
+
+    def _rollback_to(self, version: int) -> int:
+        """Restore an earlier root as current and realign the active
+        branch head (same crash ordering as ``_register``)."""
+        txn = getattr(self.catalog, "transaction", None)
+        if txn is not None:
+            with txn():
+                v = self.catalog.restore_version(version)
+                self.branches.advance_active(v)
+            return v
+        self.branches.advance_active(self.catalog.current_version() + 1)
+        return self.catalog.restore_version(version)
 
     # -- catalog read path (R1 getRepoTable, Repo.hs:100-111) ----------
     def load_table(self, name: str, version: int | None = None) -> KeyedTable:

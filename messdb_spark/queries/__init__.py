@@ -43,6 +43,19 @@ def quantize_sql(expr: str, n: int) -> str:
     return f"floor(({expr}) * {m} + 0.5) / {m}"
 
 
+def pin_result(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize a (small — pair list / top-k / vocab-bounded)
+    result with an eager localCheckpoint, then unpersist the
+    corpus-sized cached frames that fed it. Without this each bench
+    query leaks its cached blocks into executor storage memory for the
+    rest of the 155-query run (ADVICE r4); with it a query's storage
+    footprint after return is just its own result rows."""
+    out = out.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 @dataclass
 class Query:
     name: str

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import query, load, quantize, quantize_sql
+from . import query, load, pin_result, quantize, quantize_sql
 
 _TOKS = "filter(split(text, '\\\\s+'), x -> x != '')"
 _TOKS_DUCK = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
@@ -171,15 +171,16 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col("n_t").alias("n_a")))
     ub = F.broadcast(uni.select(F.col("t").alias("tok_b"),
                                 F.col("n_t").alias("n_b")))
-    return (pairs.join(ua, "tok_a").join(ub, "tok_b")
-                 .crossJoin(F.broadcast(n))
-                 .select("tok_a", "tok_b", "n_ab", "n_a", "n_b",
-                         quantize(F.log(
-                             (F.col("n_ab").cast("double")
-                              * F.col("n_docs").cast("double"))
-                             / (F.col("n_a").cast("double")
-                                * F.col("n_b").cast("double"))), 6)
-                         .alias("pmi")))
+    out = (pairs.join(ua, "tok_a").join(ub, "tok_b")
+                .crossJoin(F.broadcast(n))
+                .select("tok_a", "tok_b", "n_ab", "n_a", "n_b",
+                        quantize(F.log(
+                            (F.col("n_ab").cast("double")
+                             * F.col("n_docs").cast("double"))
+                            / (F.col("n_a").cast("double")
+                               * F.col("n_b").cast("double"))), 6)
+                        .alias("pmi")))
+    return pin_result(out, tok)
 
 
 @query(

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from . import query, load, quantize, quantize_sql
+from . import query, load, pin_result, quantize, quantize_sql
 from .text import _MH_SEEDS, _N_BANDS, _SHINGLE_K, _TOKENS, _TOKENS_DUCK
 
 # ---------------------------------------------------------------------------
@@ -300,10 +300,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
     tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dft"))
     w = W.partitionBy("doc_id").orderBy(tfidf.desc(), "term")
-    return (tf.join(F.broadcast(dfreq), "term")
-              .withColumn("rk", F.row_number().over(w))
-              .filter(F.col("rk") <= _TOP_TERMS)
-              .select("doc_id", "term", quantize(tfidf, 4).alias("tfidf"), "rk"))
+    out = (tf.join(F.broadcast(dfreq), "term")
+             .withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= _TOP_TERMS)
+             .select("doc_id", "term", quantize(tfidf, 4).alias("tfidf"), "rk"))
+    return pin_result(out, tf)
 
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from . import query, load, quantize
+from . import query, load, pin_result, quantize
 
 
 # ---------------------------------------------------------------------------
@@ -223,9 +223,10 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.first("na").alias("na"), F.first("nb").alias("nb"),
                     F.count(F.lit(1)).alias("c")))
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (inter.filter(jac >= 0.5)
-                 .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
-                         quantize(jac, 4).alias("jaccard")))
+    out = (inter.filter(jac >= 0.5)
+                .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+                        quantize(jac, 4).alias("jaccard")))
+    return pin_result(out, ex, cand)
 
 
 # ---------------------------------------------------------------------------
@@ -310,12 +311,13 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.expr(f"CAST({_PR_BASE} AS BIGINT) "
                            f"+ (4 * sum(con)) DIV 5").alias("r"))
                .select(F.col("dst").alias("node"), "r"))
-    return (r.orderBy(F.col("r").desc(), F.col("node"))
-             .limit(20)
-             .select(F.expr("node DIV 2").alias("entity_id"),
-                     F.when(F.col("node") % 2 == 0, "cust")
-                      .otherwise("supp").alias("kind"),
-                     F.col("r").alias("score")))
+    out = (r.orderBy(F.col("r").desc(), F.col("node"))
+            .limit(20)
+            .select(F.expr("node DIV 2").alias("entity_id"),
+                    F.when(F.col("node") % 2 == 0, "cust")
+                     .otherwise("supp").alias("kind"),
+                    F.col("r").alias("score")))
+    return pin_result(out, ed)
 
 
 # ---------------------------------------------------------------------------
@@ -466,11 +468,12 @@ def chisq_keywords_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .crossJoin(F.broadcast(tot))
                 .withColumn("chi2", F.expr(_CHI2)))
     wsrc = W.partitionBy("source").orderBy(F.col("chi2").desc(), "tok")
-    return (scored.withColumn("rn", F.row_number().over(wsrc))
-                  .filter(F.col("rn") <= 5)
-                  .select("source", F.col("tok").alias("token"),
-                          F.col("a").alias("n_occ"),
-                          quantize("chi2", 3).alias("chi2")))
+    out = (scored.withColumn("rn", F.row_number().over(wsrc))
+                 .filter(F.col("rn") <= 5)
+                 .select("source", F.col("tok").alias("token"),
+                         F.col("a").alias("n_occ"),
+                         quantize("chi2", 3).alias("chi2")))
+    return pin_result(out, st)
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from . import query, load, quantize
+from . import query, load, pin_result, quantize
 
 # tokenization shared by the text queries: whitespace split, drop empties
 _TOKENS = "filter(split(text, '\\\\s+'), x -> x != '')"
@@ -186,10 +186,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.alias("sb")
     jac = (F.col("c").cast("double") /
            (F.col("sa.n") + F.col("sb.n") - F.col("c")))
-    return (inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-                 .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-                 .filter(jac >= 0.08)
-                 .select("doc_a", "doc_b", quantize(jac, 4).alias("jaccard")))
+    out = (inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+                .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+                .filter(jac >= 0.08)
+                .select("doc_a", "doc_b", quantize(jac, 4).alias("jaccard")))
+    return pin_result(out, sh)
 
 
 _N_HASHES = 8
@@ -268,13 +269,14 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({_N_BANDS}, {band_exprs}) AS (band_id, bx, by)").cache()
     a = bands.alias("a")
     b = bands.alias("b")
-    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id")) &
-                      (F.col("a.bx") == F.col("b.bx")) &
-                      (F.col("a.by") == F.col("b.by")) &
-                      (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-             .distinct())
+    out = (a.join(b, (F.col("a.band_id") == F.col("b.band_id")) &
+                     (F.col("a.bx") == F.col("b.bx")) &
+                     (F.col("a.by") == F.col("b.by")) &
+                     (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    return pin_result(out, bands)
 
 
 @query(

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import load, quantize, quantize_sql, query
+from . import load, pin_result, quantize, quantize_sql, query
 
 D = "DECIMAL(18,2)"
 _REV = f"CAST(l_extendedprice AS {D}) * (1 - CAST(l_discount AS {D}))"
@@ -198,12 +198,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.col("l_suppkey").alias("supplier_no"))
              .agg(F.sum(F.expr(_REV)).alias("total_revenue"))).cache()
     best = rev.agg(F.max("total_revenue").alias("m")).collect()[0]["m"]
-    return (F.broadcast(s)
-             .join(rev.filter(F.col("total_revenue") == F.lit(best)),
-                   F.col("s_suppkey") == F.col("supplier_no"))
-             .select("s_suppkey", "s_name",
-                     quantize(F.col("total_revenue").cast("double"), 2)
-                      .alias("total_revenue")))
+    out = (F.broadcast(s)
+            .join(rev.filter(F.col("total_revenue") == F.lit(best)),
+                  F.col("s_suppkey") == F.col("supplier_no"))
+            .select("s_suppkey", "s_name",
+                    quantize(F.col("total_revenue").cast("double"), 2)
+                     .alias("total_revenue")))
+    return pin_result(out, rev)
 
 
 @query(

@@ -92,6 +92,35 @@ class SqliteCatalog:
     def __init__(self, warehouse: str, filename: str = "manifest.sqlite") -> None:
         self.db_path = os.path.join(warehouse, filename)
         self._con = _connect(self.db_path)
+        self._txn = False
+
+    def _commit(self) -> None:
+        if not self._txn:
+            self._con.commit()
+
+    def transaction(self):
+        """Defer commits so a root swap and a branch-head advance (or
+        any other same-connection writes) land in ONE sqlite
+        transaction — the torn two-file window of the JSON backend
+        cannot exist here. Reentrant: a nested transaction joins the
+        outer one."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _txn():
+            if self._txn:
+                yield
+                return
+            self._txn = True
+            try:
+                yield
+                self._con.commit()
+            except BaseException:
+                self._con.rollback()
+                raise
+            finally:
+                self._txn = False
+        return _txn()
 
     def _load_root(self, version: int | None = None) -> dict:
         if version is None:
@@ -110,7 +139,7 @@ class SqliteCatalog:
         v = self.current_version() + 1
         self._con.execute("INSERT INTO repo_root(version, root) VALUES (?, ?)",
                           (v, json.dumps(root, sort_keys=True)))
-        self._con.commit()
+        self._commit()
         return v
 
     def names(self, version: int | None = None) -> list[str]:
@@ -145,5 +174,88 @@ class SqliteCatalog:
             (min_version,)).fetchone()[0]
         self._con.execute("DELETE FROM repo_root WHERE version < ?",
                           (min_version,))
-        self._con.commit()
+        self._commit()
         return cur
+
+
+class SqliteBranchManager:
+    """Branch bookkeeping in the SAME sqlite file — and, inside
+    ``SqliteCatalog.transaction()``, the same transaction — as the
+    catalog root, so commit + head-advance are genuinely atomic
+    (the ADVICE two-file torn-write finding does not apply here).
+    Interface-identical to ``branches.BranchManager``."""
+
+    def __init__(self, catalog: SqliteCatalog) -> None:
+        self._catalog = catalog
+        self._con = catalog._con
+        self._con.execute("""CREATE TABLE IF NOT EXISTS branches (
+            name TEXT PRIMARY KEY, head INTEGER NOT NULL,
+            base INTEGER NOT NULL)""")
+        self._con.execute("""CREATE TABLE IF NOT EXISTS branch_meta (
+            k TEXT PRIMARY KEY, v TEXT)""")
+        self._con.commit()
+
+    def _commit(self) -> None:
+        self._catalog._commit()
+
+    def list(self) -> dict:
+        from .branches import BranchInfo
+        return {n: BranchInfo(h, b) for n, h, b in self._con.execute(
+            "SELECT name, head, base FROM branches")}
+
+    def get(self, name: str):
+        from .branches import BranchInfo
+        row = self._con.execute(
+            "SELECT head, base FROM branches WHERE name = ?",
+            (name,)).fetchone()
+        if row is None:
+            raise KeyError(f"no such branch: {name}")
+        return BranchInfo(row[0], row[1])
+
+    def active(self) -> str | None:
+        row = self._con.execute(
+            "SELECT v FROM branch_meta WHERE k = 'active'").fetchone()
+        return row[0] if row else None
+
+    def create(self, name: str, version: int) -> None:
+        if self._con.execute("SELECT 1 FROM branches WHERE name = ?",
+                             (name,)).fetchone():
+            raise ValueError(f"branch exists: {name}")
+        self._con.execute(
+            "INSERT INTO branches(name, head, base) VALUES (?, ?, ?)",
+            (name, version, version))
+        self._commit()
+
+    def set_active(self, name: str | None) -> None:
+        self._con.execute(
+            "INSERT OR REPLACE INTO branch_meta(k, v) VALUES ('active', ?)",
+            (name,))
+        self._commit()
+
+    def set_head(self, name: str, version: int) -> None:
+        self._con.execute("UPDATE branches SET head = ? WHERE name = ?",
+                          (version, name))
+        self._commit()
+
+    def set_base(self, name: str, version: int) -> None:
+        self._con.execute("UPDATE branches SET base = ? WHERE name = ?",
+                          (version, name))
+        self._commit()
+
+    def activate(self, name: str, version: int) -> None:
+        if not self._con.execute("SELECT 1 FROM branches WHERE name = ?",
+                                 (name,)).fetchone():
+            raise KeyError(f"no such branch: {name}")
+        with self._catalog.transaction():
+            self._con.execute("UPDATE branches SET head = ? WHERE name = ?",
+                              (version, name))
+            self._con.execute(
+                "INSERT OR REPLACE INTO branch_meta(k, v) "
+                "VALUES ('active', ?)", (name,))
+
+    def advance_active(self, version: int) -> None:
+        a = self.active()
+        if a is not None:
+            self._con.execute("UPDATE branches SET head = ? WHERE name = ?",
+                              (version, a))
+            self._commit()

@@ -217,3 +217,109 @@ def test_branch_cli_roundtrip(spark, warehouse, tmp_path):
     assert main(["-w", warehouse, "checkout", "main"]) == 0
     assert main(["-w", warehouse, "merge", "dev"]) == 0
     assert rows(Engine(spark, warehouse), "t") == {1: "a", 2: "cli"}
+
+
+def test_merge_conflict_rolls_back_earlier_tables(eng, spark):
+    """ATOMIC merge (ADVICE r4): a conflict on a later table undoes the
+    pointer merges already applied for earlier tables and realigns the
+    active branch head — the user who declines the merge keeps their
+    exact pre-merge root."""
+    eng.save_table("aaa", _t(spark, [(1, "a")]))
+    eng.save_table("zzz", _t(spark, [(1, "x")]))
+    eng.create_branch("dev")
+    eng.checkout("dev")
+    eng.save_table("aaa", _t(spark, [(1, "a"), (2, "dev")]))   # theirs-only
+    eng.save_table("zzz", _t(spark, [(1, "DEV")]))             # conflict seed
+    eng.checkout("main")
+    eng.save_table("zzz", _t(spark, [(1, "MAIN")]))            # both changed
+    v0 = eng.catalog.current_version()
+    aaa_hash = eng.table_hash("aaa")
+    with pytest.raises(MergeConflict):
+        eng.merge_branch("dev")                                # zzz conflicts
+    # 'aaa' (sorted first, pointer-merged before the conflict) rolled back
+    assert eng.table_hash("aaa") == aaa_hash
+    assert rows(eng, "aaa") == {1: "a"}
+    assert rows(eng, "zzz") == {1: "MAIN"}
+    # head realigned to the restored root; fork base NOT advanced
+    assert eng.branches.get("main").head == eng.catalog.current_version()
+    assert eng.branches.get("dev").base < eng.branches.get("dev").head
+    # the rolled-back state is a NEW root (append-only history intact)
+    assert eng.catalog.current_version() > v0
+    # and the merge still works once resolved
+    actions = eng.merge_branch("dev", policy="theirs")
+    assert actions["aaa"] == "pointer_merge"
+    assert rows(eng, "zzz") == {1: "DEV"}
+
+
+def test_invalid_merge_policy_rejected_before_writes(eng, spark):
+    eng.save_table("t", _t(spark, [(1, "a")]))
+    eng.create_branch("dev")
+    v0 = eng.catalog.current_version()
+    with pytest.raises(ValueError, match="policy"):
+        eng.merge_branch("dev", policy="their")
+    assert eng.catalog.current_version() == v0
+
+
+def test_branch_head_clamped_after_torn_preadvance(eng, spark):
+    """Crash-window healing: _register pre-advances the head before the
+    root swap; if the swap never lands, the phantom head version is
+    clamped back to the newest real root on read."""
+    eng.save_table("t", _t(spark, [(1, "a")]))
+    eng.create_branch("dev")
+    eng.checkout("dev")
+    cur = eng.catalog.current_version()
+    eng.branches.advance_active(cur + 7)   # simulated torn pre-advance
+    assert eng.branches.get("dev").head == cur
+    assert eng.branches.list()["dev"].head == cur
+    # checkout of the healed branch restores the real root
+    eng.checkout("main")
+    eng.checkout("dev")
+    assert rows(eng, "t") == {1: "a"}
+
+
+def test_cli_branch_errors_are_json(spark, warehouse, capsys):
+    import json as _json
+
+    from messdb_spark.cli import main
+
+    eng = Engine(spark, warehouse)
+    eng.save_table("t", _t(spark, [(1, "a")]))
+    assert main(["-w", warehouse, "branch", "dev"]) == 0
+    capsys.readouterr()
+    # duplicate branch → JSON error + exit 1, no traceback
+    assert main(["-w", warehouse, "branch", "dev"]) == 1
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"ok": False, "error": "branch exists: dev"}
+    # unknown branch on checkout
+    assert main(["-w", warehouse, "checkout", "nope"]) == 1
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] is False and "no such branch" in out["error"]
+    # unknown branch on merge (bad --policy is already an argparse
+    # choices error before the engine is reached)
+    assert main(["-w", warehouse, "merge", "nope"]) == 1
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] is False and "no such branch" in out["error"]
+
+
+def test_sqlite_branch_state_is_transactional(spark, warehouse):
+    """On the sqlite backend branch state lives in the SAME sqlite file
+    as the catalog root (no branches.json), and the merge rollback
+    works through the shared transaction path."""
+    import os
+
+    eng = Engine(spark, warehouse, manifest_backend="sqlite")
+    eng.save_table("t", _t(spark, [(1, "a")]))
+    eng.create_branch("dev")
+    assert not os.path.exists(os.path.join(warehouse, "branches.json"))
+    eng.checkout("dev")
+    eng.save_table("t", _t(spark, [(1, "DEV")]))
+    eng.checkout("main")
+    eng.save_table("t", _t(spark, [(1, "MAIN")]))
+    v0 = eng.catalog.current_version()
+    with pytest.raises(MergeConflict):
+        eng.merge_branch("dev")
+    assert rows(eng, "t") == {1: "MAIN"}
+    assert eng.catalog.current_version() == v0   # nothing written pre-conflict
+    actions = eng.merge_branch("dev", policy="ours")
+    assert actions["t"].startswith("three_way")
+    assert rows(eng, "t") == {1: "MAIN"}
