@@ -1,14 +1,15 @@
-"""Approximate-sketch surface: HyperLogLog++ distinct counts and
-KLL/GK quantile sketches — the 100 TB substitutes for exact
-countDistinct / percentile (mergeable, partial-aggregable, bounded
-memory).
+"""Approximate-sketch surface: HyperLogLog++ distinct counts,
+KLL/GK quantile sketches, and a count-min heavy-hitter table — the
+100 TB substitutes for exact countDistinct / percentile / unbounded-
+vocab counting (mergeable, partial-aggregable, bounded memory).
 
-No ``oracle_sql`` on purpose: sketch outputs are algorithm-specific
-(Spark HLL++ vs DuckDB's approx_count_distinct differ by design), so
-the driver records the weaker rows-only check. The exact counterparts
-(``distinct_stats_per_segment``, ``percentiles_by_segment``) are the
-hash-checked versions of the same questions; pytest asserts the
-sketches land within rel-error bounds of those exact answers."""
+Oracle discipline: count-min carries a FULL value-hash oracle (its
+md5-derived hash family is computable on both engines). HLL++ and
+approx_percentile stay rows-only — their encodings are legitimately
+Spark-specific — but each run SELF-CHECKS: the query body compares the
+sketch against the exact answer and raises if any estimate leaves its
+error bound, so even the driver's rows-only row carries teeth (the
+``incremental_rollup_refresh`` in-body-assert pattern)."""
 
 from __future__ import annotations
 
@@ -19,13 +20,64 @@ from pyspark.sql.window import Window as W
 from . import query, load
 
 
+def check_hll_bounds(rows, rel_tol: float) -> None:
+    """Each row: (name, estimate, exact). Raises if any estimate sits
+    outside rel_tol of exact — the bound check the driver's rows-only
+    row would otherwise never exercise. rel_tol is generous vs the
+    configured rsd (HLL++ rsd is a standard deviation, not a max)."""
+    for name, est, exact in rows:
+        if exact == 0:
+            ok = est == 0
+        else:
+            ok = abs(est - exact) <= rel_tol * exact
+        if not ok:
+            raise AssertionError(
+                f"HLL estimate out of bounds for {name}: "
+                f"est={est} exact={exact} rel_tol={rel_tol}")
+
+
+def check_quantile_bounds(rows) -> None:
+    """Each row: (name, p, approx_value, lo, hi) where [lo, hi] are the
+    exact quantiles at p∓rank_eps. A rank-error sketch must land its
+    estimate inside that value bracket."""
+    for name, p, approx, lo, hi in rows:
+        if not (lo <= approx <= hi):
+            raise AssertionError(
+                f"quantile estimate out of bounds for {name} p={p}: "
+                f"approx={approx} allowed=[{lo}, {hi}]")
+
+
 @query("approx_distinct_users_hll", oracle=None)
 def approx_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct user/order counts per event type (rsd 2%)."""
+    """HLL++ distinct user/order counts per event type (rsd 2%).
+
+    SELF-CHECKING: before returning, the sketch row set is joined to
+    the exact countDistinct per event type and every estimate is
+    asserted within 5·rsd (exact side: one extra agg over the same
+    scan — at 100 TB you'd sample or skip it, here it makes the
+    driver's rows-only check mean something)."""
     (e,) = load(spark, sf_dir, "events")
-    return (e.groupBy("event_type")
-             .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-                  F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events")))
+    sk = (e.groupBy("event_type")
+           .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                 .alias("approx_users"),
+                F.approx_count_distinct("event_id", rsd=0.02)
+                 .alias("approx_events")))
+    out = sk.localCheckpoint(eager=True)
+    exact = {r["event_type"]: (r["u"], r["n"]) for r in
+             e.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("u"),
+                   F.countDistinct("event_id").alias("n")).collect()}
+    rows = []
+    for r in out.collect():
+        u, n = exact[r["event_type"]]
+        rows.append((f"{r['event_type']}/users", r["approx_users"], u))
+        rows.append((f"{r['event_type']}/events", r["approx_events"], n))
+    check_hll_bounds(rows, rel_tol=0.10)   # 5 × rsd
+    return out
+
+
+_APQ_PS = (0.5, 0.9, 0.99)
+_APQ_RANK_EPS = 0.01   # generous vs accuracy=10000 (≈1e-4 rank error)
 
 
 @query("approx_price_quantiles", oracle=None)
@@ -34,18 +86,39 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sketch emits one ARRAY per group; posexplode flattens it to
     scalar ``(c_mktsegment, p, approx_value)`` rows so downstream
-    consumers (and the driver's canonicalizer) see hashable columns."""
+    consumers (and the driver's canonicalizer) see hashable columns.
+
+    SELF-CHECKING: each estimate is asserted to land inside the exact
+    [p−ε, p+ε] quantile bracket (rank-error contract of GK-family
+    sketches), so a bad estimate fails the run, not just a pytest."""
     c, o = load(spark, sf_dir, "customer", "orders")
     j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    ps = ", ".join(f"{p}D" for p in _APQ_PS)
     sk = (j.groupBy("c_mktsegment")
-           .agg(F.expr("approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)")
+           .agg(F.expr(f"approx_percentile(o_totalprice, array({ps}), 10000)")
                  .alias("qs")))
-    return (sk.select("c_mktsegment",
-                      F.posexplode("qs").alias("pos", "approx_value"))
-              .select("c_mktsegment",
-                      F.element_at(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
-                                   F.col("pos") + 1).alias("p"),
-                      "approx_value"))
+    out = (sk.select("c_mktsegment",
+                     F.posexplode("qs").alias("pos", "approx_value"))
+             .select("c_mktsegment",
+                     F.element_at(F.array(*[F.lit(p) for p in _APQ_PS]),
+                                  F.col("pos") + 1).alias("p"),
+                     "approx_value")
+             .localCheckpoint(eager=True))
+    lo_hi = ", ".join(
+        f"{max(0.0, p - _APQ_RANK_EPS)}D, {min(1.0, p + _APQ_RANK_EPS)}D"
+        for p in _APQ_PS)
+    brackets = {r["c_mktsegment"]: r["b"] for r in
+                (j.groupBy("c_mktsegment")
+                  .agg(F.expr(f"percentile(o_totalprice, array({lo_hi}))")
+                        .alias("b"))).collect()}
+    rows = []
+    for r in out.collect():
+        i = _APQ_PS.index(r["p"])
+        b = brackets[r["c_mktsegment"]]
+        rows.append((r["c_mktsegment"], r["p"], float(r["approx_value"]),
+                     float(b[2 * i]), float(b[2 * i + 1])))
+    check_quantile_bounds(rows)
+    return out
 
 
 @query(
@@ -84,6 +157,50 @@ def salted_agg_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CM_W = 1024   # counters per hash row
 _CM_D = 4      # hash rows
 
+# The d-row hash family is md5-derived — the ONLY hash both engines
+# evaluate identically — so the counter table (and therefore every
+# estimate) is a pure deterministic function of the data, giving the
+# sketch a FULL value-hash oracle instead of a rows-only check. Seed
+# mixing is by prefixing: h_s(t) = int(md5("s:" || t)[0:15 hex]) mod w.
+
+
+def _cm_bucket_spark(seed: int, w: int) -> F.Column:
+    return F.expr(
+        f"CAST(conv(substring(md5(concat('{seed}:', token)), 1, 15), "
+        f"16, 10) AS BIGINT) % {w}")
+
+
+def _cm_oracle(tokens_duck: str, w: int, d: int, k: int) -> str:
+    seeds = ", ".join(str(s) for s in range(d))
+    return f"""
+    WITH toks AS (
+      SELECT unnest({tokens_duck}) AS token
+      FROM documents WHERE length(text) > 0
+    ),
+    hx AS (
+      SELECT s.seed, token,
+             CAST(concat('0x', substring(
+               md5(concat(CAST(s.seed AS VARCHAR), ':', token)), 1, 15))
+               AS BIGINT) % {w} AS bucket
+      FROM toks, (SELECT unnest([{seeds}]) AS seed) s
+    ),
+    counters AS (
+      SELECT seed, bucket, count(*) AS counter FROM hx
+      GROUP BY seed, bucket
+    ),
+    est AS (
+      SELECT token, min(counter) AS est_count
+      FROM (SELECT DISTINCT seed, token, bucket FROM hx) dt
+      JOIN counters USING (seed, bucket)
+      GROUP BY token
+    )
+    SELECT token, est_count, rk FROM (
+      SELECT token, est_count,
+             row_number() OVER (ORDER BY est_count DESC, token) AS rk
+      FROM est) t
+    WHERE rk <= {k}
+    """
+
 
 def countmin_counters(tokens, w: int = _CM_W, d: int = _CM_D):
     """Count-min sketch as a DataFrame: (seed, bucket) -> counter.
@@ -94,23 +211,27 @@ def countmin_counters(tokens, w: int = _CM_W, d: int = _CM_D):
     tokens: DataFrame with a ``token`` column."""
     rows = None
     for s in range(d):
-        r = (tokens.select(F.lit(s).alias("seed"),
-                           F.pmod(F.xxhash64("token", F.lit(s)), F.lit(w))
-                            .alias("bucket")))
+        r = tokens.select(F.lit(s).alias("seed"),
+                          _cm_bucket_spark(s, w).alias("bucket"))
         rows = r if rows is None else rows.unionByName(r)
     return rows.groupBy("seed", "bucket").agg(
         F.count(F.lit(1)).alias("counter"))
 
 
-@query("countmin_heavy_hitters", oracle=None)
+from .text import _TOKENS_DUCK  # noqa: E402  (no cycle: text -> . only)
+
+
+@query("countmin_heavy_hitters",
+       oracle=_cm_oracle(_TOKENS_DUCK, _CM_W, _CM_D, 20))
 def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via count-min estimate: build the d x w counter
     table over corpus tokens, then score each DISTINCT token by its
     sketch estimate (min over its d counters) — the bounded-memory
     path when exact token counting would shuffle an unbounded vocab.
     Overestimates only (collisions add, never subtract); pytest bounds
-    the estimates against exact counts. No oracle by design: the
-    estimate values depend on the hash family (rows-only check).
+    the estimates against exact counts, and — because the hash family
+    is md5-derived, computable on both engines — the driver checks the
+    full counter-derived estimates by value hash.
 
     Scale: counters are d x w rows TOTAL (constant); the estimate join
     broadcasts them; distinct tokens stream through map-side."""
@@ -127,9 +248,7 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .select("bucket",
                                 F.col("counter").alias(f"c{s}")))
         keyed = distinct.select(
-            "token",
-            F.pmod(F.xxhash64("token", F.lit(s)), F.lit(_CM_W))
-             .alias("bucket"))
+            "token", _cm_bucket_spark(s, _CM_W).alias("bucket"))
         j = keyed.join(F.broadcast(side), "bucket").select("token", f"c{s}")
         est = j if est is None else est.join(j, "token")
     out = est.select("token",

@@ -270,84 +270,165 @@ def lsh_bucket_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.min("vec_id").alias("min_vec_id")))
 
 
-_KM_K = 8        # clusters
-_KM_ITERS = 3    # Lloyd iterations (fixed for determinism)
+_KM_K = 8             # clusters
+_KM_ITERS = 3         # Lloyd iterations (fixed for determinism)
+_KM_SCALE = 1_000_000   # fixed-point scale: 6 decimals of each coord
+_KM_DIM = 64          # embedding dims (testdata contract, TESTDATA.md)
 
 
-def kmeans_fit(vecs: DataFrame, k: int = _KM_K,
-               iters: int = _KM_ITERS) -> tuple[list[list[float]], DataFrame]:
-    """Distributed Lloyd k-means over ``(vec_id, v: array<double>)``.
+def kmeans_fit(vecs: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS,
+               scale: int = _KM_SCALE) -> tuple[list[list[int]], DataFrame]:
+    """Distributed Lloyd k-means over ``(vec_id, v: array<double>)`` in
+    FIXED-POINT INTEGER arithmetic (the PageRank discipline,
+    ``mining.py`` ``_PR_*``): coordinates scale to BIGINT
+    (floor(x·scale + 0.5)), distances are exact integer sums of
+    squares, and each centroid update is ONE correctly-rounded double
+    divide per (cluster, dim) — floor(double(s)/n + 0.5) — so every
+    iteration is bit-equal across engines and the query carries a full
+    value-hash DuckDB oracle instead of a rows-only check.
 
     The iterative-algorithm class (no single SQL equivalent): a
     driver-side loop where each iteration is
       1. ASSIGN — map-only: centroids are collected to the driver
-         (k×d doubles, tiny) and embedded as plan literals, so the
+         (k×d ints, tiny) and embedded as plan literals, so the
          nearest-centroid argmin is a pure projection over the corpus —
-         no join, no shuffle (the IVF codebook pattern);
+         no join, no shuffle (the IVF codebook pattern). Integer
+         distance ties break to the LOWEST cluster index
+         (array_position finds the first minimum) — deterministic,
+         unlike FP ties;
       2. UPDATE — one partial-aggregated shuffle of (cluster, dim)
          sums (k×d rows total) to recompute means.
     Per-iteration cost at 100 TB: one corpus scan + a k×d-row shuffle;
-    the corpus is never collected or replicated. Deterministic init:
-    the k lowest-vec_id vectors (a production run would seed
-    k-means++ from a sample). Empty clusters keep their previous
-    centroid. Returns (centroids, assignment df)."""
-    init = (vecs.orderBy("vec_id").limit(k)
-                .select("v").collect())
+    the corpus is never collected or replicated. Range guard: |coord|
+    ≤ scale ⇒ per-vector distance ≤ d·(2·scale)² = 2.6e14, so BIGINT
+    sums hold past 3e4 × 1e9 vectors (beyond that, per-dim sums go
+    DECIMAL). Deterministic init: the k lowest-vec_id vectors (a
+    production run would seed k-means++ from a sample). Empty clusters
+    keep their previous centroid. Returns (scaled-int centroids,
+    assignment df with scaled-int ``v``)."""
+    import math
+
+    iv = vecs.select(
+        "vec_id",
+        F.expr(f"transform(v, x -> CAST(floor(CAST(x AS DOUBLE) "
+               f"* {scale}.0D + 0.5D) AS BIGINT))").alias("v"))
+    init = iv.orderBy("vec_id").limit(k).select("v").collect()
     cents = [list(r["v"]) for r in init]
     assigned = None
     for _ in range(iters):
-        dist_exprs = []
-        for c in cents:
-            arr = "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)"
-                                       for x in c) + ")"
-            dist_exprs.append(
-                f"aggregate(zip_with(v, {arr}, (x, c) -> (x - c) * (x - c)), "
-                f"CAST(0.0 AS DOUBLE), (a, d) -> a + d)")
-        dists = F.expr("array(" + ", ".join(dist_exprs) + ")")
-        assigned = (vecs.withColumn("dists", dists)
-                        .withColumn("cl", (F.expr(
-                            "array_position(dists, array_min(dists))") - 1)
-                            .cast("long"))
-                        .drop("dists"))
+        dists = F.expr("array(" + ", ".join(
+            _km_dist_expr(c) for c in cents) + ")")
+        assigned = (iv.withColumn("dists", dists)
+                      .withColumn("cl", (F.expr(
+                          "array_position(dists, array_min(dists))") - 1)
+                          .cast("long"))
+                      .drop("dists"))
         sums = (assigned.select("cl", F.posexplode("v").alias("i", "x"))
                         .groupBy("cl", "i")
-                        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                        .agg(F.sum("x").alias("s"),
+                             F.count(F.lit(1)).alias("n"))
                         .collect())
-        by_cl: dict[int, dict[int, float]] = {}
+        by_cl: dict[int, dict[int, int]] = {}
         for r in sums:
-            by_cl.setdefault(r["cl"], {})[r["i"]] = r["s"] / r["n"]
+            # float(s)/n, NOT s/n: Python's int/int is correctly-
+            # rounded EXACT division, while both engines round s to
+            # double first — match their rounding order
+            by_cl.setdefault(r["cl"], {})[r["i"]] = \
+                math.floor(float(r["s"]) / r["n"] + 0.5)
         cents = [([by_cl[ci][i] for i in range(len(cents[0]))]
                   if ci in by_cl else cents[ci])
                  for ci in range(k)]
     return cents, assigned
 
 
-@query("kmeans_embedding_clusters", oracle=None)
+def _km_dist_expr(cvec: list[int]) -> str:
+    arr = "array(" + ", ".join(f"{int(c)}L" for c in cvec) + ")"
+    return (f"aggregate(zip_with(v, {arr}, (x, c) -> (x - c) * (x - c)), "
+            f"0L, (a, d) -> a + d)")
+
+
+def _km_oracle(k: int, iters: int, scale: int, dim: int) -> str:
+    """Unrolled Lloyd iterations in DuckDB SQL — exact integer mirror
+    of ``kmeans_fit`` (same init, same tie-break, same rounding)."""
+    from . import quantize_sql
+    parts = [f"""
+    emb AS (
+      SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5)
+                       AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+      FROM emb ORDER BY vec_id LIMIT {k}
+    )"""]
+    prev = "cent0"
+    for t in range(1, iters + 1):
+        parts.append(f"""
+    a{t} AS (
+      SELECT vec_id, v, cl FROM (
+        SELECT e.vec_id, e.v, c.cl,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_aggregate(list_transform(range(1, {dim + 1}),
+                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])), 'sum'),
+                 c.cl) AS rn
+        FROM emb e CROSS JOIN {prev} c) t
+      WHERE rn = 1
+    ),
+    cent{t} AS (
+      SELECT c.cl, coalesce(u.cv, c.cv) AS cv
+      FROM {prev} c LEFT JOIN (
+        SELECT cl, list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT)
+                        ORDER BY i) AS cv
+        FROM (SELECT cl, i, CAST(sum(v[i]) AS BIGINT) AS s,
+                     count(*) AS n
+              FROM a{t}, range(1, {dim + 1}) r(i)
+              GROUP BY cl, i) s{t}
+        GROUP BY cl) u ON u.cl = c.cl
+    )""")
+        prev = f"cent{t}"
+    rms = quantize_sql(
+        f"sqrt(CAST(CAST(sum(dist) AS BIGINT) AS DOUBLE) / count(*)) "
+        f"/ {scale}.0", 6)
+    return "WITH " + ",".join(parts) + f"""
+    SELECT cl AS cluster_id, count(*) AS n_members, {rms} AS rms_dist
+    FROM (
+      SELECT a.cl,
+             list_aggregate(list_transform(range(1, {dim + 1}),
+               i -> (a.v[i] - c.cv[i]) * (a.v[i] - c.cv[i])), 'sum') AS dist
+      FROM a{iters} a JOIN cent{iters} c ON c.cl = a.cl) d
+    GROUP BY cl
+    """
+
+
+@query("kmeans_embedding_clusters",
+       oracle=_km_oracle(_KM_K, _KM_ITERS, _KM_SCALE, _KM_DIM))
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means cluster profile of the embeddings corpus (rows-only
-    driver check: a fixed-point iterative algorithm has no practical
-    single-SQL oracle — FP mean drift across engines flips boundary
-    assignments; tests/test_core_operators.py bounds it against a
-    numpy model instead). Output: one row per cluster with its size
-    and mean within-cluster distance."""
+    """K-means cluster profile of the embeddings corpus. Fixed-point
+    integer Lloyd (``kmeans_fit``) makes every iteration bit-equal
+    across engines, so the driver checks sizes AND distances by value
+    hash against an unrolled-SQL oracle — the iterative-clustering
+    class is no longer rows-only. Output: one row per cluster with its
+    size and RMS within-cluster distance (computed from the EXACT
+    integer distance sum — a single deterministic sqrt/divide, never
+    an order-dependent float avg)."""
     (emb,) = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id",
                       F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
                        .alias("v"))
     cents, assigned = kmeans_fit(vecs)
-    dist_exprs = []
-    for c in cents:
-        arr = "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c) + ")"
-        dist_exprs.append(
-            f"aggregate(zip_with(v, {arr}, (x, c) -> (x - c) * (x - c)), "
-            f"CAST(0.0 AS DOUBLE), (a, d) -> a + d)")
-    darr = F.expr("array(" + ", ".join(dist_exprs) + ")")
-    return (assigned.withColumn("d", F.sqrt(F.element_at(darr, F.col("cl").cast("int") + 1)))
-                    .groupBy("cl")
-                    .agg(F.count(F.lit(1)).alias("n_members"),
-                         quantize(F.avg("d"), 4).alias("mean_dist"))
-                    .select(F.col("cl").alias("cluster_id"), "n_members",
-                            "mean_dist"))
+    darr = F.expr("array(" + ", ".join(
+        _km_dist_expr(c) for c in cents) + ")")
+    rms = (F.sqrt(F.col("sum_d").cast("double")
+                  / F.col("n_members").cast("double"))
+           / F.lit(float(_KM_SCALE)))
+    return (assigned
+            .withColumn("d", F.element_at(darr, F.col("cl").cast("int") + 1))
+            .groupBy("cl")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.sum("d").alias("sum_d"))
+            .select(F.col("cl").alias("cluster_id"), "n_members",
+                    quantize(rms, 6).alias("rms_dist")))
 
 
 def _rp_planes(n_planes: int = 16, dim: int = 64) -> list[list[float]]:

@@ -203,12 +203,16 @@ def test_interval_join_matches_naive_model(spark):
 
 
 def test_kmeans_matches_numpy_model(spark):
-    """Lloyd k-means vs a numpy model with identical init (first-k) and
-    iteration count: cluster sizes and assignments must agree (both
-    argmins run in double precision over the same arithmetic)."""
+    """Fixed-point integer Lloyd k-means vs an int64 numpy model with
+    identical init (first-k), schedule, tie-break (first minimum), and
+    centroid rounding (floor(double(s)/n + 0.5)): assignments AND
+    centroids must agree EXACTLY — the determinism that buys the query
+    its full cross-engine hash oracle."""
+    import math
+
     import numpy as np
 
-    from messdb_spark.queries.similarity import kmeans_fit
+    from messdb_spark.queries.similarity import _KM_SCALE, kmeans_fit
 
     rng = np.random.RandomState(7)
     k, iters, n, d = 4, 3, 300, 8
@@ -221,16 +225,22 @@ def test_kmeans_matches_numpy_model(spark):
     cents, assigned = kmeans_fit(vecs, k=k, iters=iters)
     got = {r["vec_id"]: r["cl"] for r in assigned.collect()}
 
-    # numpy model, same init and schedule
-    C = pts[:k].copy()
+    # integer numpy model, same init / schedule / rounding
+    P = np.floor(pts * _KM_SCALE + 0.5).astype(np.int64)
+    C = P[:k].copy()
     for _ in range(iters):
-        dist = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        lab = dist.argmin(axis=1)
+        diff = P[:, None, :] - C[None, :, :]
+        dist = (diff * diff).sum(axis=2)
+        lab = dist.argmin(axis=1)     # argmin = FIRST min, same tie-break
         for ci in range(k):
             if (lab == ci).any():
-                C[ci] = pts[lab == ci].mean(axis=0)
+                s = P[lab == ci].sum(axis=0)
+                cnt = int((lab == ci).sum())
+                C[ci] = np.array([math.floor(float(sv) / cnt + 0.5)
+                                  for sv in s], dtype=np.int64)
     assert got == {i: int(lab[i]) for i in range(n)}
-    assert np.allclose(np.array(cents), C, atol=1e-9)
+    assert [list(map(int, row)) for row in C] == \
+        [list(map(int, c)) for c in cents]
 
 
 def test_check_table_invariants(spark):
@@ -327,3 +337,30 @@ def test_countmin_bounds_vs_exact(spark):
     # the true top token must appear in the sketch top-20
     true_top = max(exact, key=lambda t: (exact[t], t))
     assert true_top in est
+
+
+def test_sketch_inbody_bounds_fire_on_bad_estimates(spark):
+    """The rows-only sketch queries self-check in-body: the bound
+    helpers must (a) pass on the real sf0.001 run and (b) raise on a
+    perturbed estimate — so a bad sketch fails the driver run itself,
+    not just CI."""
+    import pytest as _pytest
+
+    from messdb_spark.queries import QUERIES
+    from messdb_spark.queries.approx import (check_hll_bounds,
+                                             check_quantile_bounds)
+
+    sf_dir = "/root/testdata/sf0.001"
+    # real runs pass their own in-body assertions
+    assert QUERIES["approx_distinct_users_hll"].fn(spark, sf_dir).count() > 0
+    assert QUERIES["approx_price_quantiles"].fn(spark, sf_dir).count() > 0
+
+    # perturbed estimates fire
+    check_hll_bounds([("t/users", 105, 100)], rel_tol=0.10)
+    with _pytest.raises(AssertionError, match="out of bounds"):
+        check_hll_bounds([("t/users", 120, 100)], rel_tol=0.10)
+    with _pytest.raises(AssertionError, match="out of bounds"):
+        check_hll_bounds([("t/users", 3, 0)], rel_tol=0.10)
+    check_quantile_bounds([("SEG", 0.5, 10.0, 9.0, 11.0)])
+    with _pytest.raises(AssertionError, match="out of bounds"):
+        check_quantile_bounds([("SEG", 0.5, 11.5, 9.0, 11.0)])
