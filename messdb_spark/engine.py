@@ -61,8 +61,11 @@ class Engine:
     def save_table(self, name: str, table: KeyedTable) -> str:
         # stage-write then hash the written bytes (ObjectStore.put):
         # the plan evaluates exactly once, so nondeterministic plans
-        # can't store bytes that mismatch their content address
-        h = self.objects.put(table.df, table_content_hash)
+        # can't store bytes that mismatch their content address.
+        # key_cols: objects are laid out key-sorted (Trie.hs:124-134
+        # made physical) so reloaded range filters prune whole files
+        h = self.objects.put(table.df, table_content_hash,
+                             key_cols=tuple(table.key_cols))
         self._register(name, CatalogEntry(
             table_hash=h,
             schema_json=table.df.schema.json(),

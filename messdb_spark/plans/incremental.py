@@ -342,6 +342,96 @@ def incremental_map_view(spark: SparkSession, store: ObjectStore, memo,
                        schema_json=out_schema_json)
 
 
+def incremental_sort_view(spark: SparkSession, store: ObjectStore, memo,
+                          ref: BucketedRef, transform_key: str,
+                          fold_key: str = "fold_to_last") -> KeyedTable:
+    """Incrementally-maintained RE-KEYED view (O2 ``sortTable``,
+    ``Trie.hs:433-470``) over a bucketed table — the class
+    ``incremental_map_view`` rejects (the transform CHANGES the key, so
+    an output row's bucket no longer matches its input row's bucket).
+
+    Strategy: per-source-bucket PARTIALS keyed by the new key. Each
+    input bucket folds its own rows under the new key (keeping the
+    winning fold ordinal = old-key tuple, so precedence survives), and
+    that partial is a content-addressed object memoized by
+
+        sha256(OP_SORT_BUCKET ‖ transform key ‖ fold key ‖ bucket hash)
+
+    Refresh after a delta upsert recomputes ONLY the partials of
+    changed buckets — the expensive transform + input scan never runs
+    for untouched key-space — then one final combine re-folds the B
+    partial objects under the new key (ordinal-correct: max_by/min_by
+    over the stored winner ordinals reproduces exactly the old-key-
+    order fold of a from-scratch ``sort_table``; sums recombine by
+    sum). The combine is the irreducible cost of a key change (every
+    new key can receive rows from every bucket); it reads pre-folded
+    partials, not the input table.
+    """
+    from ..operators.core import _ORD
+    from ..registry import REGISTRY
+
+    transform = REGISTRY.get_transform(transform_key)
+    fold = REGISTRY.get_fold(fold_key)
+    new_keys = tuple(transform.new_key_cols)
+
+    def bucket_digest(in_hash: str) -> str:
+        return hashlib.sha256(
+            f"OP_SORT_BUCKET|{transform_key}|{fold_key}|{in_hash}"
+            .encode()).hexdigest()
+
+    ord_agg = {"fold_to_first": F.min}.get(fold_key, F.max)
+    partial_hashes: list[str] = []
+    missed: list[int] = []
+    for b, in_hash in enumerate(ref.bucket_hashes):
+        if in_hash == EMPTY:
+            continue
+        hit = memo.get(bucket_digest(in_hash))
+        if hit == EMPTY:                  # transform emitted no rows
+            continue
+        if hit is not None and store.exists(hit):
+            partial_hashes.append(hit)
+        else:
+            missed.append(b)
+
+    value_cols: list[str] = []
+    if missed:
+        base = read_bucketed(spark, store, ref, buckets=missed).df
+        old_key_struct = F.struct(*[F.col(k) for k in ref.key_cols])
+        transformed = transform.fn(base.withColumn(_ORD, old_key_struct))
+        if _ORD not in transformed.columns:
+            raise ValueError(f"transform {transform_key!r} must preserve "
+                             f"pass-through columns")
+        # source bucket id re-derived from the ordinal (the old key
+        # tuple) — the transform needn't carry a bucket column, and
+        # xxhash64 over the struct fields equals the original bucketing
+        in_bucket = F.pmod(
+            F.xxhash64(*[F.col(_ORD).getField(k) for k in ref.key_cols]),
+            F.lit(ref.n_buckets))
+        value_cols = [c for c in transformed.columns
+                      if c not in new_keys and c != _ORD]
+        partials = (transformed.withColumn(_BUCKET, in_bucket)
+                    .groupBy(_BUCKET, *new_keys)
+                    .agg(*fold.agg(value_cols, F.col(_ORD)),
+                         ord_agg(F.col(_ORD)).alias(_ORD)))
+        new_hashes = _write_tagged_buckets(store, partials)
+        for b in missed:
+            h = new_hashes.get(b, EMPTY)
+            memo.put(bucket_digest(ref.bucket_hashes[b]), h)
+            if h != EMPTY:
+                partial_hashes.append(h)
+
+    if not partial_hashes:
+        raise ValueError("incremental_sort_view over an empty table")
+    parts = spark.read.parquet(*[store.path(h) for h in partial_hashes])
+    store.loads += len(partial_hashes)
+    if not value_cols:
+        value_cols = [c for c in parts.columns
+                      if c not in new_keys and c != _ORD]
+    combined = parts.groupBy(*new_keys).agg(
+        *fold.agg(value_cols, F.col(_ORD)))
+    return KeyedTable(combined.select(*new_keys, *value_cols), new_keys)
+
+
 def diff_bucketed(spark: SparkSession, store: ObjectStore,
                   old: BucketedRef, new: BucketedRef) -> DataFrame:
     """Version diff with bucket pruning — the trie-diff move

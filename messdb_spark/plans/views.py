@@ -133,8 +133,10 @@ class Materializer:
         table = self._eval(ir)
         self.computed_ops += 1
         # single evaluation: stage-write, hash the written data, rename
-        # into the CAS (write-once: dedups equal content)
-        h = self.objects.put(table.df, self.content_hash_fn)
+        # into the CAS (write-once: dedups equal content); keyed views
+        # land key-sorted so reloads keep the pruning invariant
+        h = self.objects.put(table.df, self.content_hash_fn,
+                             key_cols=tuple(table.key_cols))
         self.memo.put(digest, h)
         return h
 

@@ -49,11 +49,22 @@ def pin_result(out: DataFrame, *cached: DataFrame) -> DataFrame:
     corpus-sized cached frames that fed it. Without this each bench
     query leaks its cached blocks into executor storage memory for the
     rest of the 155-query run (ADVICE r4); with it a query's storage
-    footprint after return is just its own result rows."""
-    out = out.localCheckpoint(eager=True)
+    footprint after return is just its own result rows.
+
+    The pre-checkpoint frame rides along on ``__pre_pin__`` so plan
+    tests can still assert the REAL plan shape (a checkpointed frame
+    explains as a bare ExistingRDD scan)."""
+    pinned = out.localCheckpoint(eager=True)
     for c in cached:
         c.unpersist()
-    return out
+    pinned.__pre_pin__ = out
+    return pinned
+
+
+def plan_of(df: DataFrame) -> DataFrame:
+    """The frame whose .explain() shows the query's real plan — the
+    pre-pin frame for pin_result outputs, the frame itself otherwise."""
+    return getattr(df, "__pre_pin__", df)
 
 
 @dataclass

@@ -84,7 +84,8 @@ class ObjectStore:
            .parquet(self.path(table_hash)))
         return self.path(table_hash)
 
-    def put(self, df: DataFrame, content_hash_fn) -> str:
+    def put(self, df: DataFrame, content_hash_fn,
+            key_cols: tuple = ()) -> str:
         """Stage-write → hash the WRITTEN data → rename into the CAS.
 
         Hash-then-write (two evaluations of the same lazy plan) lets a
@@ -93,9 +94,23 @@ class ObjectStore:
         silently corrupting CAS dedup and memo hits. Here the plan runs
         exactly once into a staging dir; the digest job reads the
         staged parquet (stable bytes), and the commit is a pure rename.
-        """
+
+        ``key_cols``: when given, the object is laid out PHYSICALLY
+        SORTED by key — repartitionByRange across files +
+        sortWithinPartitions inside them — the reference's defining
+        always-sorted invariant (``Trie.hs:124-134``) made physical.
+        Files then have disjoint key ranges and tight parquet min/max
+        footers, so a later ``range_filter`` over the RELOADED object
+        prunes whole files/row-groups instead of scanning everything.
+        Cost: the range partitioner samples the keys (one extra pass),
+        the same price the reference pays to keep tries sorted; content
+        hash is order-insensitive, so the address is unchanged."""
         import uuid
 
+        if key_cols:
+            n = max(1, df.rdd.getNumPartitions())
+            df = (df.repartitionByRange(n, *key_cols)
+                    .sortWithinPartitions(*key_cols))
         staging = os.path.join(self.warehouse, "staging", uuid.uuid4().hex)
         try:
             (df.write.mode("overwrite").option("compression", self.compression)
@@ -143,8 +158,11 @@ class MemoryObjectStore(ObjectStore):
         self._tables[table_hash] = (df.schema, df.collect())
         return self.path(table_hash)
 
-    def put(self, df: DataFrame, content_hash_fn) -> str:
-        """Evaluate once (collect), hash the materialized rows."""
+    def put(self, df: DataFrame, content_hash_fn,
+            key_cols: tuple = ()) -> str:
+        """Evaluate once (collect), hash the materialized rows.
+        ``key_cols`` is accepted for interface parity; a driver-side
+        dict has no physical layout to sort."""
         schema, rows = df.schema, df.collect()
         materialized = df.sparkSession.createDataFrame(rows, schema=schema)
         h = content_hash_fn(materialized)

@@ -233,3 +233,74 @@ def test_diff_tables_full(spark):
     assert got == {2: ("changed", "b", "B"),
                    3: ("removed", None, None),
                    4: ("added", None, "d")}
+
+
+def test_incremental_sort_view_recomputes_only_changed_partials(spark, warehouse):
+    """RE-KEYED (O2 sortTable) view over a bucketed table: a 1-bucket
+    delta recomputes exactly ONE per-source-bucket partial (memo hits
+    for the rest), and the combined result matches a from-scratch
+    sort_table — including last-wins fold precedence across buckets."""
+    from messdb_spark.operators.core import sort_table
+    from messdb_spark.plans.incremental import incremental_sort_view
+    from messdb_spark.registry import REGISTRY
+    from messdb_spark.store import MemoStore
+
+    REGISTRY.transforms.pop("rekey_by_group", None)
+
+    @REGISTRY.transform("rekey_by_group", new_key_cols=("g",))
+    def _rekey(df):
+        # new key g collides 100:1 — the fold has real work to do
+        return df.select((F.col("k") % 30).alias("g"), "v", "x",
+                         *(["__messdb_ord"]
+                           if "__messdb_ord" in df.columns else []))
+
+    store = ObjectStore(warehouse)
+    memo = MemoStore(warehouse)
+    base = _base(spark, 3000)
+    ref = write_bucketed(store, base, n_buckets=16)
+
+    view1 = incremental_sort_view(spark, store, memo, ref, "rekey_by_group")
+    expect = {tuple(r) for r in
+              sort_table(base, "rekey_by_group").df.collect()}
+    assert {tuple(r) for r in view1.df.collect()} == expect
+    assert view1.key_cols == ("g",)
+
+    # identical refresh: every partial memo-hits, nothing written
+    saves_before = store.saves
+    view1b = incremental_sort_view(spark, store, memo, ref, "rekey_by_group")
+    assert store.saves == saves_before
+    assert {tuple(r) for r in view1b.df.collect()} == expect
+
+    # single-key delta on the WINNING key of group 7 (2977 is the max
+    # k ≡ 7 mod 30) → exactly one source bucket changes → exactly one
+    # partial recomputes and is written; result matches full recompute
+    from messdb_spark.plans.incremental import incremental_upsert
+    delta = spark.createDataFrame([(2977, "OVERRIDE", 123.0)],
+                                  "k long, v string, x double")
+    ref2 = incremental_upsert(spark, store, ref, delta)
+    changed = [b for b, (a, c) in
+               enumerate(zip(ref.bucket_hashes, ref2.bucket_hashes)) if a != c]
+    assert len(changed) == 1
+    saves_before, skips_before = store.saves, store.save_skips
+    view2 = incremental_sort_view(spark, store, memo, ref2, "rekey_by_group")
+    # ONE partial recomputed (written fresh or content-deduped), the
+    # other 15 were memo hits that wrote nothing
+    assert (store.saves - saves_before) \
+        + (store.save_skips - skips_before) == 1
+    assert store.saves - saves_before == 1      # winner changed ⇒ new bytes
+    base2 = read_bucketed(spark, store, ref2)
+    expect2 = {tuple(r) for r in
+               sort_table(base2, "rekey_by_group").df.collect()}
+    assert {tuple(r) for r in view2.df.collect()} == expect2
+    # last-wins across buckets: group 7's winner is the overridden row
+    g7 = {r["g"]: r["v"] for r in view2.df.collect()}[7]
+    assert g7 == "OVERRIDE"
+    # fold_sum variant recombines partials by addition
+    sum_view = incremental_sort_view(spark, store, memo, ref2,
+                                     "rekey_by_group", fold_key="fold_sum")
+    got_x = {r["g"]: r["x"] for r in
+             sum_view.df.select("g", "x").collect()}
+    exp_x = {r["g"]: r["x"] for r in
+             base2.df.select((F.col("k") % 30).alias("g"), "x")
+                     .groupBy("g").agg(F.sum("x").alias("x")).collect()}
+    assert got_x == exp_x

@@ -21,9 +21,10 @@ from messdb_spark.queries import QUERIES
 
 
 def plan_str(df, mode: str = "formatted") -> str:
+    from messdb_spark.queries import plan_of
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        df.explain(mode)
+        plan_of(df).explain(mode)   # pre-pin frame: the REAL plan shape
     return buf.getvalue()
 
 

@@ -302,3 +302,58 @@ def test_verify_table_detects_corruption(spark, tmp_path):
     import shutil
     shutil.copy(src, victim)
     assert eng.verify_table("t") is False
+
+
+def test_cas_objects_are_key_sorted_and_file_prunable(spark, warehouse):
+    """The reference's always-sorted invariant (Trie.hs:124-134) made
+    physical: ObjectStore.put lays keyed objects out with
+    repartitionByRange + sortWithinPartitions, so the stored parquet
+    files carry DISJOINT key ranges and a reloaded range query can
+    skip whole files on footer min/max alone. Content address must be
+    unaffected (order-insensitive digest)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from messdb_spark.operators.core import KeyBound, range_filter
+
+    eng = Engine(spark, warehouse)
+    n = 10_000
+    # adversarial producer layout: hash-partitioned on a NON-key column
+    df = (spark.range(n)
+          .select(F.col("id").alias("k"),
+                  (F.col("id") % 97).alias("noise"),
+                  F.concat(F.lit("v"), F.col("id")).alias("v"))
+          .repartition(8, "noise"))
+    h = eng.save_table("t", KeyedTable(df, ("k",)))
+
+    path = eng.objects.path(h)
+    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    assert len(files) > 1, "need multiple files to prove pruning"
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        kmins, kmaxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "k":
+                    kmins.append(col.statistics.min)
+                    kmaxs.append(col.statistics.max)
+        ranges.append((min(kmins), max(kmaxs)))
+    ranges.sort()
+    # disjoint, totally ordered file ranges = the sorted invariant
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1 < lo2
+    # a narrow range intersects exactly one file's span
+    probe_lo, probe_hi = ranges[0][1] + 1, ranges[1][1]
+    touched = [r for r in ranges if not (r[1] < probe_lo or r[0] > probe_hi)]
+    assert len(touched) < len(files)
+
+    # reload + range_filter: correct content, and the address survived
+    # the layout change (order-insensitive digest)
+    t = eng.load_table("t")
+    assert table_content_hash(t.df) == h
+    got = range_filter(t, KeyBound((100,), True), KeyBound((110,), False))
+    assert sorted(r["k"] for r in got.df.collect()) == list(range(100, 110))
+    assert eng.verify_table("t")
