@@ -27,69 +27,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate verifies a 50-query budget per round in
-# registration order. Round-4 rotation policy (deterministic, bounded
+# registration order. Round-5 rotation policy (deterministic, bounded
 # staleness): (1) queries with no CORRECTNESS row in any round, (2)
 # queries whose implementation changed this round, (3) queries whose
 # latest row is oldest (r1, then r2 in stable order). Entries past the
 # 50-budget roll to the head of the next round's list; everything stays
 # covered every run by tests/test_oracle_parity.py at sf0.001/sf0.01.
 _CHECK_FIRST = [
-    # (1) never driver-checked: 9 round-3 stragglers + 6 new round-4
-    # queries (engine-path streaming/memo/CDC, PQ ANN, nearest as-of)
-    "token_pmi_pairs", "boilerplate_bigram_docfreq", "bigram_lm_condprob",
-    "char_class_profile", "asof_tolerance_join", "cdf_doc_length_per_source",
-    "length_percentile_gate", "order_total_histogram", "rollup_cascade_daily",
-    "stream_replay_upsert", "memo_sorted_spend_view", "catalog_table_diff",
-    "stream_windowed_counts_replay", "pq_topk_search", "nearest_event_join",
-    "perplexity_filter_bigram", "semantic_dedup_survivors",
-    "global_rank_by_length", "stream_running_totals_replay",
-    "embedding_quantize_int8", "bm25_doc_scores", "event_transition_matrix",
-    "stream_session_windows_replay", "incremental_rollup_refresh",
-    "lsh_candidates_verified", "dataset_fold_split", "debounce_event_dedup",
-    "merge_schema_evolution", "weekly_revenue_wow",
-    "zorder_locality_buckets", "countmin_heavy_hitters",
-    "sequence_pattern_match", "stream_stream_join_replay",
-    "exact_median_twopass", "exact_median_per_segment",
-    "incremental_map_view_refresh",
-    # round-4 session 2: mining/diagnostics set (queries/mining.py)
-    "paragraph_dedup_stats", "ppjoin_jaccard_pairs",
-    "pagerank_customer_supplier", "mad_outlier_events",
-    "chisq_keywords_per_source", "join_skew_profile", "ewma_user_spend",
-    "data_quality_audit", "table_stats_profile",
-    # (2) changed in round 4: equal-ts as-of ordering, deterministic
-    # session windows, posexploded sketch output, two-level fuzzy blocking
-    "asof_join_purchase_view", "active_sessions_per_hour",
-    "approx_price_quantiles", "fuzzy_name_pairs",
-    # (2b) added after the round-4 budget filled: the engine-feature
-    # showcase takes the last in-budget slot; the rest roll to the r5
-    # head (all locally parity-green at sf0.001 + sf0.01)
-    "branch_merge_replay", "frequent_part_pairs", "hopping_window_counts",
-    "rolling_median_user_value", "linear_interpolation_fill",
-    "weighted_doc_sample", "simpson_diversity_users",
-    # timestamp-family representatives (ADVICE) — the round-4 changed
-    # group above already re-checks asof/session/streaming timestamp
-    # consumers; these two old-green reps rotate next
-    "events_gap_fill_hourly", "events_retention_cohorts",
-    # (3) oldest rows first: r1-only, then the r2 cohort in stable order
+    # (1) never driver-checked: the 6 round-4 stragglers the r4
+    # verdict flags plus the new round-5 re-keyed-view query
+    "incremental_sort_view_refresh", "frequent_part_pairs",
+    "hopping_window_counts", "rolling_median_user_value",
+    "linear_interpolation_fill", "weighted_doc_sample",
+    "simpson_diversity_users",
+    # (2) changed in round 5: new count-min/k-means oracles,
+    # sketch self-checks, pin_result cache lifecycle in the
+    # similarity/mining bodies, and every engine-path query that
+    # exercises the (now key-sorted) CAS write / branch layer
+    "countmin_heavy_hitters", "kmeans_embedding_clusters",
+    "approx_distinct_users_hll", "approx_price_quantiles",
+    "ppjoin_jaccard_pairs", "pagerank_customer_supplier",
+    "chisq_keywords_per_source", "ngram_jaccard_pairs",
+    "simhash_near_dup_pairs", "minhash_lsh_candidates", "token_pmi_pairs",
+    "tfidf_top_terms", "q15_top_supplier", "branch_merge_replay",
+    "memo_sorted_spend_view", "incremental_rollup_refresh",
+    "incremental_map_view_refresh", "catalog_table_diff",
+    "stream_replay_upsert", "stream_windowed_counts_replay",
+    "stream_running_totals_replay", "stream_session_windows_replay",
+    "stream_stream_join_replay",
+    # (3) oldest driver rows first (r1 pair, then the r2 cohort
+    # in stable order; r3 rows roll to the r6 head)
     "date_funcs_monthly_revenue", "multimodal_frame_sample",
-    "core_merge_upsert", "core_merge_fold_sum", "core_sort_rekey",
-    "core_range_filter", "core_table_insert", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q10_returned_items", "topk_orders_per_segment",
-    "window_running_spend", "rollup_lineitem_status", "cube_orders_priority",
-    "distinct_stats_per_segment", "set_ops_repeat_customers",
-    "anti_join_quiet_customers", "semi_join_active_parts",
-    "events_hourly_stats", "events_top_event_per_user", "events_json_props",
-    "events_retention_cohorts", "events_gap_fill_hourly", "dedup_exact",
-    "doc_fingerprint", "text_quality", "token_stats_by_lang",
-    "lang_id_stopwords", "ngram_jaccard_pairs", "minhash_lsh_candidates",
-    "stratified_sample_per_lang", "benchmark_contamination",
-    "pii_redaction_stats", "cosine_topk_bruteforce", "embedding_centroids",
-    "ivf_topk_search", "lsh_bucket_cosine_topk", "kmeans_embedding_clusters",
-    "pivot_user_event_matrix", "unpivot_part_attrs",
-    "scalar_subquery_above_avg", "correlated_above_segment_avg",
-    "grouping_sets_revenue", "percentiles_by_segment",
-    "string_funcs_part_brands",
+    "anti_join_quiet_customers", "benchmark_contamination",
+    "core_merge_fold_sum", "core_merge_upsert", "core_range_filter",
+    "core_sort_rekey", "core_table_insert", "correlated_above_segment_avg",
+    "cosine_topk_bruteforce", "cube_orders_priority", "dedup_exact",
+    "distinct_stats_per_segment", "doc_fingerprint", "embedding_centroids",
+    "events_gap_fill_hourly", "events_hourly_stats", "events_json_props",
+    "events_retention_cohorts", "events_top_event_per_user",
+    "grouping_sets_revenue", "ivf_topk_search", "lang_id_stopwords",
+    "lsh_bucket_cosine_topk", "percentiles_by_segment", "pii_redaction_stats",
+    "pivot_user_event_matrix", "q10_returned_items", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "rollup_lineitem_status", "scalar_subquery_above_avg",
+    "semi_join_active_parts", "set_ops_repeat_customers",
+    "stratified_sample_per_lang", "string_funcs_part_brands", "text_quality",
+    "token_stats_by_lang", "topk_orders_per_segment", "unpivot_part_attrs",
+    "window_running_spend", "bpe_tokens_regex", "corpus_prep_near_dedup",
+    "daily_activity_full_outer", "dedup_cluster_components",
+    "distinct_doc_sources", "doc_chunking_windows",
+    "embedding_bucket_near_dup", "embedding_rp_simhash",
+    "events_funnel_view_purchase", "events_sessionization",
+    "heavy_hitter_bigrams", "inverted_index_postings",
+    "mixture_sample_by_source", "multimodal_metadata",
+    "multimodal_real_decode", "q11_important_parts", "q12_priority_class_agg",
+    "q13_order_count_distribution", "q14_promo_revenue_ratio",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_order_customers", "q19_disjunctive_predicates",
+    "q20_excess_quantity_suppliers", "q21_waiting_suppliers",
+    "q22_idle_rich_customers", "q2_cheapest_supplier_per_part",
+    "q4_order_priority_check", "q7_nation_trade_volume", "q8_market_share",
+    "q9_product_profit", "range_join_purchase_window", "rank_functions_suite",
+    "repetition_ngram_stats", "rolling_hash_fingerprint",
+    "salted_agg_event_stats", "scd2_user_value_history",
+    "sequence_packing_offsets", "sorted_neighborhood_pairs",
+    "trailing_week_revenue", "training_corpus_prep", "twap_user_daily",
+    "udtf_split_sentences", "zscore_event_values", "active_sessions_per_hour",
+    "asof_join_purchase_view", "asof_tolerance_join", "bigram_lm_condprob",
+    "bm25_doc_scores", "boilerplate_bigram_docfreq",
+    "cdf_doc_length_per_source", "char_class_profile", "data_quality_audit",
+    "dataset_fold_split", "debounce_event_dedup", "embedding_quantize_int8",
+    "event_transition_matrix", "ewma_user_spend", "exact_median_per_segment",
+    "exact_median_twopass", "fuzzy_name_pairs", "global_rank_by_length",
+    "join_skew_profile", "length_percentile_gate", "lsh_candidates_verified",
+    "mad_outlier_events", "merge_schema_evolution", "nearest_event_join",
+    "order_total_histogram", "paragraph_dedup_stats",
+    "perplexity_filter_bigram", "pq_topk_search", "rollup_cascade_daily",
+    "semantic_dedup_survivors", "sequence_pattern_match",
+    "table_stats_profile", "weekly_revenue_wow", "zorder_locality_buckets",
 ]
 
 

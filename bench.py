@@ -110,9 +110,53 @@ def bench_memo_layers(spark, sf_dir: str, timings: dict[str, float]) -> None:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def write_staleness_report(repo_dir: str) -> dict:
+    """Coverage-age audit: for every registered query, the most recent
+    round with a driver CORRECTNESS row (None = never driver-checked).
+    Written to STALENESS.json and appended as one line to
+    PROGRESS.jsonl so rotation staleness is auditable at a glance
+    (151 queries on a 50-row budget ⇒ 3-round worst case)."""
+    import glob
+    import re
+
+    last: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for q in rows:
+            last[q] = max(last.get(q, 0), rnd)
+    report = {q: last.get(q) for q in sorted(QUERIES)}
+    never = sorted(q for q, r in report.items() if r is None)
+    out = {"kind": "staleness_report",
+           "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+           "n_queries": len(report),
+           "never_checked": never,
+           "last_checked_round": report}
+    with open(os.path.join(repo_dir, "STALENESS.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    checked = [r for r in report.values() if r is not None]
+    with open(os.path.join(repo_dir, "PROGRESS.jsonl"), "a") as f:
+        f.write(json.dumps({
+            "kind": "staleness", "ts": time.time(),
+            "n_queries": len(report), "n_never_checked": len(never),
+            "oldest_checked_round": min(checked) if checked else None,
+        }) + "\n")
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = os.getloadavg()
     spark = get_spark("messdb_spark_bench")
 
     try:
@@ -182,9 +226,20 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
+        # box contention context: 1/5/15-min load averages at start and
+        # end of the run — a 1.5-2x inflated total with loadavg ≫ ncpu
+        # is shared-box noise, not a plan regression (VERDICT r4 §bench)
+        "loadavg": {"start": [round(x, 2) for x in load_start],
+                    "end": [round(x, 2) for x in os.getloadavg()]},
     }
     if errors:
         out["errors"] = errors
+    try:
+        rep = write_staleness_report(os.path.dirname(os.path.abspath(__file__)))
+        print(f"# staleness: {len(rep['never_checked'])} never-checked "
+              f"of {rep['n_queries']}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# staleness report failed: {e}", file=sys.stderr)
     line = json.dumps(out, separators=(",", ":"))
     print(line)
     # the driver truncates long stdout tails; keep the full per-query
