@@ -36,6 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     # (1) never driver-checked: the 6 round-4 stragglers the r4
     # verdict flags plus the new round-5 re-keyed-view query
+    "range_bucketed_prune", "skew_salted_join", "triangle_count_cosupply",
     "incremental_sort_view_refresh", "frequent_part_pairs",
     "hopping_window_counts", "rolling_median_user_value",
     "linear_interpolation_fill", "weighted_doc_sample",

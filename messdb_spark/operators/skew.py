@@ -47,3 +47,27 @@ def salted_agg(df: DataFrame, keys: Sequence[str],
     stage2 = stage1.groupBy(*keys).agg(
         *[combine[fn](name).alias(name) for name, (fn, _) in aggs.items()])
     return stage2
+
+
+def salted_join(big: DataFrame, small: DataFrame, keys: Sequence[str],
+                n_salts: int = 8, how: str = "inner",
+                seed: int = 7) -> DataFrame:
+    """Skew-safe equi-join WITHOUT broadcast — the explicit salting
+    pattern for when the small side is too big to broadcast and AQE's
+    runtime skew split can't engage (pre-shuffled inputs, or a skewed
+    partition that still fits under its split threshold).
+
+    Every ``big`` row draws a salt in [0, S); ``small`` is replicated S
+    times, once per salt value; the join key becomes (keys…, salt).
+    A hot key's 10⁹ rows then land on S reducers instead of one, at the
+    price of shuffling S copies of the small side. The result is
+    row-identical to the plain join for ``inner``/``left`` (each big
+    row matches exactly its own salt's replica of every matching small
+    row); right/full would miss unmatched small rows — rejected.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    big_s = big.withColumn(_SALT, (F.rand(seed=seed) * n_salts).cast("int"))
+    small_s = small.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return big_s.join(small_s, on=[*keys, _SALT], how=how).drop(_SALT)

@@ -154,6 +154,58 @@ def salted_agg_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "max_value")
 
 
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           floor((CAST(sum(CAST(coalesce(value, 0) AS DECIMAL(18,2)))
+                  AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5)
+             / CAST(100.0 AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe SALTED JOIN (operators/skew.py) as a first-class
+    query: events.user_id is power-law-hot (~70 events per user here,
+    arbitrarily worse at 100 TB), and the query joins it to customer
+    with broadcast DISABLED in-body — the regime where a plain shuffle
+    join puts every hot key on one reducer and AQE's skew split may
+    not engage (it only splits partitions past a size threshold).
+    ``salted_join`` spreads each hot key over 8 reducers by salting
+    the big side and replicating the small side 8x. The oracle is the
+    PLAIN join + group-by: salting must be semantically invisible —
+    a lost or double-matched row breaks count, distinct AND sum.
+
+    Scale: replicated-small-side shuffle volume is 8·|customer| rows —
+    the knob trades that against per-reducer hot-key width; decimal
+    sums keep the re-aggregation order-insensitive."""
+    from ..operators.skew import salted_join
+    from . import quantize
+
+    (e, c) = load(spark, sf_dir, "events", "customer")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        j = salted_join(
+            e.select("event_id", "user_id", "value"),
+            c.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+            keys=["user_id"], n_salts=8)
+        out = (j.groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.countDistinct("user_id").alias("n_users"),
+                     F.sum(F.coalesce(F.col("value"), F.lit(0.0))
+                            .cast("decimal(18,2)")).alias("total_dec"))
+                .select("c_mktsegment", "n_events", "n_users",
+                        quantize(F.col("total_dec").cast("double"), 2)
+                         .alias("total_value"))
+                .localCheckpoint(eager=True))
+    finally:
+        spark.conf.set(key, prev)
+    return out
+
+
 _CM_W = 1024   # counters per hash row
 _CM_D = 4      # hash rows
 

@@ -825,3 +825,78 @@ def branch_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out.select("o_orderkey", "o_custkey", "cents")
+
+
+@query(
+    "range_bucketed_prune",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             + CASE WHEN o_orderkey >= floor(0.35 * (SELECT m FROM mx))
+                     AND o_orderkey <= floor(0.45 * (SELECT m FROM mx))
+                    THEN 7 ELSE 0 END AS cents
+    FROM orders
+    WHERE o_orderkey >= floor(0.30 * (SELECT m FROM mx))
+      AND o_orderkey <= floor(0.40 * (SELECT m FROM mx))
+    """)
+def range_bucketed_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RANGE-BUCKETED layout end-to-end under the driver gate
+    (``plans.range_layout`` — the trie's ordered fan-out +
+    whole-subtree range skip, ``Trie.hs:492-510``, at bucket
+    granularity): orders lands as 16 key-range bucket objects split at
+    sampled quantiles, a clustered delta (keys in the 35-45% key band,
+    cents+7) upserts through the passthrough path, and a range read of
+    the 30-40% band must — asserted in-body — open ONLY the buckets
+    whose manifest span intersects the band, on both the write side
+    (delta touches ≤ its band's buckets) and the read side. The oracle
+    reproduces delta + range read as plain SQL, so pruning that drops
+    or double-counts a boundary row breaks the hash.
+
+    Scale: the read is O(overlapping buckets) object opens decided
+    from the manifest alone — at 100 TB, a 10% key-band scan opens
+    ~10% of objects and the residual boundary predicate prunes row
+    groups inside them (buckets are written key-sorted)."""
+    from ..operators.core import KeyedTable
+    from ..plans.range_layout import (incremental_upsert_range,
+                                      range_filter_bucketed,
+                                      write_range_bucketed)
+    from ..store import ObjectStore
+
+    (o,) = load(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_custkey",
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                     .cast("long").alias("cents"))
+    m = base.agg(F.max("o_orderkey")).first()[0]
+    d_lo, d_hi = float(int(0.35 * m)), float(int(0.45 * m))
+    r_lo, r_hi = int(0.30 * m), int(0.40 * m)
+    delta = (base.filter((F.col("o_orderkey") >= d_lo)
+                         & (F.col("o_orderkey") <= d_hi))
+                 .withColumn("cents", F.col("cents") + 7))
+    tmp = tempfile.mkdtemp(prefix="messdb_rangebkt_")
+    try:
+        store = ObjectStore(os.path.join(tmp, "wh"))
+        ref = write_range_bucketed(
+            store, KeyedTable(base, ("o_orderkey",)), n_buckets=16)
+        ref2 = incremental_upsert_range(spark, store, ref, delta)
+        touched = [i for i, (a, b) in enumerate(zip(ref.bucket_hashes,
+                                                    ref2.bucket_hashes))
+                   if a != b]
+        allowed = set(ref.overlapping(d_lo, d_hi))
+        if not set(touched) <= allowed or len(allowed) >= ref.n_buckets:
+            raise AssertionError(
+                f"upsert touched buckets {touched} outside the delta "
+                f"band's {sorted(allowed)}")
+        loads_before = store.loads
+        out = range_filter_bucketed(spark, store, ref2,
+                                    lo=r_lo, hi=r_hi)
+        result = out.df.localCheckpoint(eager=True)
+        opened = store.loads - loads_before
+        expected = len(ref2.overlapping(float(r_lo), float(r_hi)))
+        if opened != expected or opened >= ref2.n_buckets:
+            raise AssertionError(
+                f"range read opened {opened} buckets, manifest says "
+                f"{expected} of {ref2.n_buckets} overlap")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result.select("o_orderkey", "o_custkey", "cents")

@@ -349,3 +349,96 @@ def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n_occurrences"))
              .orderBy(F.col("n_occurrences").desc(), "bigram")
              .limit(_TOP_NGRAMS))
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-ordered) over the co-supply graph
+# ---------------------------------------------------------------------------
+
+@query(
+    "triangle_count_cosupply",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      FROM lineitem WHERE l_quantity > 45
+    ),
+    e AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    ),
+    nodes AS (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e),
+    deg AS (SELECT n, count(*) AS d FROM nodes GROUP BY n),
+    tri AS (
+      SELECT count(*) AS t
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT t FROM tri) AS n_triangles,
+           floor(6.0 * (SELECT t FROM tri)
+                 / (SELECT sum(d * (d - 1)) FROM deg)
+                 * 1000000.0 + 0.5) / 1000000.0 AS clustering_coef
+    """)
+def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    co-supply graph (suppliers sharing a high-quantity part), via the
+    DEGREE-ORDERED orientation (Suri & Vassilvitskii's MR algorithm):
+    each undirected edge points from its (degree, id)-smaller endpoint
+    to the larger, every triangle then has exactly ONE node with two
+    out-edges, and the count is |wedges of out-edges whose far ends
+    are themselves an edge|.
+
+    Scale: the naive wedge join explodes on hubs — a degree-d node
+    contributes d(d-1)/2 wedges, and real co-occurrence graphs are
+    power-law. Orientation caps out-degree at O(sqrt(E)) for ANY
+    degree distribution, so the wedge set is O(E^1.5) worst-case
+    instead of O(Σd²), all as equi-joins (never a cartesian). The
+    oracle counts the same triangles with the id-ordered textbook
+    3-way self-join — orientation must be invisible in the totals.
+    The graph is (int, int) edges; lineitem text/price columns never
+    enter the shuffle."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    ps = (li.filter(F.col("l_quantity") > 45)
+            .select(F.col("l_partkey").alias("p"),
+                    F.col("l_suppkey").alias("s"))
+            .distinct())
+    e = (ps.alias("a").join(ps.alias("b"),
+                            (F.col("a.p") == F.col("b.p"))
+                            & (F.col("a.s") < F.col("b.s")))
+           .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+           .distinct())
+    e = e.localCheckpoint(eager=True)   # reused 4x below
+    deg = (e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    # orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ew = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    fwd = (F.col("du") < F.col("dv")) | \
+          ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = ew.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"))
+    # wedges of two out-edges; close with the canonical undirected edge
+    w = (oriented.alias("x").join(oriented.alias("y"),
+                                  (F.col("x.src") == F.col("y.src"))
+                                  & (F.col("x.dst") < F.col("y.dst")))
+                 .select(F.col("x.dst").alias("u"),
+                         F.col("y.dst").alias("v")))
+    closed = w.join(e, ["u", "v"], "left_semi")
+    n_tri = closed.count()
+    n_edges = e.count()
+    stats = deg.agg(F.count(F.lit(1)).alias("n_nodes"),
+                    F.sum(F.col("d") * (F.col("d") - 1)).alias("dd")).first()
+    coef = 0.0 if not stats["dd"] else \
+        __import__("math").floor(6.0 * n_tri / stats["dd"]
+                                 * 1000000.0 + 0.5) / 1000000.0
+    out = spark.createDataFrame(
+        [(stats["n_nodes"], n_edges, n_tri, coef)],
+        "n_nodes bigint, n_edges bigint, n_triangles bigint, "
+        "clustering_coef double")
+    e.unpersist()
+    return out

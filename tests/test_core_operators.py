@@ -364,3 +364,41 @@ def test_sketch_inbody_bounds_fire_on_bad_estimates(spark):
     check_quantile_bounds([("SEG", 0.5, 10.0, 9.0, 11.0)])
     with _pytest.raises(AssertionError, match="out of bounds"):
         check_quantile_bounds([("SEG", 0.5, 11.5, 9.0, 11.0)])
+
+
+def test_salted_join_matches_plain_join(spark):
+    from messdb_spark.operators.skew import salted_join
+    import pytest
+    big = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(
+            (F.col("id") % 50)).alias("k"),          # 90% on one key
+        F.col("id").alias("rid"))
+    small = spark.range(60).select(F.col("id").alias("k"),
+                                   F.concat(F.lit("d"), F.col("id")).alias("d"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for how in ("inner", "left"):
+            got = {tuple(r) for r in
+                   salted_join(big, small, ["k"], n_salts=8, how=how).collect()}
+            expect = {tuple(r) for r in
+                      big.join(small, on=["k"], how=how).collect()}
+            assert got == expect, how
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, ["k"], how="full")
+
+
+def test_salted_join_duplicate_small_keys(spark):
+    """A small side with duplicate join keys must fan out exactly as
+    the plain join does (replication is per salt, not per row)."""
+    from messdb_spark.operators.skew import salted_join
+    big = spark.range(1000).select((F.col("id") % 3).alias("k"),
+                                   F.col("id").alias("rid"))
+    small = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "c")], ["k", "d"])
+    got = sorted(tuple(r) for r in
+                 salted_join(big, small, ["k"], n_salts=4).collect())
+    expect = sorted(tuple(r) for r in big.join(small, on=["k"]).collect())
+    assert got == expect
