@@ -84,6 +84,17 @@ class Engine:
             key_cols=list(ref.key_cols)))
         return h
 
+    def save_range_bucketed_table(self, name: str, ref) -> str:
+        """Register a range-bucketed table (plans/range_layout) in the
+        catalog — same durability/time-travel/GC contract as
+        ``save_bucketed_table``, ordered-fan-out flavor."""
+        from .plans.range_layout import save_range_manifest
+        h = save_range_manifest(self.objects, ref)
+        self._register(name, CatalogEntry(
+            table_hash=h, schema_json=ref.schema_json,
+            key_cols=list(ref.key_cols)))
+        return h
+
     def _register(self, name: str, entry: CatalogEntry) -> int:
         """Catalog put + active-branch head advance (every write path
         funnels here so a checked-out branch tracks its commits).
@@ -247,6 +258,11 @@ class Engine:
         ref = load_manifest(self.objects, e.table_hash)
         if ref is not None:
             return read_bucketed(self.spark, self.objects, ref)
+        from .plans.range_layout import (load_range_manifest,
+                                         read_range_bucketed)
+        rref = load_range_manifest(self.objects, e.table_hash)
+        if rref is not None:
+            return read_range_bucketed(self.spark, self.objects, rref)
         df = self.objects.load(self.spark, e.table_hash)
         return KeyedTable(df, tuple(e.key_cols))
 
@@ -306,11 +322,11 @@ class Engine:
         e = self.catalog.get(name)
         if e is None:
             raise KeyError(f"no such table: {name}")
-        from .plans.incremental import EMPTY, load_manifest
+        from .plans.incremental import manifest_children
         hashes = [e.table_hash]
-        ref = load_manifest(self.objects, e.table_hash)
-        if ref is not None:
-            hashes += [h for h in ref.bucket_hashes if h != EMPTY]
+        children = manifest_children(self.objects, e.table_hash)
+        if children is not None:
+            hashes += children
         copied = skipped = 0
         for h in hashes:
             if dst.objects.exists(h):
@@ -338,12 +354,15 @@ class Engine:
             raise KeyError(f"no such table: {name}")
         from .hashing import bucket_content_hashes
         from .plans.incremental import EMPTY, load_manifest
+        from .plans.range_layout import load_range_manifest
         try:
-            ref = load_manifest(self.objects, e.table_hash)
+            ref = load_manifest(self.objects, e.table_hash) \
+                or load_range_manifest(self.objects, e.table_hash)
             if ref is None:
                 df = self.objects.load(self.spark, e.table_hash)
                 return table_content_hash(df) == e.table_hash
-            # bucketed: verify every bucket object against its manifest
+            # bucketed (either flavor): verify every bucket object
+            # against its manifest
             for b, h in enumerate(ref.bucket_hashes):
                 if h == EMPTY:
                     continue
@@ -425,8 +444,6 @@ class Engine:
         requires no concurrent writer holding an unregistered ref."""
         import shutil
 
-        from .plans.incremental import EMPTY, load_manifest
-
         cur = self.catalog.current_version()
         if keep_versions is not None and keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
@@ -441,14 +458,13 @@ class Engine:
             cache = getattr(self.memo, "_cache", None)
             live |= (set(cache.values()) if cache is not None
                      else self._memo_targets())
-        # close over manifest → bucket edges
+        # close over manifest → bucket edges (any manifest flavor)
+        from .plans.incremental import manifest_children
         frontier = list(live)
         while frontier:
-            ref = load_manifest(self.objects, frontier.pop())
-            if ref is None:
-                continue
-            for h in ref.bucket_hashes:
-                if h != EMPTY and h not in live:
+            children = manifest_children(self.objects, frontier.pop())
+            for h in children or ():
+                if h not in live:
                     live.add(h)
                     frontier.append(h)
 

@@ -152,10 +152,27 @@ def load_manifest(store: ObjectStore, table_hash: str) -> BucketedRef | None:
         return None
     with open(p) as f:
         m = json.load(f)
+    if m.get("kind") != "bucketed_manifest":
+        return None     # a different manifest flavor (e.g. range-bucketed)
     return BucketedRef(key_cols=tuple(m["key_cols"]),
                        n_buckets=m["n_buckets"],
                        bucket_hashes=tuple(m["bucket_hashes"]),
                        schema_json=m["schema_json"])
+
+
+def manifest_children(store: ObjectStore, table_hash: str) -> list[str] | None:
+    """Child object hashes of ANY manifest flavor (hash- or range-
+    bucketed), or None if the object is plain parquet — the one edge
+    walker GC/sync need, so new layouts can't silently leak from the
+    liveness closure."""
+    p = os.path.join(store.path(table_hash), "manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        m = json.load(f)
+    if m.get("kind") not in ("bucketed_manifest", "range_bucketed_manifest"):
+        return None
+    return [h for h in m["bucket_hashes"] if h != EMPTY]
 
 
 def read_bucketed(spark: SparkSession, store: ObjectStore,

@@ -346,6 +346,12 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = (toks.groupBy("doc_id").agg(*aggs)
                 .select("doc_id",
                         F.expr(f"CAST({sig_expr} AS BIGINT)").alias("sig")))
+    # pin the (doc, 8-byte sig) frame before the self-join: both join
+    # sides would otherwise re-run the full tokenize+md5+vote pipeline
+    # (Spark's exchange reuse does not always cover the AQE-replanned
+    # sides) — measured ~25% of query wall-clock at sf0.1. One row per
+    # doc, so the checkpoint is corpus-bounded but row-tiny.
+    sigs = sigs.localCheckpoint(eager=True)
     band_arr = (f"transform(sequence(0, {_SIM_BANDS - 1}), "
                 f"j -> (sig >> ({_BAND_BITS} * j)) & {(1 << _BAND_BITS) - 1})")
     bands = sigs.select("doc_id", "sig",
