@@ -35,7 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # covered every run by tests/test_oracle_parity.py at sf0.001/sf0.01.
 _CHECK_FIRST = [
     # (1) never driver-checked: the 6 round-4 stragglers the r4
-    # verdict flags plus the new round-5 re-keyed-view query
+    # verdict flags plus the new round-5 queries (re-keyed view,
+    # range-bucket pruning, salted join, triangles, deterministic
+    # md5-family sketches)
+    "hll_md5_distinct_orders", "ddsketch_price_quantiles",
+    "bloom_prefilter_join", "record_linkage_scores",
+    "duplicate_span_fraction", "user_event_sequences",
+    "training_mix_interleave",
     "range_bucketed_prune", "skew_salted_join", "triangle_count_cosupply",
     "incremental_sort_view_refresh", "frequent_part_pairs",
     "hopping_window_counts", "rolling_median_user_value",

@@ -1,0 +1,299 @@
+"""Entity linkage and training-data assembly operators.
+
+North-star additions (SURVEY.md §2.9) with no reference counterpart
+(the reference has no joins at all — its only merge is the primary-key
+fold, ``messdb-base/src/MessDB/Trie.hs:297-430``):
+
+- ``record_linkage_scores``: Fellegi–Sunter-style probabilistic record
+  linkage — blocked candidate pairs scored by integer field-agreement
+  weights, classified match/possible/non-match. The general ER scoring
+  machinery on top of the blocking patterns the dedup family already
+  uses.
+- ``duplicate_span_fraction``: substring-level duplication metric (the
+  Lee et al. "deduplicating training data" signal): fraction of each
+  document's token positions covered by an 8-gram shingle that occurs
+  more than once in the corpus.
+- ``user_event_sequences``: ordered per-entity history assembly — the
+  step that turns an event log into model-ready sequence rows
+  (bounded-length, deterministic order, no cross-user shuffle beyond
+  one hash partition by user).
+- ``training_mix_interleave``: deterministic weighted round-robin
+  ordering of a multi-source corpus — the "data ordering" op that fixes
+  the global training sequence from per-source weights, reproducibly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import query, load, quantize, quantize_sql
+
+# Fellegi–Sunter agreement weights (log-odds scaled to integers; fixed
+# constants so both engines score identically). Field m/u probabilities
+# are design-time constants here — at scale you'd EM-estimate them, but
+# the scoring/classification machinery is the operator.
+_FS_W_BAL = (24, -8)      # account balance within 100.0
+_FS_W_SUF3 = (16, -6)     # same last-3 digits of entity number
+_FS_W_NEAR = (8, -2)      # entity numbers within 50
+_FS_MATCH = 30
+_FS_POSSIBLE = 10
+
+
+@query(
+    "record_linkage_scores",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cnum,
+             c_acctbal
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey, s_nationkey,
+             CAST(regexp_extract(s_name, '([0-9]+)', 1) AS BIGINT) AS snum,
+             s_acctbal
+      FROM supplier
+    ),
+    pairs AS (
+      SELECT c.c_custkey, s.s_suppkey, c.c_nationkey AS nationkey,
+             (CASE WHEN abs(c.c_acctbal - s.s_acctbal) < 100.0
+               THEN {_FS_W_BAL[0]} ELSE {_FS_W_BAL[1]} END
+              + CASE WHEN c.cnum % 1000 = s.snum % 1000
+                THEN {_FS_W_SUF3[0]} ELSE {_FS_W_SUF3[1]} END
+              + CASE WHEN abs(c.cnum - s.snum) <= 50
+                THEN {_FS_W_NEAR[0]} ELSE {_FS_W_NEAR[1]} END) AS score
+      FROM c JOIN s
+        ON c.c_nationkey = s.s_nationkey AND c.cnum % 10 = s.snum % 10
+    )
+    SELECT c_custkey, s_suppkey, nationkey, score,
+           CASE WHEN score >= {_FS_MATCH} THEN 'match'
+                WHEN score >= {_FS_POSSIBLE} THEN 'possible'
+                ELSE 'non-match' END AS cls
+    FROM pairs WHERE score >= {_FS_POSSIBLE}
+    """)
+def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi–Sunter): candidate pairs
+    from a two-key block (nation + entity-number last digit), each
+    scored by summed integer agreement/disagreement weights over three
+    field comparators, thresholded into match / possible.
+
+    Scale: the pair space is bounded by the block — never |C| x |S|;
+    blocking keys shuffle 8-byte hashes; weights are pure column
+    arithmetic (whole-stage codegen); at 100 TB you add more blocking
+    passes (multi-pass canopy), not a bigger join."""
+    c, s = load(spark, sf_dir, "customer", "supplier")
+    cn = F.regexp_extract("c_name", r"([0-9]+)", 1).cast("bigint")
+    sn = F.regexp_extract("s_name", r"([0-9]+)", 1).cast("bigint")
+    cc = c.select("c_custkey", "c_nationkey", cn.alias("cnum"), "c_acctbal")
+    ss = s.select("s_suppkey", "s_nationkey", sn.alias("snum"), "s_acctbal")
+    j = cc.join(ss, (cc["c_nationkey"] == ss["s_nationkey"])
+                & (cc["cnum"] % 10 == ss["snum"] % 10))
+    score = (
+        F.when(F.abs(F.col("c_acctbal") - F.col("s_acctbal")) < 100.0,
+               F.lit(_FS_W_BAL[0])).otherwise(F.lit(_FS_W_BAL[1]))
+        + F.when(F.col("cnum") % 1000 == F.col("snum") % 1000,
+                 F.lit(_FS_W_SUF3[0])).otherwise(F.lit(_FS_W_SUF3[1]))
+        + F.when(F.abs(F.col("cnum") - F.col("snum")) <= 50,
+                 F.lit(_FS_W_NEAR[0])).otherwise(F.lit(_FS_W_NEAR[1])))
+    cls = (F.when(F.col("score") >= _FS_MATCH, "match")
+            .when(F.col("score") >= _FS_POSSIBLE, "possible")
+            .otherwise("non-match"))
+    return (j.select("c_custkey", "s_suppkey",
+                     F.col("c_nationkey").alias("nationkey"),
+                     score.alias("score"))
+             .withColumn("cls", cls)
+             .filter(F.col("score") >= _FS_POSSIBLE))
+
+
+_SPAN_N = 8   # shingle width (tokens)
+_TOKS = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+_TOKS_DUCK = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+
+
+@query(
+    "duplicate_span_fraction",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_DUCK} AS t
+      FROM documents WHERE length(text) > 0
+    ),
+    sh AS (
+      SELECT doc_id, i,
+             md5(array_to_string(t[i+1:i+{_SPAN_N}], ' ')) AS h
+      FROM toks, unnest(range(0, len(t) - {_SPAN_N} + 1)) AS u(i)
+      WHERE len(t) >= {_SPAN_N}
+    ),
+    dup AS (
+      SELECT h FROM sh GROUP BY h HAVING count(*) >= 2
+    ),
+    cover AS (
+      SELECT DISTINCT s.doc_id, p
+      FROM sh s JOIN dup USING (h),
+           unnest(range(s.i, s.i + {_SPAN_N})) AS r(p)
+    ),
+    per_doc AS (
+      SELECT t.doc_id, len(t.t) AS n_tokens,
+             greatest(len(t.t) - {_SPAN_N} + 1, 0) AS n_shingles,
+             coalesce(c.covered, 0) AS covered
+      FROM toks t LEFT JOIN (
+        SELECT doc_id, count(*) AS covered FROM cover GROUP BY doc_id
+      ) c USING (doc_id)
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(covered AS BIGINT) AS covered_tokens,
+           {quantize_sql(
+               "CASE WHEN n_tokens > 0 THEN CAST(covered AS DOUBLE)"
+               " / CAST(n_tokens AS DOUBLE) ELSE 0.0 END", 6)}
+             AS dup_fraction
+    FROM per_doc
+    """)
+def duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication metric: the fraction of each doc's
+    token positions covered by an {N}-token shingle that occurs >= 2
+    times in the corpus — the span-granular signal behind suffix-array
+    training-data dedup (exact-substring removal), at shingle rather
+    than suffix granularity.
+
+    Scale: shingles leave the executor as 16-byte md5 hashes (text
+    never shuffles); the duplicated-hash set is the only join side and
+    is corpus-duplication-bounded; coverage explodes {N} positions per
+    duplicated shingle only."""
+    (doc,) = load(spark, sf_dir, "documents")
+    toks = (doc.filter(F.length("text") > 0)
+               .select("doc_id", F.expr(_TOKS).alias("t")))
+    toks = toks.localCheckpoint(eager=True)   # reused 3x below
+    sh = (toks.filter(F.size("t") >= _SPAN_N)
+              .select("doc_id", F.explode(F.expr(
+                  f"transform(sequence(0, size(t) - {_SPAN_N}), i -> "
+                  f"struct(i, md5(array_join(slice(t, i + 1, {_SPAN_N}), "
+                  f"' ')) AS h))")).alias("x"))
+              .select("doc_id", F.col("x.i").alias("i"),
+                      F.col("x.h").alias("h")))
+    dup = sh.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+    cover = (sh.join(dup, "h")
+               .select("doc_id", F.explode(
+                   F.expr(f"sequence(i, i + {_SPAN_N - 1})")).alias("p"))
+               .distinct()
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("covered")))
+    per_doc = (toks.select(
+        "doc_id", F.size("t").cast("bigint").alias("n_tokens"),
+        F.greatest(F.size("t") - F.lit(_SPAN_N - 1), F.lit(0))
+         .cast("bigint").alias("n_shingles"))
+        .join(cover, "doc_id", "left")
+        .withColumn("covered_tokens",
+                    F.coalesce(F.col("covered"), F.lit(0)).cast("bigint"))
+        .drop("covered"))
+    frac = F.when(F.col("n_tokens") > 0,
+                  F.col("covered_tokens").cast("double")
+                  / F.col("n_tokens").cast("double")).otherwise(F.lit(0.0))
+    out = per_doc.select("doc_id", "n_tokens", "n_shingles",
+                         "covered_tokens",
+                         quantize(frac, 6).alias("dup_fraction"))
+    out = out.localCheckpoint(eager=True)
+    toks.unpersist()
+    return out
+
+
+_SEQ_MAX = 32   # sequence length cap per user
+
+
+@query(
+    "user_event_sequences",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+           count(*) AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+             AS span_seconds
+    FROM ranked WHERE rn <= {_SEQ_MAX}
+    GROUP BY user_id
+    """)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity ordered history assembly: each user's first
+    {MAX} events (deterministic (ts, event_id) order) become ONE
+    sequence row — the event-log -> training-sequence step of a
+    behavioral-model pipeline.
+
+    Scale: one shuffle (hash by user), then per-group sort of a
+    BOUNDED list — collect_list + array_sort keeps state per user at
+    <= {MAX} structs; no window over the full log, no global sort.
+    The cap is applied after the in-group sort, so it is the same
+    "first K by time" on any partitioning."""
+    (e,) = load(spark, sf_dir, "events")
+    g = (e.select("user_id", "ts", "event_id", "event_type")
+          .groupBy("user_id")
+          .agg(F.array_sort(F.collect_list(
+              F.struct("ts", "event_id", "event_type"))).alias("evs")))
+    sliced = F.slice(F.col("evs"), 1, _SEQ_MAX)
+    return (g.select(
+        "user_id",
+        F.array_join(F.expr(
+            f"transform(slice(evs, 1, {_SEQ_MAX}), x -> x.event_type)"),
+            ">").alias("seq"),
+        F.size(sliced).cast("bigint").alias("n_events"),
+        ((F.unix_micros(F.element_at(sliced, -1)["ts"])
+          - F.unix_micros(F.element_at(sliced, 1)["ts"]))
+         / F.lit(1000000)).cast("bigint").alias("span_seconds")))
+
+
+@query(
+    "training_mix_interleave",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS snum,
+             1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3
+               AS w,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, snum, w,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+               AS rk
+      FROM d
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,
+           CAST((rk - 1) // w AS BIGINT) AS epoch,
+           CAST(row_number() OVER (
+             ORDER BY (rk - 1) // w, snum, (rk - 1) % w, doc_id)
+             AS BIGINT) AS global_pos
+    FROM r
+    """)
+def training_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted round-robin corpus ordering: source i
+    gets integer weight w_i (here 1 + i mod 3); docs shuffle within
+    their source by content hash, then the global training order
+    emits w_i docs from each source per epoch — the reproducible
+    "data mixing" order for a multi-source corpus.
+
+    Scale: per-source rank is a partitioned window (no global state);
+    the only global step is the final position assignment, which at
+    100 TB becomes the two-level offset composition the exact-global-
+    rank query (features.py) already demonstrates — the (epoch, snum,
+    slot) key here is range-partitionable the same way."""
+    (doc,) = load(spark, sf_dir, "documents")
+    snum = F.regexp_extract("source", r"([0-9]+)", 1).cast("bigint")
+    d = doc.select("doc_id", "source", snum.alias("snum"),
+                   (1 + snum % 3).alias("w"),
+                   F.md5(F.col("doc_id").cast("string")).alias("h"))
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy("h", "doc_id"))
+    r = d.withColumn("rk", rk.cast("bigint"))
+    epoch = F.expr("(rk - 1) div w")
+    slot = (F.col("rk") - 1) % F.col("w")
+    gw = W.orderBy(epoch.asc(), F.col("snum").asc(), slot.asc(),
+                   F.col("doc_id").asc())
+    return r.select("doc_id", "source", "rk", epoch.alias("epoch"),
+                    F.row_number().over(gw).cast("bigint")
+                     .alias("global_pos"))

@@ -1,0 +1,392 @@
+"""Deterministic cross-engine sketches — mergeable approximations whose
+every bit is a pure function of the data, so they carry FULL value-hash
+oracles (unlike the engine-native HLL++/GK sketches in approx.py, whose
+encodings are legitimately Spark-specific and stay rows-only).
+
+The trick is the count-min discipline (approx.py): build the hash family
+from md5 — the one hash both engines evaluate identically — and keep all
+arithmetic integer (shifts, div, mod) until a final IEEE-exact divide.
+
+Reference provenance: the reference ships no sketches at all (SURVEY.md
+§2.7 — zero built-in functions); these are north-star additions (§2.9)
+for the 100 TB regime where exact distinct counts / quantiles would
+shuffle unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import query, load, quantize, quantize_sql
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog (md5 hash family, m = 256 buckets)
+#
+# H = 60-bit integer from the first 15 hex chars of md5(key-as-string);
+# bucket = top 8 bits (H div 2^52), remainder = low 52 bits;
+# rho = leading-zero count of the 52-bit remainder + 1 = 53 - floor_log2,
+# computed portably as 53 - length(bin(rem)) (bin() is unpadded binary on
+# both engines). Register table M[bucket] = max(rho) is mergeable by MAX
+# — shards/days/partitions combine losslessly, the property that matters
+# at 100 TB. Raw estimate alpha*m^2 / sum(2^-M) is evaluated with the
+# 2^-M sum scaled to integers (sum of 1<<(53-M), max 256*2^53 = 2^61)
+# and ONE double divide at the end: bit-equal on both engines.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256                       # buckets (rsd = 1.04/sqrt(m) = 6.5%)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_C = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53)   # alpha*m^2*2^53
+_POW52 = 1 << 52
+
+
+@query(
+    "hll_md5_distinct_orders",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag,
+             CAST(concat('0x', substring(
+               md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM lineitem
+    ),
+    reg AS (
+      SELECT l_returnflag, hv // {_POW52} AS bucket,
+             max(CASE WHEN hv % {_POW52} = 0 THEN 53
+                 ELSE 53 - length(bin(hv % {_POW52})) END) AS rho
+      FROM h GROUP BY l_returnflag, hv // {_POW52}
+    ),
+    agg AS (
+      SELECT l_returnflag,
+             count(*) AS n_buckets_hit,
+             max(rho) AS max_rho,
+             sum(CAST(1 AS BIGINT) << (53 - rho)) AS s_obs
+      FROM reg GROUP BY l_returnflag
+    ),
+    ex AS (
+      SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT a.l_returnflag, a.n_buckets_hit,
+           CAST(a.max_rho AS BIGINT) AS max_rho,
+           CAST(floor({_HLL_C!r} / (CAST(a.s_obs AS DOUBLE)
+             + CAST(({_HLL_M} - a.n_buckets_hit) AS DOUBLE)
+               * {float(1 << 53)!r})) AS BIGINT) AS raw_est,
+           ex.exact_distinct,
+           {quantize_sql(
+               f"100.0 * (CAST(floor({_HLL_C!r} / (CAST(a.s_obs AS DOUBLE)"
+               f" + CAST(({_HLL_M} - a.n_buckets_hit) AS DOUBLE)"
+               f" * {float(1 << 53)!r})) AS BIGINT) - ex.exact_distinct)"
+               " / ex.exact_distinct", 3)} AS err_pct
+    FROM agg a JOIN ex USING (l_returnflag)
+    """)
+def hll_md5_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL distinct-orderkey count per returnflag.
+
+    The register table (bucket -> max rho) is what a 1000-executor run
+    would actually ship: 256 rows per group regardless of cardinality,
+    combinable by MAX at every level (partial agg does this for free via
+    groupBy().agg(max)). The exact countDistinct runs alongside only to
+    (a) feed the oracle's parity columns and (b) power the in-body error
+    assertion — at 100 TB you would drop it and trust the rsd bound.
+
+    SELF-CHECKING: raw estimate asserted within 4*rsd of exact."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    hv = F.expr(
+        "CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 15), "
+        "16, 10) AS BIGINT)")
+    h = li.select("l_returnflag", hv.alias("hv"))
+    rem = F.col("hv") % F.lit(_POW52)
+    rho = F.when(rem == 0, F.lit(53)) \
+           .otherwise(F.lit(53) - F.length(F.bin(rem)))
+    reg = (h.select("l_returnflag",
+                    F.expr(f"hv div {_POW52}").alias("bucket"),
+                    rho.alias("rho"))
+            .groupBy("l_returnflag", "bucket")
+            .agg(F.max("rho").alias("rho")))
+    agg = (reg.groupBy("l_returnflag")
+              .agg(F.count(F.lit(1)).alias("n_buckets_hit"),
+                   F.max("rho").cast("bigint").alias("max_rho"),
+                   F.sum(F.expr(
+                       "shiftleft(CAST(1 AS BIGINT), 53 - rho)"))
+                    .alias("s_obs")))
+    denom = (F.col("s_obs").cast("double")
+             + (F.lit(_HLL_M) - F.col("n_buckets_hit")).cast("double")
+             * F.lit(float(1 << 53)))
+    est = F.floor(F.lit(_HLL_C) / denom).cast("bigint")
+    ex = (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_orderkey").alias("exact_distinct")))
+    out = (agg.join(ex, "l_returnflag")
+              .select("l_returnflag", "n_buckets_hit", "max_rho",
+                      est.alias("raw_est"), "exact_distinct",
+                      quantize(100.0 * (est - F.col("exact_distinct"))
+                               / F.col("exact_distinct"), 3)
+                      .alias("err_pct"))
+              .localCheckpoint(eager=True))
+    for r in out.collect():
+        tol = 4 * 1.04 / (_HLL_M ** 0.5)   # 4*rsd = 26%
+        if abs(r["raw_est"] - r["exact_distinct"]) > tol * r["exact_distinct"]:
+            raise AssertionError(
+                f"HLL-md5 estimate out of bounds for {r['l_returnflag']}: "
+                f"est={r['raw_est']} exact={r['exact_distinct']}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic log-histogram quantile sketch (DDSketch-flavoured)
+#
+# Values -> integer cents -> power-of-two bucket with 4 sub-bits:
+# sub_raw = cents >> (floor_log2(cents) - 4) is in [16, 31]; bucket id
+# k*32 + sub_raw is unique and ORDER-PRESERVING; the bucket's lower
+# bound sub_raw << (k-4) is the reported quantile value. Guaranteed
+# relative error <= 1/16 (bucket width / lower bound), memory bounded by
+# #buckets (~32 per power of two), mergeable by adding counts.
+# ---------------------------------------------------------------------------
+
+_DDS_PS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "ddsketch_price_quantiles",
+    oracle=f"""
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ),
+    bkt AS (
+      SELECT o_orderpriority,
+             CASE WHEN c < 32 THEN c
+                  ELSE c >> (length(bin(c)) - 5) END AS sub_raw,
+             CASE WHEN c < 32 THEN 0
+                  ELSE length(bin(c)) - 5 END AS shift
+      FROM cents
+    ),
+    hist AS (
+      SELECT o_orderpriority, shift, sub_raw,
+             sub_raw << shift AS lb, count(*) AS cnt
+      FROM bkt GROUP BY o_orderpriority, shift, sub_raw
+    ),
+    cum AS (
+      SELECT o_orderpriority, lb, cnt,
+             sum(cnt) OVER (PARTITION BY o_orderpriority
+                            ORDER BY shift, sub_raw) AS cum,
+             sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      FROM hist
+    ),
+    hit AS (
+      SELECT c.o_orderpriority, p.p, c.lb, c.cum, c.cnt, c.n,
+             CAST(ceil(p.p * CAST(c.n AS DOUBLE)) AS BIGINT) AS rk
+      FROM cum c, (SELECT unnest([{", ".join(
+          f"CAST({p} AS DOUBLE)" for p in _DDS_PS)}]) AS p) p
+    )
+    SELECT o_orderpriority, p,
+           {quantize_sql("CAST(lb AS DOUBLE) / 100.0", 2)} AS approx_value,
+           CAST(n AS BIGINT) AS n_rows
+    FROM hit
+    WHERE cum >= rk AND cum - cnt < rk
+    """)
+def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of o_totalprice per priority from a deterministic
+    log-histogram: ~32 buckets per power of two, counts mergeable by
+    addition (partial agg combines shards for free), answer = bucket
+    lower bound => guaranteed <= 6.25% relative error with NO float in
+    the bucketing path — so, unlike GK/KLL, both engines build the
+    byte-identical sketch and the driver hash-checks every estimate.
+
+    Scale: the histogram is vocab-bounded (#priorities x ~600 buckets)
+    regardless of row count; the window runs over that tiny table.
+
+    SELF-CHECKING: each estimate asserted against the exact rank
+    bracket [q * 16/17, q] (lower-bound reporting bias included)."""
+    (o,) = load(spark, sf_dir, "orders")
+    c = F.col("c")
+    cents = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+         .alias("c"))
+    shift = F.when(c < 32, F.lit(0)) \
+             .otherwise(F.length(F.bin(c)) - 5).cast("int")
+    sub_raw = F.when(c < 32, c).otherwise(
+        F.expr("shiftright(c, length(bin(c)) - 5)"))
+    hist = (cents.select("o_orderpriority", shift.alias("shift"),
+                         sub_raw.alias("sub_raw"))
+                 .groupBy("o_orderpriority", "shift", "sub_raw")
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .withColumn("lb", F.expr("shiftleft(sub_raw, shift)")))
+    wcum = (W.partitionBy("o_orderpriority")
+             .orderBy("shift", "sub_raw")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wn = W.partitionBy("o_orderpriority")
+    cum = (hist.withColumn("cum", F.sum("cnt").over(wcum))
+               .withColumn("n", F.sum("cnt").over(wn)))
+    ps = spark.createDataFrame([(p,) for p in _DDS_PS], "p double")
+    hit = cum.crossJoin(F.broadcast(ps)).withColumn(
+        "rk", F.ceil(F.col("p") * F.col("n").cast("double")).cast("bigint"))
+    out = (hit.filter((F.col("cum") >= F.col("rk"))
+                      & (F.col("cum") - F.col("cnt") < F.col("rk")))
+              .select("o_orderpriority", "p",
+                      quantize(F.col("lb").cast("double") / 100.0, 2)
+                      .alias("approx_value"),
+                      F.col("n").alias("n_rows"))
+              .localCheckpoint(eager=True))
+    exact_df = o.groupBy("o_orderpriority").agg(*[
+        F.expr(f"percentile_disc({p}) WITHIN GROUP "
+               "(ORDER BY o_totalprice)").alias(f"q{i}")
+        for i, p in enumerate(_DDS_PS)])
+    exact = {}
+    for r in exact_df.collect():
+        for i, p in enumerate(_DDS_PS):
+            exact[(r["o_orderpriority"], p)] = r[f"q{i}"]
+    for r in out.collect():
+        q = exact[(r["o_orderpriority"], r["p"])]
+        est = r["approx_value"]
+        if not (q * 16.0 / 17.0 - 0.02 <= est <= q + 0.02):
+            raise AssertionError(
+                f"ddsketch estimate out of bracket for "
+                f"{r['o_orderpriority']} p={r['p']}: est={est} exact={q}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter prefilter join (explicit runtime filter)
+#
+# Spark's own bloom runtime filters (bloom_filter_agg/might_contain) are
+# not registered for SQL use in this build, and their bit layout would
+# be engine-specific anyway. This is the same idea as a first-class,
+# fully deterministic operator: the build side's keys hash (md5 family,
+# k seeds) into an m-bit filter packed 32 bits per BIGINT word — a
+# vocab-bounded table of m/32 rows that broadcast-joins against the
+# probe side. At 100 TB this is THE pattern for joining a huge fact
+# table against a selective dim subset without shuffling the fact:
+# ship ~KBs of filter, drop non-matching fact rows at the scan.
+# ---------------------------------------------------------------------------
+
+_BF_M = 1 << 16    # filter bits
+_BF_K = 4          # hash functions
+
+
+def _bf_pos_spark(key_expr: str, seed: str) -> str:
+    return (f"CAST(conv(substring(md5(concat(CAST({seed} AS STRING), ':', "
+            f"CAST({key_expr} AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+            f"% {_BF_M}")
+
+
+def _bf_pos_duck(key_expr: str, seed: str) -> str:
+    return (f"CAST(concat('0x', substring(md5(concat(CAST({seed} AS VARCHAR)"
+            f", ':', CAST({key_expr} AS VARCHAR))), 1, 15)) AS BIGINT) "
+            f"% {_BF_M}")
+
+
+@query(
+    "bloom_prefilter_join",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    seeds AS (SELECT unnest([{", ".join(str(s) for s in range(_BF_K))}])
+              AS s),
+    bpos AS (
+      SELECT DISTINCT {_bf_pos_duck('b.k', 's.s')} AS pos
+      FROM build b, seeds s
+    ),
+    words AS (
+      SELECT pos >> 5 AS word,
+             CAST(bit_or(CAST(1 AS BIGINT) << (pos & 31)) AS BIGINT) AS wv
+      FROM bpos GROUP BY pos >> 5
+    ),
+    ppos AS (
+      SELECT p.k, {_bf_pos_duck('p.k', 's.s')} AS pos
+      FROM probe p, seeds s
+    ),
+    hits AS (
+      SELECT pp.k,
+             min(CASE WHEN w.wv IS NOT NULL
+                      AND ((w.wv >> (pp.pos & 31)) & 1) = 1
+                 THEN 1 ELSE 0 END) AS all_hit
+      FROM ppos pp LEFT JOIN words w ON (pp.pos >> 5) = w.word
+      GROUP BY pp.k
+    ),
+    cand AS (SELECT k FROM hits WHERE all_hit = 1),
+    stats AS (
+      SELECT (SELECT count(*) FROM probe) AS n_probe,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM cand JOIN build USING (k)) AS n_matched,
+             (SELECT count(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT k FROM build))
+               AS n_fact_rows_matched
+    )
+    SELECT CAST(n_probe AS BIGINT) AS n_probe,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           CAST(n_candidates - n_matched AS BIGINT) AS n_false_pos,
+           {quantize_sql(
+               "100.0 * (n_candidates - n_matched) "
+               "/ greatest(n_probe - n_matched, 1)", 4)} AS fp_rate_pct,
+           CAST(n_fact_rows_matched AS BIGINT) AS n_fact_rows_matched
+    FROM stats
+    """)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom runtime filter: urgent orders' keys build a 64 Kbit
+    / 4-hash filter (md5 family, 2048 packed words); distinct lineitem
+    orderkeys probe it through ONE broadcast left join (all k positions
+    union into the same join), and candidates verify exactly.
+
+    Deterministic end to end, so the driver hash-checks the filter's
+    exact false-positive count — and the in-body assert pins the no-
+    false-negative guarantee (every true match must pass the filter).
+
+    Scale: filter build shuffles only distinct build keys; the word
+    table is ≤ 2048 rows broadcast everywhere; the fact table never
+    shuffles for the prefilter (map-side join + local agg)."""
+    o, li = load(spark, sf_dir, "orders", "lineitem")
+    build = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_orderkey").alias("k")).distinct())
+    probe = li.select(F.col("l_orderkey").alias("k")).distinct()
+
+    def positions(df):
+        parts = [df.select("k", F.expr(_bf_pos_spark("k", str(s)))
+                           .alias("pos")) for s in range(_BF_K)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    words = (positions(build).select("pos").distinct()
+             .groupBy(F.expr("shiftright(pos, 5)").alias("word"))
+             .agg(F.expr(
+                 "bit_or(shiftleft(CAST(1 AS BIGINT), "
+                 "CAST(pos % 32 AS INT)))").alias("wv")))
+    hits = (positions(probe)
+            .join(F.broadcast(words),
+                  F.expr("shiftright(pos, 5)") == F.col("word"), "left")
+            .groupBy("k")
+            .agg(F.min(F.when(
+                F.col("wv").isNotNull()
+                & (F.expr("(shiftright(wv, CAST(pos % 32 AS INT)) & 1)")
+                   == 1), 1).otherwise(0)).alias("all_hit")))
+    cand = hits.filter(F.col("all_hit") == 1).select("k")
+    cand_c = cand.localCheckpoint(eager=True)
+    n_probe = probe.count()
+    n_candidates = cand_c.count()
+    n_matched = cand_c.join(build, "k", "semi").count()
+    n_fact = li.join(build, li["l_orderkey"] == build["k"], "semi").count()
+    n_true = build.join(probe, "k", "semi").count()
+    if n_matched != n_true:
+        raise AssertionError(
+            f"bloom false negative: matched {n_matched} != true {n_true}")
+    fp = n_candidates - n_matched
+    if fp > 0.01 * max(n_probe - n_matched, 1) + 10:
+        raise AssertionError(f"bloom FPR blowout: {fp}/{n_probe}")
+    return spark.createDataFrame(
+        [(n_probe, n_candidates, n_matched, fp,
+          float(n_fact))], ["n_probe", "n_candidates", "n_matched",
+                            "n_false_pos", "n_fact_rows_matched_raw"]) \
+        .select("n_probe", "n_candidates", "n_matched", "n_false_pos",
+                quantize(100.0 * F.col("n_false_pos")
+                         / F.greatest(F.col("n_probe") - F.col("n_matched"),
+                                      F.lit(1)), 4).alias("fp_rate_pct"),
+                F.col("n_fact_rows_matched_raw").cast("bigint")
+                 .alias("n_fact_rows_matched"))
