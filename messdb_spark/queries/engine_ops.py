@@ -900,3 +900,146 @@ def range_bucketed_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result.select("o_orderkey", "o_custkey", "cents")
+
+
+@query(
+    "stream_dedup_watermark_replay",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           floor(coalesce(value, 0) * CAST(100.0 AS DOUBLE) + 0.5)
+             / CAST(100.0 AS DOUBLE) AS value
+    FROM events
+    """)
+def stream_dedup_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` over a replayed file stream whose
+    source holds every event PLUS a duplicated subset (event_id % 7),
+    injected into a DIFFERENT micro-batch than the originals — the
+    at-least-once-delivery cleanup every streaming ingest needs.
+
+    The watermark delay here exceeds the data's time span so no dedup
+    state is evicted mid-replay and the result is deterministic
+    regardless of file arrival order: exactly the distinct event rows
+    (the oracle is the plain events table). In production the delay is
+    the real redelivery horizon and state stays bounded by
+    (events within delay), the property that makes this run at 100 TB
+    where a batch ``dropDuplicates`` over all history cannot.
+
+    Plan: the dedup is one stateful operator keyed by event_id — no
+    join, no unbounded buffer; each micro-batch shuffles only its own
+    rows to the 8 replay-sized state partitions."""
+    (e,) = load(spark, sf_dir, "events")
+    e = e.select("event_id", "user_id", "event_type", "ts",
+                 (F.floor(F.coalesce("value", F.lit(0.0)) * 100
+                          + F.lit(0.5)) / 100.0).alias("value"))
+    dupes = e.filter(F.col("event_id") % 7 == 0)
+    tmp = tempfile.mkdtemp(prefix="messdb_dedupstream_")
+    try:
+        src_dir = os.path.join(tmp, "src")
+        # originals in splits 0/1, duplicates all in split 2 => the
+        # duplicate of a split-0 row always arrives in a later batch
+        (e.withColumn("__sp", F.pmod(F.col("event_id"), F.lit(2)).cast("int"))
+          .unionByName(dupes.withColumn("__sp", F.lit(2)))
+          .repartition(3, "__sp")
+          .write.partitionBy("__sp").mode("overwrite").parquet(src_dir))
+        with _replay_shuffle_partitions(spark):
+            stream = (spark.readStream
+                      .schema(e.schema)
+                      .option("maxFilesPerTrigger", 1)
+                      .option("recursiveFileLookup", "true")
+                      .parquet(src_dir)
+                      .withWatermark("ts", "3650 days")
+                      .dropDuplicatesWithinWatermark(["event_id"]))
+            sink = f"dedup_replay_{os.getpid()}"
+            q = (stream.writeStream.format("memory")
+                 .queryName(sink).outputMode("append")
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        out = (spark.table(sink)
+               .select("event_id", "user_id", "event_type", "value")
+               .localCheckpoint(eager=True))
+        spark.catalog.dropTempView(sink)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    n, n_distinct = out.count(), e.count()
+    if n != n_distinct:
+        raise AssertionError(
+            f"stream dedup emitted {n} rows, expected {n_distinct}")
+    return out
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items,
+           floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE)) * CAST(100.0 AS DOUBLE) + 0.5)
+             / CAST(100.0 AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native bucketed tables joined WITHOUT any shuffle: both
+    orders and lineitem are written ``bucketBy(8, orderkey)`` +
+    ``sortBy`` through the session catalog, so the subsequent
+    sort-merge join reads co-located buckets directly — the storage-
+    level analog of the engine's range-bucketed CAS layout
+    (plans/range_layout.py), using Spark's own bucketing metadata.
+
+    ASSERTED IN-BODY: the join's physical plan contains no Exchange of
+    any kind (broadcast disabled; bucket info must eliminate the
+    shuffle on both sides). At 100 TB this is THE amortization move:
+    pay the bucketed write once, join hourly with zero shuffle.
+
+    The oracle is the plain join + agg — bucketing must be
+    semantically invisible."""
+    import uuid
+
+    o, li = load(spark, sf_dir, "orders", "lineitem")
+    db = f"colo_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="messdb_colo_")
+    bkey = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(bkey)
+    spark.conf.set(bkey, "-1")
+    try:
+        spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp}'")
+        (o.select("o_orderkey", "o_orderpriority")
+          .repartition(8, "o_orderkey")
+          .write.format("parquet").bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey").mode("overwrite")
+          .saveAsTable(f"{db}.orders_b"))
+        (li.select("l_orderkey", "l_extendedprice")
+           .repartition(8, "l_orderkey")
+           .write.format("parquet").bucketBy(8, "l_orderkey")
+           .sortBy("l_orderkey").mode("overwrite")
+           .saveAsTable(f"{db}.lineitem_b"))
+        ob = spark.table(f"{db}.orders_b")
+        lb = spark.table(f"{db}.lineitem_b")
+        joined = ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError(
+                "bucketed join still shuffles:\n" + plan[:2000])
+        if "SortMergeJoin" not in plan:
+            raise AssertionError(
+                "bucketed join is not a sort-merge join:\n" + plan[:2000])
+        out = (joined.groupBy("o_orderpriority")
+                     .agg(F.count(F.lit(1)).alias("n_items"),
+                          F.sum(F.col("l_extendedprice")
+                                 .cast("decimal(18,2)")).alias("rev_dec"))
+                     .select("o_orderpriority", "n_items",
+                             quantize(F.col("rev_dec").cast("double"), 2)
+                              .alias("revenue"))
+                     .localCheckpoint(eager=True))
+    finally:
+        spark.conf.set(bkey, prev)
+        try:
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        except Exception:
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
