@@ -1043,3 +1043,83 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "dpp_partition_pruned_join",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    stats AS (SELECT day, count(*) AS n FROM d GROUP BY day),
+    sel AS (
+      SELECT day FROM stats
+      WHERE CAST(n AS DOUBLE) >=
+        (SELECT CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         FROM stats)
+    )
+    SELECT e.day, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM d e JOIN sel ON e.day = sel.day
+    GROUP BY e.day
+    """)
+def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP) made visible: events land as a
+    DATE-partitioned parquet layout (the standard fact-table layout at
+    100 TB), and a join against an AGGREGATE-derived dim (days with
+    above-average traffic — a predicate static constraint propagation
+    cannot transfer to the fact side) must prune fact partitions AT
+    RUNTIME via Catalyst's DPP subquery: the fact scan never reads the
+    below-average days' directories.
+
+    ASSERTED IN-BODY: the executed plan carries a ``dynamicpruning``
+    expression on the fact scan's partition filters, and the dim
+    selects strictly fewer days than the fact has partitions (so the
+    pruning is real, not vacuous).
+
+    This is the scan-level complement of the engine's range-bucketed
+    CAS pruning (plans/range_layout.py): there the engine's own
+    manifest prunes buckets; here Spark's partition index prunes
+    directories — same 100 TB goal, zero custom code."""
+    (e,) = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="messdb_dpp_")
+    try:
+        fact_dir = os.path.join(tmp, "events_by_day")
+        (e.select(F.to_date(F.date_trunc("day", "ts")).alias("day"),
+                  "user_id", "event_id")
+          .repartition("day")
+          .write.partitionBy("day").mode("overwrite").parquet(fact_dir))
+        fact = spark.read.parquet(fact_dir)
+        stats = fact.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+        # scalar threshold collected to the driver (1-row artifact) so
+        # the dim subplan carries a literal Filter — the selective-
+        # predicate shape the DPP rule requires (an attribute-vs-
+        # attribute comparison would fold into a join condition and
+        # disqualify the dim as a pruning source)
+        avg_n = stats.agg(
+            (F.sum("n").cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("a")).collect()[0]["a"]
+        dim = (stats.filter(F.col("n").cast("double") >= F.lit(avg_n))
+                    .select("day"))
+        n_partitions = stats.count()
+        n_sel = dim.count()
+        if not 0 < n_sel < n_partitions:
+            raise AssertionError(
+                f"dim selects {n_sel} of {n_partitions} days — pruning "
+                "would be vacuous")
+        # hint the dim broadcast: DPP fires when the FACT is the probe
+        # side (at scale that's automatic; locally the tiny fact would
+        # itself win the broadcast and skip pruning)
+        joined = fact.join(F.broadcast(dim), "day")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "dynamicpruning" not in plan.lower():
+            raise AssertionError(
+                "no dynamic partition pruning in plan:\n" + plan[:2000])
+        out = (joined.groupBy("day")
+                     .agg(F.count(F.lit(1)).alias("n_events"),
+                          F.countDistinct("user_id").alias("n_users"))
+                     .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -129,6 +129,22 @@ def hll_md5_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 f"HLL-md5 estimate out of bounds for {r['l_returnflag']}: "
                 f"est={r['raw_est']} exact={r['exact_distinct']}")
+    # mergeability proof (the property that matters at 100 TB): the
+    # register tables of two disjoint shards, combined by MAX, must be
+    # bit-identical to the single-pass register table.
+    sharded = (li.select("l_returnflag",
+                         (F.col("l_orderkey") % 2).alias("shard"),
+                         hv.alias("hv"))
+                 .select("l_returnflag", "shard",
+                         F.expr(f"hv div {_POW52}").alias("bucket"),
+                         rho.alias("rho"))
+                 .groupBy("l_returnflag", "shard", "bucket")
+                 .agg(F.max("rho").alias("rho")))
+    merged = (sharded.groupBy("l_returnflag", "bucket")
+                     .agg(F.max("rho").alias("rho")))
+    if merged.exceptAll(reg).count() != 0 or merged.count() != reg.count():
+        raise AssertionError("sharded HLL registers do not merge to the "
+                             "single-pass register table")
     return out
 
 
@@ -367,13 +383,21 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("wv").isNotNull()
                 & (F.expr("(shiftright(wv, CAST(pos % 32 AS INT)) & 1)")
                    == 1), 1).otherwise(0)).alias("all_hit")))
-    cand = hits.filter(F.col("all_hit") == 1).select("k")
-    cand_c = cand.localCheckpoint(eager=True)
-    n_probe = probe.count()
-    n_candidates = cand_c.count()
-    n_matched = cand_c.join(build, "k", "semi").count()
+    # one agg computes every stat: each probe key carries its bloom
+    # verdict (all_hit) and its exact membership (in_build), so
+    # candidates / matches / true-matches come from a single job
+    # instead of four separate count() actions.
+    flags = (hits.join(build.withColumn("in_build", F.lit(1)), "k", "left")
+                 .agg(F.count(F.lit(1)).alias("n_probe"),
+                      F.sum("all_hit").alias("n_candidates"),
+                      F.sum(F.when((F.col("all_hit") == 1)
+                                   & F.col("in_build").isNotNull(), 1)
+                             .otherwise(0)).alias("n_matched"),
+                      F.sum(F.coalesce("in_build", F.lit(0)))
+                       .alias("n_true")).collect()[0])
+    n_probe, n_candidates = flags["n_probe"], flags["n_candidates"]
+    n_matched, n_true = flags["n_matched"], flags["n_true"]
     n_fact = li.join(build, li["l_orderkey"] == build["k"], "semi").count()
-    n_true = build.join(probe, "k", "semi").count()
     if n_matched != n_true:
         raise AssertionError(
             f"bloom false negative: matched {n_matched} != true {n_true}")
