@@ -354,3 +354,68 @@ def test_catalog_diff_is_single_full_outer(spark, sf_dir, warehouse):
     import re
     joins = re.findall(r"\(\d+\)\s+(\w*Join\w*)", plan)
     assert len(joins) == 1, joins
+
+
+def test_round5_new_ops_plan_shapes(spark, sf_dir):
+    """Round-5 additions keep their scale contracts: the deterministic
+    sketches and linkage operators must stay equi-join/hash-agg only —
+    no cartesian pair space, no nested loop; the bloom probe's word
+    table and the count-min estimate sides must ride broadcast joins
+    (the filter is KBs; shuffling the probe keys against it would be
+    the regression)."""
+    for name in ("hll_md5_distinct_orders", "ddsketch_price_quantiles",
+                 "record_linkage_scores", "duplicate_span_fraction",
+                 "training_mix_interleave", "user_event_sequences"):
+        plan = plan_str(QUERIES[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    # the bloom query returns driver-collected stats (ExistingRDD), so
+    # assert the probe-side join shape on a rebuilt pipeline: probe
+    # positions joined to the packed word table must broadcast the
+    # words, never shuffle the probe
+    from messdb_spark.queries.sketches import _bf_pos_spark, _BF_K
+    from messdb_spark.session import read_table
+    li = read_table(spark, sf_dir, "lineitem")
+    probe = li.select(F.col("l_orderkey").alias("k")).distinct()
+    pos = probe.select("k", F.expr(_bf_pos_spark("k", "0")).alias("pos"))
+    words = (pos.select("pos").distinct()
+             .groupBy(F.expr("shiftright(pos, 5)").alias("word"))
+             .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                         "CAST(pos % 32 AS INT)))").alias("wv")))
+    probe_join = pos.join(F.broadcast(words),
+                          F.expr("shiftright(pos, 5)") == F.col("word"),
+                          "left")
+    plan = plan_str(probe_join)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_registers_bounded(spark, sf_dir):
+    """The HLL register table must stay <= m rows per group regardless
+    of input cardinality — the bounded-state property that lets the
+    sketch replace countDistinct at 100 TB."""
+    from messdb_spark.queries.sketches import _HLL_M
+    out = QUERIES["hll_md5_distinct_orders"].fn(spark, sf_dir)
+    for r in out.collect():
+        assert 0 < r["n_buckets_hit"] <= _HLL_M
+        assert 1 <= r["max_rho"] <= 53
+
+
+def test_ddsketch_histogram_bounded(spark, sf_dir):
+    """The quantile sketch's per-group bucket count is histogram-
+    bounded (~32 per power of two), not data-bounded."""
+    from pyspark.sql import functions as F
+    from messdb_spark.session import read_table
+    o = read_table(spark, sf_dir, "orders")
+    c = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    shift = F.when(c < 32, F.lit(0)) \
+             .otherwise(F.length(F.bin(c)) - 5).cast("int")
+    sub = F.when(c < 32, c).otherwise(
+        F.expr("shiftright(CAST(floor(o_totalprice * 100.0 + 0.5) AS "
+               "BIGINT), length(bin(CAST(floor(o_totalprice * 100.0 "
+               "+ 0.5) AS BIGINT))) - 5)"))
+    n_buckets = (o.select("o_orderpriority", shift.alias("s"),
+                          sub.alias("b")).distinct().count())
+    # cents span < 2^31 => < 27 powers of two x 16 sub-buckets x groups
+    assert n_buckets < 27 * 16 * 5
