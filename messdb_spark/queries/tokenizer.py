@@ -1,0 +1,134 @@
+"""Tokenizer training: distributed byte-pair-encoding merge learning.
+
+The LLM-pipeline step the regex tokenizers (text.py:bpe_tokens_regex)
+only approximate: BPE *learns* its merge table from corpus statistics.
+Each round counts adjacent symbol pairs weighted by word frequency,
+adopts the most frequent pair as a new symbol, and rewrites the word
+inventory — exactly the sequential algorithm of Sennrich et al., run
+with Spark doing the heavy counting.
+
+Determinism discipline (the PageRank/count-min pattern): every round's
+argmax uses a total order (count DESC, pair ASC), merges apply as
+plain string replaces on space-delimited symbol sequences (no regex,
+no locale), and the oracle UNROLLS the same rounds as chained CTEs —
+so the learned merge table hash-checks across engines.
+
+Scale: the word-frequency dictionary is the only state (vocab-bounded,
+NOT corpus-bounded — 100 TB of text still collapses to a few million
+distinct words); pair counting is a map + vocab-sized agg per round;
+the per-round argmax is a 1-row collect (bounded artifact); applying a
+merge is a narrow projection. Rounds are inherently sequential — that
+is BPE, not a Spark limitation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query, load
+
+_N_MERGES = 5
+_TOP_WORDS = 50
+
+# space-delimited character sequence with sentinel spaces: 'abc' ->
+# ' a b c ' — merges then apply as plain substring replaces. A replace
+# pass consumes the shared boundary space of back-to-back occurrences,
+# so each round applies the replace 3x (handles runs up to length ~8,
+# far beyond any [a-z]+ word here); the oracle does the identical 3x.
+_SEQ_INIT_SPARK = "concat(' ', regexp_replace(word, '(.)', '$1 '))"
+_SEQ_INIT_DUCK = "concat(' ', regexp_replace(word, '(.)', '\\1 ', 'g'))"
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE rounds as chained CTEs (the PageRank move: the
+    iterative algorithm is replayed in pure SQL so the driver can
+    hash-check the learned merges)."""
+    ctes = [f"""
+    w0 AS MATERIALIZED (
+      SELECT word, n, {_SEQ_INIT_DUCK} AS seq FROM (
+        SELECT word, count(*) AS n FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text),
+                 '\\s+'), x -> regexp_matches(x, '^[a-z]+$'))) AS word
+          FROM documents WHERE length(text) > 0
+        ) t GROUP BY word ORDER BY n DESC, word LIMIT {_TOP_WORDS}
+      ) w
+    )"""]
+    for r in range(1, _N_MERGES + 1):
+        p = r - 1
+        ctes.append(f"""
+    p{r} AS MATERIALIZED (
+      SELECT pair, sum(n * cnt) AS total FROM (
+        SELECT n, pair, count(*) AS cnt FROM (
+          SELECT n, unnest(list_transform(range(1, len(s)),
+                 i -> s[i] || ' ' || s[i + 1])) AS pair
+          FROM (SELECT n, string_split(trim(seq), ' ') AS s FROM w{p})
+          WHERE len(s) >= 2
+        ) GROUP BY n, pair
+      ) GROUP BY pair
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT pair, total FROM p{r} ORDER BY total DESC, pair LIMIT 1
+    ),
+    w{r} AS MATERIALIZED (
+      SELECT word, n,
+             replace(replace(replace(seq,
+               (SELECT ' ' || pair || ' ' FROM m{r}),
+               (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m{r})),
+               (SELECT ' ' || pair || ' ' FROM m{r}),
+               (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m{r})),
+               (SELECT ' ' || pair || ' ' FROM m{r}),
+               (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m{r}))
+               AS seq
+      FROM w{p}
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {r} AS round, pair, replace(pair, ' ', '') AS merged, "
+        f"CAST(total AS BIGINT) AS total FROM m{r}"
+        for r in range(1, _N_MERGES + 1))
+    return ("WITH " + ",".join(ctes)
+            + f"\n    SELECT CAST(round AS BIGINT) AS round, pair, "
+              f"merged, total FROM ({unions}) u")
+
+
+@query("bpe_learn_merges", oracle=_bpe_oracle())
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the corpus's first {N} BPE merges over its top-{W} [a-z]+
+    words (frequency-weighted, Sennrich-style). Output: the merge
+    table (round, pair, merged symbol, weighted pair count) — the
+    artifact a tokenizer trainer persists.
+
+    Each round: vocab-bounded pair count -> total-ordered argmax
+    (1-row collect) -> 3x sentinel-space replace over the word
+    inventory. The oracle unrolls the same rounds as CTEs, so the
+    driver hash-checks the whole trajectory, not just round 1."""
+    (doc,) = load(spark, sf_dir, "documents")
+    words = (doc.filter(F.length("text") > 0)
+                .select(F.explode(F.expr(
+                    "filter(split(lower(text), '\\\\s+'), "
+                    "x -> x rlike '^[a-z]+$')")).alias("word"))
+                .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), "word").limit(_TOP_WORDS)
+                .select("word", "n", F.expr(_SEQ_INIT_SPARK).alias("seq"))
+                .localCheckpoint(eager=True))   # tiny: <= 50 rows
+    merges = []
+    for r in range(1, _N_MERGES + 1):
+        pairs = (words.select("n", F.split(F.trim("seq"), " ").alias("s"))
+                      .filter(F.size("s") >= 2)
+                      .select("n", F.explode(F.expr(
+                          "transform(sequence(1, size(s) - 1), i -> "
+                          "concat(element_at(s, i), ' ', "
+                          "element_at(s, i + 1)))")).alias("pair"))
+                      .groupBy("pair").agg(F.sum("n").alias("total")))
+        top = pairs.orderBy(F.col("total").desc(), "pair").limit(1) \
+                   .collect()[0]
+        pat, rep = f" {top['pair']} ", " " + top["pair"].replace(" ", "") + " "
+        merges.append((r, top["pair"], top["pair"].replace(" ", ""),
+                       int(top["total"])))
+        seq = F.col("seq")
+        for _ in range(3):
+            seq = F.replace(seq, F.lit(pat), F.lit(rep))
+        words = (words.select("word", "n", seq.alias("seq"))
+                      .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        merges, "round bigint, pair string, merged string, total bigint")
