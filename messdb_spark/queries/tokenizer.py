@@ -8,10 +8,11 @@ inventory — exactly the sequential algorithm of Sennrich et al., run
 with Spark doing the heavy counting.
 
 Determinism discipline (the PageRank/count-min pattern): every round's
-argmax uses a total order (count DESC, pair ASC), merges apply as
-plain string replaces on space-delimited symbol sequences (no regex,
-no locale), and the oracle UNROLLS the same rounds as chained CTEs —
-so the learned merge table hash-checks across engines.
+argmax uses a total order (count DESC, pair ASC), merges apply as ONE
+plain string replace over paren-bracketed symbol sequences (exact
+left-to-right non-overlapping application, no regex, no locale), and
+the oracle UNROLLS the same rounds as chained CTEs — so the learned
+merge table hash-checks across engines.
 
 Scale: the word-frequency dictionary is the only state (vocab-bounded,
 NOT corpus-bounded — 100 TB of text still collapses to a few million
@@ -31,13 +32,17 @@ from . import query, load
 _N_MERGES = 5
 _TOP_WORDS = 50
 
-# space-delimited character sequence with sentinel spaces: 'abc' ->
-# ' a b c ' — merges then apply as plain substring replaces. A replace
-# pass consumes the shared boundary space of back-to-back occurrences,
-# so each round applies the replace 3x (handles runs up to length ~8,
-# far beyond any [a-z]+ word here); the oracle does the identical 3x.
-_SEQ_INIT_SPARK = "concat(' ', regexp_replace(word, '(.)', '$1 '))"
-_SEQ_INIT_DUCK = "concat(' ', regexp_replace(word, '(.)', '\\1 ', 'g'))"
+# paren-delimited symbol sequence: 'abc' -> '(a)(b)(c)'. A merge of
+# (a, b) is then ONE plain replace of '(a)(b)' with '(ab)', and
+# because every token is fully bracketed the replace is exactly
+# Sennrich's left-to-right non-overlapping application — adjacent
+# matches share no characters (space-sentinel encodings fail this on
+# runs: ' a a a a a ' -> ' aa a aa ', not ' aa aa a ').
+_SEQ_INIT_SPARK = "regexp_replace(word, '(.)', '($1)')"
+_SEQ_INIT_DUCK = "regexp_replace(word, '(.)', '(\\1)', 'g')"
+# symbols list back out of the bracketed form
+_SYMS_SPARK = "split(substring(seq, 2, length(seq) - 2), '\\\\)\\\\(')"
+_SYMS_DUCK = "string_split(substring(seq, 2, length(seq) - 2), ')(')"
 
 
 def _bpe_oracle() -> str:
@@ -62,7 +67,7 @@ def _bpe_oracle() -> str:
         SELECT n, pair, count(*) AS cnt FROM (
           SELECT n, unnest(list_transform(range(1, len(s)),
                  i -> s[i] || ' ' || s[i + 1])) AS pair
-          FROM (SELECT n, string_split(trim(seq), ' ') AS s FROM w{p})
+          FROM (SELECT n, {_SYMS_DUCK} AS s FROM w{p})
           WHERE len(s) >= 2
         ) GROUP BY n, pair
       ) GROUP BY pair
@@ -72,13 +77,9 @@ def _bpe_oracle() -> str:
     ),
     w{r} AS MATERIALIZED (
       SELECT word, n,
-             replace(replace(replace(seq,
-               (SELECT ' ' || pair || ' ' FROM m{r}),
-               (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m{r})),
-               (SELECT ' ' || pair || ' ' FROM m{r}),
-               (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m{r})),
-               (SELECT ' ' || pair || ' ' FROM m{r}),
-               (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m{r}))
+             replace(seq,
+               (SELECT '(' || replace(pair, ' ', ')(') || ')' FROM m{r}),
+               (SELECT '(' || replace(pair, ' ', '') || ')' FROM m{r}))
                AS seq
       FROM w{p}
     )""")
@@ -99,9 +100,10 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact a tokenizer trainer persists.
 
     Each round: vocab-bounded pair count -> total-ordered argmax
-    (1-row collect) -> 3x sentinel-space replace over the word
-    inventory. The oracle unrolls the same rounds as CTEs, so the
-    driver hash-checks the whole trajectory, not just round 1."""
+    (1-row collect) -> one bracketed-token replace over the word
+    inventory (exact left-to-right non-overlapping application). The
+    oracle unrolls the same rounds as CTEs, so the driver hash-checks
+    the whole trajectory, not just round 1."""
     (doc,) = load(spark, sf_dir, "documents")
     words = (doc.filter(F.length("text") > 0)
                 .select(F.explode(F.expr(
@@ -113,7 +115,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True))   # tiny: <= 50 rows
     merges = []
     for r in range(1, _N_MERGES + 1):
-        pairs = (words.select("n", F.split(F.trim("seq"), " ").alias("s"))
+        pairs = (words.select("n", F.expr(_SYMS_SPARK).alias("s"))
                       .filter(F.size("s") >= 2)
                       .select("n", F.explode(F.expr(
                           "transform(sequence(1, size(s) - 1), i -> "
@@ -122,12 +124,10 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .groupBy("pair").agg(F.sum("n").alias("total")))
         top = pairs.orderBy(F.col("total").desc(), "pair").limit(1) \
                    .collect()[0]
-        pat, rep = f" {top['pair']} ", " " + top["pair"].replace(" ", "") + " "
-        merges.append((r, top["pair"], top["pair"].replace(" ", ""),
-                       int(top["total"])))
-        seq = F.col("seq")
-        for _ in range(3):
-            seq = F.replace(seq, F.lit(pat), F.lit(rep))
+        a, b = top["pair"].split(" ")
+        merges.append((r, top["pair"], a + b, int(top["total"])))
+        seq = F.replace(F.col("seq"), F.lit(f"({a})({b})"),
+                        F.lit(f"({a}{b})"))
         words = (words.select("word", "n", seq.alias("seq"))
                       .localCheckpoint(eager=True))
     return spark.createDataFrame(
