@@ -217,12 +217,13 @@ _CM_D = 4      # hash rows
 
 
 def _cm_bucket_spark(seed: int, w: int) -> F.Column:
-    return F.expr(
-        f"CAST(conv(substring(md5(concat('{seed}:', token)), 1, 15), "
-        f"16, 10) AS BIGINT) % {w}")
+    from ..functions.portable import md5_int60_spark
+    return F.expr(md5_int60_spark(f"concat('{seed}:', token)") + f" % {w}")
 
 
 def _cm_oracle(tokens_duck: str, w: int, d: int, k: int) -> str:
+    from ..functions.portable import md5_int60_duck
+    md5_duck = md5_int60_duck("concat(CAST(s.seed AS VARCHAR), ':', token)")
     seeds = ", ".join(str(s) for s in range(d))
     return f"""
     WITH toks AS (
@@ -231,9 +232,7 @@ def _cm_oracle(tokens_duck: str, w: int, d: int, k: int) -> str:
     ),
     hx AS (
       SELECT s.seed, token,
-             CAST(concat('0x', substring(
-               md5(concat(CAST(s.seed AS VARCHAR), ':', token)), 1, 15))
-               AS BIGINT) % {w} AS bucket
+             {md5_duck} % {w} AS bucket
       FROM toks, (SELECT unnest([{seeds}]) AS seed) s
     ),
     counters AS (

@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from . import query, load, quantize, quantize_sql
+from ..functions.portable import (md5_int60_duck, md5_int60_spark,
+                                  seeded_key_duck, seeded_key_spark)
 
 # ---------------------------------------------------------------------------
 # Deterministic HyperLogLog (md5 hash family, m = 256 buckets)
@@ -46,8 +48,7 @@ _POW52 = 1 << 52
     oracle=f"""
     WITH h AS (
       SELECT l_returnflag,
-             CAST(concat('0x', substring(
-               md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+             {md5_int60_duck("CAST(l_orderkey AS VARCHAR)")} AS hv
       FROM lineitem
     ),
     reg AS (
@@ -92,9 +93,7 @@ def hll_md5_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SELF-CHECKING: raw estimate asserted within 4*rsd of exact."""
     (li,) = load(spark, sf_dir, "lineitem")
-    hv = F.expr(
-        "CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 15), "
-        "16, 10) AS BIGINT)")
+    hv = F.expr(md5_int60_spark("CAST(l_orderkey AS STRING)"))
     h = li.select("l_returnflag", hv.alias("hv"))
     rem = F.col("hv") % F.lit(_POW52)
     rho = F.when(rem == 0, F.lit(53)) \
@@ -278,20 +277,29 @@ def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ship ~KBs of filter, drop non-matching fact rows at the scan.
 # ---------------------------------------------------------------------------
 
-_BF_M = 1 << 16    # filter bits
+_BF_M = 1 << 16    # minimum filter bits (floor for tiny build sides)
 _BF_K = 4          # hash functions
+_BF_BITS_PER_KEY = 16   # m >= 16n => FPR ~ (1-e^-k/16)^k ~ 0.24% at k=4
+
+# The filter SIZES ITSELF from the build-side cardinality: m = the next
+# power of two >= 16 * n_build (computed identically in the oracle via
+# 1 << length(bin(16n-1))). A fixed m is a scale bug — at 10x the build
+# keys a 64 Kbit filter saturates to ~40% FPR, which the in-body FPR
+# assert caught at sf0.1.
 
 
-def _bf_pos_spark(key_expr: str, seed: str) -> str:
-    return (f"CAST(conv(substring(md5(concat(CAST({seed} AS STRING), ':', "
-            f"CAST({key_expr} AS STRING))), 1, 15), 16, 10) AS BIGINT) "
-            f"% {_BF_M}")
+def _bf_m(n_build: int) -> int:
+    return max(_BF_M, 1 << (_BF_BITS_PER_KEY * n_build - 1).bit_length())
+
+
+def _bf_pos_spark(key_expr: str, seed: str, m: int = _BF_M) -> str:
+    return (md5_int60_spark(seeded_key_spark(seed, key_expr))
+            + f" % {m}")
 
 
 def _bf_pos_duck(key_expr: str, seed: str) -> str:
-    return (f"CAST(concat('0x', substring(md5(concat(CAST({seed} AS VARCHAR)"
-            f", ':', CAST({key_expr} AS VARCHAR))), 1, 15)) AS BIGINT) "
-            f"% {_BF_M}")
+    return (md5_int60_duck(seeded_key_duck(seed, key_expr))
+            + " % (SELECT m FROM msel)")
 
 
 @query(
@@ -300,6 +308,10 @@ def _bf_pos_duck(key_expr: str, seed: str) -> str:
     WITH build AS (
       SELECT DISTINCT o_orderkey AS k FROM orders
       WHERE o_orderpriority = '1-URGENT'
+    ),
+    msel AS (
+      SELECT greatest({_BF_M}, 1 << length(bin(
+        {_BF_BITS_PER_KEY} * count(*) - 1))) AS m FROM build
     ),
     probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
     seeds AS (SELECT unnest([{", ".join(str(s) for s in range(_BF_K))}])
@@ -345,8 +357,10 @@ def _bf_pos_duck(key_expr: str, seed: str) -> str:
     FROM stats
     """)
 def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit Bloom runtime filter: urgent orders' keys build a 64 Kbit
-    / 4-hash filter (md5 family, 2048 packed words); distinct lineitem
+    """Explicit Bloom runtime filter: urgent orders' keys build a
+    4-hash md5-family filter SIZED FROM THE BUILD CARDINALITY (next
+    power of two >= 16 bits/key, so the FPR stays ~0.24% at any scale
+    factor — a fixed m saturates at 10x the keys); distinct lineitem
     orderkeys probe it through ONE broadcast left join (all k positions
     union into the same join), and candidates verify exactly.
 
@@ -359,11 +373,13 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles for the prefilter (map-side join + local agg)."""
     o, li = load(spark, sf_dir, "orders", "lineitem")
     build = (o.filter(F.col("o_orderpriority") == "1-URGENT")
-              .select(F.col("o_orderkey").alias("k")).distinct())
+              .select(F.col("o_orderkey").alias("k")).distinct()
+              .localCheckpoint(eager=True))   # scanned 3x below
     probe = li.select(F.col("l_orderkey").alias("k")).distinct()
+    m = _bf_m(build.count())   # self-sized: bounded driver scalar
 
     def positions(df):
-        parts = [df.select("k", F.expr(_bf_pos_spark("k", str(s)))
+        parts = [df.select("k", F.expr(_bf_pos_spark("k", str(s), m))
                            .alias("pos")) for s in range(_BF_K)]
         out = parts[0]
         for p in parts[1:]:
