@@ -1123,3 +1123,102 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "incremental_hll_refresh",
+    oracle=f"""
+    WITH merged AS (
+      SELECT o_orderpriority, o_custkey FROM orders
+      UNION ALL
+      SELECT o_orderpriority, o_custkey + 2000000000 AS o_custkey
+      FROM orders
+      WHERE o_orderkey % 1000 = 0 AND o_orderkey < 10000
+    ),
+    h AS (
+      SELECT o_orderpriority,
+             CAST(concat('0x', substring(
+               md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM merged
+    ),
+    reg AS (
+      SELECT o_orderpriority, hv // {1 << 52} AS bucket,
+             max(CASE WHEN hv % {1 << 52} = 0 THEN 53
+                 ELSE 53 - length(bin(hv % {1 << 52})) END) AS rho
+      FROM h GROUP BY o_orderpriority, hv // {1 << 52}
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_buckets_hit,
+           CAST(sum(CAST(1 AS BIGINT) << (53 - rho)) AS BIGINT) AS s_obs
+    FROM reg GROUP BY o_orderpriority
+    """)
+def incremental_hll_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SKETCH MAINTENANCE: the deterministic HLL register
+    table (sketches.py) kept as a bucket-granular materialized view.
+    The registers materialize as columns of the bucketed base table, so
+    the generic ``incremental_agg_view`` machinery (max is
+    distributive) maintains them: after a <=10-key delta upsert, the
+    refresh recomputes ONLY the touched buckets' register partials —
+    asserted in-body from the memo miss counters — and the merged
+    registers hash-equal a from-scratch single-pass build (the oracle).
+
+    This is the sketch-as-continuous-aggregate pattern: at 100 TB the
+    distinct-count estimate over an ever-growing table refreshes in
+    cost ∝ delta keys, never a full rescan — the reference's memoized-
+    recomputation promise applied to approximate state."""
+    from ..functions.portable import md5_int60_spark
+    from ..plans.incremental import (incremental_agg_view,
+                                     incremental_upsert, write_bucketed)
+    from ..operators.core import KeyedTable
+    from ..store import MemoStore, ObjectStore
+
+    (o,) = load(spark, sf_dir, "orders")
+    hv = F.expr(md5_int60_spark("CAST(o_custkey AS STRING)"))
+    rem = F.col("hv") % F.lit(1 << 52)
+    rho = F.when(rem == 0, F.lit(53)) \
+           .otherwise(F.lit(53) - F.length(F.bin(rem)))
+
+    def with_registers(df):
+        return (df.withColumn("hv", hv)
+                  .select("o_orderkey", "o_orderpriority",
+                          F.expr(f"hv div {1 << 52}").alias("bucket"),
+                          rho.alias("rho")))
+
+    base = with_registers(o.select("o_orderkey", "o_orderpriority",
+                                   "o_custkey"))
+    delta = with_registers(
+        o.filter((F.col("o_orderkey") % 1000 == 0)
+                 & (F.col("o_orderkey") < 10000))
+         .select((F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+                 "o_orderpriority",
+                 (F.col("o_custkey") + 2_000_000_000).alias("o_custkey")))
+    tmp = tempfile.mkdtemp(prefix="messdb_hllview_")
+    try:
+        store = ObjectStore(os.path.join(tmp, "wh"))
+        memo = MemoStore(os.path.join(tmp, "wh"))
+        aggs = {"rho": ("max", F.max("rho").alias("rho"))}
+        ref1 = write_bucketed(store, KeyedTable(base, ("o_orderkey",)),
+                              n_buckets=32)
+        incremental_agg_view(spark, store, memo, ref1, "hll_registers",
+                             ["o_orderpriority", "bucket"], aggs)
+        misses_full = memo.misses
+        ref2 = incremental_upsert(spark, store, ref1, delta)
+        n_changed = sum(1 for a, b in zip(ref1.bucket_hashes,
+                                          ref2.bucket_hashes) if a != b)
+        regs = incremental_agg_view(spark, store, memo, ref2,
+                                    "hll_registers",
+                                    ["o_orderpriority", "bucket"], aggs)
+        refresh_misses = memo.misses - misses_full
+        if refresh_misses > n_changed or n_changed == 0:
+            raise AssertionError(
+                f"HLL refresh recomputed {refresh_misses} buckets, "
+                f"delta changed {n_changed}")
+        out = (regs.df.groupBy("o_orderpriority")
+                   .agg(F.count(F.lit(1)).alias("n_buckets_hit"),
+                        F.sum(F.expr(
+                            "shiftleft(CAST(1 AS BIGINT), 53 - rho)"))
+                         .alias("s_obs"))
+                   .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
