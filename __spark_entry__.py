@@ -43,7 +43,7 @@ _CHECK_FIRST = [
     "duplicate_span_fraction", "user_event_sequences",
     "training_mix_interleave", "stream_dedup_watermark_replay",
     "bucketed_colocated_join", "dpp_partition_pruned_join",
-    "bpe_learn_merges", "incremental_hll_refresh",
+    "bpe_learn_merges", "incremental_hll_refresh", "ann_recall_eval",
     "range_bucketed_prune", "skew_salted_join", "triangle_count_cosupply",
     "incremental_sort_view_refresh", "frequent_part_pairs",
     "hopping_window_counts", "rolling_median_user_value",

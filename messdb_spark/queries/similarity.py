@@ -780,3 +780,63 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("code_sum"),
                        F.expr("CAST(array_max(codes) AS BIGINT)").alias("max_code"),
                        quantize(F.expr(mae), 6).alias("mae")))
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the IVF index vs brute force
+# ---------------------------------------------------------------------------
+
+def _ann_recall_oracle() -> str:
+    """Composes the two registered pipelines' oracles as subqueries —
+    the eval inherits their determinism discipline wholesale."""
+    from . import QUERIES
+    gt = QUERIES["cosine_topk_bruteforce"].oracle
+    iv = QUERIES["ivf_topk_search"].oracle
+    return f"""
+    SELECT g.query_id,
+           CAST(count(i.cand_id) AS BIGINT) AS n_matched,
+           {quantize_sql("CAST(count(i.cand_id) AS DOUBLE) / 5.0", 4)}
+             AS recall_at_5
+    FROM ({gt}) g
+    LEFT JOIN ({iv}) i
+      ON g.query_id = i.query_id AND g.cand_id = i.cand_id
+    GROUP BY g.query_id
+    """
+
+
+@query("ann_recall_eval", oracle=_ann_recall_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@5 of the IVF(probe-2) search
+    against the brute-force ground truth, per query vector — the
+    measurement that decides nprobe/cell-count BEFORE shipping an ANN
+    index to a 100 TB corpus. Composes the two registered pipelines
+    (and their oracles) rather than re-implementing either; the whole
+    eval is hash-checked.
+
+    Scale: the eval runs over the query SAMPLE (bounded), not the
+    corpus — ground truth is the only brute-force pass and at scale
+    runs on a sampled query set exactly like this one."""
+    from . import QUERIES
+    gt = (QUERIES["cosine_topk_bruteforce"].fn(spark, sf_dir)
+          .select("query_id", "cand_id"))
+    iv = (QUERIES["ivf_topk_search"].fn(spark, sf_dir)
+          .select(F.col("query_id").alias("iq"),
+                  F.col("cand_id").alias("ic")))
+    out = (gt.join(iv, (gt["query_id"] == iv["iq"])
+                   & (gt["cand_id"] == iv["ic"]), "left")
+             .groupBy("query_id")
+             .agg(F.count("ic").alias("n_matched"))
+             .select("query_id",
+                     F.col("n_matched").cast("bigint").alias("n_matched"),
+                     quantize(F.col("n_matched").cast("double") / 5.0, 4)
+                      .alias("recall_at_5"))
+             .localCheckpoint(eager=True))
+    rows = out.collect()
+    mean_recall = sum(r["recall_at_5"] for r in rows) / max(len(rows), 1)
+    if not rows or mean_recall < 0.2:
+        raise AssertionError(
+            f"IVF recall collapsed: mean recall@5 = {mean_recall}")
+    for r in rows:
+        if not 0 <= r["n_matched"] <= 5:
+            raise AssertionError(f"impossible match count: {r}")
+    return out
