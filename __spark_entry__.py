@@ -38,6 +38,7 @@ _CHECK_FIRST = [
     # verdict flags plus the new round-5 queries (re-keyed view,
     # range-bucket pruning, salted join, triangles, deterministic
     # md5-family sketches)
+    "bfs_min_hops", "mannwhitney_value_shift", "cdc_apply_tombstones",
     "hll_md5_distinct_orders", "ddsketch_price_quantiles",
     "bloom_prefilter_join", "record_linkage_scores",
     "duplicate_span_fraction", "user_event_sequences",

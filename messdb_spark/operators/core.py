@@ -159,6 +159,47 @@ def canonicalize_input(df: DataFrame, key_cols: Sequence[str],
     return KeyedTable(out.select(*df.columns), keys)
 
 
+def apply_cdc(base: KeyedTable, oplog: DataFrame, op_col: str,
+              ord_col: str | Column) -> KeyedTable:
+    """Apply a change-data-capture op-log (upserts + delete tombstones)
+    to a keyed table — the MERGE-with-DELETE the reference's fold
+    algebra cannot express (folds only combine values; a tombstone must
+    *remove* the key, ``Trie.hs:297-430`` has no such arm). Superset
+    operator for CDC replication / GDPR erasure feeds.
+
+    ``oplog`` rows carry the base's key+value columns plus ``op_col``
+    ('upsert' | 'delete') and an ordering column ``ord_col`` (commit
+    timestamp / LSN); for one key, the op with the greatest ordinal
+    wins — later ops shadow earlier ones exactly like the reference's
+    left-to-right fold order.
+
+    Physical strategy (100 TB): ONE shuffle folds the op-log to its
+    net effect per key — ``max_by`` with the payload in the buffer is
+    sort-based (struct buffers aren't hash-aggregable), but the
+    *partial* max_by runs map-side, so the Exchange moves one netted
+    row per (partition, key), never the raw log (plan-asserted in
+    ``test_plans.py``). Then the Delta-MERGE shape from ``merge_tables``: the
+    base drops all *touched* keys via LEFT ANTI (broadcast when the
+    delta is small — the base never shuffles) and surviving upserts
+    union back in. Deletes of absent keys are silent no-ops, matching
+    SQL MERGE ... WHEN MATCHED THEN DELETE."""
+    keys = list(base.key_cols)
+    value_cols = list(base.value_cols)
+    ordc = F.col(ord_col) if isinstance(ord_col, str) else ord_col
+    # net effect per key: the winning op + its values
+    payload = F.struct(F.col(op_col).alias("__op"),
+                       *[F.col(c).alias(c) for c in value_cols])
+    net = (oplog.withColumn(_ORD, ordc)
+                .groupBy(*[F.col(k) for k in keys])
+                .agg(F.max_by(payload, F.col(_ORD)).alias("__net")))
+    touched = net.select(*keys)
+    survivors = base.df.join(touched, on=keys, how="left_anti")
+    ups = (net.filter(F.col("__net.__op") != F.lit("delete"))
+              .select(*keys, *[F.col(f"__net.{c}").alias(c)
+                               for c in value_cols]))
+    return KeyedTable(survivors.unionByName(ups), base.key_cols)
+
+
 def sort_table(table: KeyedTable, transform: TransformFunc | str,
                fold: FoldFunc | str = FOLD_TO_LAST) -> KeyedTable:
     """O2 ``sortTable`` (``Trie.hs:433-470``): re-key/re-map every row

@@ -1,0 +1,278 @@
+"""Graph traversal, rank statistics, and CDC application — round-5
+additions to the north-star set (SURVEY.md §2.9).
+
+Three operator classes the reference cannot express (its dataflow is
+merge/sort/range only, SURVEY.md §2.1), each with an exact-integer
+cross-engine oracle:
+
+- ``bfs_min_hops``: frontier-based multi-hop reachability (min hop
+  distance), the iterative-traversal sibling of the connected-components
+  loop in ``graph.py`` — oracle via DuckDB ``WITH RECURSIVE``.
+- ``mannwhitney_value_shift``: Mann-Whitney U rank-sum test, the
+  nonparametric distribution-shift check a data-quality pipeline runs
+  between cohorts — all-integer (doubled ranks) so hashes match.
+- ``cdc_apply_tombstones``: op-log application with delete tombstones
+  via ``operators/core.py:apply_cdc`` — MERGE-with-DELETE, the upsert
+  shape the reference's fold algebra has no arm for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import load, pin_result, query
+
+# ---------------------------------------------------------------------------
+# BFS minimum hop distance (frontier expansion)
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_HOPS = 4
+_BFS_SEED_NATION = 0
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE eraw AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM eraw
+  UNION ALL SELECT s AS src, c AS dst FROM eraw
+),
+walk AS (
+  SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+  FROM customer WHERE c_nationkey = {_BFS_SEED_NATION}
+  UNION
+  SELECT e.dst AS node, w.dist + 1 AS dist
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {_BFS_MAX_HOPS}
+)
+SELECT node // 2 AS entity_id,
+       CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+       CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
+@query("bfs_min_hops", oracle=_BFS_ORACLE)
+def bfs_min_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (BFS, ≤{max_hops} hops) from the customers
+    of one nation across the bipartite customer↔supplier trade graph
+    (same edge definition as ``pagerank_customer_supplier``) — the
+    supply-chain blast-radius / contact-tracing query shape.
+
+    Frontier expansion, the canonical distributed BFS: per round, join
+    ONLY the newly-reached frontier against the edge relation, drop
+    already-visited nodes with a LEFT ANTI against the accumulated
+    distance table, tag survivors with the round number. Node labels
+    are settled the first round they appear (BFS order = hop order),
+    so no re-visits and no min-recomputation.
+
+    100 TB design: the static edge relation is partitioned by ``src``
+    once and persisted — every round shuffles only the (bigint)
+    frontier, which is the working-set minimum for exact BFS. The
+    visited set stays distributed (anti-join, never a driver set). Per
+    round one join + one anti-join + an isEmpty action on the (already
+    checkpointed) new frontier for early exit; hop count bounds worst
+    case. Compare the pointer-jumping CC loop (``graph.py``) — same
+    loop discipline (localCheckpoint lineage cuts, single action per
+    round), different fixpoint."""
+    (c, o, l) = load(spark, sf_dir, "customer", "orders", "lineitem")
+    raw = (l.join(o, l.l_orderkey == o.o_orderkey)
+            .select((F.col("o_custkey") * 2).alias("c"),
+                    (F.col("l_suppkey") * 2 + 1).alias("s"))
+            .distinct())
+    edges = (raw.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+                .unionAll(raw.select(F.col("s").alias("src"),
+                                     F.col("c").alias("dst")))
+                .repartition(F.col("src"))
+                .persist())
+    seeds = (c.filter(F.col("c_nationkey") == _BFS_SEED_NATION)
+              .select((F.col("c_custkey") * 2).alias("node"),
+                      F.lit(0).cast("long").alias("dist")))
+    dist = seeds.localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        reached = (edges.join(frontier.withColumnRenamed("node", "src"),
+                              "src")
+                        .select(F.col("dst").alias("node"))
+                        .distinct())
+        fresh = (reached.join(dist.select("node"), "node", "left_anti")
+                        .withColumn("dist", F.lit(hop).cast("long"))
+                        .localCheckpoint(eager=True))
+        if fresh.isEmpty():
+            break
+        dist = dist.unionByName(fresh).localCheckpoint(eager=False)
+        frontier = fresh.select("node")
+    out = dist.select(
+        F.expr("node DIV 2").alias("entity_id"),
+        F.when(F.col("node") % 2 == 0, "cust").otherwise("supp")
+         .alias("kind"),
+        "dist")
+    return pin_result(out, edges)
+
+
+bfs_min_hops.__doc__ = bfs_min_hops.__doc__.format(max_hops=_BFS_MAX_HOPS)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (distribution shift between cohorts)
+# ---------------------------------------------------------------------------
+
+_MW_CENT = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+@query(
+    "mannwhitney_value_shift",
+    oracle=f"""
+    WITH a AS (
+      SELECT event_type, {_MW_CENT} AS cent
+      FROM events WHERE event_type != 'view'
+    ),
+    b AS (SELECT {_MW_CENT} AS cent FROM events WHERE event_type = 'view'),
+    pooled AS (
+      SELECT event_type AS pair, cent, 1 AS is_a FROM a
+      UNION ALL
+      SELECT t.event_type AS pair, b.cent, 0 AS is_a
+      FROM b CROSS JOIN (SELECT DISTINCT event_type FROM a) t
+    ),
+    pv AS (
+      SELECT pair, cent, count(*) AS n_v, sum(is_a) AS na_v
+      FROM pooled GROUP BY pair, cent
+    ),
+    r AS (
+      SELECT pair, na_v,
+             2 * (sum(n_v) OVER (PARTITION BY pair ORDER BY cent) - n_v)
+               + n_v + 1 AS r2
+      FROM pv
+    ),
+    agg AS (
+      SELECT pair AS event_type,
+             CAST(sum(na_v) AS BIGINT) AS n_a,
+             CAST(sum(na_v * r2) AS BIGINT) AS two_r1
+      FROM r GROUP BY pair
+    ),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM b)
+    SELECT event_type, n_a, n_b,
+           CAST(two_r1 - n_a * (n_a + 1) AS BIGINT) AS u2,
+           CAST((500 * (two_r1 - n_a * (n_a + 1))) // (n_a * n_b)
+                AS BIGINT) AS auc_permille
+    FROM agg CROSS JOIN nb
+    """)
+def mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test of each event cohort's ``value``
+    distribution against the 'view' cohort — the nonparametric
+    drift/shift check (no normality assumption) a data-quality monitor
+    runs between a treatment cohort and its control.
+
+    Exactness: values quantize to integer cents (floor(x·100+0.5) in
+    pure double math — bit-identical across engines); tied ranks use
+    the average-rank convention, carried as DOUBLED ranks
+    (2·rank = 2·cum_before + n_ties + 1) so everything stays integer.
+    Outputs: u2 = 2·U₁ and auc_permille = ⌊1000·U₁/(n₁n₂)⌋ — the
+    effect size (probability a cohort draw exceeds a control draw,
+    i.e. the ROC-AUC equivalence) in exact integer permille.
+
+    100 TB design: rows collapse to per-(cohort, cent) counts first —
+    ONE map-side-combined hash agg over the raw table; the rank window
+    then runs on the distinct-value relation, bounded by the price
+    domain (~50k cents/pair), not the row count. For a genuinely
+    unbounded value domain the cum-sum level swaps for the two-level
+    distributed prefix sum of ``sequence_packing_offsets`` — the
+    window here is over counts, never raw rows, which is what makes
+    the statistic feasible at all when n₁n₂ ~ 10²⁴ pairs."""
+    (e,) = load(spark, sf_dir, "events")
+    cent = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    a = (e.filter(F.col("event_type") != "view")
+          .select(F.col("event_type").alias("pair"), cent.alias("cent"),
+                  F.lit(1).alias("is_a")))
+    b = e.filter(F.col("event_type") == "view").select(cent.alias("cent"))
+    types = a.select("pair").distinct()
+    pooled = a.unionByName(
+        b.crossJoin(F.broadcast(types)).select("pair", "cent",
+                                               F.lit(0).alias("is_a")))
+    pv = (pooled.groupBy("pair", "cent")
+                .agg(F.count(F.lit(1)).alias("n_v"),
+                     F.sum("is_a").alias("na_v")))
+    w = W.partitionBy("pair").orderBy("cent")
+    r = pv.select(
+        "pair", "na_v",
+        (2 * (F.sum("n_v").over(w) - F.col("n_v"))
+         + F.col("n_v") + 1).alias("r2"))
+    agg = (r.groupBy(F.col("pair").alias("event_type"))
+            .agg(F.sum("na_v").cast("long").alias("n_a"),
+                 F.sum(F.col("na_v") * F.col("r2")).cast("long")
+                  .alias("two_r1")))
+    nb = b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    u2 = F.col("two_r1") - F.col("n_a") * (F.col("n_a") + 1)
+    return (agg.crossJoin(F.broadcast(nb))
+               .select("event_type", "n_a", "n_b",
+                       u2.cast("long").alias("u2"),
+                       F.expr(f"CAST((500 * (two_r1 - n_a * (n_a + 1))) "
+                              f"DIV (n_a * n_b) AS BIGINT)")
+                        .alias("auc_permille")))
+
+
+# ---------------------------------------------------------------------------
+# CDC op-log application with delete tombstones
+# ---------------------------------------------------------------------------
+
+@query(
+    "cdc_apply_tombstones",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_type, value AS last_value
+    FROM ranked WHERE rn = 1 AND event_type != 'error'
+    """)
+def cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicate an op-log with delete tombstones into table state:
+    ``events`` read as a CDC feed keyed by ``user_id`` — 'error'
+    events are tombstones (erase the key), everything else upserts
+    (event_type, value); commit order is (ts, event_id). A user whose
+    LAST op is a tombstone is absent from the final state — the GDPR
+    erasure / MERGE-WHEN-MATCHED-DELETE semantics the reference's
+    fold algebra cannot express (folds only combine, never remove;
+    ``operators/core.py:apply_cdc``).
+
+    The query deliberately applies the log in TWO batches split at the
+    time midpoint — state = apply(apply(∅, first half), second half) —
+    proving batch composition: chained applications over any time
+    partitioning equal the one-shot fold (what the oracle computes),
+    because per key the greatest-ordinal op wins and batch boundaries
+    respect ordinal order.
+
+    100 TB design: each apply is one map-side-combined ``max_by`` agg
+    over its batch (net effect per key: a billion-op log with 10M hot
+    keys folds to 10M rows before touching the base) + the Delta-MERGE
+    anti-join shape — the base never shuffles, touched keys broadcast
+    when small. The midpoint threshold is a 2-value scalar agg
+    (bounded collect, tpch3.py:200 precedent)."""
+    from ..operators.core import KeyedTable, apply_cdc
+
+    (e,) = load(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min(F.unix_micros("ts")),
+                   F.max(F.unix_micros("ts"))).first()
+    mid = (lo + hi) // 2
+    oplog = e.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", "delete")
+         .otherwise("upsert").alias("op"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("ord"),
+        F.unix_micros("ts").alias("us"))
+    empty = KeyedTable(
+        oplog.select("user_id", "last_type", "last_value")
+             .filter(F.lit(False)),
+        ("user_id",))
+    first = apply_cdc(empty, oplog.filter(F.col("us") <= mid),
+                      op_col="op", ord_col="ord")
+    state = apply_cdc(first, oplog.filter(F.col("us") > mid),
+                      op_col="op", ord_col="ord")
+    return state.df

@@ -402,3 +402,67 @@ def test_salted_join_duplicate_small_keys(spark):
                  salted_join(big, small, ["k"], n_salts=4).collect())
     expect = sorted(tuple(r) for r in big.join(small, on=["k"]).collect())
     assert got == expect
+
+
+# ---- apply_cdc (MERGE with delete tombstones) -------------------------
+
+def model_cdc(base_rows, ops):
+    """Pure-dict model: ops sorted by ordinal; upsert sets, delete
+    removes (absent-key delete is a no-op)."""
+    state = dict(base_rows)
+    for _ord, k, op, v in sorted(ops):
+        if op == "delete":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    return sorted(state.items())
+
+
+def cdc_df(spark, ops):
+    return spark.createDataFrame(
+        [(k, op, v, o) for o, k, op, v in ops],
+        schema="k string, op string, v string, ord long")
+
+
+def test_apply_cdc_matches_model(spark):
+    from messdb_spark.operators.core import apply_cdc
+    rng = random.Random(11)
+    keys = [f"k{i}" for i in range(12)]
+    base_rows = {k: f"b_{k}" for k in keys[:8]}
+    base = kv(spark, sorted(base_rows.items()))
+    ops = [(o, rng.choice(keys),
+            rng.choice(["upsert", "upsert", "delete"]), f"v{o}")
+           for o in range(60)]
+    got = apply_cdc(base, cdc_df(spark, ops), op_col="op", ord_col="ord")
+    assert sorted(table_to_rows(got)) == model_cdc(base_rows.items(), ops)
+
+
+def test_apply_cdc_semantics(spark):
+    from messdb_spark.operators.core import apply_cdc
+    base = kv(spark, [("a", "1"), ("b", "2")])
+    ops = [
+        (1, "a", "delete", None),      # delete existing
+        (2, "c", "upsert", "3"),       # insert new
+        (3, "z", "delete", None),      # delete absent: silent no-op
+        (4, "b", "delete", None),
+        (5, "b", "upsert", "9"),       # re-insert after delete: later wins
+    ]
+    got = apply_cdc(base, cdc_df(spark, ops), op_col="op", ord_col="ord")
+    assert sorted(table_to_rows(got)) == [("b", "9"), ("c", "3")]
+
+
+def test_apply_cdc_batch_composition(spark):
+    """apply(apply(base, ops[:n]), ops[n:]) == apply(base, ops) when the
+    split respects ordinal order — the property cdc_apply_tombstones
+    relies on."""
+    from messdb_spark.operators.core import apply_cdc
+    rng = random.Random(23)
+    keys = [f"k{i}" for i in range(6)]
+    base = kv(spark, [(k, "b") for k in keys[:3]])
+    ops = [(o, rng.choice(keys),
+            rng.choice(["upsert", "delete"]), f"v{o}") for o in range(30)]
+    df_all = cdc_df(spark, ops)
+    one_shot = apply_cdc(base, df_all, op_col="op", ord_col="ord")
+    half = apply_cdc(base, cdc_df(spark, ops[:15]), op_col="op", ord_col="ord")
+    chained = apply_cdc(half, cdc_df(spark, ops[15:]), op_col="op", ord_col="ord")
+    assert sorted(table_to_rows(chained)) == sorted(table_to_rows(one_shot))

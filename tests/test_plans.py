@@ -419,3 +419,61 @@ def test_ddsketch_histogram_bounded(spark, sf_dir):
                           sub.alias("b")).distinct().count())
     # cents span < 2^31 => < 27 powers of two x 16 sub-buckets x groups
     assert n_buckets < 27 * 16 * 5
+
+
+def test_bfs_cdc_mw_plan_shapes(spark, sf_dir):
+    """Round-5 traversal/rank/CDC additions keep their scale contracts.
+
+    bfs_min_hops / cdc_apply_tombstones materialize through
+    localCheckpoint (loop lineage cuts), so the per-round join shapes
+    are asserted on inline rebuilds of one round, the same move as the
+    bloom probe test above."""
+    from messdb_spark.operators.core import KeyedTable, apply_cdc
+    from messdb_spark.session import read_table
+
+    # BFS round: edges ⋈ frontier then anti-join vs visited must stay
+    # hash joins — a nested-loop here is quadratic in the frontier
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(F.col("l_orderkey").alias("src"),
+                      F.col("l_suppkey").alias("dst"))
+    frontier = edges.select(F.col("src")).distinct().limit(50)
+    visited = frontier.withColumnRenamed("src", "node")
+    reached = (edges.join(frontier, "src")
+                    .select(F.col("dst").alias("node")).distinct()
+                    .join(visited, "node", "left_anti"))
+    plan = plan_str(reached)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # CDC apply: the netting fold carries a struct payload, so it is
+    # sort-based (struct aggregation buffers aren't hash-aggregable) —
+    # the property that matters at scale is that the PARTIAL max_by
+    # runs map-side, upstream of the Exchange, so the shuffle moves one
+    # netted row per (partition, key), never the raw op-log
+    e = read_table(spark, sf_dir, "events")
+    base = KeyedTable(
+        e.select("user_id", "event_type", "value").filter(F.lit(False)),
+        ("user_id",))
+    oplog = e.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", "delete")
+         .otherwise("upsert").alias("op"),
+        "event_type", "value",
+        F.struct("ts", "event_id").alias("ord"))
+    applied = apply_cdc(base, oplog, op_col="op", ord_col="ord")
+    plan = plan_str(applied.df)
+    assert "partial_max_by" in plan
+    # the Exchange must carry the netted partial-agg rows (its input is
+    # the partial max_by's extremum buffer), never the raw op-log
+    import re
+    exch = re.search(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert exch and "ExtremumOrdering" in exch.group(1), plan
+    assert "CartesianProduct" not in plan
+
+    # Mann-Whitney: the rank window must run over the per-(pair, cent)
+    # AGGREGATED relation (domain-bounded), never the raw event rows —
+    # the aggregate has to appear upstream of the Window in the plan
+    plan = plan_str(QUERIES["mannwhitney_value_shift"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "HashAggregate" in plan
