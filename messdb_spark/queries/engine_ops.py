@@ -1222,3 +1222,77 @@ def incremental_hll_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_static_enrich_replay",
+    oracle="""
+    SELECT c_mktsegment, event_type, count(*) AS n,
+           floor((CAST(sum(CAST(coalesce(floor(value * 100 + 0.5), 0)
+                               AS BIGINT)) AS DOUBLE) / 100.0)
+                 * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE)
+             AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """)
+def stream_static_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension enrichment — the one streaming join
+    shape the replay suite lacked: an unbounded event stream joined
+    per-micro-batch against a bounded dimension table (here customer),
+    the ETL pattern behind every 'attach account attributes at ingest'
+    pipeline. No watermark and NO STREAMING STATE: each micro-batch
+    joins independently against the static side, so the operator's
+    memory is constant — what makes the pattern preferable to a
+    stream-stream join whenever one side is genuinely static.
+
+    The dim is explicitly broadcast, so every micro-batch's join is a
+    map-side BroadcastHashJoin — per batch the plan re-uses the same
+    broadcast, the executed analog of 'ship the dim once, stream
+    forever'. Append-mode memory sink; the drained sink aggregated by
+    (segment, type) must equal the batch join+GROUP BY (integer-cents
+    money discipline, so replay carve-up cannot perturb the sums).
+
+    100 TB: dims that outgrow broadcast swap in the bucketed-join
+    layout (``bucketed_colocated_join``) per batch; everything else
+    unchanged."""
+    import uuid
+
+    (e, c) = load(spark, sf_dir, "events", "customer")
+    e = e.select("event_id", "user_id", "event_type", "ts", "value")
+    dim = c.select("c_custkey", "c_mktsegment")
+    tmp = tempfile.mkdtemp(prefix="messdb_enrichstream_")
+    sink = f"enrich_replay_{uuid.uuid4().hex[:8]}"
+    try:
+        src_dir = os.path.join(tmp, "src")
+        _write_id_splits(e, src_dir)
+        with _replay_shuffle_partitions(spark):
+            stream = (spark.readStream
+                      .schema(e.schema)
+                      .option("maxFilesPerTrigger", 1)
+                      .option("recursiveFileLookup", "true")
+                      .parquet(src_dir))
+            enriched = (stream.join(F.broadcast(dim),
+                                    stream.user_id == dim.c_custkey)
+                              .select("event_id", "event_type", "value",
+                                      "c_mktsegment"))
+            q = (enriched.writeStream.outputMode("append")
+                 .format("memory").queryName(sink)
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        drained = spark.table(sink)
+        cents = F.coalesce(F.floor(F.col("value") * 100 + F.lit(0.5)),
+                           F.lit(0)).cast("long")
+        out = (drained.groupBy("c_mktsegment", "event_type")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.sum(cents).alias("cents"))
+                      .select("c_mktsegment", "event_type", "n",
+                              quantize(F.col("cents") / 100.0, 2)
+                               .alias("total_value"))
+                      .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

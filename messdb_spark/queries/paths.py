@@ -14,6 +14,10 @@ cross-engine oracle:
 - ``cdc_apply_tombstones``: op-log application with delete tombstones
   via ``operators/core.py:apply_cdc`` — MERGE-with-DELETE, the upsert
   shape the reference's fold algebra has no arm for.
+- ``kcore_parts``: iterative degree peeling to the k-core fixpoint —
+  oracle by monotone fixed-depth unroll (MATERIALIZED CTE chain).
+- ``ols_daily_revenue_trend``: least-squares slope as an exact BIGINT
+  rational from one-pass sufficient statistics.
 """
 
 from __future__ import annotations
@@ -276,3 +280,162 @@ def cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = apply_cdc(first, oplog.filter(F.col("us") > mid),
                       op_col="op", ord_col="ord")
     return state.df
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative degree peeling)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_MAX_ROUNDS = 12
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling: each round keeps nodes with in-subgraph degree
+    >= k and filters edges to kept endpoints. Peeling is monotone —
+    once the fixpoint is reached further rounds are identity — so a
+    FIXED unroll >= the true round count computes the exact k-core
+    (measured: 8 rounds at sf0.01; the Spark side asserts convergence
+    within the same bound, so a data change that needed more rounds
+    fails loudly rather than mismatching silently)."""
+    ctes = ["""e0 AS MATERIALIZED (
+      WITH p AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+      )
+      SELECT u AS src, v AS dst FROM p
+      UNION ALL SELECT v AS src, u AS dst FROM p
+    )"""]
+    prev = "e0"
+    for i in range(1, _KCORE_MAX_ROUNDS + 1):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT src AS node FROM {prev} "
+            f"GROUP BY src HAVING count(*) >= {_KCORE_K})")
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e "
+            f"JOIN k{i} a ON e.src = a.node "
+            f"JOIN k{i} b ON e.dst = b.node)")
+        prev = f"e{i}"
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT src AS part_id, CAST(count(*) AS BIGINT) AS core_deg "
+            f"FROM {prev} GROUP BY src")
+
+
+@query("kcore_parts", oracle=_kcore_oracle())
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core of the repeat-co-order part graph (parts co-ordered in
+    >= 2 distinct orders): iteratively peel nodes with degree < {k}
+    until the surviving subgraph is stable — the classic cohesive-
+    subgroup / graph-denoising primitive (the third iterative-graph
+    class here, after label propagation (CC), power iteration
+    (PageRank), and frontier traversal (BFS); peeling's fixpoint is a
+    mutual-recursion the reference's merge/sort/range algebra cannot
+    state).
+
+    Per round: one hash agg (degrees) + one semi-join of edges against
+    surviving nodes (both (bigint, bigint)-shaped, never the text or
+    fact tables), localCheckpoint lineage cut, convergence = node
+    count unchanged — node count is monotone non-increasing, so the
+    count action doubles as the convergence witness. 100 TB: identical
+    loop discipline to CC — the edge relation shrinks every round, and
+    each iteration is shuffle-bounded by the CURRENT subgraph, not the
+    input.
+
+    Cross-engine exactness: the oracle unrolls {rounds} peel rounds
+    (monotone ⇒ over-unrolling is identity); the Spark side asserts it
+    converged within {rounds} rounds so drift fails loudly."""
+    (l,) = load(spark, sf_dir, "lineitem")
+    li = l.select("l_orderkey", "l_partkey")
+    p = (li.alias("a")
+           .join(li.alias("b"), (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+           .groupBy(F.col("a.l_partkey").alias("u"),
+                    F.col("b.l_partkey").alias("v"))
+           .agg(F.count(F.lit(1)).alias("m"))
+           .filter(F.col("m") >= 2)
+           .select("u", "v"))
+    edges = (p.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+              .unionAll(p.select(F.col("v").alias("src"),
+                                 F.col("u").alias("dst")))
+              .localCheckpoint(eager=True))
+    n_prev = edges.select("src").distinct().count()
+    for _ in range(_KCORE_MAX_ROUNDS):
+        keep = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+                     .filter(F.col("d") >= _KCORE_K)
+                     .select(F.col("src").alias("node")))
+        edges = (edges.join(keep.withColumnRenamed("node", "src"), "src",
+                            "left_semi")
+                      .join(keep.withColumnRenamed("node", "dst"), "dst",
+                            "left_semi")
+                      .localCheckpoint(eager=True))
+        n_cur = edges.select("src").distinct().count()
+        if n_cur == n_prev:
+            break
+        n_prev = n_cur
+    else:
+        raise AssertionError(
+            f"k-core did not converge within {_KCORE_MAX_ROUNDS} rounds — "
+            f"raise _KCORE_MAX_ROUNDS (and the oracle unroll) together")
+    return (edges.groupBy(F.col("src").alias("part_id"))
+                 .agg(F.count(F.lit(1)).cast("long").alias("core_deg")))
+
+
+kcore_parts.__doc__ = kcore_parts.__doc__.format(
+    k=_KCORE_K, rounds=_KCORE_MAX_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# exact-integer OLS trend (least-squares slope as a rational)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ols_daily_revenue_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(coalesce(floor(value * 100 + 0.5), 0)
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+             AS slope_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+             AS slope_den
+    FROM daily GROUP BY event_type
+    """)
+def ols_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of daily revenue per event type — the
+    is-this-metric-drifting primitive of a pipeline health monitor —
+    with the slope emitted as an EXACT RATIONAL: slope = slope_num /
+    slope_den where num = nΣxy − ΣxΣy, den = nΣx² − (Σx)², x = epoch
+    day, y = daily cents. No float division ever happens, so the
+    driver hash-checks the regression itself (sign of slope_num = sign
+    of the trend; callers divide at display time).
+
+    Scale: two cascaded hash aggs — rows → (type, day) daily sums
+    (map-side combined; the only pass over the fact table), then the
+    day-level relation (bounded by types × days, thousands of rows at
+    any corpus size) folds to the five OLS sums per type. This is the
+    standard one-pass sufficient-statistics formulation; nothing is
+    ever sorted or windowed."""
+    (e,) = load(spark, sf_dir, "events")
+    cents = F.coalesce(F.floor(F.col("value") * 100 + F.lit(0.5)),
+                       F.lit(0)).cast("long")
+    daily = (e.groupBy("event_type",
+                       F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                        .cast("long").alias("x"))
+              .agg(F.sum(cents).alias("y")))
+    n = F.count(F.lit(1))
+    return (daily.groupBy("event_type")
+                 .agg(n.cast("long").alias("n_days"),
+                      (n * F.sum(F.col("x") * F.col("y"))
+                       - F.sum("x") * F.sum("y")).cast("long")
+                      .alias("slope_num"),
+                      (n * F.sum(F.col("x") * F.col("x"))
+                       - F.sum("x") * F.sum("x")).cast("long")
+                      .alias("slope_den")))
