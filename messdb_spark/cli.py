@@ -65,6 +65,16 @@ def main(argv: list[str] | None = None) -> int:
         e.add_argument("-t", "--table", required=True)
         e.add_argument("path")
 
+    ac = sub.add_parser(
+        "apply-cdc",
+        help="apply a JSON-lines CDC op-log (op=upsert|delete + numeric "
+             "ord, later ord wins; delete rows may omit value columns) "
+             "to a table")
+    ac.add_argument("-t", "--table", required=True)
+    ac.add_argument("--op-col", default="op")
+    ac.add_argument("--ord-col", default="ord")
+    ac.add_argument("path")
+
     for verb in ("import-parquet", "import-orc"):
         ip = sub.add_parser(verb,
                             help=f"upsert {verb.split('-')[1]} file(s)/dir into a table")
@@ -172,6 +182,26 @@ def main(argv: list[str] | None = None) -> int:
         else:
             importer = import_csv if a.cmd == "import-csv" else import_json
             merged = importer(spark, a.path, t)
+        h = eng.save_table(a.table, merged)
+        print(json.dumps({"ok": True, "table": a.table, "table_hash": h,
+                          "rows": merged.df.count()}))
+    elif a.cmd == "apply-cdc":
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+        from .operators.core import apply_cdc
+        t = eng.load_table(a.table)
+        log_schema = StructType(
+            list(t.df.schema.fields)
+            + [StructField(a.op_col, StringType()),
+               StructField(a.ord_col, LongType())])
+        oplog = spark.read.schema(log_schema).json(a.path)
+        bad = oplog.filter(~F.col(a.op_col).isin("upsert", "delete")).count()
+        if bad:
+            print(json.dumps({"ok": False,
+                              "error": f"{bad} rows with op outside "
+                                       f"('upsert','delete')"}))
+            return 1
+        merged = apply_cdc(t, oplog, op_col=a.op_col, ord_col=a.ord_col)
         h = eng.save_table(a.table, merged)
         print(json.dumps({"ok": True, "table": a.table, "table_hash": h,
                           "rows": merged.df.count()}))

@@ -576,3 +576,81 @@ def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("long").alias("n_view_click_purchase"),
         F.sum(F.when(F.col("s").rlike("p.*p"), 1).otherwise(0))
          .cast("long").alias("n_repeat_purchasers"))
+
+
+@query(
+    "cumulative_new_users_daily",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ),
+    per_day AS (SELECT d, count(*) AS new_users FROM first_seen GROUP BY d)
+    SELECT d AS day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT)
+             AS distinct_users_to_date
+    FROM per_day
+    """)
+def cumulative_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, first-time users plus the running
+    count of distinct users ever seen — the cumulative-distinct curve
+    that naive ``count(DISTINCT) OVER (ORDER BY day)`` cannot compute
+    (distinct is not sum-decomposable over a running frame). The
+    standard exact reformulation: distinct-to-date == Σ first-seen —
+    min-per-user turns an unbounded distinct-union problem into a
+    map-side-combined hash agg plus a DAY-level running sum.
+
+    Scale: the only pass over the fact table is min(date) per user;
+    the window runs on the per-day relation (calendar-bounded — tens
+    of thousands of rows for decades), so the single-partition window
+    is bounded by TIME, not data (q11-lesson compliant)."""
+    (e,) = load(spark, sf_dir, "events")
+    first_seen = (e.groupBy("user_id")
+                   .agg(F.min(F.to_date("ts")).alias("d")))
+    per_day = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users"))
+    w = W.orderBy("d")
+    return per_day.select(
+        F.col("d").alias("day"), "new_users",
+        F.sum("new_users").over(w).cast("long")
+         .alias("distinct_users_to_date"))
+
+
+@query(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT days.d AS day, CAST(count(DISTINCT ud.user_id) AS BIGINT)
+             AS active_7d
+    FROM days JOIN ud
+      ON ud.d <= days.d AND ud.d >= days.d - INTERVAL 6 DAY
+    GROUP BY days.d
+    """)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users (WAU) per day — the health metric
+    whose sliding DISTINCT makes it non-decomposable: a user active on
+    3 of the 7 days must count once, so no running sum works (contrast
+    ``trailing_week_revenue``, whose sum decomposes).
+
+    Exact formulation: dedup to user-days (one map-side-combined agg —
+    the only pass over the facts), then each user-day contributes to
+    the ≤7 calendar days whose window covers it: an equi-join on a
+    generated day offset (explode of a 7-element sequence — bounded
+    fan-out, NOT a range join), then count distinct users per day.
+    Cost is |user-days|·7 rows of (date, bigint) — the exact-WAU
+    lower bound without sketches; the HLL path (``queries/approx``)
+    is the approximate alternative when even that is too much.
+
+    Scale: every shuffle key is (day) or (user_id, day); the fan-out
+    join is a projection, no window, no SinglePartition anywhere."""
+    (e,) = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("day"))
+    return (contrib.join(days.withColumnRenamed("d", "day"), "day",
+                         "left_semi")
+                   .groupBy("day")
+                   .agg(F.countDistinct("user_id").cast("long")
+                         .alias("active_7d")))

@@ -218,3 +218,39 @@ def test_cli_verify_verb(spark, warehouse, tmp_path):
     run("import-csv", "-t", "t", str(p))
     res = _json.loads(run("verify", "-t", "t").splitlines()[-1])
     assert res["ok"] is True
+
+
+def test_cli_apply_cdc(spark, tmp_path, capsys):
+    from messdb_spark.cli import main
+    wh = str(tmp_path / "whcdc")
+    csv = _write(str(tmp_path / "c0.csv"),
+                 "id,name,score\n1,a,2.5\n2,b,7.5\n3,c,1.0\n")
+    assert main(["-w", wh, "sql", "-c",
+                 "CREATE TABLE acc (id bigint PRIMARY KEY, name text, "
+                 "score double)"]) == 0
+    assert main(["-w", wh, "import-csv", "-t", "acc", csv]) == 0
+    log = _write(str(tmp_path / "ops.jsonl"), "\n".join([
+        json.dumps({"id": 2, "op": "delete", "ord": 1}),
+        json.dumps({"id": 3, "name": "c2", "score": 9.0,
+                    "op": "upsert", "ord": 2}),
+        json.dumps({"id": 4, "name": "d", "score": 4.0,
+                    "op": "upsert", "ord": 3}),
+        json.dumps({"id": 4, "op": "delete", "ord": 4}),   # later wins
+        json.dumps({"id": 9, "op": "delete", "ord": 5}),   # absent: no-op
+    ]) + "\n")
+    capsys.readouterr()
+    assert main(["-w", wh, "apply-cdc", "-t", "acc", log]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["ok"] and res["rows"] == 2
+    assert main(["-w", wh, "sql", "-c",
+                 "SELECT id, name, score FROM acc ORDER BY id"]) == 0
+    rows = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows == [{"id": 1, "name": "a", "score": 2.5},
+                    {"id": 3, "name": "c2", "score": 9.0}]
+    # malformed op value → JSON error + exit 1
+    badlog = _write(str(tmp_path / "bad.jsonl"),
+                    json.dumps({"id": 1, "op": "smite", "ord": 9}) + "\n")
+    assert main(["-w", wh, "apply-cdc", "-t", "acc", badlog]) == 1
+    err = json.loads(capsys.readouterr().out)
+    assert err["ok"] is False
