@@ -92,18 +92,11 @@ def _bpe_oracle() -> str:
               f"merged, total FROM ({unions}) u")
 
 
-@query("bpe_learn_merges", oracle=_bpe_oracle())
-def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the corpus's first {N} BPE merges over its top-{W} [a-z]+
-    words (frequency-weighted, Sennrich-style). Output: the merge
-    table (round, pair, merged symbol, weighted pair count) — the
-    artifact a tokenizer trainer persists.
-
-    Each round: vocab-bounded pair count -> total-ordered argmax
-    (1-row collect) -> one bracketed-token replace over the word
-    inventory (exact left-to-right non-overlapping application). The
-    oracle unrolls the same rounds as CTEs, so the driver hash-checks
-    the whole trajectory, not just round 1."""
+def _learn_merges(spark: SparkSession, sf_dir: str):
+    """The merge-learning loop shared by ``bpe_learn_merges`` (returns
+    the merge table) and ``bpe_encode_docs`` (returns the final
+    segmented word inventory). See ``bpe_learn_merges`` for the
+    algorithm and determinism discussion."""
     (doc,) = load(spark, sf_dir, "documents")
     words = (doc.filter(F.length("text") > 0)
                 .select(F.explode(F.expr(
@@ -130,5 +123,79 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(f"({a}{b})"))
         words = (words.select("word", "n", seq.alias("seq"))
                       .localCheckpoint(eager=True))
+    return words, merges
+
+
+@query("bpe_learn_merges", oracle=_bpe_oracle())
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the corpus's first {N} BPE merges over its top-{W} [a-z]+
+    words (frequency-weighted, Sennrich-style). Output: the merge
+    table (round, pair, merged symbol, weighted pair count) — the
+    artifact a tokenizer trainer persists.
+
+    Each round: vocab-bounded pair count -> total-ordered argmax
+    (1-row collect) -> one bracketed-token replace over the word
+    inventory (exact left-to-right non-overlapping application). The
+    oracle unrolls the same rounds as CTEs, so the driver hash-checks
+    the whole trajectory, not just round 1."""
+    _, merges = _learn_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "round bigint, pair string, merged string, total bigint")
+
+
+def _bpe_encode_oracle() -> str:
+    """Learn-chain CTEs + per-document token accounting."""
+    chain = _bpe_oracle().split("\n    SELECT CAST(round")[0]  # WITH ... w{N}
+    # _bpe_oracle returns "WITH <ctes> SELECT ..." — rebuild from parts
+    return f"""{chain}
+    , seg AS (SELECT word, len({_SYMS_DUCK}) AS t FROM w{_N_MERGES})
+    , dw AS (
+      SELECT doc_id, word, count(*) AS c FROM (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+               '\\s+'), x -> regexp_matches(x, '^[a-z]+$'))) AS word
+        FROM documents WHERE length(text) > 0
+      ) t GROUP BY doc_id, word
+    )
+    SELECT dw.doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(sum(c * coalesce(seg.t, length(dw.word)))
+                AS BIGINT) AS n_bpe_tokens
+    FROM dw LEFT JOIN seg USING (word)
+    GROUP BY dw.doc_id
+    """
+
+
+@query("bpe_encode_docs", oracle=_bpe_encode_oracle())
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the learned tokenizer: per document, word count and
+    BPE token count under the merge table ``bpe_learn_merges``
+    produces — the token-budget accounting step between tokenizer
+    training and batch packing (``sequence_packing_offsets``).
+
+    The corpus is never re-segmented row by row: encoding factors
+    through the VOCABULARY — the final segmented word inventory (word
+    → token count) broadcasts, and each document's token count is
+    Σ c_word · tokens(word) over its (doc, word) counts. Words outside
+    the learned inventory fall back to character-level (one token per
+    char) — real BPE's unknown-word behavior, exercised here because
+    learning is capped at the top-{W} words.
+
+    Scale: one explode+count pass over text (map-side combined), one
+    broadcast join against a vocab-bounded dim, one hash agg by
+    doc_id. The seq column stays bracketed symbols throughout — token
+    counts come from the SAME representation the trainer built, so
+    encode and train can never drift apart."""
+    words, _ = _learn_merges(spark, sf_dir)
+    seg = words.select("word", F.size(F.expr(_SYMS_SPARK)).alias("t"))
+    (doc,) = load(spark, sf_dir, "documents")
+    dw = (doc.filter(F.length("text") > 0)
+             .select("doc_id", F.explode(F.expr(
+                 "filter(split(lower(text), '\\\\s+'), "
+                 "x -> x rlike '^[a-z]+$')")).alias("word"))
+             .groupBy("doc_id", "word")
+             .agg(F.count(F.lit(1)).alias("c")))
+    return (dw.join(F.broadcast(seg), "word", "left")
+              .groupBy("doc_id")
+              .agg(F.sum("c").cast("long").alias("n_words"),
+                   F.sum(F.col("c") * F.coalesce(F.col("t"),
+                                                 F.length("word")))
+                    .cast("long").alias("n_bpe_tokens")))
