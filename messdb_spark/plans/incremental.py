@@ -449,6 +449,83 @@ def incremental_sort_view(spark: SparkSession, store: ObjectStore, memo,
     return KeyedTable(combined.select(*new_keys, *value_cols), new_keys)
 
 
+def incremental_join_view(spark: SparkSession, store: ObjectStore, memo,
+                          ref_a: BucketedRef, ref_b: BucketedRef,
+                          view_key: str) -> BucketedRef:
+    """Incrementally-maintained JOIN view of two co-bucketed tables
+    sharing the same key columns and bucket count — the
+    column-extension (feature-assembly) inner join on the common
+    primary key, e.g. stitching independently-produced per-document
+    feature tables into one training row.
+
+    Because both sides bucket by the SAME hash of the SAME key, output
+    bucket b depends only on the input bucket pair (A_b, B_b): the
+    join is bucket-local, no cross-bucket row can ever match. Each
+    output bucket is a content-addressed object memoized by
+
+        sha256(OP_JOIN_BUCKET ‖ view key ‖ A bucket hash ‖ B bucket hash)
+
+    so refreshing after a delta to EITHER side recomputes only buckets
+    whose pair changed — materialized-join-view maintenance with cost
+    ∝ changed key-space, no delta log, no change tracking (the
+    ``Trie.hs:346-348`` passthrough applied to a binary operator).
+    Inner semantics: a bucket empty on either side is EMPTY in the
+    view without any compute.
+
+    Scale: the recompute path reads only missed buckets of each side;
+    co-bucketing makes the join itself shuffle-bounded by those
+    buckets (a 100 TB × 100 TB join refresh after a point delta reads
+    and joins a few GB)."""
+    if ref_a.key_cols != ref_b.key_cols:
+        raise ValueError(f"key mismatch: {ref_a.key_cols} != {ref_b.key_cols}")
+    if ref_a.n_buckets != ref_b.n_buckets:
+        raise ValueError(
+            f"bucket-count mismatch: {ref_a.n_buckets} != {ref_b.n_buckets}")
+
+    def bucket_digest(ha: str, hb: str) -> str:
+        return hashlib.sha256(
+            f"OP_JOIN_BUCKET|{view_key}|{ha}|{hb}".encode()).hexdigest()
+
+    out_hashes: list[str] = [EMPTY] * ref_a.n_buckets
+    missed: list[int] = []
+    for b, (ha, hb) in enumerate(zip(ref_a.bucket_hashes,
+                                     ref_b.bucket_hashes)):
+        if ha == EMPTY or hb == EMPTY:
+            continue                      # inner join: provably empty
+        hit = memo.get(bucket_digest(ha, hb))
+        if hit is not None and store.exists(hit):
+            out_hashes[b] = hit
+        else:
+            missed.append(b)
+
+    out_schema_json = None
+    if missed:
+        keys = list(ref_a.key_cols)
+        a = (read_bucketed(spark, store, ref_a, buckets=missed).df
+             .withColumn(_BUCKET, _bucket_expr(ref_a.key_cols,
+                                               ref_a.n_buckets)))
+        b_df = read_bucketed(spark, store, ref_b, buckets=missed).df
+        joined = a.join(b_df, on=keys, how="inner")
+        out_schema_json = joined.drop(_BUCKET).schema.json()
+        new_hashes = _write_tagged_buckets(store, joined)
+        for b in missed:
+            h = new_hashes.get(b, EMPTY)
+            out_hashes[b] = h
+            if h != EMPTY:
+                memo.put(bucket_digest(ref_a.bucket_hashes[b],
+                                       ref_b.bucket_hashes[b]), h)
+    if out_schema_json is None:
+        for h in out_hashes:
+            if h != EMPTY:
+                out_schema_json = store.load(spark, h).schema.json()
+                break
+        else:
+            out_schema_json = ref_a.schema_json
+    return BucketedRef(key_cols=ref_a.key_cols, n_buckets=ref_a.n_buckets,
+                       bucket_hashes=tuple(out_hashes),
+                       schema_json=out_schema_json)
+
+
 def diff_bucketed(spark: SparkSession, store: ObjectStore,
                   old: BucketedRef, new: BucketedRef) -> DataFrame:
     """Version diff with bucket pruning — the trie-diff move

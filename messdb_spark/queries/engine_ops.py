@@ -1296,3 +1296,94 @@ def stream_static_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "incremental_join_view_refresh",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             + CASE WHEN o_orderkey % 937 = 1 THEN 100 ELSE 0 END AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT l_orderkey AS o_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT a.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(a.cents) AS BIGINT) AS total_cents,
+           CAST(sum(b.qty) AS BIGINT) AS total_qty,
+           CAST(sum(b.n_lines) AS BIGINT) AS total_lines
+    FROM a JOIN b USING (o_orderkey) GROUP BY a.o_orderpriority
+    """)
+def incremental_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incrementally-maintained JOIN view
+    (``plans.incremental.incremental_join_view``): two co-bucketed
+    tables on the same key — orders header features and a per-order
+    lineitem rollup — materialized as a joined feature table whose
+    output buckets memoize by the INPUT BUCKET PAIR hash. Upsert a
+    ~16-key delta into the orders side, refresh, and assert in-body
+    that only the delta's buckets recomputed; the refreshed view must
+    hash-equal the plain join over base∪delta. Completes the
+    maintained-view family: map (key-preserving), agg (distributive),
+    sort (re-keyed), join (binary).
+
+    100 TB: co-bucketing makes each view bucket's recompute a join of
+    two bucket objects — the refresh after a point delta reads a few
+    buckets of each side, never either full table."""
+    from ..operators.core import KeyedTable
+    from ..plans.incremental import (incremental_join_view,
+                                     incremental_upsert, read_bucketed,
+                                     write_bucketed)
+    from ..store import MemoStore, ObjectStore
+
+    (o, l) = load(spark, sf_dir, "orders", "lineitem")
+    a_base = o.select(
+        "o_orderkey", "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+         .alias("cents"))
+    b_base = (l.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+               .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+                     .alias("qty"),
+                    F.count(F.lit(1)).cast("long").alias("n_lines")))
+    delta = (a_base.filter(F.col("o_orderkey") % 937 == 1)
+                   .select("o_orderkey", "o_orderpriority",
+                           (F.col("cents") + 100).alias("cents")))
+    tmp = tempfile.mkdtemp(prefix="messdb_joinview_")
+    try:
+        store = ObjectStore(os.path.join(tmp, "wh"))
+        memo = MemoStore(os.path.join(tmp, "wh"))
+        # warehouse-build partitioning: 32 buckets never need a
+        # default-200-partition shuffle's worth of empty tasks
+        with _replay_shuffle_partitions(spark, 32):
+            ref_a = write_bucketed(store, KeyedTable(a_base, ("o_orderkey",)),
+                                   n_buckets=32)
+            ref_b = write_bucketed(store, KeyedTable(b_base, ("o_orderkey",)),
+                                   n_buckets=32)
+            incremental_join_view(spark, store, memo, ref_a, ref_b,
+                                  "order_features")
+            misses_full = memo.misses
+            ref_a2 = incremental_upsert(spark, store, ref_a, delta)
+            n_changed = sum(1 for x, y in zip(ref_a.bucket_hashes,
+                                              ref_a2.bucket_hashes) if x != y)
+            view = incremental_join_view(spark, store, memo, ref_a2, ref_b,
+                                         "order_features")
+            refresh_misses = memo.misses - misses_full
+            if refresh_misses > n_changed or n_changed == 0:
+                raise AssertionError(
+                    f"join-view refresh recomputed {refresh_misses} buckets, "
+                    f"delta changed {n_changed}")
+            out = (read_bucketed(spark, store, view).df
+                   .groupBy("o_orderpriority")
+                   .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                        F.sum("cents").cast("long").alias("total_cents"),
+                        F.sum("qty").cast("long").alias("total_qty"),
+                        F.sum("n_lines").cast("long").alias("total_lines"))
+                   .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

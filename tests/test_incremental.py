@@ -304,3 +304,59 @@ def test_incremental_sort_view_recomputes_only_changed_partials(spark, warehouse
              base2.df.select((F.col("k") % 30).alias("g"), "x")
                      .groupBy("g").agg(F.sum("x").alias("x")).collect()}
     assert got_x == exp_x
+
+
+def test_incremental_join_view_recomputes_only_changed_pairs(spark, warehouse):
+    """Binary-view maintenance: output buckets memoize by input bucket
+    PAIR; a delta to one side refreshes only pair-changed buckets, a
+    no-op refresh recomputes nothing, and the result always equals the
+    plain join."""
+    from messdb_spark.store import MemoStore
+    from messdb_spark.plans.incremental import incremental_join_view
+
+    store = ObjectStore(warehouse)
+    memo = MemoStore(warehouse)
+    a = KeyedTable(
+        spark.range(2000).select(F.col("id").alias("k"),
+                                 (F.col("id") * 3).alias("va")),
+        ("k",))
+    # b covers only even keys → inner join halves
+    b = KeyedTable(
+        spark.range(0, 2000, 2).select(F.col("id").alias("k"),
+                                       (F.col("id") + 7).alias("vb")),
+        ("k",))
+    ref_a = write_bucketed(store, a, n_buckets=16)
+    ref_b = write_bucketed(store, b, n_buckets=16)
+    v1 = incremental_join_view(spark, store, memo, ref_a, ref_b, "ab")
+    got = {(r.k, r.va, r.vb) for r in
+           read_bucketed(spark, store, v1).df.collect()}
+    assert got == {(i, i * 3, i + 7) for i in range(0, 2000, 2)}
+
+    # no-op refresh: all pairs memo-hit
+    m0 = memo.misses
+    v1b = incremental_join_view(spark, store, memo, ref_a, ref_b, "ab")
+    assert memo.misses == m0 and v1b.table_hash == v1.table_hash
+
+    # delta on one side refreshes only pair-changed buckets
+    delta = spark.createDataFrame([(10, 999), (11, 999)], "k long, va long")
+    ref_a2 = incremental_upsert(spark, store, ref_a, delta)
+    changed = sum(1 for x, y in zip(ref_a.bucket_hashes,
+                                    ref_a2.bucket_hashes) if x != y)
+    m1 = memo.misses
+    v2 = incremental_join_view(spark, store, memo, ref_a2, ref_b, "ab")
+    assert 0 < memo.misses - m1 <= changed
+    got2 = {(r.k, r.va, r.vb) for r in
+            read_bucketed(spark, store, v2).df.collect()}
+    expect2 = {(i, i * 3, i + 7) for i in range(0, 2000, 2) if i != 10}
+    expect2.add((10, 999, 17))          # updated even key survives join
+    assert got2 == expect2              # odd key 11 never joins
+
+    # key/bucket-shape mismatches rejected
+    import pytest
+    ref_c = write_bucketed(store, b, n_buckets=8)
+    with pytest.raises(ValueError, match="bucket-count"):
+        incremental_join_view(spark, store, memo, ref_a, ref_c, "ab")
+    bad = KeyedTable(b.df.withColumnRenamed("k", "kk"), ("kk",))
+    ref_d = write_bucketed(store, bad, n_buckets=16)
+    with pytest.raises(ValueError, match="key mismatch"):
+        incremental_join_view(spark, store, memo, ref_a, ref_d, "ab")
