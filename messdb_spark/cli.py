@@ -144,9 +144,13 @@ def main(argv: list[str] | None = None) -> int:
         for stmt in [s.strip() for s in text.split(";") if s.strip()]:
             if a.print_parsed_sql:
                 print(f"-- {stmt}", file=sys.stderr)
-            if stmt.lower().lstrip().startswith("create table"):
+            first = stmt.lower().lstrip()
+            if first.startswith("create table"):
                 eng.ddl(stmt)
                 print(json.dumps({"ok": True, "statement": "create_table"}))
+            elif first.startswith(("insert ", "update ", "delete ")):
+                res = eng.dml(stmt)
+                print(json.dumps({"ok": True, **res}))
             else:
                 _print_json_lines(eng.sql(stmt))
     elif a.cmd == "print-schema":

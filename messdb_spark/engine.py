@@ -304,6 +304,99 @@ class Engine:
                 .df.createOrReplaceTempView(name)
         return self.spark.sql(query)
 
+    def dml(self, statement: str) -> dict:
+        """Write statements — INSERT / UPDATE / DELETE (capability
+        superset: the reference rejects every non-CREATE statement,
+        ``SQL.hs:41-44``). Each lowers onto the engine's own operators
+        so the write path stays canonical:
+
+        - INSERT (VALUES or SELECT, optional column list) →
+          ``canonicalize_input`` + O1 merge upsert — duplicate keys in
+          the inserted set fold last-wins, existing keys are replaced,
+          the base table is never shuffled (anti-join merge).
+        - UPDATE ... SET ... [WHERE] → one projected rewrite (CASE per
+          assigned column, cast back to the declared type); key columns
+          reject (a re-key is O2 ``sort_table``, not UPDATE).
+        - DELETE [WHERE] → one filter rewrite; NULL predicates keep the
+          row (SQL semantics: DELETE removes only WHERE=TRUE rows).
+
+        Returns {"op", "table", "rows"} with rows = affected count."""
+        from .operators.core import canonicalize_input, merge_tables
+        from .sql_ddl import DeleteStmt, InsertStmt, UpdateStmt, parse_dml
+
+        stmt = parse_dml(statement)
+        if stmt is None:
+            raise SqlError(f"not a DML statement: {statement[:80]!r}")
+        t = self.load_table(stmt.table)
+
+        if isinstance(stmt, InsertStmt):
+            # SELECT sources may reference any catalog table
+            for name in self.catalog.names():
+                self.load_table(name).df.createOrReplaceTempView(name)
+            src_sql = stmt.source_sql
+            if src_sql.lower().startswith("values"):
+                src_sql = f"SELECT * FROM ({src_sql})"
+            src = self.spark.sql(src_sql)
+            target_cols = stmt.columns or list(t.df.columns)
+            unknown = [c for c in target_cols if c not in t.df.columns]
+            if unknown:
+                raise SqlError(f"unknown column(s): {unknown}")
+            if len(src.columns) != len(target_cols):
+                raise SqlError(
+                    f"INSERT arity mismatch: {len(src.columns)} values "
+                    f"for {len(target_cols)} columns")
+            missing_keys = [k for k in t.key_cols if k not in target_cols]
+            if missing_keys:
+                raise SqlError(f"INSERT must provide key column(s): "
+                               f"{missing_keys}")
+            dtypes = dict(zip(t.df.schema.names,
+                              [f.dataType for f in t.df.schema.fields]))
+            aligned = src.select(*[
+                F.col(s).cast(dtypes[c]).alias(c)
+                for s, c in zip(src.columns, target_cols)])
+            for c in t.df.columns:          # unlisted columns: typed nulls
+                if c not in target_cols:
+                    aligned = aligned.withColumn(
+                        c, F.lit(None).cast(dtypes[c]))
+            aligned = aligned.select(*t.df.columns)
+            incoming = canonicalize_input(aligned, t.key_cols)
+            n = incoming.df.count()
+            merged = merge_tables([t, incoming])
+            self.save_table(stmt.table, merged)
+            return {"op": "insert", "table": stmt.table, "rows": n}
+
+        if isinstance(stmt, UpdateStmt):
+            assigned = {c for c, _ in stmt.assignments}
+            bad_keys = assigned & set(t.key_cols)
+            if bad_keys:
+                raise SqlError(f"UPDATE may not change key column(s) "
+                               f"{sorted(bad_keys)}; re-keying is "
+                               f"sort_table (O2)")
+            unknown = [c for c in assigned if c not in t.df.columns]
+            if unknown:
+                raise SqlError(f"unknown column(s): {unknown}")
+            pred = f"coalesce(({stmt.where}), false)" if stmt.where \
+                else "true"
+            exprs = dict(stmt.assignments)
+            dtypes = dict(zip(t.df.schema.names,
+                              [f.dataType for f in t.df.schema.fields]))
+            proj = [
+                (f"CASE WHEN {pred} THEN CAST(({exprs[c]}) AS "
+                 f"{dtypes[c].simpleString()}) ELSE `{c}` END AS `{c}`")
+                if c in exprs else f"`{c}`"
+                for c in t.df.columns]
+            n = t.df.where(pred).count()
+            self.save_table(stmt.table,
+                            KeyedTable(t.df.selectExpr(*proj), t.key_cols))
+            return {"op": "update", "table": stmt.table, "rows": n}
+
+        assert isinstance(stmt, DeleteStmt)
+        pred = f"coalesce(({stmt.where}), false)" if stmt.where else "true"
+        n = t.df.where(pred).count()
+        kept = t.df.where(f"NOT ({pred})")
+        self.save_table(stmt.table, KeyedTable(kept, t.key_cols))
+        return {"op": "delete", "table": stmt.table, "rows": n}
+
     # -- cross-store sync (O9 syncTrie/syncTable, Trie.hs:256-260) ------
     def sync_table(self, name: str, dst: "Engine") -> dict:
         """Push a table to ANOTHER warehouse: copy its object closure

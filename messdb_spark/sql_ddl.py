@@ -123,3 +123,129 @@ def parse_create_table(statement: str) -> CreateTable:
               for f in fields]
     return CreateTable(name=name, schema=T.StructType(fields), key_cols=key_cols,
                        if_not_exists=if_not_exists)
+
+
+# ---------------------------------------------------------------------------
+# DML statements — INSERT / UPDATE / DELETE (capability superset: the
+# reference rejects every non-CREATE statement, ``SQL.hs:41-44``; here
+# they lower onto the engine's own operators — INSERT → canonicalize +
+# O1 merge upsert, UPDATE → projected rewrite, DELETE → filter rewrite)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class InsertStmt:
+    table: str
+    columns: list[str] | None      # None = positional over all columns
+    source_sql: str                # "VALUES ..." or "SELECT ..."
+
+
+@dataclass(frozen=True)
+class UpdateStmt:
+    table: str
+    assignments: list[tuple[str, str]]   # (column, SQL expression)
+    where: str | None
+
+
+@dataclass(frozen=True)
+class DeleteStmt:
+    table: str
+    where: str | None
+
+
+_INSERT_RE = re.compile(
+    r"^\s*insert\s+into\s+(\w+)\s*(\([^()]*\))?\s*"
+    r"((?:values|select)\b.*)$",
+    re.IGNORECASE | re.DOTALL)
+_DELETE_RE = re.compile(
+    r"^\s*delete\s+from\s+(\w+)\s*(?:\bwhere\b(.*))?$",
+    re.IGNORECASE | re.DOTALL)
+_UPDATE_RE = re.compile(
+    r"^\s*update\s+(\w+)\s+set\b(.*)$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _scan_top_level(s: str):
+    """Yield (index, char) at paren depth 0 and outside single/double
+    quoted literals ('' escapes inside strings, SQL-style)."""
+    depth = 0
+    i, n = 0, len(s)
+    quote = None
+    while i < n:
+        ch = s[i]
+        if quote is not None:
+            if ch == quote:
+                if quote == "'" and i + 1 < n and s[i + 1] == "'":
+                    i += 2
+                    continue
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            yield i, ch
+        i += 1
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas at depth 0 outside string literals."""
+    cuts = [i for i, ch in _scan_top_level(s) if ch == ","]
+    parts, prev = [], 0
+    for c in cuts:
+        parts.append(s[prev:c])
+        prev = c + 1
+    parts.append(s[prev:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _find_top_keyword(s: str, kw: str) -> int:
+    """Index of the first top-level occurrence of word ``kw`` (case-
+    insensitive, word-bounded), or -1."""
+    low = s.lower()
+    kw = kw.lower()
+    for i, ch in _scan_top_level(s):
+        if low.startswith(kw, i):
+            before_ok = i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_")
+            j = i + len(kw)
+            after_ok = j >= len(s) or not (low[j].isalnum() or low[j] == "_")
+            if before_ok and after_ok:
+                return i
+    return -1
+
+
+def parse_dml(statement: str):
+    """Parse one DML statement; returns InsertStmt / UpdateStmt /
+    DeleteStmt, or None if the statement is not DML (caller falls
+    through to SELECT passthrough)."""
+    m = _INSERT_RE.match(statement)
+    if m:
+        cols = None
+        if m.group(2):
+            cols = [c.strip().strip('"') for c in
+                    m.group(2)[1:-1].split(",") if c.strip()]
+        return InsertStmt(table=m.group(1), columns=cols,
+                          source_sql=m.group(3).strip())
+    m = _UPDATE_RE.match(statement)
+    if m:
+        rest = m.group(2)
+        wi = _find_top_keyword(rest, "where")
+        set_part, where = (rest[:wi], rest[wi + 5:].strip()) if wi >= 0 \
+            else (rest, None)
+        assignments = []
+        for item in _split_top_commas(set_part):
+            eq = item.find("=")
+            if eq <= 0:
+                raise SqlError(f"cannot parse SET assignment: {item!r}")
+            assignments.append((item[:eq].strip().strip('"'),
+                                item[eq + 1:].strip()))
+        if not assignments:
+            raise SqlError("UPDATE needs at least one SET assignment")
+        return UpdateStmt(table=m.group(1), assignments=assignments,
+                          where=where)
+    m = _DELETE_RE.match(statement)
+    if m:
+        where = m.group(2).strip() if m.group(2) else None
+        return DeleteStmt(table=m.group(1), where=where)
+    return None

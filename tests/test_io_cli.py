@@ -254,3 +254,61 @@ def test_cli_apply_cdc(spark, tmp_path, capsys):
     assert main(["-w", wh, "apply-cdc", "-t", "acc", badlog]) == 1
     err = json.loads(capsys.readouterr().out)
     assert err["ok"] is False
+
+
+def test_sql_dml_surface(spark, tmp_path, capsys):
+    """INSERT / UPDATE / DELETE lower onto canonicalize+merge /
+    projected rewrite / filter rewrite (capability superset: the
+    reference rejects every non-CREATE statement, SQL.hs:41-44)."""
+    from messdb_spark.cli import main
+    wh = str(tmp_path / "whdml")
+    assert main(["-w", wh, "sql", "-c",
+                 "CREATE TABLE kv (k bigint PRIMARY KEY, v text, "
+                 "x double)"]) == 0
+    # INSERT VALUES, duplicate key folds last-wins within the batch
+    assert main(["-w", wh, "sql", "-c",
+                 "INSERT INTO kv VALUES (1, 'a', 1.5), (2, 'b,with,commas', "
+                 "2.5), (1, 'a2', 9.0)"]) == 0
+    # INSERT with column list: unlisted value column -> typed null
+    assert main(["-w", wh, "sql", "-c",
+                 "INSERT INTO kv (k, v) VALUES (3, 'c')"]) == 0
+    # INSERT ... SELECT from the table itself
+    assert main(["-w", wh, "sql", "-c",
+                 "INSERT INTO kv SELECT k + 10, v, x FROM kv WHERE k = 2"]) == 0
+    # UPDATE with WHERE; expression references existing columns
+    assert main(["-w", wh, "sql", "-c",
+                 "UPDATE kv SET v = concat(v, '!'), x = x + 0.5 "
+                 "WHERE k >= 12"]) == 0
+    # DELETE; NULL predicate rows must SURVIVE (x is null for k=3)
+    assert main(["-w", wh, "sql", "-c", "DELETE FROM kv WHERE x > 5.0"]) == 0
+    capsys.readouterr()
+    assert main(["-w", wh, "sql", "-c",
+                 "SELECT k, v, x FROM kv ORDER BY k"]) == 0
+    rows = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows == [
+        {"k": 2, "v": "b,with,commas", "x": 2.5},
+        {"k": 3, "v": "c"},          # null-pred row kept (json drops nulls)
+        {"k": 12, "v": "b,with,commas!", "x": 3.0},
+    ]                                            # k=1 (x=9.0) deleted
+
+
+def test_sql_dml_rejections(spark, tmp_path):
+    from messdb_spark.engine import Engine
+    from messdb_spark.sql_ddl import SqlError
+    import pytest
+    eng = Engine(spark, str(tmp_path / "whrej"))
+    eng.ddl("CREATE TABLE r (k bigint PRIMARY KEY, v text)")
+    eng.dml("INSERT INTO r VALUES (1, 'a')")
+    with pytest.raises(SqlError, match="key column"):
+        eng.dml("UPDATE r SET k = k + 1")
+    with pytest.raises(SqlError, match="arity"):
+        eng.dml("INSERT INTO r (k) VALUES (2, 'b')")
+    with pytest.raises(SqlError, match="key column"):
+        eng.dml("INSERT INTO r (v) VALUES ('b')")
+    with pytest.raises(SqlError, match="unknown column"):
+        eng.dml("INSERT INTO r (k, nope) VALUES (2, 'b')")
+    # DELETE without WHERE empties the table but keeps it defined
+    res = eng.dml("DELETE FROM r")
+    assert res["rows"] == 1
+    assert eng.sql("SELECT * FROM r").count() == 0
