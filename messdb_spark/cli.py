@@ -151,6 +151,10 @@ def main(argv: list[str] | None = None) -> int:
             elif first.startswith(("insert ", "update ", "delete ")):
                 res = eng.dml(stmt)
                 print(json.dumps({"ok": True, **res}))
+            elif first.startswith("drop table"):
+                print(json.dumps({"ok": True, **eng.drop_table(stmt)}))
+            elif first.startswith("alter table"):
+                print(json.dumps({"ok": True, **eng.alter_add_column(stmt)}))
             else:
                 _print_json_lines(eng.sql(stmt))
     elif a.cmd == "print-schema":

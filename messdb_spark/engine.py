@@ -294,6 +294,44 @@ class Engine:
         empty = self.spark.createDataFrame([], schema=ct.schema)
         self.save_table(ct.name, KeyedTable(empty, tuple(ct.key_cols)))
 
+    def drop_table(self, statement_or_name: str) -> dict:
+        """DROP TABLE [IF EXISTS] — removes the catalog entry as a new
+        root version (append-only history: the data objects stay
+        reachable from older roots until GC's retention horizon sweeps
+        them, so a drop is instantly reversible by checkout/restore)."""
+        from .sql_ddl import parse_drop_table
+        d = parse_drop_table(statement_or_name)
+        name, if_exists = (d.name, d.if_exists) if d \
+            else (statement_or_name, False)
+        if self.catalog.get(name) is None:
+            if if_exists:
+                return {"op": "drop_table", "table": name, "dropped": False}
+            raise SqlError(f"no such table: {name}")
+        self._drop(name)
+        return {"op": "drop_table", "table": name, "dropped": True}
+
+    def alter_add_column(self, statement: str) -> dict:
+        """ALTER TABLE t ADD COLUMN [IF NOT EXISTS] c type — schema
+        evolution as a metadata-plus-backfill write: existing rows get
+        a typed NULL in the new column (the same typed-null backfill
+        ``merge_tables(allow_schema_evolution=True)`` applies to
+        deltas). Key columns cannot be added after the fact — the key
+        set is the table's identity."""
+        from .sql_ddl import parse_alter_add_column
+        a = parse_alter_add_column(statement)
+        if a is None:
+            raise SqlError(f"unsupported ALTER statement: {statement[:80]!r}")
+        t = self.load_table(a.table)
+        if a.column in t.df.columns:
+            if a.if_not_exists:
+                return {"op": "alter_add_column", "table": a.table,
+                        "column": a.column, "added": False}
+            raise SqlError(f"column already exists: {a.column}")
+        df = t.df.withColumn(a.column, F.lit(None).cast(a.dtype))
+        self.save_table(a.table, KeyedTable(df, t.key_cols))
+        return {"op": "alter_add_column", "table": a.table,
+                "column": a.column, "added": True}
+
     def sql(self, query: str, version: int | None = None) -> DataFrame:
         """Read-only query over catalog tables (capability superset:
         full Spark SQL vs the reference's unsupported-statement error,

@@ -249,3 +249,42 @@ def parse_dml(statement: str):
         where = m.group(2).strip() if m.group(2) else None
         return DeleteStmt(table=m.group(1), where=where)
     return None
+
+
+@dataclass(frozen=True)
+class DropTable:
+    name: str
+    if_exists: bool
+
+
+@dataclass(frozen=True)
+class AlterAddColumn:
+    table: str
+    column: str
+    dtype: "T.DataType"
+    if_not_exists: bool
+
+
+_DROP_RE = re.compile(
+    r"^\s*drop\s+table\s+(if\s+exists\s+)?(\w+)\s*$", re.IGNORECASE)
+_ALTER_RE = re.compile(
+    r"^\s*alter\s+table\s+(\w+)\s+add\s+column\s+(if\s+not\s+exists\s+)?"
+    r'("?[\w]+"?)\s+(.+?)\s*$',
+    re.IGNORECASE | re.DOTALL)
+
+
+def parse_drop_table(statement: str) -> DropTable | None:
+    m = _DROP_RE.match(statement)
+    if not m:
+        return None
+    return DropTable(name=m.group(2), if_exists=m.group(1) is not None)
+
+
+def parse_alter_add_column(statement: str) -> AlterAddColumn | None:
+    m = _ALTER_RE.match(statement)
+    if not m:
+        return None
+    return AlterAddColumn(table=m.group(1),
+                          if_not_exists=m.group(2) is not None,
+                          column=m.group(3).strip('"'),
+                          dtype=_resolve_type(m.group(4)))

@@ -312,3 +312,39 @@ def test_sql_dml_rejections(spark, tmp_path):
     res = eng.dml("DELETE FROM r")
     assert res["rows"] == 1
     assert eng.sql("SELECT * FROM r").count() == 0
+
+
+def test_sql_drop_and_alter(spark, tmp_path, capsys):
+    from messdb_spark.cli import main
+    from messdb_spark.engine import Engine
+    from messdb_spark.sql_ddl import SqlError
+    import pytest
+    wh = str(tmp_path / "whddl2")
+    assert main(["-w", wh, "sql", "-c",
+                 "CREATE TABLE d (k bigint PRIMARY KEY, v text)"]) == 0
+    assert main(["-w", wh, "sql", "-c",
+                 "INSERT INTO d VALUES (1, 'a')"]) == 0
+    # ALTER ADD COLUMN: typed-null backfill, then writable
+    assert main(["-w", wh, "sql", "-c",
+                 "ALTER TABLE d ADD COLUMN score double"]) == 0
+    assert main(["-w", wh, "sql", "-c",
+                 "UPDATE d SET score = 2.5 WHERE k = 1"]) == 0
+    capsys.readouterr()
+    assert main(["-w", wh, "sql", "-c", "SELECT k, score FROM d"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == \
+        {"k": 1, "score": 2.5}
+    eng = Engine(spark, wh)
+    with pytest.raises(SqlError, match="already exists"):
+        eng.alter_add_column("ALTER TABLE d ADD COLUMN score double")
+    assert eng.alter_add_column(
+        "ALTER TABLE d ADD COLUMN IF NOT EXISTS score double")["added"] \
+        is False
+    # DROP: gone from catalog, but reversible via time travel
+    v_before = eng.catalog.current_version()
+    assert eng.drop_table("DROP TABLE d")["dropped"] is True
+    with pytest.raises(KeyError):
+        eng.load_table("d")
+    assert eng.drop_table("DROP TABLE IF EXISTS d")["dropped"] is False
+    with pytest.raises(SqlError, match="no such table"):
+        eng.drop_table("DROP TABLE d")
+    assert eng.load_table("d", version=v_before).df.count() == 1
