@@ -1387,3 +1387,99 @@ def incremental_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_late_drop_replay",
+    oracle="""
+    WITH g AS (SELECT max(ts) AS gmax FROM events),
+    keep AS (
+      SELECT e.* FROM events e, g
+      WHERE NOT (e.ts >= TIMESTAMP '2024-01-11'
+                 AND e.ts < TIMESTAMP '2024-01-21'
+                 AND e.event_id % 2 = 1
+                 AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR
+                     <= g.gmax - INTERVAL 15 DAY)
+    )
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM keep GROUP BY 1, 2
+    """)
+def stream_late_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics, exactly oracle-checked — the
+    watermark behavior no other replay triggers (their batches arrive
+    time-ordered, so nothing is ever late). The middle time-tercile is
+    delivered last, SPLIT over two batches (even event_ids, then odd):
+
+    Spark >= 3.4 filters late events against the watermark PUBLISHED
+    BEFORE THE PREVIOUS microbatch (SPARK-42376: eviction uses the
+    current watermark, late-row filtering the prior one — so a restart
+    boundary can never drop rows an earlier run accepted). The first
+    late batch is therefore still admitted (its late-filter watermark
+    predates the out-of-order data), while the SECOND late batch is
+    filtered against max(t3) − 15 days, which lands inside the
+    tercile: exactly the odd-id rows whose hour window ended before
+    that boundary are dropped. The oracle re-derives that drop set in
+    pure SQL, so the driver hash-checks both the one-batch-delayed
+    filter semantics and the drop boundary. In-body, the query also
+    asserts the state operator REPORTED dropped rows
+    (numRowsDroppedByWatermark > 0) — a regression that silently stops
+    dropping fails twice.
+
+    Update-mode memory sink; per-(window, type) counts are monotone
+    across updates, so the final value is the max. File order is
+    forced with explicit mtimes — the file source schedules oldest
+    first."""
+    import json
+    import uuid
+
+    from ..streaming.stream import windowed_counts
+
+    (e,) = load(spark, sf_dir, "events")
+    e = e.select("event_id", "user_id", "event_type", "ts", "value")
+    lo = F.lit("2024-01-11").cast("timestamp")
+    hi = F.lit("2024-01-21").cast("timestamp")
+    t2 = (F.col("ts") >= lo) & (F.col("ts") < hi)
+    parts = [e.filter(F.col("ts") < lo),                   # t1
+             e.filter(F.col("ts") >= hi),                  # t3
+             e.filter(t2 & (F.col("event_id") % 2 == 0)),  # late, admitted
+             e.filter(t2 & (F.col("event_id") % 2 == 1))]  # late, filtered
+    tmp = tempfile.mkdtemp(prefix="messdb_latedrop_")
+    sink = f"late_drop_{uuid.uuid4().hex[:8]}"
+    try:
+        src_dir = os.path.join(tmp, "src")
+        for i, part in enumerate(parts):
+            d = os.path.join(src_dir, f"part{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(d)
+            for f_ in os.listdir(d):                 # deterministic order
+                os.utime(os.path.join(d, f_), (1000 * (i + 1),
+                                               1000 * (i + 1)))
+        with _replay_shuffle_partitions(spark):
+            stream = (spark.readStream
+                      .schema(e.schema)
+                      .option("maxFilesPerTrigger", 1)
+                      .option("recursiveFileLookup", "true")
+                      .parquet(src_dir))
+            q = (windowed_counts(stream, watermark="15 days")
+                 .writeStream.outputMode("update")
+                 .format("memory").queryName(sink)
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .start())
+            try:
+                q.processAllAvailable()
+                dropped = sum(
+                    int(so.get("numRowsDroppedByWatermark", 0))
+                    for p in [json.loads(pr.json)
+                              for pr in q.recentProgress]
+                    for so in (p.get("stateOperators") or []))
+            finally:
+                q.stop()
+        if dropped == 0:
+            raise AssertionError(
+                "watermark drop replay: no rows were reported dropped — "
+                "the second late batch arrived inside the watermark?")
+        out = spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (out.groupBy("window_start", "event_type")
+               .agg(F.max("n").cast("long").alias("n")))

@@ -439,3 +439,99 @@ def ols_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (n * F.sum(F.col("x") * F.col("x"))
                        - F.sum("x") * F.sum("x")).cast("long")
                       .alias("slope_den")))
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample distance (exact rational)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ks_value_distance",
+    oracle=f"""
+    WITH a AS (
+      SELECT event_type, {_MW_CENT} AS cent
+      FROM events WHERE event_type != 'view'
+    ),
+    b AS (SELECT {_MW_CENT} AS cent FROM events WHERE event_type = 'view'),
+    pooled AS (
+      SELECT event_type AS pair, cent, 1 AS is_a FROM a
+      UNION ALL
+      SELECT t.event_type AS pair, b.cent, 0 AS is_a
+      FROM b CROSS JOIN (SELECT DISTINCT event_type FROM a) t
+    ),
+    pv AS (
+      SELECT pair, cent, sum(is_a) AS na_v, sum(1 - is_a) AS nb_v
+      FROM pooled GROUP BY pair, cent
+    ),
+    cums AS (
+      SELECT pair,
+             sum(na_v) OVER w AS ca, sum(nb_v) OVER w AS cb
+      FROM pv
+      WINDOW w AS (PARTITION BY pair ORDER BY cent)
+    ),
+    cums2 AS (
+      SELECT pair, ca, cb,
+             max(ca) OVER (PARTITION BY pair) AS n_a,
+             max(cb) OVER (PARTITION BY pair) AS n_b
+      FROM cums
+    ),
+    tot AS (
+      SELECT pair AS event_type,
+             CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+             CAST(max(abs(n_a * cb - n_b * ca)) AS BIGINT) AS ks_num
+      FROM cums2 GROUP BY pair
+    )
+    SELECT event_type, n_a, n_b, ks_num,
+           CAST(n_a * n_b AS BIGINT) AS ks_den,
+           CAST((1000 * ks_num) // (n_a * n_b) AS BIGINT) AS ks_permille
+    FROM tot
+    """)
+def ks_value_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance of each event cohort's
+    ``value`` distribution vs the 'view' cohort — the max-CDF-gap
+    companion to ``mannwhitney_value_shift`` (U is sensitive to
+    location shift; KS to ANY distributional difference). D = max over
+    values of |F_a − F_b| carried as the exact rational
+
+        ks_num / ks_den = max_v |n_b·cum_a(v) − n_a·cum_b(v)| / (n_a·n_b)
+
+    — all integer, so the supremum statistic itself hash-checks
+    cross-engine (plus an integer permille for display).
+
+    100 TB design: identical shape to the U statistic — one map-side-
+    combined hash agg collapses rows to per-(cohort, value) counts,
+    the CDF window runs over the distinct-value relation (domain-
+    bounded), and the max is one more tiny agg. Nothing rank-sorts the
+    raw rows."""
+    (e,) = load(spark, sf_dir, "events")
+    cent = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    a = (e.filter(F.col("event_type") != "view")
+          .select(F.col("event_type").alias("pair"), cent.alias("cent"),
+                  F.lit(1).alias("is_a")))
+    b = e.filter(F.col("event_type") == "view").select(cent.alias("cent"))
+    types = a.select("pair").distinct()
+    pooled = a.unionByName(
+        b.crossJoin(F.broadcast(types)).select("pair", "cent",
+                                               F.lit(0).alias("is_a")))
+    pv = (pooled.groupBy("pair", "cent")
+                .agg(F.sum("is_a").alias("na_v"),
+                     F.sum(1 - F.col("is_a")).alias("nb_v")))
+    w = W.partitionBy("pair").orderBy("cent")
+    cums = pv.select("pair", F.sum("na_v").over(w).alias("ca"),
+                     F.sum("nb_v").over(w).alias("cb"))
+    wp = W.partitionBy("pair")
+    gaps = cums.select(
+        "pair", "ca", "cb",
+        F.max("ca").over(wp).alias("n_a"),
+        F.max("cb").over(wp).alias("n_b"))
+    out = (gaps.groupBy(F.col("pair").alias("event_type"))
+               .agg(F.max("n_a").cast("long").alias("n_a"),
+                    F.max("n_b").cast("long").alias("n_b"),
+                    F.max(F.abs(F.col("n_a") * F.col("cb")
+                                - F.col("n_b") * F.col("ca")))
+                     .cast("long").alias("ks_num")))
+    return out.select(
+        "event_type", "n_a", "n_b", "ks_num",
+        (F.col("n_a") * F.col("n_b")).cast("long").alias("ks_den"),
+        F.expr("CAST((1000 * ks_num) DIV (n_a * n_b) AS BIGINT)")
+         .alias("ks_permille"))
