@@ -1483,3 +1483,91 @@ def stream_late_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
     return (out.groupBy("window_start", "event_type")
                .agg(F.max("n").cast("long").alias("n")))
+
+
+@query(
+    "stream_checkpoint_restart_replay",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """)
+def stream_checkpoint_restart_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint RECOVERY, exactly-once across a restart — the
+    operational property none of the other replays exercises: a
+    streaming aggregation is stopped mid-stream and a NEW query
+    resumes from the same checkpoint. The restarted query must (a)
+    restore its state store (the first run's counts survive), (b) NOT
+    reprocess the files the first run committed (exactly-once input
+    accounting, asserted in-body from the restarted run's progress),
+    and (c) drain the remainder to a final answer that hash-equals the
+    one-shot batch aggregate.
+
+    Phase 1 sees two of three id-split files and stops; phase 2 starts
+    a fresh query object on the same checkpoint + source and processes
+    ONLY the third file (asserted: its cumulative numInputRows equals
+    the third split's row count). Complete-mode sink so the restarted
+    query's final emission carries the full restored state — the
+    recovery proof is that batch-1+2 rows appear in a query that never
+    read them."""
+    import json
+    import uuid
+
+    from ..streaming.stream import windowed_counts
+
+    (e,) = load(spark, sf_dir, "events")
+    e = e.select("event_id", "user_id", "event_type", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="messdb_restart_")
+    try:
+        src_dir = os.path.join(tmp, "src")
+        ckpt = os.path.join(tmp, "ckpt")
+        splits = [e.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+                  for i in range(3)]
+        n_third = splits[2].count()
+        for i, part in enumerate(splits[:2]):
+            d = os.path.join(src_dir, f"part{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(d)
+            for f_ in os.listdir(d):
+                os.utime(os.path.join(d, f_), (1000 * (i + 1),) * 2)
+
+        def start(sink_name):
+            stream = (spark.readStream
+                      .schema(e.schema)
+                      .option("maxFilesPerTrigger", 1)
+                      .option("recursiveFileLookup", "true")
+                      .parquet(src_dir))
+            return (windowed_counts(stream)
+                    .writeStream.outputMode("complete")
+                    .format("memory").queryName(sink_name)
+                    .option("checkpointLocation", ckpt)
+                    .start())
+
+        with _replay_shuffle_partitions(spark):
+            q1 = start(f"restart_a_{uuid.uuid4().hex[:8]}")
+            try:
+                q1.processAllAvailable()
+            finally:
+                q1.stop()                      # simulated failure point
+            d = os.path.join(src_dir, "part2")
+            splits[2].coalesce(1).write.mode("overwrite").parquet(d)
+            for f_ in os.listdir(d):
+                os.utime(os.path.join(d, f_), (3000,) * 2)
+            sink2 = f"restart_b_{uuid.uuid4().hex[:8]}"
+            q2 = start(sink2)
+            try:
+                q2.processAllAvailable()
+                replayed = sum(
+                    json.loads(p.json).get("numInputRows", 0)
+                    for p in q2.recentProgress)
+            finally:
+                q2.stop()
+        if replayed != n_third:
+            raise AssertionError(
+                f"restart reprocessed {replayed} rows, expected exactly "
+                f"the third split ({n_third}) — checkpoint offsets were "
+                f"not honored")
+        out = spark.table(sink2).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (out.select("window_start", "event_type",
+                       F.col("n").cast("long").alias("n")))
