@@ -144,8 +144,23 @@ def main(argv: list[str] | None = None) -> int:
         for stmt in [s.strip() for s in text.split(";") if s.strip()]:
             if a.print_parsed_sql:
                 print(f"-- {stmt}", file=sys.stderr)
+            import re as _re2
             first = stmt.lower().lstrip()
-            if first.startswith("create table"):
+            mv = _re2.match(
+                r"create\s+(or\s+replace\s+)?materialized\s+view\s+(\w+)"
+                r"\s+as\s+(.*)$", stmt.strip(), _re2.IGNORECASE | _re2.DOTALL)
+            rf = _re2.match(r"refresh\s+materialized\s+view\s+(\w+)\s*$",
+                            stmt.strip(), _re2.IGNORECASE)
+            if mv:
+                res = eng.create_materialized_view(
+                    mv.group(2), mv.group(3),
+                    or_replace=mv.group(1) is not None)
+                print(json.dumps({"ok": True, **res}))
+            elif rf:
+                print(json.dumps(
+                    {"ok": True,
+                     **eng.refresh_materialized_view(rf.group(1))}))
+            elif first.startswith("create table"):
                 eng.ddl(stmt)
                 print(json.dumps({"ok": True, "statement": "create_table"}))
             elif first.startswith(("insert ", "update ", "delete ")):

@@ -308,6 +308,11 @@ class Engine:
                 return {"op": "drop_table", "table": name, "dropped": False}
             raise SqlError(f"no such table: {name}")
         self._drop(name)
+        defs = self._view_defs()
+        if name in defs:
+            from .store import _atomic_write_json
+            defs.pop(name)
+            _atomic_write_json(self._views_path(), defs)
         return {"op": "drop_table", "table": name, "dropped": True}
 
     def alter_add_column(self, statement: str) -> dict:
@@ -331,6 +336,69 @@ class Engine:
         self.save_table(a.table, KeyedTable(df, t.key_cols))
         return {"op": "alter_add_column", "table": a.table,
                 "column": a.column, "added": True}
+
+    # -- materialized views over the memo layer (O8 made SQL) -----------
+    def _views_path(self) -> str:
+        return os.path.join(self.warehouse, "views.json")
+
+    def _view_defs(self) -> dict:
+        from .store import _read_json
+        return _read_json(self._views_path(), {})
+
+    def _materialize_view_sql(self, select_sql: str) -> str:
+        import re as _re
+        from .plans.views import sql_view
+        names = [n for n in self.catalog.names()
+                 if _re.search(rf"\b{n}\b", select_sql)]
+        ir = sql_view(select_sql, {n: self.scan_ir(n) for n in names})
+        return self.materializer.materialize(ir)
+
+    def create_materialized_view(self, name: str, select_sql: str,
+                                 or_replace: bool = False) -> dict:
+        """CREATE MATERIALIZED VIEW — the reference's defining feature
+        ("incrementally updated materialized views", its cabal
+        synopsis) surfaced as SQL: the SELECT lowers to a view IR whose
+        digest keys the memo layer, the result materializes into the
+        CAS, and the view registers as an ordinary catalog table
+        (time-travelable, GC-traced, branchable). The definition is
+        recorded so REFRESH can re-resolve it against the CURRENT base
+        tables; re-materializing over unchanged inputs is a manifest
+        hit — zero data-path work."""
+        if not or_replace and self.catalog.get(name) is not None:
+            raise SqlError(f"table/view already exists: {name} "
+                           f"(use CREATE OR REPLACE MATERIALIZED VIEW)")
+        h = self._materialize_view_sql(select_sql)
+        df = self.objects.load(self.spark, h)
+        self._register(name, CatalogEntry(
+            table_hash=h, schema_json=df.schema.json(), key_cols=[]))
+        from .store import _atomic_write_json
+        defs = self._view_defs()
+        defs[name] = select_sql
+        _atomic_write_json(self._views_path(), defs)
+        return {"op": "create_materialized_view", "view": name,
+                "table_hash": h}
+
+    def refresh_materialized_view(self, name: str) -> dict:
+        """REFRESH MATERIALIZED VIEW: re-resolve the stored definition
+        against the current catalog (base tables may have moved) and
+        re-materialize. Unchanged inputs ⇒ memo manifest hit (the
+        ``refreshed: False`` fast path costs one digest lookup);
+        changed inputs recompute and swap the catalog entry — the
+        at-rest sibling of the bucket-granular incremental views
+        (``plans/incremental``), which refresh sub-table."""
+        defs = self._view_defs()
+        if name not in defs:
+            raise SqlError(f"no such materialized view: {name}")
+        hits_before = self.memo.hits
+        h = self._materialize_view_sql(defs[name])
+        hit = self.memo.hits > hits_before
+        prev = self.catalog.get(name)
+        if prev is None or prev.table_hash != h:
+            df = self.objects.load(self.spark, h)
+            self._register(name, CatalogEntry(
+                table_hash=h, schema_json=df.schema.json(), key_cols=[]))
+        return {"op": "refresh_materialized_view", "view": name,
+                "table_hash": h, "refreshed": not hit}
 
     def sql(self, query: str, version: int | None = None) -> DataFrame:
         """Read-only query over catalog tables (capability superset:

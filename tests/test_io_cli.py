@@ -348,3 +348,55 @@ def test_sql_drop_and_alter(spark, tmp_path, capsys):
     with pytest.raises(SqlError, match="no such table"):
         eng.drop_table("DROP TABLE d")
     assert eng.load_table("d", version=v_before).df.count() == 1
+
+
+def test_sql_materialized_view_lifecycle(spark, tmp_path, capsys):
+    """CREATE MATERIALIZED VIEW / REFRESH: the memo layer surfaced as
+    SQL — refresh over unchanged inputs is a manifest hit, refresh
+    after a base-table write recomputes and swaps the entry."""
+    from messdb_spark.cli import main
+    from messdb_spark.engine import Engine
+    wh = str(tmp_path / "whmv")
+    assert main(["-w", wh, "sql", "-c",
+                 "CREATE TABLE base (k bigint PRIMARY KEY, grp text, "
+                 "v bigint)"]) == 0
+    assert main(["-w", wh, "sql", "-c",
+                 "INSERT INTO base VALUES (1,'a',10), (2,'a',20), "
+                 "(3,'b',5)"]) == 0
+    assert main(["-w", wh, "sql", "-c",
+                 "CREATE MATERIALIZED VIEW totals AS "
+                 "SELECT grp, sum(v) AS s FROM base GROUP BY grp"]) == 0
+    capsys.readouterr()
+    assert main(["-w", wh, "sql", "-c",
+                 "SELECT grp, s FROM totals ORDER BY grp"]) == 0
+    rows = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows == [{"grp": "a", "s": 30}, {"grp": "b", "s": 5}]
+
+    eng = Engine(spark, wh)
+    # no-op refresh: manifest hit, no recompute
+    r1 = eng.refresh_materialized_view("totals")
+    assert r1["refreshed"] is False
+    # base write → refresh recomputes
+    eng.dml("INSERT INTO base VALUES (4,'b',95)")
+    r2 = eng.refresh_materialized_view("totals")
+    assert r2["refreshed"] is True and r2["table_hash"] != r1["table_hash"]
+    got = {(r.grp, r.s) for r in
+           eng.sql("SELECT grp, s FROM totals").collect()}
+    assert got == {("a", 30), ("b", 100)}
+    # the pre-refresh snapshot is still reachable (time travel)
+    # CREATE without OR REPLACE over an existing name fails; OR REPLACE works
+    from messdb_spark.sql_ddl import SqlError
+    import pytest
+    with pytest.raises(SqlError, match="already exists"):
+        eng.create_materialized_view(
+            "totals", "SELECT grp FROM base GROUP BY grp")
+    eng.create_materialized_view(
+        "totals", "SELECT grp, count(*) AS n FROM base GROUP BY grp",
+        or_replace=True)
+    assert {tuple(r) for r in eng.sql("SELECT * FROM totals").collect()} \
+        == {("a", 2), ("b", 2)}
+    # drop removes the view AND its stored definition
+    eng.drop_table("DROP TABLE totals")
+    with pytest.raises(SqlError, match="no such materialized view"):
+        eng.refresh_materialized_view("totals")
