@@ -42,7 +42,7 @@ _CHECK_FIRST = [
     "kcore_parts", "ols_daily_revenue_trend", "stream_static_enrich_replay",
     "cumulative_new_users_daily", "rolling_7d_active_users",
     "bpe_encode_docs", "incremental_join_view_refresh", "ks_value_distance", "stream_late_drop_replay",
-    "stream_checkpoint_restart_replay",
+    "stream_checkpoint_restart_replay", "weighted_median_price_per_priority",
     "hll_md5_distinct_orders", "ddsketch_price_quantiles",
     "bloom_prefilter_join", "record_linkage_scores",
     "duplicate_span_fraction", "user_event_sequences",

@@ -436,3 +436,93 @@ def exact_median_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .filter(F.col("rn") == F.col("rk"))
                      .select("seg", F.col("cents").alias("median_cents"),
                              "n_rows"))
+
+
+@query(
+    "weighted_median_price_per_priority",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderpriority AS pri,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    pv AS (SELECT pri, cents, CAST(sum(w) AS BIGINT) AS wv
+           FROM j GROUP BY 1, 2),
+    c AS (
+      SELECT pri, cents,
+             sum(wv) OVER (PARTITION BY pri ORDER BY cents) AS cw,
+             sum(wv) OVER (PARTITION BY pri) AS tw
+      FROM pv
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+             AS wmedian_cents,
+           CAST(max(tw) AS BIGINT) AS total_weight
+    FROM c GROUP BY pri
+    """)
+def weighted_median_price_per_priority(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """WEIGHTED exact median (price weighted by quantity, per order
+    priority) by the same two-pass selection as
+    ``exact_median_per_segment`` — generalized from ranks to weight
+    mass: the median is the smallest value whose cumulative weight
+    reaches half the total (2·cum ≥ total keeps it integer). The
+    importance-weighted quantile is what quality-weighted corpus
+    statistics need, and no built-in computes it exactly.
+
+    Pass 1 histograms WEIGHT per (group, bucket) — map-side combinable
+    sums, driver walks groups×1024 cumulative weights to the target
+    bucket; pass 2 rescans only that bucket's rows, folds them to
+    per-value weights, and takes the first value crossing the
+    remaining mass with a bucket-sized window. Same scale contract as
+    the unweighted selection: two scans + ~1/1024-sized window,
+    never a full per-group sort."""
+    (o, l) = load(spark, sf_dir, "orders", "lineitem")
+    rows = (l.join(o, l.l_orderkey == o.o_orderkey)
+             .select(F.col("o_orderpriority").alias("pri"),
+                     F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                      .cast("long").alias("cents"),
+                     F.col("l_quantity").cast("long").alias("w")))
+    bounds = {r["pri"]: (r["lo"], r["hi"], r["tw"]) for r in
+              rows.groupBy("pri").agg(F.min("cents").alias("lo"),
+                                      F.max("cents").alias("hi"),
+                                      F.sum("w").alias("tw")).collect()}
+    widths = {p: max(1, (hi - lo + 1024) // 1024)
+              for p, (lo, hi, _t) in bounds.items()}
+    w_map = F.create_map(*[x for p in bounds
+                           for x in (F.lit(p), F.lit(widths[p]))])
+    lo_map = F.create_map(*[x for p in bounds
+                            for x in (F.lit(p), F.lit(bounds[p][0]))])
+    hist = (rows.groupBy("pri",
+                         ((F.col("cents") - lo_map[F.col("pri")])
+                          / w_map[F.col("pri")]).cast("long").alias("b"))
+                .agg(F.sum("w").alias("bw")).collect())
+    by_pri: dict = {}
+    for r in hist:
+        by_pri.setdefault(r["pri"], {})[r["b"]] = r["bw"]
+    target = {}
+    for p, (lo, _hi, tw) in bounds.items():
+        cum = 0
+        for b in sorted(by_pri[p]):
+            if 2 * (cum + by_pri[p][b]) >= tw:
+                target[p] = (lo + b * widths[p],
+                             lo + (b + 1) * widths[p], cum, tw)
+                break
+            cum += by_pri[p][b]
+    tgt = spark.createDataFrame(
+        [(p, blo, bhi, cum, tw) for p, (blo, bhi, cum, tw) in target.items()],
+        "pri string, b_lo long, b_hi long, base_cum long, tw long")
+    in_bucket = (rows.join(F.broadcast(tgt), "pri")
+                     .filter((F.col("cents") >= F.col("b_lo"))
+                             & (F.col("cents") < F.col("b_hi")))
+                     .groupBy("pri", "cents", "base_cum", "tw")
+                     .agg(F.sum("w").alias("wv")))
+    wr = W.partitionBy("pri").orderBy("cents")
+    crossing = (in_bucket
+                .withColumn("cw", F.sum("wv").over(wr) + F.col("base_cum"))
+                .filter(2 * F.col("cw") >= F.col("tw"))
+                .groupBy(F.col("pri").alias("o_orderpriority"))
+                .agg(F.min("cents").cast("long").alias("wmedian_cents"),
+                     F.max("tw").cast("long").alias("total_weight")))
+    return crossing

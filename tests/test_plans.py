@@ -470,10 +470,18 @@ def test_bfs_cdc_mw_plan_shapes(spark, sf_dir):
     assert exch and "ExtremumOrdering" in exch.group(1), plan
     assert "CartesianProduct" not in plan
 
-    # Mann-Whitney: the rank window must run over the per-(pair, cent)
-    # AGGREGATED relation (domain-bounded), never the raw event rows —
-    # the aggregate has to appear upstream of the Window in the plan
-    plan = plan_str(QUERIES["mannwhitney_value_shift"].fn(spark, sf_dir))
+    # Mann-Whitney / KS: the rank/CDF window must run over the
+    # per-(pair, cent) AGGREGATED relation (domain-bounded), never the
+    # raw event rows — the aggregate has to appear upstream of the
+    # Window in the plan
+    for name in ("mannwhitney_value_shift", "ks_value_distance"):
+        plan = plan_str(QUERIES[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "Window" in plan, name
+        assert "HashAggregate" in plan, name
+
+    # OLS: two cascaded hash aggs, no window, no sort, no cartesian
+    plan = plan_str(QUERIES["ols_daily_revenue_trend"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "Window" in plan
+    assert "Window" not in plan
     assert "HashAggregate" in plan
