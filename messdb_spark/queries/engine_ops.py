@@ -1571,3 +1571,111 @@ def stream_checkpoint_restart_replay(spark: SparkSession, sf_dir: str) -> DataFr
         shutil.rmtree(tmp, ignore_errors=True)
     return (out.select("window_start", "event_type",
                        F.col("n").cast("long").alias("n")))
+
+
+@query(
+    "stream_stream_outer_join_replay",
+    oracle="""
+    SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id
+    FROM events p LEFT JOIN events v
+      ON v.event_type = 'view'
+         AND v.user_id = p.user_id
+         AND v.ts < p.ts
+         AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    """)
+def stream_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join replay — the
+    watermark-GATED null emission the inner-join replay can't
+    exercise: a purchase with no view in its 30-minute lookback emits
+    (p, NULL) only once the views watermark proves no match can still
+    arrive. To resolve EVERY purchase, a sentinel view row far past
+    the data (user_id −1, matches nothing) rides in a final batch and
+    pushes the watermark beyond all open state; the query then waits
+    for the sink to settle (Spark emits evicted-unmatched rows in the
+    trailing no-data microbatch) and the drained output must
+    hash-equal the batch LEFT JOIN. State stays
+    O(arrival rate × horizon) per side — the outer flavor adds no
+    state, only an eviction-time emission."""
+    import uuid
+
+    from ..streaming.stream import stream_stream_purchase_views_outer
+
+    (e,) = load(spark, sf_dir, "events")
+    e = e.select("event_id", "user_id", "event_type", "ts")
+    cuts = e.select(
+        F.percentile_approx("ts", [1.0 / 3, 2.0 / 3], 10000).alias("c")
+    ).first()["c"]
+    gmax = e.agg(F.max("ts")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="messdb_ssouter_")
+    sink = f"ssouter_{uuid.uuid4().hex[:8]}"
+    try:
+        src_dir = os.path.join(tmp, "src")
+        bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+        for i, (lo, hi) in enumerate(bounds):
+            part = e
+            if lo is not None:
+                part = part.filter(F.col("ts") > F.lit(lo))
+            if hi is not None:
+                part = part.filter(F.col("ts") <= F.lit(hi))
+            d = os.path.join(src_dir, f"part{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(d)
+            for f_ in os.listdir(d):
+                os.utime(os.path.join(d, f_), (1000 * (i + 1),) * 2)
+        # sentinel: one un-joinable view far past the data — pushes
+        # both watermarks beyond every open purchase
+        for j in (3,):        # one sentinel batch: the trailing no-data
+            # microbatch provides the eviction pass (outer emission uses
+            # the watermark published by the PREVIOUS batch). It
+            # carries BOTH a view and a purchase: the global watermark
+            # is min(p-side, v-side), so a view-only sentinel would
+            # leave the purchase watermark pinned 2h behind the data
+            # and the last purchases would never resolve.
+            sentinel = spark.createDataFrame(
+                [(-j, -1, "view"), (-j - 100, -1, "purchase")],
+                "event_id long, user_id long, event_type string"
+            ).select("event_id", "user_id", "event_type",
+                     (F.lit(gmax) + F.expr(f"INTERVAL {90 + j} DAYS"))
+                     .alias("ts"))
+            d = os.path.join(src_dir, f"part{j}")
+            sentinel.coalesce(1).write.mode("overwrite").parquet(d)
+            for f_ in os.listdir(d):
+                os.utime(os.path.join(d, f_), (3000 * j,) * 2)
+
+        def stream():
+            return (spark.readStream
+                    .schema(e.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(src_dir))
+
+        import time as _time
+        with _replay_shuffle_partitions(spark):
+            joined = stream_stream_purchase_views_outer(stream(), stream())
+            q = (joined.writeStream.outputMode("append")
+                 .format("memory").queryName(sink)
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .start())
+            try:
+                q.processAllAvailable()
+                # outer rows emit on eviction, which can trail into the
+                # no-data microbatch after the sentinel advances the
+                # watermark — wait until the sink stops growing
+                stable, prev = 0, -1
+                for _ in range(240):
+                    cur = spark.table(sink).count()
+                    st = q.status
+                    idle = (not st["isDataAvailable"]
+                            and not st["isTriggerActive"])
+                    stable = stable + 1 if cur == prev else 0
+                    prev = cur
+                    if stable >= (2 if idle else 8):
+                        break
+                    _time.sleep(0.25)
+            finally:
+                q.stop()
+        out = spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (out.filter(F.col("p_id") >= 0)   # drop sentinel purchases
+               .select("p_id", "v_id", F.col("p_user").alias("user_id")))

@@ -287,3 +287,33 @@ def stream_static_enrich(events: DataFrame, profile: DataFrame) -> DataFrame:
     return (events.join(prof, "user_id", "left")
                   .select("event_id", "user_id", "ts", "event_type", "value",
                           "first_seen", "tier"))
+
+
+def stream_stream_purchase_views_outer(purchases: DataFrame,
+                                       views: DataFrame,
+                                       horizon: str = "30 minutes",
+                                       watermark: str = "2 hours"
+                                       ) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    ``stream_stream_purchase_views``, but purchases with no view in
+    the preceding ``horizon`` still emit — with a NULL view side —
+    once the views watermark has passed the last instant a matching
+    view could arrive. The null-emission is watermark-GATED: matched
+    rows emit eagerly, unmatched ones only when provably unmatched
+    (the semantics that make streaming outer joins correct instead of
+    eventually-wrong)."""
+    p = (purchases.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("p_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", watermark))
+    v = (views.filter(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("v_id"),
+                 F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("v_ts"))
+         .withWatermark("v_ts", watermark))
+    return p.join(
+        v, (F.col("p_user") == F.col("v_user")) &
+           (F.col("v_ts") < F.col("p_ts")) &
+           (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+        "leftOuter")
