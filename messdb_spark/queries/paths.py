@@ -18,6 +18,8 @@ cross-engine oracle:
   oracle by monotone fixed-depth unroll (MATERIALIZED CTE chain).
 - ``ols_daily_revenue_trend``: least-squares slope as an exact BIGINT
   rational from one-pass sufficient statistics.
+- ``ks_value_distance``: two-sample Kolmogorov-Smirnov distance as an
+  exact rational (max CDF gap over per-value counts).
 """
 
 from __future__ import annotations
