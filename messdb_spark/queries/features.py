@@ -526,3 +526,67 @@ def weighted_median_price_per_priority(spark: SparkSession,
                 .agg(F.min("cents").cast("long").alias("wmedian_cents"),
                      F.max("tw").cast("long").alias("total_weight")))
     return crossing
+
+
+_PCT_GRID = [25, 50, 75, 90, 99]
+
+
+@query(
+    "exact_percentile_grid",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    n AS (SELECT count(*) AS n_rows FROM c),
+    ranked AS (
+      SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c
+    ),
+    ps AS (SELECT unnest([{", ".join(map(str, _PCT_GRID))}]) AS p)
+    SELECT CAST(ps.p AS BIGINT) AS p,
+           r.cents AS pct_cents,
+           CAST(n.n_rows AS BIGINT) AS n_rows
+    FROM ps, n
+    JOIN ranked r ON r.rn = n.n_rows * ps.p // 100 + 1
+    """)
+def exact_percentile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentile VECTOR (p25/p50/p75/p90/p99) in the same two
+    passes as one median — the multi-quantile generalization of
+    ``exact_median_twopass``: a single histogram pass locates ALL five
+    target buckets from one cumulative walk, and a single second scan
+    (filtered to the union of target buckets — ≤5/1024 of the data,
+    pushed to the parquet scan) ranks each bucket independently. The
+    point at scale: an exact p99 costs no more than an exact median,
+    and five quantiles cost two scans total, not ten — versus one full
+    sort, or approx_percentile's error on the tail where it matters
+    most. Ranks are 1-based order statistics k = n·p//100 + 1, all
+    integer."""
+    (o,) = load(spark, sf_dir, "orders")
+    c = o.select(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                  .cast("long").alias("cents"))
+    lo, hi, n_rows = c.agg(F.min("cents"), F.max("cents"),
+                           F.count(F.lit(1))).first()
+    width = max(1, (hi - lo + 1024) // 1024)
+    hist = {r["b"]: r["n"] for r in
+            (c.groupBy(((F.col("cents") - lo) / width).cast("long").alias("b"))
+              .agg(F.count(F.lit(1)).alias("n"))).collect()}
+    targets = []                      # (p, b_lo, b_hi, rank_in_bucket)
+    ks = sorted((n_rows * p // 100 + 1, p) for p in _PCT_GRID)
+    cum = 0
+    it = iter(sorted(hist))
+    b = next(it)
+    for k, p in ks:                   # one walk serves every quantile
+        while cum + hist[b] < k:
+            cum += hist[b]
+            b = next(it)
+        targets.append((p, lo + b * width, lo + (b + 1) * width, k - cum))
+    tgt = spark.createDataFrame(
+        targets, "p long, b_lo long, b_hi long, rk long")
+    in_bucket = (c.join(F.broadcast(tgt),
+                        (F.col("cents") >= F.col("b_lo"))
+                        & (F.col("cents") < F.col("b_hi"))))
+    wr = W.partitionBy("p").orderBy("cents")
+    return (in_bucket.withColumn("rn", F.row_number().over(wr))
+                     .filter(F.col("rn") == F.col("rk"))
+                     .select("p", F.col("cents").alias("pct_cents"),
+                             F.lit(n_rows).cast("long").alias("n_rows")))
