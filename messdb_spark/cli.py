@@ -170,6 +170,34 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"ok": True, **eng.drop_table(stmt)}))
             elif first.startswith("alter table"):
                 print(json.dumps({"ok": True, **eng.alter_add_column(stmt)}))
+            elif first.rstrip(" ;") == "show tables":
+                defs = eng._view_defs()
+                for n in sorted(eng.catalog.names()):
+                    e = eng.catalog.get(n)
+                    print(json.dumps({
+                        "table": n,
+                        "kind": "materialized_view" if n in defs else "table",
+                        "key_cols": e.key_cols,
+                        "table_hash": e.table_hash[:16]}))
+            elif first.startswith("describe history"):
+                mh = __import__("re").match(
+                    r"describe\s+history(?:\s+(\w+))?\s*;?\s*$", first)
+                name = mh.group(1) if mh else None
+                cur = eng.catalog.current_version()
+                prev_hash = None
+                for v in range(1, cur + 1):
+                    if name is not None:
+                        e = eng.catalog.get(name, version=v)
+                        h = e.table_hash if e else None
+                        if h == prev_hash:
+                            continue          # only versions that moved it
+                        prev_hash = h
+                        print(json.dumps({"version": v, "table": name,
+                                          "table_hash": h}))
+                    else:
+                        print(json.dumps({
+                            "version": v,
+                            "tables": sorted(eng.catalog.names(version=v))}))
             else:
                 _print_json_lines(eng.sql(stmt))
     elif a.cmd == "print-schema":

@@ -400,3 +400,30 @@ def test_sql_materialized_view_lifecycle(spark, tmp_path, capsys):
     eng.drop_table("DROP TABLE totals")
     with pytest.raises(SqlError, match="no such materialized view"):
         eng.refresh_materialized_view("totals")
+
+
+def test_sql_show_tables_and_history(spark, tmp_path, capsys):
+    from messdb_spark.cli import main
+    wh = str(tmp_path / "whshow")
+    assert main(["-w", wh, "sql", "-c",
+                 "CREATE TABLE a (k bigint PRIMARY KEY, v text)"]) == 0
+    assert main(["-w", wh, "sql", "-c", "INSERT INTO a VALUES (1,'x')"]) == 0
+    assert main(["-w", wh, "sql", "-c",
+                 "CREATE MATERIALIZED VIEW mv AS SELECT count(*) AS n "
+                 "FROM a"]) == 0
+    capsys.readouterr()
+    assert main(["-w", wh, "sql", "-c", "SHOW TABLES"]) == 0
+    rows = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    kinds = {r["table"]: r["kind"] for r in rows}
+    assert kinds == {"a": "table", "mv": "materialized_view"}
+    # history of one table: only versions that moved it
+    assert main(["-w", wh, "sql", "-c", "DESCRIBE HISTORY a"]) == 0
+    hist = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(hist) == 2                      # create (empty) + insert
+    assert hist[0]["table_hash"] != hist[1]["table_hash"]
+    # namespace history: one line per version
+    assert main(["-w", wh, "sql", "-c", "DESCRIBE HISTORY"]) == 0
+    ns = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert ns[-1]["tables"] == ["a", "mv"]
