@@ -840,3 +840,107 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not 0 <= r["n_matched"] <= 5:
             raise AssertionError(f"impossible match count: {r}")
     return out
+
+
+_MATRYOSHKA_DIMS = 8
+
+
+@query(
+    "matryoshka_prefix_recall",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             embedding[1:{_MATRYOSHKA_DIMS}] AS pemb,
+             sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+             sqrt(list_aggregate(list_transform(embedding[1:{_MATRYOSHKA_DIMS}],
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS pnrm
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+                    i -> CAST(q.embedding[i] AS DOUBLE)
+                         * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+               / (q.nrm * c.nrm) AS fsim,
+             list_aggregate(list_transform(range(1, {_MATRYOSHKA_DIMS} + 1),
+                    i -> CAST(q.pemb[i] AS DOUBLE)
+                         * CAST(c.pemb[i] AS DOUBLE)), 'sum')
+               / (q.pnrm * c.pnrm) AS psim
+      FROM n q JOIN n c ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+    ),
+    fr AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY fsim DESC, cand_id) AS rk
+      FROM sims
+    ),
+    pr AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY psim DESC, cand_id) AS rk
+      FROM sims
+    )
+    SELECT f.query_id,
+           CAST(count(p.cand_id) AS BIGINT) AS n_overlap,
+           CAST({_TOP_K} AS BIGINT) AS k
+    FROM fr f LEFT JOIN pr p
+      ON p.query_id = f.query_id AND p.cand_id = f.cand_id
+         AND p.rk <= {_TOP_K}
+    WHERE f.rk <= {_TOP_K}
+    GROUP BY f.query_id
+    """)
+def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: how much of the full-
+    dimension top-{k} survives when search uses only the FIRST
+    {d} of 64 dims — the retrieval-quality check behind
+    truncatable-embedding deployments (store the prefix hot, the tail
+    cold; search cost drops 8× if recall holds). Output: per query,
+    the overlap between the full-dim and prefix-dim top-{k} sets.
+
+    Exactness: both rankings use the in-order-fold dot product
+    discipline of this module, rank on full precision with a cand_id
+    tiebreak, and the overlap is an integer join-count — so the
+    quality metric itself hash-checks cross-engine. Scale: the prefix
+    similarity reuses the SAME broadcast-query pass as the full one
+    (one corpus scan computes both scores); the overlap join runs on
+    two top-{k} row sets, queries × {k} rows each."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    pre = F.slice(F.col("embedding"), 1, _MATRYOSHKA_DIMS)
+    withn = (emb.withColumn("pemb", pre)
+                .withColumn("nrm", _norm_col("embedding"))
+                .withColumn("pnrm", _norm_col("pemb")))
+    q = (withn.filter(F.col("vec_id") < _N_QUERIES)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("q_emb"),
+                      F.col("pemb").alias("q_pemb"),
+                      F.col("nrm").alias("q_nrm"),
+                      F.col("pnrm").alias("q_pnrm")))
+    c = withn.select(F.col("vec_id").alias("cand_id"),
+                     F.col("embedding").alias("c_emb"),
+                     F.col("pemb").alias("c_pemb"),
+                     F.col("nrm").alias("c_nrm"),
+                     F.col("pnrm").alias("c_pnrm"))
+    pairs = (c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+              .withColumn("fsim", F.expr(_DOT.format(a="q_emb", b="c_emb"))
+                          / (F.col("q_nrm") * F.col("c_nrm")))
+              .withColumn("psim", F.expr(_DOT.format(a="q_pemb", b="c_pemb"))
+                          / (F.col("q_pnrm") * F.col("c_pnrm"))))
+    wf = W.partitionBy("query_id").orderBy(F.col("fsim").desc(), "cand_id")
+    wp = W.partitionBy("query_id").orderBy(F.col("psim").desc(), "cand_id")
+    ranked = (pairs.withColumn("frk", F.row_number().over(wf))
+                   .withColumn("prk", F.row_number().over(wp)))
+    full_top = ranked.filter(F.col("frk") <= _TOP_K) \
+                     .select("query_id", "cand_id")
+    pre_top = ranked.filter(F.col("prk") <= _TOP_K) \
+                    .select("query_id", F.col("cand_id").alias("p_cand"))
+    return (full_top.join(pre_top,
+                          (full_top.query_id == pre_top.query_id)
+                          & (full_top.cand_id == pre_top.p_cand), "left")
+                    .groupBy(full_top.query_id.alias("query_id"))
+                    .agg(F.count("p_cand").cast("long").alias("n_overlap"),
+                         F.lit(_TOP_K).cast("long").alias("k")))
+
+
+matryoshka_prefix_recall.__doc__ = matryoshka_prefix_recall.__doc__.format(
+    k=_TOP_K, d=_MATRYOSHKA_DIMS)
