@@ -537,3 +537,123 @@ def ks_value_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_a") * F.col("n_b")).cast("long").alias("ks_den"),
         F.expr("CAST((1000 * ks_num) DIV (n_a * n_b) AS BIGINT)")
          .alias("ks_permille"))
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (doubled average ranks, exact rational)
+# ---------------------------------------------------------------------------
+
+@query(
+    "spearman_spend_activity",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(coalesce(floor(value * 100 + 0.5), 0)
+                           AS BIGINT)) AS BIGINT) AS spend,
+             CAST(count(*) AS BIGINT) AS acts
+      FROM events GROUP BY user_id
+    ),
+    rx AS (SELECT user_id, spend, acts,
+                  2 * (sum(1) OVER (ORDER BY spend) - 1)
+                    - (count(*) OVER (PARTITION BY spend) - 1) + 1 AS rx2
+           FROM u),
+    r AS (SELECT user_id, rx2,
+                 2 * (sum(1) OVER (ORDER BY acts) - 1)
+                   - (count(*) OVER (PARTITION BY acts) - 1) + 1 AS ry2
+          FROM rx)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) * sum(rx2 * ry2) - sum(rx2) * sum(ry2)
+                AS BIGINT) AS cov_num,
+           CAST(count(*) * sum(rx2 * rx2) - sum(rx2) * sum(rx2)
+                AS BIGINT) AS var_x,
+           CAST(count(*) * sum(ry2 * ry2) - sum(ry2) * sum(ry2)
+                AS BIGINT) AS var_y
+    FROM r
+    """)
+def spearman_spend_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-user total spend and
+    activity count — the monotone-association check (robust to
+    outliers and nonlinearity, unlike Pearson on raw cents). Emitted
+    as the exact rational ρ = cov_num / √(var_x·var_y) in BIGINT
+    sufficient statistics over DOUBLED average ranks (cum-count
+    formulation handles ties exactly; doubling keeps tie-midpoints
+    integer — the ``mannwhitney_value_shift`` discipline applied to
+    correlation).
+
+    Scale: the raw table folds to per-user aggregates first (one
+    map-side-combined hash agg — the only pass over the facts); ranks
+    and moments run on the user-level relation. The rank windows are
+    user-cardinality-bounded; for unbounded cardinality the two-level
+    prefix sum applies as everywhere else."""
+    (e,) = load(spark, sf_dir, "events")
+    cents = F.coalesce(F.floor(F.col("value") * 100 + F.lit(0.5)),
+                       F.lit(0)).cast("long")
+    u = (e.groupBy("user_id")
+          .agg(F.sum(cents).cast("long").alias("spend"),
+               F.count(F.lit(1)).cast("long").alias("acts")))
+    # doubled average rank of v = 2*(#rows <= v) - (#ties - 1) - 1
+    #                           = 2*cum - ties + 1   (1-based, ties avg)
+    wx = W.orderBy("spend")
+    wxp = W.partitionBy("spend")
+    rx = u.select(
+        "acts",
+        (2 * (F.sum(F.lit(1)).over(wx) - 1)
+         - (F.count(F.lit(1)).over(wxp) - 1) + 1).alias("rx2"))
+    wy = W.orderBy("acts")
+    wyp = W.partitionBy("acts")
+    r = rx.select(
+        "rx2",
+        (2 * (F.sum(F.lit(1)).over(wy) - 1)
+         - (F.count(F.lit(1)).over(wyp) - 1) + 1).alias("ry2"))
+    n = F.count(F.lit(1))
+    return r.agg(
+        n.cast("long").alias("n"),
+        (n * F.sum(F.col("rx2") * F.col("ry2"))
+         - F.sum("rx2") * F.sum("ry2")).cast("long").alias("cov_num"),
+        (n * F.sum(F.col("rx2") * F.col("rx2"))
+         - F.sum("rx2") * F.sum("rx2")).cast("long").alias("var_x"),
+        (n * F.sum(F.col("ry2") * F.col("ry2"))
+         - F.sum("ry2") * F.sum("ry2")).cast("long").alias("var_y"))
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (data-quality forensics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT digit, CAST(count(*) AS BIGINT) AS n,
+           CAST((1000000 * count(*)) // (sum(count(*)) OVER ())
+                AS BIGINT) AS freq_ppm
+    FROM d GROUP BY digit
+    """)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit census of order totals — the forensic
+    data-quality screen (fabricated or truncated monetary data drifts
+    from the log-uniform leading-digit law; auditors compare this
+    distribution against log10(1+1/d)). Log-free by construction: the
+    leading digit comes from the decimal string of integer cents, the
+    frequency is integer parts-per-million — everything hash-checks.
+
+    Scale: one map-side-combined count per digit (9 groups) and one
+    9-row window for the total — nothing touches the fact table
+    twice."""
+    (o,) = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+         .cast("string"), 1, 1).cast("long")
+    counts = (o.filter(F.col("o_totalprice") > 0)
+               .groupBy(digit.alias("digit"))
+               .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    wall = W.partitionBy()
+    return counts.select(
+        "digit", "n",
+        F.expr("CAST((1000000 * n) DIV (sum(n) OVER ()) AS BIGINT)")
+         .alias("freq_ppm"))
