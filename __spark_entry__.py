@@ -44,7 +44,7 @@ _CHECK_FIRST = [
     "bpe_encode_docs", "incremental_join_view_refresh", "ks_value_distance", "stream_late_drop_replay",
     "stream_checkpoint_restart_replay", "weighted_median_price_per_priority",
     "stream_stream_outer_join_replay", "exact_percentile_grid", "matryoshka_prefix_recall",
-    "spearman_spend_activity", "benford_first_digit",
+    "spearman_spend_activity", "benford_first_digit", "hll_set_ops_orders",
     "hll_md5_distinct_orders", "ddsketch_price_quantiles",
     "bloom_prefilter_join", "record_linkage_scores",
     "duplicate_span_fraction", "user_event_sequences",

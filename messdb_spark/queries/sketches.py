@@ -430,3 +430,133 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       F.lit(1)), 4).alias("fp_rate_pct"),
                 F.col("n_fact_rows_matched_raw").cast("bigint")
                  .alias("n_fact_rows_matched"))
+
+
+def _hll_est_duck(agg_alias: str) -> str:
+    """DuckDB estimate expression over an (n_buckets_hit, s_obs) agg."""
+    return (f"CAST(floor({_HLL_C!r} / (CAST({agg_alias}.s_obs AS DOUBLE)"
+            f" + CAST(({_HLL_M} - {agg_alias}.n_buckets_hit) AS DOUBLE)"
+            f" * {float(1 << 53)!r})) AS BIGINT)")
+
+
+@query(
+    "hll_set_ops_orders",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT
+             CASE WHEN l_quantity > 25 THEN 'a' ELSE 'b' END AS side,
+             {md5_int60_duck("CAST(l_orderkey AS VARCHAR)")} AS hv,
+             l_orderkey
+      FROM lineitem WHERE l_quantity > 25 OR l_discount > 0.05
+    ),
+    reg AS (
+      SELECT side, hv // {_POW52} AS bucket,
+             max(CASE WHEN hv % {_POW52} = 0 THEN 53
+                 ELSE 53 - length(bin(hv % {_POW52})) END) AS rho
+      FROM h GROUP BY side, hv // {_POW52}
+    ),
+    rega AS (SELECT bucket, rho FROM reg WHERE side = 'a'),
+    regb AS (SELECT bucket, rho FROM reg WHERE side = 'b'),
+    regu AS (
+      SELECT bucket, max(rho) AS rho
+      FROM (SELECT * FROM rega UNION ALL SELECT * FROM regb)
+      GROUP BY bucket
+    ),
+    aa AS (SELECT count(*) AS n_buckets_hit,
+                  sum(CAST(1 AS BIGINT) << (53 - rho)) AS s_obs FROM rega),
+    ab AS (SELECT count(*) AS n_buckets_hit,
+                  sum(CAST(1 AS BIGINT) << (53 - rho)) AS s_obs FROM regb),
+    au AS (SELECT count(*) AS n_buckets_hit,
+                  sum(CAST(1 AS BIGINT) << (53 - rho)) AS s_obs FROM regu),
+    ex AS (
+      SELECT CAST(count(DISTINCT CASE WHEN side = 'a'
+                                      THEN l_orderkey END) AS BIGINT)
+               AS exact_a,
+             CAST(count(DISTINCT CASE WHEN side = 'b'
+                                      THEN l_orderkey END) AS BIGINT)
+               AS exact_b,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_union
+      FROM h
+    )
+    SELECT {_hll_est_duck('aa')} AS est_a,
+           {_hll_est_duck('ab')} AS est_b,
+           {_hll_est_duck('au')} AS est_union,
+           CAST({_hll_est_duck('aa')} + {_hll_est_duck('ab')}
+                - {_hll_est_duck('au')} AS BIGINT) AS est_intersection,
+           ex.exact_a, ex.exact_b, ex.exact_union,
+           CAST(ex.exact_a + ex.exact_b - ex.exact_union AS BIGINT)
+             AS exact_intersection
+    FROM aa, ab, au, ex
+    """)
+def hll_set_ops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA on the deterministic md5 registers: two order
+    cohorts (a = any line with quantity > 25; b = the rest of the
+    orders with discount > 0.05), estimate |a|, |b|, |a∪b| (max-merged
+    registers — the only exact operation in HLL algebra) and |a∩b| by
+    inclusion–exclusion — the audience-overlap computation systems run
+    on sketches precisely because the raw ID sets are too big to
+    intersect. Every register bit and every estimate is a pure
+    function of the data (md5 family + integer shifts + one IEEE
+    divide), so the driver hash-checks the whole algebra, exact
+    counterparts alongside.
+
+    100 TB: per-cohort register tables are 256 rows each forever; the
+    union is a 512-row max-merge; the exact columns exist only for the
+    oracle's parity and the in-body sanity bound (union estimate
+    within 4·rsd of exact). Inclusion–exclusion inherits ~√2·rsd of
+    the larger set — intersections much smaller than either side drown
+    in sketch noise, the textbook caveat (documented, not asserted).
+    Cardinalities here sit above the 2.5·m linear-counting knee, the
+    regime where the raw estimator is valid; below it a production
+    implementation switches to linear counting, whose ln() is NOT
+    cross-engine bit-stable — which is exactly why this query pins the
+    raw-regime algebra instead."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    h = (li.filter((F.col("l_quantity") > 25) | (F.col("l_discount") > 0.05))
+           .select(F.when(F.col("l_quantity") > 25, "a").otherwise("b")
+                    .alias("side"),
+                   F.expr(md5_int60_spark("CAST(l_orderkey AS STRING)"))
+                    .alias("hv"), "l_orderkey")
+           .distinct())
+    rem = F.col("hv") % F.lit(_POW52)
+    rho = F.when(rem == 0, F.lit(53)) \
+           .otherwise(F.lit(53) - F.length(F.bin(rem)))
+    reg = (h.select("side", F.expr(f"hv div {_POW52}").alias("bucket"),
+                    rho.alias("rho"))
+            .groupBy("side", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True))
+
+    def est_of(reg_df):
+        a = reg_df.agg(
+            F.count(F.lit(1)).alias("n_buckets_hit"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - rho)"))
+             .alias("s_obs")).first()
+        denom = (float(a["s_obs"])
+                 + (_HLL_M - a["n_buckets_hit"]) * float(1 << 53))
+        import math
+        return int(math.floor(_HLL_C / denom))
+
+    rega = reg.filter(F.col("side") == "a").select("bucket", "rho")
+    regb = reg.filter(F.col("side") == "b").select("bucket", "rho")
+    regu = (rega.unionAll(regb).groupBy("bucket")
+                .agg(F.max("rho").alias("rho")))
+    est_a, est_b, est_u = est_of(rega), est_of(regb), est_of(regu)
+    ex = h.agg(
+        F.countDistinct(F.when(F.col("side") == "a", F.col("l_orderkey")))
+         .alias("exact_a"),
+        F.countDistinct(F.when(F.col("side") == "b", F.col("l_orderkey")))
+         .alias("exact_b"),
+        F.countDistinct("l_orderkey").alias("exact_union")).first()
+    tol = 4 * 1.04 / (_HLL_M ** 0.5)
+    if abs(est_u - ex["exact_union"]) > tol * ex["exact_union"]:
+        raise AssertionError(
+            f"HLL union estimate out of bounds: est={est_u} "
+            f"exact={ex['exact_union']}")
+    return spark.createDataFrame(
+        [(est_a, est_b, est_u, est_a + est_b - est_u,
+          ex["exact_a"], ex["exact_b"], ex["exact_union"],
+          ex["exact_a"] + ex["exact_b"] - ex["exact_union"])],
+        "est_a long, est_b long, est_union long, est_intersection long, "
+        "exact_a long, exact_b long, exact_union long, "
+        "exact_intersection long")
