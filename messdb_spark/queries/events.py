@@ -654,3 +654,41 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .groupBy("day")
                    .agg(F.countDistinct("user_id").cast("long")
                          .alias("active_7d")))
+
+
+@query(
+    "event_trigram_patterns",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, t1, t2, t3 LIMIT 20
+    """)
+def event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral TRIGRAMS — three consecutive actions per user
+    in (ts, event_id) order — the sequential-pattern mining step
+    between bigram transition matrices (``event_transition_matrix``)
+    and full sequence models; product analytics reads these as the
+    dominant micro-journeys.
+
+    Scale: the lead window partitions by user (bounded per-user
+    history — the ``user_event_sequences`` justification), trigram
+    counting is one map-side-combined hash agg over 3-token strings,
+    and the top-k is a total-ordered limit (count + lexicographic
+    tiebreak so both engines pick identical rows)."""
+    (e,) = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (e.select("user_id", "event_type",
+                    F.lead("event_type", 1).over(w).alias("t2"),
+                    F.lead("event_type", 2).over(w).alias("t3"))
+            .filter(F.col("t3").isNotNull()))
+    return (seq.groupBy(F.col("event_type").alias("t1"), "t2", "t3")
+               .agg(F.count(F.lit(1)).cast("long").alias("n"))
+               .orderBy(F.col("n").desc(), "t1", "t2", "t3").limit(20))

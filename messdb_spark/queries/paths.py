@@ -657,3 +657,62 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digit", "n",
         F.expr("CAST((1000000 * n) DIV (sum(n) OVER ()) AS BIGINT)")
          .alias("freq_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (exact scaled integers)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cusum_changepoint_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(coalesce(floor(value * 100 + 0.5), 0)
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS s FROM daily),
+    c AS (
+      SELECT d, tot.n, tot.s,
+             tot.n * sum(y) OVER (ORDER BY d)
+               - (row_number() OVER (ORDER BY d)) * tot.s AS cusum_scaled
+      FROM daily, tot
+    )
+    SELECT d AS change_day,
+           CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+           n AS n_days, s AS total_cents
+    FROM c
+    ORDER BY abs(cusum_scaled) DESC, d LIMIT 1
+    """)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily revenue — the classic
+    where-did-the-metric-shift estimator: the day maximizing
+    |Σ_{{i<=t}} (y_i − ȳ)| splits the series at the most likely mean
+    change. Scaled by n to stay integer: n·prefix_t − t·S is exactly
+    n·Σ(y_i − ȳ), so the argmax (and the statistic itself) hash-checks
+    with no float mean ever computed.
+
+    Scale: the facts fold to daily sums first (one map-side-combined
+    agg); CUSUM runs on the calendar-bounded day relation (the
+    ``cumulative_new_users_daily`` justification), and the argmax is a
+    1-row total-ordered limit."""
+    (e,) = load(spark, sf_dir, "events")
+    cents = F.coalesce(F.floor(F.col("value") * 100 + F.lit(0.5)),
+                       F.lit(0)).cast("long")
+    daily = (e.groupBy(F.to_date("ts").alias("d"))
+              .agg(F.sum(cents).cast("long").alias("y")))
+    tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("y").cast("long").alias("s"))
+    w = W.orderBy("d")
+    c = (daily.crossJoin(F.broadcast(tot))
+              .select("d", "n", "s",
+                      (F.col("n") * F.sum("y").over(w)
+                       - F.row_number().over(w) * F.col("s"))
+                      .alias("cusum_scaled")))
+    return (c.orderBy(F.abs(F.col("cusum_scaled")).desc(), "d").limit(1)
+             .select(F.col("d").alias("change_day"),
+                     F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
+                     F.col("n").alias("n_days"),
+                     F.col("s").alias("total_cents")))
