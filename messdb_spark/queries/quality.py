@@ -124,3 +124,52 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("next_name").alias("name_b"),
                      F.levenshtein("p_name", "next_name").alias("edit_dist"))
              .filter(F.col("edit_dist") <= 2))
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             count(*) AS group_size
+      FROM customer GROUP BY 1, 2
+    ),
+    ldiv AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             count(DISTINCT o.o_orderpriority) AS l_distinct
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT qi.c_nationkey, qi.c_mktsegment,
+           CAST(qi.group_size AS BIGINT) AS group_size,
+           CAST(coalesce(ldiv.l_distinct, 0) AS BIGINT) AS l_distinct,
+           qi.group_size < 5 AS k_violation
+    FROM qi LEFT JOIN ldiv
+      ON ldiv.c_nationkey = qi.c_nationkey
+         AND ldiv.c_mktsegment = qi.c_mktsegment
+    """)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit: k-anonymity and l-diversity over the
+    quasi-identifier (nation, market segment) — the pre-publication
+    check a data-release pipeline runs before sharing 'anonymized'
+    records: a QI group smaller than k re-identifies its members, and
+    a group whose sensitive attribute (here the member's order
+    priorities) takes too few distinct values leaks it even at size k.
+
+    Exact and trivially portable: two hash aggs (group sizes; distinct
+    sensitive values per group via one join) — the audit is itself a
+    query, so it composes with the release query under the same memo
+    layer. Scale: both aggs are map-side combinable; the QI-group
+    relation is domain-bounded (QI cardinality, not rows)."""
+    (c, o) = load(spark, sf_dir, "customer", "orders")
+    qi = (c.groupBy("c_nationkey", "c_mktsegment")
+           .agg(F.count(F.lit(1)).cast("long").alias("group_size")))
+    ldiv = (c.join(o, o.o_custkey == c.c_custkey)
+             .groupBy("c_nationkey", "c_mktsegment")
+             .agg(F.countDistinct("o_orderpriority").cast("long")
+                   .alias("l_distinct")))
+    return (qi.join(ldiv, ["c_nationkey", "c_mktsegment"], "left")
+              .select("c_nationkey", "c_mktsegment", "group_size",
+                      F.coalesce("l_distinct", F.lit(0)).cast("long")
+                       .alias("l_distinct"),
+                      (F.col("group_size") < 5).alias("k_violation")))
