@@ -173,3 +173,111 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.coalesce("l_distinct", F.lit(0)).cast("long")
                        .alias("l_distinct"),
                       (F.col("group_size") < 5).alias("k_violation")))
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT)
+    """)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan census across the star schema — the
+    referential-integrity leg of the data-quality audit family
+    (``data_quality_audit`` covers nulls/ranges, ``check_table`` key
+    invariants; this one catches broken joins before they silently
+    drop rows in inner-join pipelines).
+
+    Each FK check is ONE left-anti join (broadcast when the parent key
+    set is small; SMJ otherwise) counting rows whose parent is
+    missing — the same physical shape the engine's merge uses, so the
+    audit costs one scan per edge and never materializes the orphans
+    themselves."""
+    (l, o, c, s) = load(spark, sf_dir, "lineitem", "orders", "customer",
+                        "supplier")
+
+    def check(name, child, child_key, parent, parent_key):
+        n = child.count()
+        orphans = (child.select(F.col(child_key).alias("k"))
+                        .join(parent.select(F.col(parent_key).alias("k")),
+                              "k", "left_anti")
+                        .count())
+        return (name, n, orphans)
+
+    rows = [
+        check("lineitem.l_orderkey->orders", l, "l_orderkey",
+              o, "o_orderkey"),
+        check("orders.o_custkey->customer", o, "o_custkey",
+              c, "c_custkey"),
+        check("lineitem.l_suppkey->supplier", l, "l_suppkey",
+              s, "s_suppkey"),
+    ]
+    return spark.createDataFrame(rows, "fk string, n_rows long, "
+                                       "n_orphans long")
+
+
+@query(
+    "gini_spend_inequality",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(coalesce(floor(value * 100 + 0.5), 0)
+                           AS BIGINT)) AS BIGINT) AS spend
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend, user_id) AS i
+      FROM u
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(spend) AS BIGINT) AS total_cents,
+           CAST(2 * sum(i * spend) - (count(*) + 1) * sum(spend)
+                AS BIGINT) AS gini_num,
+           CAST(count(*) * sum(spend) AS BIGINT) AS gini_den
+    FROM r
+    """)
+def gini_spend_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user spend — the inequality /
+    concentration metric (how top-heavy is the revenue base) as an
+    EXACT RATIONAL: G = (2·Σ i·yᵢ − (n+1)·S) / (n·S) over
+    ascending-sorted spends with 1-based ranks — every term BIGINT, no
+    float until the caller divides. The same statistic audits token
+    budgets across corpus sources or sample weights across strata.
+
+    Scale: facts fold to per-user totals first (map-side combined);
+    the rank runs on the user-level relation (cardinality-bounded —
+    the two-level prefix sum is the unbounded fallback), and the
+    moments are one final agg."""
+    (e,) = load(spark, sf_dir, "events")
+    cents = F.coalesce(F.floor(F.col("value") * 100 + F.lit(0.5)),
+                       F.lit(0)).cast("long")
+    u = (e.groupBy("user_id")
+          .agg(F.sum(cents).cast("long").alias("spend")))
+    w = W.orderBy("spend", "user_id")
+    r = u.select("spend", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    return r.agg(
+        n.cast("long").alias("n"),
+        F.sum("spend").cast("long").alias("total_cents"),
+        (2 * F.sum(F.col("i") * F.col("spend"))
+         - (n + 1) * F.sum("spend")).cast("long").alias("gini_num"),
+        (n * F.sum("spend")).cast("long").alias("gini_den"))
