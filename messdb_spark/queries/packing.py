@@ -120,3 +120,71 @@ def sequence_packing_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("start_offset")))
     return out.withColumn(
         "bin_id", F.floor(F.col("start_offset") / _CONTEXT).cast("long"))
+
+
+_APPORTION_BUDGET = 1000
+
+
+@query(
+    "token_budget_apportionment",
+    oracle=f"""
+    WITH c AS (
+      SELECT source,
+             CAST(sum(len({_TOKS_DUCK})) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM c),
+    q AS (
+      SELECT source, toks,
+             ({_APPORTION_BUDGET} * toks) // total AS base,
+             ({_APPORTION_BUDGET} * toks) % total AS rem
+      FROM c, t
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+             {_APPORTION_BUDGET} - sum(base) OVER () AS leftover
+      FROM q
+    )
+    SELECT source, toks,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked
+    """)
+def token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a {budget}-unit
+    token budget across sources ∝ their token mass — the exact-integer
+    allocation step of dataset mixing: floors alone under-fill the
+    budget, naive rounding over/under-shoots; largest-remainder hands
+    the leftover units to the sources with the biggest fractional
+    claims (deterministic source-name tie-break), so quotas sum to the
+    budget EXACTLY — an invariant float weights cannot give you.
+
+    Scale: token counting is the only corpus pass (map-side combined);
+    apportionment runs on the source-level relation (domain-bounded),
+    and every step is integer div/mod — the whole allocation
+    hash-checks."""
+    (d,) = load(spark, sf_dir, "documents")
+    toks = F.size(F.expr(_TOKS_SPARK)).cast("long")
+    c = d.groupBy("source").agg(F.sum(toks).cast("long").alias("toks"))
+    t = c.agg(F.sum("toks").cast("long").alias("total"))
+    q = (c.crossJoin(F.broadcast(t))
+          .select("source", "toks",
+                  F.expr(f"({_APPORTION_BUDGET} * toks) DIV total")
+                   .alias("base"),
+                  F.expr(f"({_APPORTION_BUDGET} * toks) % total")
+                   .alias("rem")))
+    w = W.orderBy(F.col("rem").desc(), "source")
+    wall = W.partitionBy()
+    ranked = q.select(
+        "source", "toks", "base",
+        F.row_number().over(w).alias("rk"),
+        (F.lit(_APPORTION_BUDGET) - F.sum("base").over(wall))
+         .alias("leftover"))
+    return ranked.select(
+        "source", "toks",
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1)
+                          .otherwise(0)).cast("long").alias("quota"))
+
+
+token_budget_apportionment.__doc__ = \
+    token_budget_apportionment.__doc__.format(budget=_APPORTION_BUDGET)

@@ -716,3 +716,73 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
                      F.col("n").alias("n_days"),
                      F.col("s").alias("total_cents")))
+
+
+# ---------------------------------------------------------------------------
+# Walk counting (integer adjacency powers)
+# ---------------------------------------------------------------------------
+
+@query(
+    "walk_counts_3hop",
+    oracle=f"""
+    WITH eraw AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM eraw
+      UNION ALL SELECT s AS src, c AS dst FROM eraw
+    ),
+    v0 AS (
+      SELECT c_custkey * 2 AS node, CAST(1 AS BIGINT) AS w
+      FROM customer WHERE c_nationkey = {_BFS_SEED_NATION}
+    ),
+    v1 AS (SELECT e.dst AS node, CAST(sum(v.w) AS BIGINT) AS w
+           FROM v0 v JOIN edges e ON e.src = v.node GROUP BY e.dst),
+    v2 AS (SELECT e.dst AS node, CAST(sum(v.w) AS BIGINT) AS w
+           FROM v1 v JOIN edges e ON e.src = v.node GROUP BY e.dst),
+    v3 AS (SELECT e.dst AS node, CAST(sum(v.w) AS BIGINT) AS w
+           FROM v2 v JOIN edges e ON e.src = v.node GROUP BY e.dst)
+    SELECT node // 2 AS entity_id,
+           CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+           w AS n_walks
+    FROM v3 ORDER BY w DESC, node LIMIT 25
+    """)
+def walk_counts_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop WALK COUNTS from one nation's customers over the trade
+    graph — the adjacency-matrix-power computation (A³·v as three
+    join-aggregate rounds) behind influence spread, random-walk
+    proximity, and graph-kernel features; all-integer, so unlike
+    PageRank it needs no fixed-point scaling tricks at all. Top-25 by
+    walk count = the entities most multiply-connected to the seed
+    cohort (counts walks, where BFS reports only reachability).
+
+    Scale: identical loop contract to the other graph ops — per hop
+    one join of the (node, weight) vector against the src-partitioned
+    persisted edges + one map-combined sum; the vector, not the graph,
+    is all that moves. The oracle unrolls the same three
+    matrix-vector products."""
+    (c, o, l) = load(spark, sf_dir, "customer", "orders", "lineitem")
+    raw = (l.join(o, l.l_orderkey == o.o_orderkey)
+            .select((F.col("o_custkey") * 2).alias("c"),
+                    (F.col("l_suppkey") * 2 + 1).alias("s"))
+            .distinct())
+    edges = (raw.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+                .unionAll(raw.select(F.col("s").alias("src"),
+                                     F.col("c").alias("dst")))
+                .repartition(F.col("src"))
+                .persist())
+    v = (c.filter(F.col("c_nationkey") == _BFS_SEED_NATION)
+          .select((F.col("c_custkey") * 2).alias("node"),
+                  F.lit(1).cast("long").alias("w")))
+    for _ in range(3):
+        v = (edges.join(v.withColumnRenamed("node", "src"), "src")
+                  .groupBy(F.col("dst").alias("node"))
+                  .agg(F.sum("w").cast("long").alias("w"))
+                  .localCheckpoint(eager=False))
+    out = (v.orderBy(F.col("w").desc(), "node").limit(25)
+            .select(F.expr("node DIV 2").alias("entity_id"),
+                    F.when(F.col("node") % 2 == 0, "cust")
+                     .otherwise("supp").alias("kind"),
+                    F.col("w").alias("n_walks")))
+    return pin_result(out, edges)
