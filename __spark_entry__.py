@@ -47,7 +47,7 @@ _CHECK_FIRST = [
     "spearman_spend_activity", "benford_first_digit", "hll_set_ops_orders",
     "cusum_changepoint_daily", "event_trigram_patterns", "k_anonymity_audit",
     "referential_integrity_audit", "gini_spend_inequality",
-    "walk_counts_3hop", "token_budget_apportionment",
+    "walk_counts_3hop", "token_budget_apportionment", "max_drawdown_daily",
     "hll_md5_distinct_orders", "ddsketch_price_quantiles",
     "bloom_prefilter_join", "record_linkage_scores",
     "duplicate_span_fraction", "user_event_sequences",

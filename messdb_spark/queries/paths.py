@@ -786,3 +786,67 @@ def walk_counts_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .otherwise("supp").alias("kind"),
                     F.col("w").alias("n_walks")))
     return pin_result(out, edges)
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown (running-peak shortfall, exact integers)
+# ---------------------------------------------------------------------------
+
+@query(
+    "max_drawdown_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(coalesce(floor(value * 100 + 0.5), 0)
+                                     AS BIGINT)
+                           ELSE -CAST(coalesce(floor(value * 100 + 0.5), 0)
+                                      AS BIGINT) END) AS BIGINT) AS net
+      FROM events WHERE event_type IN ('purchase', 'error')
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT d, sum(net) OVER (ORDER BY d) AS equity
+      FROM daily
+    ),
+    dd AS (
+      SELECT d, equity,
+             max(equity) OVER (ORDER BY d) - equity AS drawdown
+      FROM c
+    )
+    SELECT d AS trough_day,
+           CAST(drawdown AS BIGINT) AS max_drawdown_cents,
+           CAST(equity AS BIGINT) AS equity_cents
+    FROM dd ORDER BY drawdown DESC, d LIMIT 1
+    """)
+def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the net daily balance (purchases credit,
+    errors debit) — the peak-to-trough shortfall metric risk systems
+    track on any cumulative series; here it reads as "worst cumulative
+    deficit against the best day so far". All integer cents: running
+    sum, running max, argmax of the gap — the statistic and its trough
+    day hash-check with no float.
+
+    Scale: facts fold to signed daily nets (one map-combined agg);
+    both windows run on the calendar-bounded day relation; the answer
+    is a 1-row total-ordered limit. Same family as
+    ``cusum_changepoint_daily`` — CUSUM finds where the MEAN shifted,
+    drawdown finds the worst excursion."""
+    (e,) = load(spark, sf_dir, "events")
+    cents = F.coalesce(F.floor(F.col("value") * 100 + F.lit(0.5)),
+                       F.lit(0)).cast("long")
+    signed = F.when(F.col("event_type") == "purchase", cents) \
+              .otherwise(-cents)
+    daily = (e.filter(F.col("event_type").isin("purchase", "error"))
+              .groupBy(F.to_date("ts").alias("d"))
+              .agg(F.sum(signed).cast("long").alias("net")))
+    w = W.orderBy("d")
+    c = daily.select("d", F.sum("net").over(w).alias("equity"))
+    dd = c.select("d", "equity",
+                  (F.max("equity").over(w) - F.col("equity"))
+                  .alias("drawdown"))
+    return (dd.orderBy(F.col("drawdown").desc(), "d").limit(1)
+              .select(F.col("d").alias("trough_day"),
+                      F.col("drawdown").cast("long")
+                       .alias("max_drawdown_cents"),
+                      F.col("equity").cast("long").alias("equity_cents")))
