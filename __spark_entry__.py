@@ -34,17 +34,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50-budget roll to the head of the next round's list; everything stays
 # covered every run by tests/test_oracle_parity.py at sf0.001/sf0.01.
 _CHECK_FIRST = [
-    # (1) never driver-checked: the 6 round-4 stragglers the r4
-    # verdict flags plus the new round-5 queries (re-keyed view,
-    # range-bucket pruning, salted join, triangles, deterministic
-    # md5-family sketches)
+    # (1) never driver-checked, r4-verdict-flagged stragglers FIRST
+    # (their driver row is 2 rounds overdue), then the round-5
+    # additions in build order; anything past the 50-row budget rolls
+    # to the r6 head and stays covered by the local parity sweep
+    "frequent_part_pairs", "hopping_window_counts",
+    "rolling_median_user_value", "linear_interpolation_fill",
+    "weighted_doc_sample", "simpson_diversity_users",
     "bfs_min_hops", "mannwhitney_value_shift", "cdc_apply_tombstones",
     "kcore_parts", "ols_daily_revenue_trend", "stream_static_enrich_replay",
     "cumulative_new_users_daily", "rolling_7d_active_users",
     "bpe_encode_docs", "incremental_join_view_refresh", "ks_value_distance", "stream_late_drop_replay",
     "stream_checkpoint_restart_replay", "weighted_median_price_per_priority",
     "stream_stream_outer_join_replay", "exact_percentile_grid", "matryoshka_prefix_recall",
-    "spearman_spend_activity", "benford_first_digit", "hll_set_ops_orders",
+    "spearman_spend_activity", "hll_set_ops_orders",
     "cusum_changepoint_daily", "event_trigram_patterns", "k_anonymity_audit",
     "referential_integrity_audit", "gini_spend_inequality",
     "walk_counts_3hop", "token_budget_apportionment", "max_drawdown_daily",
@@ -55,10 +58,7 @@ _CHECK_FIRST = [
     "bucketed_colocated_join", "dpp_partition_pruned_join",
     "bpe_learn_merges", "incremental_hll_refresh", "ann_recall_eval",
     "range_bucketed_prune", "skew_salted_join", "triangle_count_cosupply",
-    "incremental_sort_view_refresh", "frequent_part_pairs",
-    "hopping_window_counts", "rolling_median_user_value",
-    "linear_interpolation_fill", "weighted_doc_sample",
-    "simpson_diversity_users",
+    "incremental_sort_view_refresh", "benford_first_digit",
     # (2) changed in round 5: new count-min/k-means oracles,
     # sketch self-checks, pin_result cache lifecycle in the
     # similarity/mining bodies, and every engine-path query that
