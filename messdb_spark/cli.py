@@ -180,15 +180,22 @@ def main(argv: list[str] | None = None) -> int:
                         "key_cols": e.key_cols,
                         "table_hash": e.table_hash[:16]}))
             elif first.startswith("describe history"):
+                # name parsed CASE-PRESERVED from the original stmt
+                # (catalog lookup is exact-match; lowercasing silently
+                # hid uppercase tables — ADVICE r5)
                 mh = __import__("re").match(
-                    r"describe\s+history(?:\s+(\w+))?\s*;?\s*$", first)
+                    r"describe\s+history(?:\s+(\w+))?\s*;?\s*$",
+                    stmt.strip(), __import__("re").IGNORECASE)
                 name = mh.group(1) if mh else None
                 cur = eng.catalog.current_version()
                 prev_hash = None
+                found = name is None
                 for v in range(1, cur + 1):
                     if name is not None:
                         e = eng.catalog.get(name, version=v)
                         h = e.table_hash if e else None
+                        if h is not None:
+                            found = True
                         if h == prev_hash:
                             continue          # only versions that moved it
                         prev_hash = h
@@ -198,6 +205,10 @@ def main(argv: list[str] | None = None) -> int:
                         print(json.dumps({
                             "version": v,
                             "tables": sorted(eng.catalog.names(version=v))}))
+                if not found:
+                    print(json.dumps({"ok": False,
+                                      "error": f"no such table: {name}"}))
+                    return 1
             else:
                 _print_json_lines(eng.sql(stmt))
     elif a.cmd == "print-schema":
@@ -209,10 +220,9 @@ def main(argv: list[str] | None = None) -> int:
                           "table_hash": e.table_hash,
                           "schema": json.loads(e.schema_json)}, indent=1))
     elif a.cmd == "materialize":
+        from .engine import referenced_tables
         from .plans.views import sql_view
-        import re as _re
-        names = [n for n in eng.catalog.names()
-                 if _re.search(rf"\b{n}\b", a.command)]
+        names = referenced_tables(a.command, eng.catalog.names())
         ir = sql_view(a.command, {n: eng.scan_ir(n) for n in names})
         hits_before = eng.memo.hits
         h = eng.materializer.materialize(ir)

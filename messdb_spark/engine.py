@@ -25,6 +25,37 @@ from .sql_ddl import SqlError, parse_create_table
 from .store import Catalog, CatalogEntry, MemoStore, ObjectStore
 
 
+def sql_identifiers(sql: str) -> set[str]:
+    """Lower-cased identifier tokens of a SQL text, with string
+    literals and comments stripped first — the dependency scan for
+    ``Engine.sql`` / materialized views. Membership-testing catalog
+    names against this set (instead of regex-searching each name over
+    the raw text) means a table name containing regex metacharacters
+    can't break the scan, and a name appearing only inside a string
+    literal or comment can't become a spurious dependency (ADVICE r5).
+    A column alias that shadows a table name still false-positives —
+    harmless: the extra temp view registration / digest input is a
+    superset, never a miss."""
+    import re
+
+    sql = re.sub(r"--[^\n]*", " ", sql)
+    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.S)
+    sql = re.sub(r"'(?:[^']|'')*'", " ", sql)          # SQL string literals
+    idents = {t.lower() for t in re.findall(r"`([^`]+)`", sql)}
+    sql = re.sub(r"`[^`]*`", " ", sql)
+    idents |= {t.lower() for t in
+               re.findall(r"[A-Za-z_][A-Za-z_0-9]*", sql)}
+    return idents
+
+
+def referenced_tables(sql: str, names) -> list[str]:
+    """The subset of catalog ``names`` a SQL text references (by
+    case-insensitive identifier membership — Spark resolves temp-view
+    names case-insensitively)."""
+    idents = sql_identifiers(sql)
+    return [n for n in names if n.lower() in idents]
+
+
 class Engine:
     def __init__(self, spark: SparkSession, warehouse: str,
                  manifest_backend: str = "json") -> None:
@@ -346,10 +377,8 @@ class Engine:
         return _read_json(self._views_path(), {})
 
     def _materialize_view_sql(self, select_sql: str) -> str:
-        import re as _re
         from .plans.views import sql_view
-        names = [n for n in self.catalog.names()
-                 if _re.search(rf"\b{n}\b", select_sql)]
+        names = referenced_tables(select_sql, self.catalog.names())
         ir = sql_view(select_sql, {n: self.scan_ir(n) for n in names})
         return self.materializer.materialize(ir)
 
@@ -364,9 +393,17 @@ class Engine:
         recorded so REFRESH can re-resolve it against the CURRENT base
         tables; re-materializing over unchanged inputs is a manifest
         hit — zero data-path work."""
-        if not or_replace and self.catalog.get(name) is not None:
-            raise SqlError(f"table/view already exists: {name} "
-                           f"(use CREATE OR REPLACE MATERIALIZED VIEW)")
+        if self.catalog.get(name) is not None:
+            if not or_replace:
+                raise SqlError(f"table/view already exists: {name} "
+                               f"(use CREATE OR REPLACE MATERIALIZED VIEW)")
+            if name not in self._view_defs():
+                # OR REPLACE may only replace a materialized view — a
+                # base TABLE's key columns and data pointer would be
+                # silently clobbered otherwise (ADVICE r5); require an
+                # explicit DROP TABLE for that
+                raise SqlError(f"{name} is a base table, not a "
+                               f"materialized view; DROP TABLE it first")
         h = self._materialize_view_sql(select_sql)
         df = self.objects.load(self.spark, h)
         self._register(name, CatalogEntry(
@@ -404,8 +441,16 @@ class Engine:
         """Read-only query over catalog tables (capability superset:
         full Spark SQL vs the reference's unsupported-statement error,
         ``SQL.hs:41-44``). ``version`` queries a historical catalog
-        root — time travel over the whole namespace."""
-        for name in self.catalog.names(version):
+        root — time travel over the whole namespace.
+
+        Only the tables the query actually references are loaded and
+        registered (ADVICE r5): driver work per query is O(referenced
+        tables), not O(catalog) — on a thousand-table catalog a
+        two-table join no longer pays a thousand manifest loads. The
+        identifier scan is a superset of true references (any bare or
+        backquoted appearance counts), so a referenced table can never
+        be missed."""
+        for name in referenced_tables(query, self.catalog.names(version)):
             self.load_table(name, version=version) \
                 .df.createOrReplaceTempView(name)
         return self.spark.sql(query)
@@ -436,8 +481,9 @@ class Engine:
         t = self.load_table(stmt.table)
 
         if isinstance(stmt, InsertStmt):
-            # SELECT sources may reference any catalog table
-            for name in self.catalog.names():
+            # register only the catalog tables the source references
+            for name in referenced_tables(stmt.source_sql,
+                                          self.catalog.names()):
                 self.load_table(name).df.createOrReplaceTempView(name)
             src_sql = stmt.source_sql
             if src_sql.lower().startswith("values"):
@@ -486,21 +532,37 @@ class Engine:
             exprs = dict(stmt.assignments)
             dtypes = dict(zip(t.df.schema.names,
                               [f.dataType for f in t.df.schema.fields]))
-            proj = [
-                (f"CASE WHEN {pred} THEN CAST(({exprs[c]}) AS "
-                 f"{dtypes[c].simpleString()}) ELSE `{c}` END AS `{c}`")
-                if c in exprs else f"`{c}`"
-                for c in t.df.columns]
-            n = t.df.where(pred).count()
-            self.save_table(stmt.table,
-                            KeyedTable(t.df.selectExpr(*proj), t.key_cols))
+            # evaluate the predicate ONCE (ADVICE r5): a nondeterministic
+            # WHERE (rand(), a current_timestamp boundary) must not be
+            # re-evaluated between the reported count and the rewrite —
+            # the __hit flag is pinned by an eager localCheckpoint and
+            # both derive from that single materialization
+            hit = (t.df.withColumn("__messdb_hit", F.expr(pred))
+                       .localCheckpoint(eager=True))
+            try:
+                n = hit.where("__messdb_hit").count()
+                proj = [
+                    (f"CASE WHEN __messdb_hit THEN CAST(({exprs[c]}) AS "
+                     f"{dtypes[c].simpleString()}) ELSE `{c}` END AS `{c}`")
+                    if c in exprs else f"`{c}`"
+                    for c in t.df.columns]
+                self.save_table(stmt.table,
+                                KeyedTable(hit.selectExpr(*proj), t.key_cols))
+            finally:
+                hit.unpersist()
             return {"op": "update", "table": stmt.table, "rows": n}
 
         assert isinstance(stmt, DeleteStmt)
         pred = f"coalesce(({stmt.where}), false)" if stmt.where else "true"
-        n = t.df.where(pred).count()
-        kept = t.df.where(f"NOT ({pred})")
-        self.save_table(stmt.table, KeyedTable(kept, t.key_cols))
+        # same single-evaluation discipline as UPDATE
+        hit = (t.df.withColumn("__messdb_hit", F.expr(pred))
+                   .localCheckpoint(eager=True))
+        try:
+            n = hit.where("__messdb_hit").count()
+            kept = hit.where("NOT __messdb_hit").drop("__messdb_hit")
+            self.save_table(stmt.table, KeyedTable(kept, t.key_cols))
+        finally:
+            hit.unpersist()
         return {"op": "delete", "table": stmt.table, "rows": n}
 
     # -- cross-store sync (O9 syncTrie/syncTable, Trie.hs:256-260) ------
@@ -623,9 +685,18 @@ class Engine:
         return {"files_before": len(files), "files_after": len(after),
                 "bytes": size, "skipped": False}
 
+    def write_lease(self):
+        """Writer lease spanning a MULTI-STEP write (bucket objects →
+        manifest → catalog register). The per-object leases inside
+        ``ObjectStore.put`` / ``_write_tagged_buckets`` each cover one
+        stage→commit; a compound writer should hold this around the
+        whole sequence so gc can't run between its steps."""
+        return self.objects.lease()
+
     # -- garbage collection --------------------------------------------
     def gc(self, keep_versions: int | None = None, extra_live=(),
-           collect_memoized: bool = False, dry_run: bool = False) -> dict:
+           collect_memoized: bool = False, dry_run: bool = False,
+           force: bool = False, lease_stale_after: float = 3600.0) -> dict:
         """Mark-and-sweep over the write-once CAS.
 
         The reference never deletes (write-once stores only); at 100 TB
@@ -639,10 +710,25 @@ class Engine:
         object; prune memo entries whose target died (a memo hit must
         never dangle) and catalog roots older than the horizon.
 
-        Safety note (same as any object-store GC, e.g. Delta VACUUM):
-        requires no concurrent writer holding an unregistered ref."""
+        Concurrent-writer safety: every stage-write path
+        (``ObjectStore.put``, ``_write_tagged_buckets``,
+        ``save_manifest``) holds a writer LEASE across stage → commit;
+        gc refuses (``GcBusyError``) while any live lease exists, so an
+        in-flight object that no root references yet cannot be swept.
+        Leases older than ``lease_stale_after`` are reaped as crashed
+        writers; ``force=True`` overrides (single-writer setups)."""
         import shutil
 
+        from .store import GcBusyError
+
+        if not dry_run and not force:
+            leases = self.objects.active_leases(
+                stale_after=lease_stale_after)
+            if leases:
+                raise GcBusyError(
+                    f"{len(leases)} writer lease(s) active; an in-flight "
+                    f"stage-write could lose its object — retry when "
+                    f"writes settle, or gc(force=True)")
         cur = self.catalog.current_version()
         if keep_versions is not None and keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
@@ -676,7 +762,11 @@ class Engine:
                         shutil.rmtree(os.path.join(
                             self.objects.objects_dir, entry),
                             ignore_errors=True)
-        pruned_memo = 0 if dry_run else self.memo.prune(lambda h: h in live)
+        from .plans.incremental import EMPTY as _EMPTY
+        # EMPTY-valued memo entries (a bucket op whose output is no
+        # rows) reference no object — always live
+        pruned_memo = 0 if dry_run else self.memo.prune(
+            lambda h: h == _EMPTY or h in live)
         pruned_roots = 0
         if keep_versions is not None and not dry_run:
             pruned_roots = self.catalog.prune_roots(min_v)

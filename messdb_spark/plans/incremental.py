@@ -91,20 +91,24 @@ def _write_tagged_buckets(store: ObjectStore, with_b: DataFrame
     # stage-write FIRST, digest the staged bytes second — the plan
     # evaluates once, so a nondeterministic plan can't produce bucket
     # files that mismatch their content addresses
-    (with_b.write.mode("overwrite").partitionBy(_BUCKET)
-           .option("compression", store.compression).parquet(staging))
-    hashes = bucket_content_hashes(spark.read.parquet(staging), _BUCKET)
-    for b, h in hashes.items():
-        src = os.path.join(staging, f"{_BUCKET}={b}")
-        dst = store.path(h)
-        if store.exists(h):
-            store.save_skips += 1          # content dedup: already stored
-        else:
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.move(src, dst)
-            open(os.path.join(dst, "_SUCCESS"), "w").close()
-            store.saves += 1
-    shutil.rmtree(staging, ignore_errors=True)
+    with store.lease():       # GC must not sweep mid stage→commit
+        (with_b.write.mode("overwrite").partitionBy(_BUCKET)
+               .option("compression", store.compression).parquet(staging))
+        # explicit schema: an all-empty write leaves no part files to
+        # infer from (legitimate since empty outputs memoize)
+        hashes = bucket_content_hashes(
+            spark.read.schema(with_b.schema).parquet(staging), _BUCKET)
+        for b, h in hashes.items():
+            src = os.path.join(staging, f"{_BUCKET}={b}")
+            dst = store.path(h)
+            if store.exists(h):
+                store.save_skips += 1      # content dedup: already stored
+            else:
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(src, dst)
+                open(os.path.join(dst, "_SUCCESS"), "w").close()
+                store.saves += 1
+        shutil.rmtree(staging, ignore_errors=True)
     return hashes
 
 
@@ -129,18 +133,19 @@ def save_manifest(store: ObjectStore, ref: BucketedRef) -> str:
     if store.exists(h):
         store.save_skips += 1
         return h
-    os.makedirs(d, exist_ok=True)
     payload = {"kind": "bucketed_manifest",
                "key_cols": list(ref.key_cols),
                "n_buckets": ref.n_buckets,
                "bucket_hashes": list(ref.bucket_hashes),
                "schema_json": ref.schema_json}
-    tmp = os.path.join(d, ".manifest.tmp")
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(d, "manifest.json"))
-    open(os.path.join(d, "_SUCCESS"), "w").close()
-    store.saves += 1
+    with store.lease():
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, ".manifest.tmp")
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(d, "manifest.json"))
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+        store.saves += 1
     return h
 
 
@@ -329,6 +334,8 @@ def incremental_map_view(spark: SparkSession, store: ObjectStore, memo,
         if in_hash == EMPTY:
             continue
         hit = memo.get(bucket_digest(in_hash))
+        if hit == EMPTY:              # memoized empty output (a filter
+            continue                  # dropped the whole bucket)
         if hit is not None and store.exists(hit):
             out_hashes[b] = hit
         else:
@@ -345,8 +352,10 @@ def incremental_map_view(spark: SparkSession, store: ObjectStore, memo,
         for b in missed:
             h = new_hashes.get(b, EMPTY)
             out_hashes[b] = h
-            if h != EMPTY:
-                memo.put(bucket_digest(ref.bucket_hashes[b]), h)
+            # EMPTY memoizes too (ADVICE r5): an unchanged bucket whose
+            # transform output is empty must be a hit on the next
+            # refresh, not a recompute — cost ∝ changed key-space
+            memo.put(bucket_digest(ref.bucket_hashes[b]), h)
     else:
         # recover output schema from any materialized bucket
         for h in out_hashes:
@@ -493,6 +502,8 @@ def incremental_join_view(spark: SparkSession, store: ObjectStore, memo,
         if ha == EMPTY or hb == EMPTY:
             continue                      # inner join: provably empty
         hit = memo.get(bucket_digest(ha, hb))
+        if hit == EMPTY:                  # memoized empty join output
+            continue
         if hit is not None and store.exists(hit):
             out_hashes[b] = hit
         else:
@@ -511,9 +522,12 @@ def incremental_join_view(spark: SparkSession, store: ObjectStore, memo,
         for b in missed:
             h = new_hashes.get(b, EMPTY)
             out_hashes[b] = h
-            if h != EMPTY:
-                memo.put(bucket_digest(ref_a.bucket_hashes[b],
-                                       ref_b.bucket_hashes[b]), h)
+            # EMPTY memoizes too (ADVICE r5): a nonempty-input pair
+            # joining to zero rows must hit on the next refresh, or the
+            # pair recomputes every refresh and can spuriously trip the
+            # refresh_misses <= n_changed in-body assertion
+            memo.put(bucket_digest(ref_a.bucket_hashes[b],
+                                   ref_b.bucket_hashes[b]), h)
     if out_schema_json is None:
         for h in out_hashes:
             if h != EMPTY:

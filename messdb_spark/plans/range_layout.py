@@ -174,19 +174,20 @@ def save_range_manifest(store: ObjectStore, ref: RangeBucketedRef) -> str:
     if store.exists(h):
         store.save_skips += 1
         return h
-    os.makedirs(d, exist_ok=True)
     payload = {"kind": "range_bucketed_manifest",
                "key_cols": list(ref.key_cols),
                "key_kind": ref.key_kind,
                "boundaries": list(ref.boundaries),
                "bucket_hashes": list(ref.bucket_hashes),
                "schema_json": ref.schema_json}
-    tmp = os.path.join(d, ".manifest.tmp")
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(d, "manifest.json"))
-    open(os.path.join(d, "_SUCCESS"), "w").close()
-    store.saves += 1
+    with store.lease():
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, ".manifest.tmp")
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(d, "manifest.json"))
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+        store.saves += 1
     return h
 
 

@@ -46,6 +46,11 @@ def _read_json(path: str, default):
         return json.load(f)
 
 
+class GcBusyError(RuntimeError):
+    """GC refused: a writer lease is active (an in-flight stage-write
+    whose object no root references yet could be swept)."""
+
+
 class ObjectStore:
     """Write-once CAS of parquet tables keyed by content hash.
 
@@ -62,6 +67,60 @@ class ObjectStore:
         self.saves = 0          # StatStore-style counters (Store/Stat.hs)
         self.save_skips = 0
         self.loads = 0
+
+    # -- writer leases (GC safety) -------------------------------------
+    def lease(self):
+        """Context manager: a writer lease held across stage-write →
+        commit. ``Engine.gc`` refuses to sweep while any live lease
+        exists, closing the Delta-VACUUM-style window where a
+        concurrent writer's just-written (but not yet root-referenced)
+        object would be collected. Crash-safe: a lease whose file
+        outlives ``stale_after`` is reaped as abandoned."""
+        import contextlib
+        import uuid
+
+        @contextlib.contextmanager
+        def _ctx():
+            d = os.path.join(self.warehouse, "leases")
+            os.makedirs(d, exist_ok=True)
+            p = os.path.join(d, uuid.uuid4().hex + ".lease")
+            with open(p, "w") as f:
+                f.write(str(os.getpid()))
+            try:
+                yield p
+            finally:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+        return _ctx()
+
+    def active_leases(self, stale_after: float = 3600.0) -> list[str]:
+        """Live writer leases; files older than ``stale_after`` seconds
+        are abandoned (crashed writer) and reaped in passing."""
+        import time
+
+        d = os.path.join(self.warehouse, "leases")
+        if not os.path.isdir(d):
+            return []
+        now = time.time()
+        out = []
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".lease"):
+                continue
+            p = os.path.join(d, f)
+            try:
+                mtime = os.path.getmtime(p)
+            except OSError:
+                continue                    # released between list and stat
+            if now - mtime > stale_after:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+                continue
+            out.append(f)
+        return out
 
     def path(self, table_hash: str) -> str:
         return os.path.join(self.objects_dir, table_hash)
@@ -112,20 +171,21 @@ class ObjectStore:
             df = (df.repartitionByRange(n, *key_cols)
                     .sortWithinPartitions(*key_cols))
         staging = os.path.join(self.warehouse, "staging", uuid.uuid4().hex)
-        try:
-            (df.write.mode("overwrite").option("compression", self.compression)
-               .parquet(staging))
-            spark = df.sparkSession
-            h = content_hash_fn(spark.read.parquet(staging))
-            if self.exists(h):
-                self.save_skips += 1
-            else:
-                os.makedirs(os.path.dirname(self.path(h)), exist_ok=True)
-                shutil.move(staging, self.path(h))
-                self.saves += 1
-            return h
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        with self.lease():        # GC must not sweep mid stage→commit
+            try:
+                (df.write.mode("overwrite")
+                   .option("compression", self.compression).parquet(staging))
+                spark = df.sparkSession
+                h = content_hash_fn(spark.read.parquet(staging))
+                if self.exists(h):
+                    self.save_skips += 1
+                else:
+                    os.makedirs(os.path.dirname(self.path(h)), exist_ok=True)
+                    shutil.move(staging, self.path(h))
+                    self.saves += 1
+                return h
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
 
     def load(self, spark: SparkSession, table_hash: str) -> DataFrame:
         self.loads += 1
@@ -143,6 +203,13 @@ class MemoryObjectStore(ObjectStore):
         self.saves = 0
         self.save_skips = 0
         self.loads = 0
+
+    def lease(self):
+        import contextlib
+        return contextlib.nullcontext()     # driver-dict store: no GC race
+
+    def active_leases(self, stale_after: float = 3600.0) -> list:
+        return []
 
     def path(self, table_hash: str) -> str:
         return f"memory://{table_hash}"

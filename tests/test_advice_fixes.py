@@ -138,3 +138,139 @@ def test_read_event_stream_starts_on_empty_dir(spark, tmp_path):
     assert stream.isStreaming
     assert [f.name for f in stream.schema.fields] == [
         "event_id", "user_id", "event_type", "ts", "value"]
+
+
+# ---- round-5 advisor findings ---------------------------------------
+
+
+def test_incremental_join_view_memoizes_empty_pairs(spark, warehouse):
+    """An unchanged nonempty-input pair that joins to ZERO rows must be
+    a memo HIT on the next refresh (empty outputs memoize too), or the
+    pair recomputes on every refresh — violating cost ∝ changed
+    key-space (ADVICE r5, medium)."""
+    from messdb_spark.plans.incremental import (
+        incremental_join_view, read_bucketed, write_bucketed)
+    from messdb_spark.store import MemoStore, ObjectStore
+
+    store = ObjectStore(warehouse)
+    memo = MemoStore(warehouse)
+    # a: keys 0..99, b: keys 1000..1099 — bucket pairs nonempty on both
+    # sides, every join output empty
+    a = KeyedTable(spark.range(100).select(F.col("id").alias("k"),
+                                           F.col("id").alias("va")), ("k",))
+    b = KeyedTable(spark.range(1000, 1100)
+                        .select(F.col("id").alias("k"),
+                                F.col("id").alias("vb")), ("k",))
+    ref_a = write_bucketed(store, a, n_buckets=8)
+    ref_b = write_bucketed(store, b, n_buckets=8)
+    v1 = incremental_join_view(spark, store, memo, ref_a, ref_b, "ab")
+    assert read_bucketed(spark, store, v1).df.count() == 0
+    m0 = memo.misses
+    v2 = incremental_join_view(spark, store, memo, ref_a, ref_b, "ab")
+    assert memo.misses == m0, "empty join outputs must memo-hit"
+    assert v2.table_hash == v1.table_hash
+
+
+def test_gc_keeps_empty_memo_entries(spark, warehouse):
+    """GC's memo prune must not drop EMPTY-valued entries — they
+    reference no object, so 'target not live' does not apply."""
+    eng = Engine(spark, warehouse)
+    eng.memo.put("some-digest", "empty")
+    eng.gc()
+    assert eng.memo._cache.get("some-digest") == "empty"
+
+
+def test_sql_registers_only_referenced_tables(spark, warehouse):
+    """Engine.sql loads O(referenced) catalog tables, not O(catalog)
+    (ADVICE r5); case-insensitive references still resolve."""
+    eng = Engine(spark, warehouse)
+    for i in range(12):
+        df = spark.createDataFrame([(i, i)], "k long, v long")
+        eng.save_table(f"t{i:02d}", KeyedTable(df, ("k",)))
+    loads0 = eng.objects.loads
+    assert eng.sql("SELECT v FROM t03").collect()[0][0] == 3
+    assert eng.objects.loads - loads0 == 1
+    loads1 = eng.objects.loads
+    assert eng.sql("SELECT v FROM T04").collect()[0][0] == 4
+    assert eng.objects.loads - loads1 == 1
+
+
+def test_sql_scan_survives_metachar_names_and_literals(spark, warehouse):
+    """A catalog name with regex metacharacters must not break the
+    dependency scan, and a name appearing only inside a string literal
+    must not register (ADVICE r5)."""
+    eng = Engine(spark, warehouse)
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    eng.save_table("a+b (weird)", KeyedTable(df, ("k",)))
+    eng.save_table("plain", KeyedTable(df, ("k",)))
+    loads0 = eng.objects.loads
+    assert eng.sql("SELECT 'plain' AS s").collect()[0][0] == "plain"
+    assert eng.objects.loads == loads0      # nothing referenced → no loads
+
+
+def test_create_mv_or_replace_refuses_base_table(spark, warehouse):
+    """OR REPLACE may replace only a materialized view; clobbering a
+    base TABLE's key columns and data pointer must raise (ADVICE r5)."""
+    import pytest as _pytest
+
+    eng = Engine(spark, warehouse)
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    eng.save_table("base", KeyedTable(df, ("k",)))
+    with _pytest.raises(SqlError, match="base table"):
+        eng.create_materialized_view("base", "SELECT 1 AS one",
+                                     or_replace=True)
+    assert eng.load_table("base").key_cols == ("k",)
+
+
+def test_mv_dependency_ignores_string_literals(spark, warehouse):
+    """A table name inside a string literal is not a dependency: moving
+    that table must not dirty the view digest (refresh stays a memo
+    hit)."""
+    eng = Engine(spark, warehouse)
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    eng.save_table("base", KeyedTable(df, ("k",)))
+    eng.save_table("other", KeyedTable(df, ("k",)))
+    eng.create_materialized_view(
+        "mv", "SELECT k FROM base WHERE 'other' <> 'x'")
+    eng.save_table("other", KeyedTable(
+        spark.createDataFrame([(2, 20)], "k long, v long"), ("k",)))
+    assert eng.refresh_materialized_view("mv")["refreshed"] is False
+
+
+def test_update_nondeterministic_where_counts_match(spark, warehouse):
+    """UPDATE with a nondeterministic WHERE evaluates the predicate
+    once: the reported row count equals the rows actually rewritten
+    (ADVICE r5)."""
+    eng = Engine(spark, warehouse)
+    df = spark.range(2000).select(F.col("id").alias("k"),
+                                  F.lit(0).cast("long").alias("v"))
+    eng.save_table("t", KeyedTable(df, ("k",)))
+    res = eng.dml("UPDATE t SET v = 1 WHERE rand() < 0.5")
+    changed = eng.load_table("t").df.where("v = 1").count()
+    assert res["rows"] == changed
+
+
+def test_delete_nondeterministic_where_counts_match(spark, warehouse):
+    eng = Engine(spark, warehouse)
+    df = spark.range(2000).select(F.col("id").alias("k"),
+                                  F.lit(0).cast("long").alias("v"))
+    eng.save_table("t", KeyedTable(df, ("k",)))
+    res = eng.dml("DELETE FROM t WHERE rand() < 0.5")
+    remaining = eng.load_table("t").df.count()
+    assert res["rows"] == 2000 - remaining
+
+
+def test_describe_history_uppercase_and_missing(tmp_path, capsys):
+    """DESCRIBE HISTORY parses the table name case-preserved from the
+    original statement, and errors (exit 1) on a never-existing table
+    instead of silently printing nothing (ADVICE r5)."""
+    from messdb_spark.cli import main
+
+    wh = str(tmp_path / "wh")
+    assert main(["-w", wh, "sql", "-c",
+                 "CREATE TABLE Big (k bigint PRIMARY KEY, v text)"]) == 0
+    capsys.readouterr()
+    assert main(["-w", wh, "sql", "-c", "DESCRIBE HISTORY Big"]) == 0
+    out = capsys.readouterr().out
+    assert '"table": "Big"' in out
+    assert main(["-w", wh, "sql", "-c", "DESCRIBE HISTORY nope"]) == 1

@@ -139,3 +139,73 @@ def test_gc_pruned_version_fails_cleanly_but_diff_on_live_works(spark, tmp_path)
     import pytest as _pytest
     with _pytest.raises(KeyError):
         eng.load_table("t", version=1)
+
+
+def test_gc_refuses_while_writer_lease_active(spark, tmp_path):
+    """A live writer lease blocks gc (GcBusyError); releasing it (or
+    force=True) unblocks — the Delta-VACUUM-style concurrent-writer
+    window, now enforced instead of documented (verdict r5 task)."""
+    import pytest as _pytest
+
+    from messdb_spark.engine import Engine
+    from messdb_spark.operators.core import KeyedTable
+    from messdb_spark.store import GcBusyError
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    eng.save_table("t", KeyedTable(df, ("k",)))
+    with eng.write_lease():
+        with _pytest.raises(GcBusyError):
+            eng.gc()
+        # dry run stays allowed (no sweep) and force overrides
+        assert "swept" in eng.gc(dry_run=True)
+        assert "swept" in eng.gc(force=True)
+    # lease released → gc proceeds
+    assert "swept" in eng.gc()
+
+
+def test_gc_reaps_stale_leases(spark, tmp_path):
+    """A lease file older than the staleness horizon is an abandoned
+    (crashed) writer: gc reaps it and proceeds."""
+    import os
+    import time
+
+    from messdb_spark.engine import Engine
+    from messdb_spark.operators.core import KeyedTable
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    eng.save_table("t", KeyedTable(df, ("k",)))
+    d = os.path.join(eng.warehouse, "leases")
+    os.makedirs(d, exist_ok=True)
+    stale = os.path.join(d, "deadbeef.lease")
+    open(stale, "w").close()
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    assert "swept" in eng.gc()          # stale lease did not block
+    assert not os.path.exists(stale)    # and was reaped
+
+
+def test_put_holds_lease_during_write(spark, tmp_path, monkeypatch):
+    """ObjectStore.put holds a writer lease across its stage→commit:
+    observed by intercepting the staged write."""
+    from messdb_spark.hashing import table_content_hash
+    from messdb_spark.store import ObjectStore
+
+    store = ObjectStore(str(tmp_path / "wh"))
+    seen = {}
+    orig = ObjectStore.active_leases
+
+    import pyspark.sql.readwriter as rw
+    orig_parquet = rw.DataFrameWriter.parquet
+
+    def spy(self, path, **kw):
+        if "staging" in path:
+            seen["leases_during_write"] = orig(store)
+        return orig_parquet(self, path, **kw)
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", spy)
+    df = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    store.put(df, table_content_hash)
+    assert len(seen["leases_during_write"]) == 1
+    assert store.active_leases() == []  # released after commit
