@@ -47,78 +47,154 @@ def check_quantile_bounds(rows) -> None:
                 f"approx={approx} allowed=[{lo}, {hi}]")
 
 
-@query("approx_distinct_users_hll", oracle=None)
+@query(
+    "approx_distinct_users_hll",
+    oracle="""
+    SELECT event_type, 'users' AS metric,
+           count(DISTINCT user_id) AS exact_count,
+           TRUE AS within_bounds
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 'events' AS metric,
+           count(DISTINCT event_id) AS exact_count,
+           TRUE AS within_bounds
+    FROM events GROUP BY event_type
+    """)
 def approx_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct user/order counts per event type (rsd 2%).
+    """HLL++ distinct user/event counts per event type (rsd 2%),
+    reported as a DETERMINISTIC VERDICT RELATION so the nondeterministic
+    sketch still gets a full value-hash oracle (verdict r5): each row is
+    ``(event_type, metric, exact_count, within_bounds)`` where
+    ``exact_count`` is the exact countDistinct (DuckDB-reproducible)
+    and ``within_bounds`` asserts the HLL++ estimate within 5·rsd of
+    it. The oracle expects ``TRUE`` on every row — an out-of-bounds
+    estimate flips the boolean and fails the hash match, without
+    pretending the sketch encoding itself is portable.
 
-    SELF-CHECKING: before returning, the sketch row set is joined to
-    the exact countDistinct per event type and every estimate is
-    asserted within 5·rsd (exact side: one extra agg over the same
-    scan — at 100 TB you'd sample or skip it, here it makes the
-    driver's rows-only check mean something)."""
+    Scale: the sketch is the 100 TB path (mergeable registers, no
+    distinct shuffle); the exact side is the verdict's witness — at
+    100 TB you'd compute it on a sample or skip it."""
     (e,) = load(spark, sf_dir, "events")
     sk = (e.groupBy("event_type")
            .agg(F.approx_count_distinct("user_id", rsd=0.02)
                  .alias("approx_users"),
                 F.approx_count_distinct("event_id", rsd=0.02)
                  .alias("approx_events")))
-    out = sk.localCheckpoint(eager=True)
-    exact = {r["event_type"]: (r["u"], r["n"]) for r in
-             e.groupBy("event_type")
+    exact = (e.groupBy("event_type")
               .agg(F.countDistinct("user_id").alias("u"),
-                   F.countDistinct("event_id").alias("n")).collect()}
-    rows = []
-    for r in out.collect():
-        u, n = exact[r["event_type"]]
-        rows.append((f"{r['event_type']}/users", r["approx_users"], u))
-        rows.append((f"{r['event_type']}/events", r["approx_events"], n))
-    check_hll_bounds(rows, rel_tol=0.10)   # 5 × rsd
-    return out
+                   F.countDistinct("event_id").alias("n")))
+    j = sk.join(exact, "event_type")
+
+    def bounds(est, ex):
+        return F.when(F.col(ex) == 0, F.col(est) == 0) \
+                .otherwise(F.abs(F.col(est) - F.col(ex))
+                           <= 0.10 * F.col(ex))       # 5 × rsd
+
+    users = j.select("event_type", F.lit("users").alias("metric"),
+                     F.col("u").alias("exact_count"),
+                     bounds("approx_users", "u").alias("within_bounds"))
+    events = j.select("event_type", F.lit("events").alias("metric"),
+                      F.col("n").alias("exact_count"),
+                      bounds("approx_events", "n").alias("within_bounds"))
+    return users.unionByName(events)
 
 
-_APQ_PS = (0.5, 0.9, 0.99)
-_APQ_RANK_EPS = 0.01   # generous vs accuracy=10000 (≈1e-4 rank error)
+_APQ_PS = (50, 90, 99)     # percents; verdict bracket at ±1 percent rank
 
 
-@query("approx_price_quantiles", oracle=None)
+@query(
+    "approx_price_quantiles",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_mktsegment AS seg,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    n AS (SELECT seg, count(*) AS n_rows FROM c GROUP BY seg),
+    ranked AS (
+      SELECT seg, cents,
+             row_number() OVER (PARTITION BY seg ORDER BY cents) AS rn
+      FROM c
+    ),
+    ps AS (SELECT unnest([{", ".join(map(str, _APQ_PS))}]) AS p),
+    spec AS (
+      SELECT n.seg, ps.p,
+             n.n_rows * (ps.p - 1) // 100 + 1 AS lo_k,
+             least(n.n_rows, n.n_rows * (ps.p + 1) // 100 + 1) AS hi_k
+      FROM n, ps
+    )
+    SELECT spec.seg AS c_mktsegment, CAST(spec.p AS BIGINT) AS p,
+           rl.cents AS lo_cents, rh.cents AS hi_cents,
+           TRUE AS within_bounds
+    FROM spec
+    JOIN ranked rl ON rl.seg = spec.seg AND rl.rn = spec.lo_k
+    JOIN ranked rh ON rh.seg = spec.seg AND rh.rn = spec.hi_k
+    """)
 def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile sketch per segment (accuracy 10000 ≈ 0.01%).
+    """approx_percentile sketch per segment (accuracy 10000 ≈ 1e-4 rank
+    error), reported as a DETERMINISTIC VERDICT RELATION (verdict r5):
+    ``(c_mktsegment, p, lo_cents, hi_cents, within_bounds)`` where
+    [lo, hi] is the EXACT integer-cents value bracket at ranks
+    p∓1 percent (order statistics — portable, no interpolation) and
+    ``within_bounds`` asserts the sketch estimate landed inside it
+    (the rank-error contract of GK-family sketches). The oracle
+    recomputes the exact brackets and expects TRUE everywhere, giving
+    the nondeterministic sketch a full value-hash oracle without faking
+    determinism of its encoding.
 
-    The sketch emits one ARRAY per group; posexplode flattens it to
-    scalar ``(c_mktsegment, p, approx_value)`` rows so downstream
-    consumers (and the driver's canonicalizer) see hashable columns.
-
-    SELF-CHECKING: each estimate is asserted to land inside the exact
-    [p−ε, p+ε] quantile bracket (rank-error contract of GK-family
-    sketches), so a bad estimate fails the run, not just a pytest."""
+    Scale: the sketch is the bounded-memory 100 TB path. The exact
+    bracket witness here uses a per-segment ranking window (few
+    segments, verdict-only); at 100 TB the two-pass histogram of
+    ``exact_percentile_grid`` computes the same order statistics with
+    two scans and no full sort."""
     c, o = load(spark, sf_dir, "customer", "orders")
-    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-    ps = ", ".join(f"{p}D" for p in _APQ_PS)
-    sk = (j.groupBy("c_mktsegment")
-           .agg(F.expr(f"approx_percentile(o_totalprice, array({ps}), 10000)")
-                 .alias("qs")))
-    out = (sk.select("c_mktsegment",
-                     F.posexplode("qs").alias("pos", "approx_value"))
-             .select("c_mktsegment",
-                     F.element_at(F.array(*[F.lit(p) for p in _APQ_PS]),
-                                  F.col("pos") + 1).alias("p"),
-                     "approx_value")
-             .localCheckpoint(eager=True))
-    lo_hi = ", ".join(
-        f"{max(0.0, p - _APQ_RANK_EPS)}D, {min(1.0, p + _APQ_RANK_EPS)}D"
-        for p in _APQ_PS)
-    brackets = {r["c_mktsegment"]: r["b"] for r in
-                (j.groupBy("c_mktsegment")
-                  .agg(F.expr(f"percentile(o_totalprice, array({lo_hi}))")
-                        .alias("b"))).collect()}
-    rows = []
-    for r in out.collect():
-        i = _APQ_PS.index(r["p"])
-        b = brackets[r["c_mktsegment"]]
-        rows.append((r["c_mktsegment"], r["p"], float(r["approx_value"]),
-                     float(b[2 * i]), float(b[2 * i + 1])))
-    check_quantile_bounds(rows)
-    return out
+    j = (o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+          .select(F.col("c_mktsegment").alias("seg"),
+                  F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                   .cast("long").alias("cents")))
+    nseg = j.groupBy("seg").agg(F.count(F.lit(1)).alias("n_rows"))
+    ranked = j.withColumn("rn", F.row_number().over(
+        W.partitionBy("seg").orderBy("cents")))
+    ps = spark.createDataFrame([(p,) for p in _APQ_PS], "p long")
+    spec = (nseg.crossJoin(F.broadcast(ps))
+                .select("seg", "p",
+                        (F.expr("n_rows * (p - 1) div 100") + 1)
+                        .alias("lo_k"),
+                        F.least(F.col("n_rows"),
+                                F.expr("n_rows * (p + 1) div 100") + 1)
+                        .alias("hi_k")))
+    lo = (ranked.alias("r1")
+                .join(F.broadcast(spec.alias("s1")),
+                      (F.col("r1.seg") == F.col("s1.seg"))
+                      & (F.col("r1.rn") == F.col("s1.lo_k")))
+                .select(F.col("s1.seg").alias("seg"),
+                        F.col("s1.p").alias("p"),
+                        F.col("r1.cents").alias("lo_cents")))
+    hi = (ranked.alias("r2")
+                .join(F.broadcast(spec.alias("s2")),
+                      (F.col("r2.seg") == F.col("s2.seg"))
+                      & (F.col("r2.rn") == F.col("s2.hi_k")))
+                .select(F.col("s2.seg").alias("seg2"),
+                        F.col("s2.p").alias("p2"),
+                        F.col("r2.cents").alias("hi_cents")))
+    brackets = lo.join(hi, (lo["seg"] == hi["seg2"]) & (lo["p"] == hi["p2"]))
+    ps_sql = ", ".join(f"{p / 100.0}D" for p in _APQ_PS)
+    sk = (j.groupBy("seg")
+           .agg(F.expr(f"approx_percentile(cents, array({ps_sql}), 10000)")
+                 .alias("qs"))
+           .select(F.col("seg").alias("seg_sk"),
+                   F.posexplode("qs").alias("pos", "approx_cents"))
+           .select("seg_sk",
+                   F.element_at(F.array(*[F.lit(p) for p in _APQ_PS]),
+                                F.col("pos") + 1).cast("long").alias("p_sk"),
+                   "approx_cents"))
+    return (brackets.join(sk, (brackets["seg"] == sk["seg_sk"])
+                          & (brackets["p"] == sk["p_sk"]))
+                    .select(F.col("seg").alias("c_mktsegment"), "p",
+                            "lo_cents", "hi_cents",
+                            ((F.col("lo_cents") <= F.col("approx_cents"))
+                             & (F.col("approx_cents") <= F.col("hi_cents")))
+                            .alias("within_bounds")))
 
 
 @query(
