@@ -52,25 +52,50 @@ def _write_id_splits(df, src_dir: str, n: int = 3) -> None:
        .write.partitionBy("__sp").mode("overwrite").parquet(src_dir))
 
 
+_ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming."
+                     "state.RocksDBStateStoreProvider")
+
+
 @contextlib.contextmanager
 def _replay_shuffle_partitions(spark: SparkSession, n: int = 8):
-    """Streaming state-store operators fix their partition count from
-    ``spark.sql.shuffle.partitions`` at query start — under a default
-    (200) session, a 3-batch replay pays hundreds of near-empty state
-    tasks per stage. Pin a replay-sized value for the duration of the
-    streaming query and restore the session's setting after (queries
-    run sequentially under the driver, so the temporary set is safe)."""
-    key = "spark.sql.shuffle.partitions"
-    try:
-        prev = spark.conf.get(key)
-    except Exception:
-        prev = None
-    spark.conf.set(key, str(n))
+    """Replay-scoped streaming session conf, restored after:
+
+    - ``spark.sql.shuffle.partitions``: state-store operators fix
+      their partition count from this at query start — under a
+      default (200) session a 3-batch replay pays hundreds of
+      near-empty state tasks per stage; pin a replay-sized value.
+    - RocksDB state store + changelog checkpointing (r5 verdict
+      task): the default HDFS-backed provider keeps every state row
+      on the JVM heap — fine for a replay, an OOM for an unbounded
+      feed whose watermark holds weeks of interval-join state. The
+      RocksDB provider spills state off-heap/on-disk (bounded
+      memory regardless of state size), and changelog checkpointing
+      uploads per-batch deltas instead of full snapshots — the
+      production posture these replays model.
+
+    Queries run sequentially under the driver, so the temporary set
+    is safe."""
+    pins = {
+        "spark.sql.shuffle.partitions": str(n),
+        "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+    prev: dict[str, str | None] = {}
+    for key, val in pins.items():
+        try:
+            prev[key] = spark.conf.get(key)
+        except Exception:
+            prev[key] = None
+        spark.conf.set(key, val)
     try:
         yield
     finally:
-        if prev is not None:
-            spark.conf.set(key, prev)
+        for key, old in prev.items():
+            if old is not None:
+                spark.conf.set(key, old)
+            else:
+                spark.conf.unset(key)
 
 
 @query(
