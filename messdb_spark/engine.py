@@ -115,6 +115,17 @@ class Engine:
             key_cols=list(ref.key_cols)))
         return h
 
+    def save_adaptive_table(self, name: str, ref) -> str:
+        """Register an adaptively-bucketed table (plans/adaptive —
+        two-level split/merge manifest): durable, time-travelable,
+        GC-traceable like any plain table."""
+        from .plans.adaptive import save_adaptive_manifest
+        h = save_adaptive_manifest(self.objects, ref)
+        self._register(name, CatalogEntry(
+            table_hash=h, schema_json=ref.schema_json,
+            key_cols=list(ref.key_cols)))
+        return h
+
     def save_range_bucketed_table(self, name: str, ref) -> str:
         """Register a range-bucketed table (plans/range_layout) in the
         catalog — same durability/time-travel/GC contract as
@@ -294,6 +305,10 @@ class Engine:
         rref = load_range_manifest(self.objects, e.table_hash)
         if rref is not None:
             return read_range_bucketed(self.spark, self.objects, rref)
+        from .plans.adaptive import load_adaptive_manifest, read_adaptive
+        aref = load_adaptive_manifest(self.objects, e.table_hash)
+        if aref is not None:
+            return read_adaptive(self.spark, self.objects, aref)
         df = self.objects.load(self.spark, e.table_hash)
         return KeyedTable(df, tuple(e.key_cols))
 
@@ -617,6 +632,17 @@ class Engine:
         from .plans.incremental import EMPTY, load_manifest
         from .plans.range_layout import load_range_manifest
         try:
+            from .plans.adaptive import load_adaptive_manifest
+            aref = load_adaptive_manifest(self.objects, e.table_hash)
+            if aref is not None:
+                for h in aref.leaf_hashes():
+                    df = self.objects.load(self.spark, h)
+                    got = bucket_content_hashes(
+                        df.withColumn("__messdb_bucket", F.lit("x")),
+                        "__messdb_bucket", key_fn=str)
+                    if got.get("x") != h:
+                        return False
+                return True
             ref = load_manifest(self.objects, e.table_hash) \
                 or load_range_manifest(self.objects, e.table_hash)
             if ref is None:

@@ -113,14 +113,18 @@ def table_content_hash(df: DataFrame, sort_columns: bool = True) -> str:
     return _digest_of_row(agg.collect()[0], schema_fingerprint(df))
 
 
-def bucket_content_hashes(df: DataFrame, bucket_col: str) -> dict[int, str]:
+def bucket_content_hashes(df: DataFrame, bucket_col: str,
+                          key_fn=int) -> dict:
     """Per-bucket content digests in ONE aggregation job (groupBy the
     bucket id over the same canonical row encoding; the bucket column
     itself is excluded from row content). Powers bucket-level
     incremental reuse: an unchanged bucket keeps its digest without
-    any per-bucket jobs."""
+    any per-bucket jobs. ``key_fn`` maps the bucket tag (int ids for
+    flat layouts, ``"b"``/``"b_c"`` strings for the adaptive two-level
+    layout) to the returned dict key."""
     schema_fp = schema_fingerprint(df.drop(bucket_col))
     agg = (df.select(F.col(bucket_col).alias("b"),
                      canon_column(df, exclude=(bucket_col,)).alias("c"))
              .groupBy("b").agg(*_digest_aggs()))
-    return {int(r["b"]): _digest_of_row(r, schema_fp) for r in agg.collect()}
+    return {key_fn(r["b"]): _digest_of_row(r, schema_fp)
+            for r in agg.collect()}

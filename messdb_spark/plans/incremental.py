@@ -80,11 +80,12 @@ def _write_buckets(store: ObjectStore, df: DataFrame, key_cols: tuple[str, ...],
     return _write_tagged_buckets(store, with_b)
 
 
-def _write_tagged_buckets(store: ObjectStore, with_b: DataFrame
-                          ) -> dict[int, str]:
+def _write_tagged_buckets(store: ObjectStore, with_b: DataFrame,
+                          key_fn=int) -> dict:
     """Write a frame already carrying ``_BUCKET`` into per-bucket CAS
     objects: ONE partitioned write + ONE digest aggregation, then pure
-    renames — never a job per bucket."""
+    renames — never a job per bucket. ``key_fn``: tag → returned dict
+    key (int for flat layouts, str for adaptive ``b``/``b_c`` tags)."""
     spark = with_b.sparkSession
     staging = os.path.join(store.warehouse, "staging",
                            hashlib.sha256(os.urandom(16)).hexdigest()[:16])
@@ -97,7 +98,8 @@ def _write_tagged_buckets(store: ObjectStore, with_b: DataFrame
         # explicit schema: an all-empty write leaves no part files to
         # infer from (legitimate since empty outputs memoize)
         hashes = bucket_content_hashes(
-            spark.read.schema(with_b.schema).parquet(staging), _BUCKET)
+            spark.read.schema(with_b.schema).parquet(staging), _BUCKET,
+            key_fn=key_fn)
         for b, h in hashes.items():
             src = os.path.join(staging, f"{_BUCKET}={b}")
             dst = store.path(h)
@@ -175,9 +177,16 @@ def manifest_children(store: ObjectStore, table_hash: str) -> list[str] | None:
         return None
     with open(p) as f:
         m = json.load(f)
-    if m.get("kind") not in ("bucketed_manifest", "range_bucketed_manifest"):
+    if m.get("kind") not in ("bucketed_manifest", "range_bucketed_manifest",
+                             "adaptive_bucketed_manifest"):
         return None
-    return [h for h in m["bucket_hashes"] if h != EMPTY]
+    out: list[str] = []
+    for e in m["bucket_hashes"]:
+        if isinstance(e, list):          # adaptive split entry: children
+            out += [h for h in e if h != EMPTY]
+        elif e != EMPTY:
+            out.append(e)
+    return out
 
 
 def read_bucketed(spark: SparkSession, store: ObjectStore,

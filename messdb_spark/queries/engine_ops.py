@@ -530,6 +530,89 @@ def incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "adaptive_bucket_split_refresh",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    delta AS (
+      SELECT event_id, 'adaptive_upd' AS event_type, cents + 7 AS cents
+      FROM base WHERE event_id % 2000 = 0
+    ),
+    merged AS (
+      SELECT * FROM base
+      WHERE event_id NOT IN (SELECT event_id FROM delta)
+      UNION ALL SELECT * FROM delta
+    )
+    SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+    FROM merged GROUP BY event_type
+    """)
+def adaptive_bucket_split_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE bucket split/merge end-to-end under the driver gate
+    (``plans/adaptive``, the trie's inline/external node discipline of
+    ``Trie.hs:214-220``): an events table with an incompressible
+    payload is written adaptively with a split threshold small enough
+    that hot buckets fan out into two-level child manifests; a small
+    delta then upserts. In-body asserts: (a) at least one bucket
+    actually split, (b) the upsert READ exactly the touched leaves
+    (child buckets for split entries — store.loads accounting), never
+    more objects than delta keys, and (c) untouched leaves kept their
+    content addresses. The returned relation is the post-upsert
+    last-wins merge aggregated per event_type, hash-checked against
+    DuckDB's anti-join+union over base∪delta.
+
+    Scale: this is the fix for fixed fan-out at 100 TB — a frozen
+    n_buckets leaves TB-scale refresh granules or a million-entry
+    manifest; local splitting keeps the granule object-sized on hot
+    ranges only, and compaction merges shrunken splits back."""
+    from ..operators.core import KeyedTable
+    from ..plans.adaptive import read_adaptive, upsert_adaptive, write_adaptive
+    from ..store import ObjectStore
+
+    (e,) = load(spark, sf_dir, "events")
+    cents = F.floor(F.coalesce("value", F.lit(0.0)) * 100
+                    + F.lit(0.5)).cast("long").alias("cents")
+    fat = F.concat(*[F.sha2(F.concat(F.col("event_id").cast("string"),
+                                     F.lit(str(j))), 256)
+                     for j in range(4)]).alias("payload")
+    base = e.select("event_id", "event_type", cents, fat)
+    delta = (e.filter(F.col("event_id") % 2000 == 0)
+              .select("event_id", F.lit("adaptive_upd").alias("event_type"),
+                      (F.floor(F.coalesce("value", F.lit(0.0)) * 100
+                               + F.lit(0.5)).cast("long") + 7).alias("cents"),
+                      fat))
+    n_delta = delta.count()
+    tmp = tempfile.mkdtemp(prefix="messdb_adaptive_")
+    try:
+        store = ObjectStore(os.path.join(tmp, "wh"))
+        ref = write_adaptive(store, KeyedTable(base, ("event_id",)),
+                             n_buckets=8, fanout=4, split_bytes=8 * 1024)
+        if not ref.split_buckets:
+            raise AssertionError("no bucket crossed the split threshold")
+        loads0 = store.loads
+        ref2 = upsert_adaptive(spark, store, ref, delta,
+                               split_bytes=8 * 1024)
+        touched = store.loads - loads0
+        if not (0 < touched <= n_delta):
+            raise AssertionError(
+                f"upsert read {touched} leaves for {n_delta} delta keys")
+        unchanged = sum(1 for a, b in zip(ref.leaf_hashes(),
+                                          ref2.leaf_hashes()) if a == b)
+        if unchanged < len(ref.leaf_hashes()) - touched:
+            raise AssertionError("an untouched leaf changed its address")
+        out = (read_adaptive(spark, store, ref2).df
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("cents").alias("cents"))
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("event_type", "n", "cents")
+
+
+@query(
     "stream_stream_join_replay",
     oracle="""
     SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id
