@@ -60,7 +60,6 @@ def bench_memo_layers(spark, sf_dir: str, timings: dict[str, float]) -> None:
     from messdb_spark.engine import Engine
     from messdb_spark.operators.core import KeyedTable
     from messdb_spark.plans import views as V
-    from messdb_spark.plans.incremental import incremental_upsert, write_bucketed
     from messdb_spark.session import read_table
 
     wh = tempfile.mkdtemp(prefix="bench_wh_")
@@ -85,29 +84,93 @@ def bench_memo_layers(spark, sf_dir: str, timings: dict[str, float]) -> None:
         print(f"# memo: miss {timings['memo_view_miss']}s -> "
               f"hit {timings['memo_view_hit']}s", file=sys.stderr)
 
-        # bucket-granular incremental refresh: full write vs 16-key delta
-        orders = read_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_totalprice")
-        t0 = time.perf_counter()
-        ref = write_bucketed(eng.objects, KeyedTable(orders, ("o_orderkey",)),
-                             n_buckets=64)
-        timings["bucketed_full_write"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
 
-        from pyspark.sql import functions as F
+
+# bench-SF → the next SF down, for the cross-scale refresh comparison
+_SECONDARY_SF = {"0.1": "/root/testdata/sf0.01",
+                 "0.01": "/root/testdata/sf0.001"}
+
+
+def _bench_incremental_at(spark, data_dir: str, suffix: str,
+                          timings: dict[str, float]) -> None:
+    from pyspark.sql import functions as F
+
+    from messdb_spark.operators.core import KeyedTable
+    from messdb_spark.plans.incremental import (incremental_agg_view,
+                                                incremental_upsert,
+                                                write_bucketed)
+    from messdb_spark.session import read_table
+    from messdb_spark.store import MemoStore, ObjectStore
+
+    wh = tempfile.mkdtemp(prefix="bench_incr_")
+    try:
+        store = ObjectStore(wh)
+        memo = MemoStore(wh)
+        orders = read_table(spark, data_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        t0 = time.perf_counter()
+        ref = write_bucketed(store, KeyedTable(orders, ("o_orderkey",)),
+                             n_buckets=64)
+        timings[f"bucketed_full_write{suffix}"] = \
+            round(time.perf_counter() - t0, 3)
+
+        aggs = {"n": ("sum", F.count(F.lit(1)).alias("n")),
+                "rev_cents": ("sum",
+                              F.sum(F.floor(F.col("o_totalprice") * 100
+                                            + F.lit(0.5)).cast("long"))
+                               .alias("rev_cents"))}
+        t0 = time.perf_counter()
+        incremental_agg_view(spark, store, memo, ref, "bench_rollup",
+                             ["o_orderpriority"], aggs).df.count()
+        timings[f"agg_view_build{suffix}"] = \
+            round(time.perf_counter() - t0, 3)
+
         delta = (orders.filter(F.col("o_orderkey") % 9973 == 1).limit(16)
                  .withColumn("o_totalprice", F.lit(0.0).cast(
                      orders.schema["o_totalprice"].dataType)))
         t0 = time.perf_counter()
-        ref2 = incremental_upsert(spark, eng.objects, ref, delta)
-        timings["incremental_upsert_16keys"] = round(time.perf_counter() - t0, 3)
+        ref2 = incremental_upsert(spark, store, ref, delta)
+        timings[f"incremental_upsert_16keys{suffix}"] = \
+            round(time.perf_counter() - t0, 3)
         touched = sum(1 for a, b in zip(ref.bucket_hashes, ref2.bucket_hashes)
                       if a != b)
         assert touched <= 16, f"16-key delta touched {touched} buckets"
-        print(f"# incremental: full write {timings['bucketed_full_write']}s, "
-              f"16-key delta {timings['incremental_upsert_16keys']}s "
+
+        misses0 = memo.misses
+        t0 = time.perf_counter()
+        incremental_agg_view(spark, store, memo, ref2, "bench_rollup",
+                             ["o_orderpriority"], aggs).df.count()
+        timings[f"agg_view_refresh_16keys{suffix}"] = \
+            round(time.perf_counter() - t0, 3)
+        assert memo.misses - misses0 <= touched, \
+            "view refresh recomputed more partials than touched buckets"
+        print(f"# incremental{suffix or '@bench-sf'}: full write "
+              f"{timings[f'bucketed_full_write{suffix}']}s, view build "
+              f"{timings[f'agg_view_build{suffix}']}s, 16-key delta "
+              f"{timings[f'incremental_upsert_16keys{suffix}']}s, view "
+              f"refresh {timings[f'agg_view_refresh_16keys{suffix}']}s "
               f"({touched}/64 buckets touched)", file=sys.stderr)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def bench_incremental_scaling(spark, sf_dir: str,
+                              timings: dict[str, float]) -> None:
+    """Refresh ∝ delta demonstrated ACROSS scale factors (r5 verdict
+    task 6): the full bucketed write and the view build grow ~linearly
+    with SF, while the 16-key upsert and its view refresh — bounded by
+    touched buckets, not table size — stay ~flat. The bench-SF run
+    keeps the baseline-tracked names; the smaller SF gets
+    ``@sf<N>``-suffixed entries so BENCH_r{N} records both points of
+    the scaling line."""
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    secondary = _SECONDARY_SF.get(sf)
+    if secondary and os.path.isdir(secondary):
+        sec_sf = secondary.rstrip("/").rsplit("sf", 1)[-1]
+        _bench_incremental_at(spark, secondary, f"@sf{sec_sf}", timings)
+    _bench_incremental_at(spark, sf_dir, "", timings)
 
 
 def write_staleness_report(repo_dir: str) -> dict:
@@ -217,6 +280,12 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         errors["memo_layers"] = str(e).split("\n", 1)[0][:300]
         print(f"# ERROR memo_layers: {errors['memo_layers']}", file=sys.stderr)
+    try:
+        bench_incremental_scaling(spark, sf_dir, timings)
+    except Exception as e:  # noqa: BLE001
+        errors["incremental_scaling"] = str(e).split("\n", 1)[0][:300]
+        print(f"# ERROR incremental_scaling: "
+              f"{errors['incremental_scaling']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     out = {
