@@ -163,7 +163,8 @@ def main(argv: list[str] | None = None) -> int:
             elif first.startswith("create table"):
                 eng.ddl(stmt)
                 print(json.dumps({"ok": True, "statement": "create_table"}))
-            elif first.startswith(("insert ", "update ", "delete ")):
+            elif first.startswith(("insert ", "update ", "delete ",
+                                   "merge ")):
                 res = eng.dml(stmt)
                 print(json.dumps({"ok": True, **res}))
             elif first.startswith("drop table"):

@@ -488,11 +488,14 @@ class Engine:
 
         Returns {"op", "table", "rows"} with rows = affected count."""
         from .operators.core import canonicalize_input, merge_tables
-        from .sql_ddl import DeleteStmt, InsertStmt, UpdateStmt, parse_dml
+        from .sql_ddl import (DeleteStmt, InsertStmt, MergeStmt, UpdateStmt,
+                              parse_dml)
 
         stmt = parse_dml(statement)
         if stmt is None:
             raise SqlError(f"not a DML statement: {statement[:80]!r}")
+        if isinstance(stmt, MergeStmt):
+            return self._merge_into(stmt)
         t = self.load_table(stmt.table)
 
         if isinstance(stmt, InsertStmt):
@@ -579,6 +582,112 @@ class Engine:
         finally:
             hit.unpersist()
         return {"op": "delete", "table": stmt.table, "rows": n}
+
+    def _merge_into(self, stmt) -> dict:
+        """MERGE INTO lowered onto set algebra over the keyed table —
+        the lakehouse upsert statement as one transactional root swap:
+
+        - result = (target ANTI source) ∪ matched-action rows ∪
+          (source ANTI target, when NOT MATCHED INSERT);
+        - WHEN MATCHED UPDATE projects the assignments over the join
+          (CASTs back to declared types); DELETE simply omits matched
+          rows; no matched clause keeps them via a SEMI join;
+        - multiple source matches for one target key fold last-wins
+          through ``canonicalize_input`` (same discipline as INSERT);
+        - the ON condition is evaluated once per piece — pieces are
+          pinned with localCheckpoint so reported counts equal rows
+          written even under a nondeterministic source.
+
+        Scale: every piece is an anti/semi/inner join on the ON keys —
+        the base table shuffles at most once per piece and the small
+        delta side broadcasts under AQE, matching the O1 merge path."""
+        from .operators.core import canonicalize_input
+
+        t = self.load_table(stmt.target)
+        for name in referenced_tables(stmt.source_sql, self.catalog.names()):
+            self.load_table(name).df.createOrReplaceTempView(name)
+        src = self.spark.sql(stmt.source_sql).localCheckpoint(eager=True)
+        ta, sa = stmt.target_alias, stmt.source_alias
+        if ta == sa:
+            raise SqlError("MERGE target and source aliases must differ")
+        t.df.createOrReplaceTempView(ta)
+        src.createOrReplaceTempView(sa)
+        dtypes = dict(zip(t.df.schema.names,
+                          [f.dataType for f in t.df.schema.fields]))
+        cols = list(t.df.columns)
+        try:
+            pieces = [self.spark.sql(
+                f"SELECT {', '.join(f'{ta}.`{c}`' for c in cols)} "
+                f"FROM {ta} LEFT ANTI JOIN {sa} ON {stmt.on}")]
+            n_updated = n_deleted = n_inserted = 0
+            if stmt.update_assignments is not None:
+                exprs = dict(stmt.update_assignments)
+                bad_keys = set(exprs) & set(t.key_cols)
+                if bad_keys:
+                    raise SqlError(f"MERGE may not update key column(s) "
+                                   f"{sorted(bad_keys)}")
+                unknown = [c for c in exprs if c not in cols]
+                if unknown:
+                    raise SqlError(f"unknown column(s): {unknown}")
+                proj = [
+                    (f"CAST(({exprs[c]}) AS {dtypes[c].simpleString()}) "
+                     f"AS `{c}`") if c in exprs else f"{ta}.`{c}`"
+                    for c in cols]
+                upd = self.spark.sql(
+                    f"SELECT {', '.join(proj)} FROM {ta} "
+                    f"JOIN {sa} ON {stmt.on}").localCheckpoint(eager=True)
+                n_updated = upd.count()
+                pieces.append(upd)
+            elif stmt.matched_delete:
+                n_deleted = self.spark.sql(
+                    f"SELECT count(*) AS n FROM {ta} LEFT SEMI JOIN {sa} "
+                    f"ON {stmt.on}").collect()[0]["n"]
+            else:      # no matched clause: matched rows pass unchanged
+                pieces.append(self.spark.sql(
+                    f"SELECT {', '.join(f'{ta}.`{c}`' for c in cols)} "
+                    f"FROM {ta} LEFT SEMI JOIN {sa} ON {stmt.on}"))
+            if stmt.insert_star or stmt.insert_cols is not None:
+                if stmt.insert_star:
+                    missing = [c for c in cols if c not in src.columns]
+                    if missing:
+                        raise SqlError(f"INSERT *: source lacks column(s) "
+                                       f"{missing}")
+                    sel = [f"CAST({sa}.`{c}` AS "
+                           f"{dtypes[c].simpleString()}) AS `{c}`"
+                           for c in cols]
+                else:
+                    unknown = [c for c in stmt.insert_cols
+                               if c not in cols]
+                    if unknown:
+                        raise SqlError(f"unknown column(s): {unknown}")
+                    missing_keys = [k for k in t.key_cols
+                                    if k not in stmt.insert_cols]
+                    if missing_keys:
+                        raise SqlError(f"MERGE INSERT must provide key "
+                                       f"column(s): {missing_keys}")
+                    by_col = dict(zip(stmt.insert_cols, stmt.insert_values))
+                    sel = [
+                        (f"CAST(({by_col[c]}) AS {dtypes[c].simpleString()}) "
+                         f"AS `{c}`") if c in by_col
+                        else f"CAST(NULL AS {dtypes[c].simpleString()}) "
+                             f"AS `{c}`"
+                        for c in cols]
+                ins = self.spark.sql(
+                    f"SELECT {', '.join(sel)} FROM {sa} "
+                    f"LEFT ANTI JOIN {ta} ON {stmt.on}") \
+                    .localCheckpoint(eager=True)
+                n_inserted = ins.count()
+                pieces.append(ins)
+            merged = pieces[0]
+            for p in pieces[1:]:
+                merged = merged.unionByName(p)
+            result = canonicalize_input(merged, t.key_cols)
+            self.save_table(stmt.target, result)
+        finally:
+            src.unpersist()
+        return {"op": "merge", "table": stmt.target,
+                "rows_updated": n_updated, "rows_deleted": n_deleted,
+                "rows_inserted": n_inserted}
 
     # -- cross-store sync (O9 syncTrie/syncTable, Trie.hs:256-260) ------
     def sync_table(self, name: str, dst: "Engine") -> dict:

@@ -530,6 +530,84 @@ def incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_merge_into_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    src AS (
+      SELECT o_orderkey, o_orderpriority, cents + 1 AS cents
+      FROM base WHERE o_orderkey % 500 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, '0-NEW', CAST(12345 AS BIGINT)
+      FROM base WHERE o_orderkey % 700 = 0
+    ),
+    merged AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      UNION ALL SELECT * FROM src
+    )
+    SELECT o_orderpriority, count(*) AS n, CAST(sum(cents) AS BIGINT)
+             AS cents
+    FROM merged GROUP BY o_orderpriority
+    """)
+def sql_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO end-to-end under the driver gate (§2.5 surface —
+    the lakehouse upsert statement the reference's SQL layer lacks,
+    ``SQL.hs:41-44``): an orders-derived keyed table takes one MERGE
+    whose source both UPDATEs existing keys (WHEN MATCHED) and INSERTs
+    new ones (WHEN NOT MATCHED), in a single transactional root swap.
+    In-body asserts check the reported update/insert counts against
+    the source predicates; the returned per-priority aggregate is
+    hash-checked against DuckDB's anti-join ∪ source equivalent.
+
+    Scale: the lowering is three joins on the ON key (anti, inner,
+    anti) over the keyed table — no full rewrite beyond the projected
+    result, delta side broadcastable, same shape as the O1 merge."""
+    from ..engine import Engine
+    from ..operators.core import KeyedTable
+
+    (o,) = load(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_orderpriority",
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                     .cast("long").alias("cents"))
+    n_upd = base.filter(F.col("o_orderkey") % 500 == 0).count()
+    n_ins = base.filter(F.col("o_orderkey") % 700 == 0).count()
+    tmp = tempfile.mkdtemp(prefix="messdb_merge_")
+    try:
+        eng = Engine(spark, os.path.join(tmp, "wh"))
+        eng.save_table("merge_orders", KeyedTable(base, ("o_orderkey",)))
+        res = eng.dml("""
+            MERGE INTO merge_orders AS t USING (
+              SELECT o_orderkey, o_orderpriority, cents + 1 AS cents
+              FROM merge_orders WHERE o_orderkey % 500 = 0
+              UNION ALL
+              SELECT o_orderkey + 10000000 AS o_orderkey,
+                     '0-NEW' AS o_orderpriority,
+                     CAST(12345 AS BIGINT) AS cents
+              FROM merge_orders WHERE o_orderkey % 700 = 0
+            ) s ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED THEN UPDATE SET
+              o_orderpriority = s.o_orderpriority, cents = s.cents
+            WHEN NOT MATCHED THEN INSERT
+              (o_orderkey, o_orderpriority, cents)
+              VALUES (s.o_orderkey, s.o_orderpriority, s.cents)""")
+        if res["rows_updated"] != n_upd or res["rows_inserted"] != n_ins:
+            raise AssertionError(f"MERGE counts {res} != expected "
+                                 f"upd={n_upd} ins={n_ins}")
+        out = (eng.load_table("merge_orders").df
+               .groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("cents").alias("cents"))
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("o_orderpriority", "n", "cents")
+
+
+@query(
     "adaptive_bucket_split_refresh",
     oracle="""
     WITH base AS (

@@ -152,6 +152,25 @@ class DeleteStmt:
     where: str | None
 
 
+@dataclass(frozen=True)
+class MergeStmt:
+    """MERGE INTO target USING source ON cond
+    [WHEN MATCHED THEN UPDATE SET ... | WHEN MATCHED THEN DELETE]
+    [WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs) | INSERT *]
+    — the lakehouse upsert statement, lowered onto the engine's
+    anti-join merge."""
+    target: str
+    target_alias: str
+    source_sql: str                       # "SELECT ..." (subquery text
+    source_alias: str                     # or "SELECT * FROM name")
+    on: str
+    update_assignments: list[tuple[str, str]] | None   # WHEN MATCHED UPDATE
+    matched_delete: bool                               # WHEN MATCHED DELETE
+    insert_cols: list[str] | None         # WHEN NOT MATCHED INSERT (...)
+    insert_values: list[str] | None
+    insert_star: bool                     # WHEN NOT MATCHED INSERT *
+
+
 _INSERT_RE = re.compile(
     r"^\s*insert\s+into\s+(\w+)\s*(\([^()]*\))?\s*"
     r"((?:values|select)\b.*)$",
@@ -161,6 +180,10 @@ _DELETE_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 _UPDATE_RE = re.compile(
     r"^\s*update\s+(\w+)\s+set\b(.*)$",
+    re.IGNORECASE | re.DOTALL)
+_MERGE_RE = re.compile(
+    r"^\s*merge\s+into\s+(\w+)(?:\s+as)?(?:\s+(?!using\b)(\w+))?"
+    r"\s+using\s+(.*)$",
     re.IGNORECASE | re.DOTALL)
 
 
@@ -215,10 +238,123 @@ def _find_top_keyword(s: str, kw: str) -> int:
     return -1
 
 
+def _parse_assignments(set_part: str) -> list[tuple[str, str]]:
+    assignments = []
+    for item in _split_top_commas(set_part):
+        eq = item.find("=")
+        if eq <= 0:
+            raise SqlError(f"cannot parse SET assignment: {item!r}")
+        col = item[:eq].strip().strip('"')
+        col = col.split(".")[-1]            # accept t.col on the LHS
+        assignments.append((col, item[eq + 1:].strip()))
+    if not assignments:
+        raise SqlError("UPDATE needs at least one SET assignment")
+    return assignments
+
+
+def _parse_merge(statement: str) -> MergeStmt | None:
+    m = _MERGE_RE.match(statement.strip().rstrip(";"))
+    if not m:
+        return None
+    target, target_alias = m.group(1), m.group(2) or m.group(1)
+    rest = m.group(3).strip()
+
+    # source: "(subquery) [AS] alias" or "name [[AS] alias]"
+    if rest.startswith("("):
+        depth = 0
+        end = -1
+        for i, ch in enumerate(rest):       # literal-blind is fine: the
+            if ch == "(":                   # subquery is balanced and a
+                depth += 1                  # paren inside a literal also
+            elif ch == ")":                 # pairs within it
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            raise SqlError("unbalanced parens in MERGE source")
+        source_sql = rest[1:end].strip()
+        rest = rest[end + 1:].strip()
+        sm = re.match(r"^(?:as\s+)?(\w+)\s+(?=on\b)", rest,
+                      re.IGNORECASE | re.DOTALL)
+        if not sm:
+            raise SqlError("MERGE subquery source needs an alias")
+        source_alias = sm.group(1)
+        rest = rest[sm.end():]
+    else:
+        sm = re.match(r"^(\w+)(?:\s+as)?(?:\s+(?!on\b)(\w+))?\s+(?=on\b)",
+                      rest, re.IGNORECASE | re.DOTALL)
+        if not sm:
+            raise SqlError("cannot parse MERGE source")
+        source_alias = sm.group(2) or sm.group(1)
+        source_sql = f"SELECT * FROM {sm.group(1)}"
+        rest = rest[sm.end():]
+
+    rest = re.sub(r"^on\b", "", rest, flags=re.IGNORECASE).strip()
+    wi = _find_top_keyword(rest, "when")
+    if wi < 0:
+        raise SqlError("MERGE needs at least one WHEN clause")
+    on = rest[:wi].strip()
+    clause_text = rest[wi:]
+    # split into individual WHEN clauses at top level
+    idxs = []
+    low = clause_text.lower()
+    pos = 0
+    while True:
+        nxt = _find_top_keyword(low[pos:], "when")
+        if nxt < 0:
+            break
+        idxs.append(pos + nxt)
+        pos = pos + nxt + 4
+    clauses = [clause_text[a:b].strip()
+               for a, b in zip(idxs, idxs[1:] + [len(clause_text)])]
+
+    upd = None
+    matched_delete = False
+    ins_cols = ins_vals = None
+    ins_star = False
+    for cl in clauses:
+        if re.match(r"^when\s+matched\s+then\s+delete\s*$", cl,
+                    re.IGNORECASE):
+            matched_delete = True
+            continue
+        mm = re.match(r"^when\s+matched\s+then\s+update\s+set\b(.*)$",
+                      cl, re.IGNORECASE | re.DOTALL)
+        if mm:
+            upd = _parse_assignments(mm.group(1))
+            continue
+        mi = re.match(r"^when\s+not\s+matched\s+then\s+insert\s*"
+                      r"(\*|\(([^()]*)\)\s*values\s*\((.*)\))\s*$",
+                      cl, re.IGNORECASE | re.DOTALL)
+        if mi:
+            if mi.group(1) == "*":
+                ins_star = True
+            else:
+                ins_cols = [c.strip().strip('"')
+                            for c in mi.group(2).split(",") if c.strip()]
+                ins_vals = _split_top_commas(mi.group(3))
+                if len(ins_cols) != len(ins_vals):
+                    raise SqlError("MERGE INSERT arity mismatch")
+            continue
+        raise SqlError(f"unsupported MERGE clause: {cl[:80]!r}")
+    if upd is not None and matched_delete:
+        raise SqlError("MERGE supports one WHEN MATCHED action "
+                       "(UPDATE or DELETE), not both")
+    return MergeStmt(target=target, target_alias=target_alias,
+                     source_sql=source_sql, source_alias=source_alias,
+                     on=on, update_assignments=upd,
+                     matched_delete=matched_delete,
+                     insert_cols=ins_cols, insert_values=ins_vals,
+                     insert_star=ins_star)
+
+
 def parse_dml(statement: str):
     """Parse one DML statement; returns InsertStmt / UpdateStmt /
-    DeleteStmt, or None if the statement is not DML (caller falls
-    through to SELECT passthrough)."""
+    DeleteStmt / MergeStmt, or None if the statement is not DML
+    (caller falls through to SELECT passthrough)."""
+    mg = _parse_merge(statement)
+    if mg is not None:
+        return mg
     m = _INSERT_RE.match(statement)
     if m:
         cols = None
@@ -233,16 +369,8 @@ def parse_dml(statement: str):
         wi = _find_top_keyword(rest, "where")
         set_part, where = (rest[:wi], rest[wi + 5:].strip()) if wi >= 0 \
             else (rest, None)
-        assignments = []
-        for item in _split_top_commas(set_part):
-            eq = item.find("=")
-            if eq <= 0:
-                raise SqlError(f"cannot parse SET assignment: {item!r}")
-            assignments.append((item[:eq].strip().strip('"'),
-                                item[eq + 1:].strip()))
-        if not assignments:
-            raise SqlError("UPDATE needs at least one SET assignment")
-        return UpdateStmt(table=m.group(1), assignments=assignments,
+        return UpdateStmt(table=m.group(1),
+                          assignments=_parse_assignments(set_part),
                           where=where)
     m = _DELETE_RE.match(statement)
     if m:

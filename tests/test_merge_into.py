@@ -1,0 +1,109 @@
+"""MERGE INTO (§2.5 SQL surface, lakehouse upsert statement) lowered
+onto the engine's anti-join merge — parser + engine semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from messdb_spark.engine import Engine
+from messdb_spark.operators.core import KeyedTable
+from messdb_spark.sql_ddl import MergeStmt, SqlError, parse_dml
+
+
+def _setup(spark, warehouse):
+    eng = Engine(spark, warehouse)
+    df = spark.createDataFrame([(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+                               "k long, name string, v long")
+    eng.save_table("t", KeyedTable(df, ("k",)))
+    src = spark.createDataFrame([(2, "B2", 200), (4, "d", 40)],
+                                "k long, name string, v long")
+    eng.save_table("s", KeyedTable(src, ("k",)))
+    return eng
+
+
+def test_parse_merge_forms():
+    m = parse_dml("MERGE INTO t USING s ON t.k = s.k "
+                  "WHEN MATCHED THEN UPDATE SET v = s.v "
+                  "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    assert isinstance(m, MergeStmt)
+    assert m.target == "t" and m.source_alias == "s"
+    assert m.update_assignments == [("v", "s.v")]
+    assert m.insert_cols == ["k", "v"]
+
+    m = parse_dml("MERGE INTO t AS a USING (SELECT 1 AS k) b ON a.k = b.k "
+                  "WHEN MATCHED THEN DELETE")
+    assert m.matched_delete and m.target_alias == "a"
+    assert m.source_sql == "SELECT 1 AS k"
+
+    m = parse_dml("MERGE INTO t USING s ON t.k = s.k "
+                  "WHEN NOT MATCHED THEN INSERT *")
+    assert m.insert_star and m.update_assignments is None
+
+    with pytest.raises(SqlError, match="one WHEN MATCHED action"):
+        parse_dml("MERGE INTO t USING s ON t.k = s.k "
+                  "WHEN MATCHED THEN DELETE "
+                  "WHEN MATCHED THEN UPDATE SET v = 1")
+    assert parse_dml("SELECT 1") is None
+
+
+def test_merge_update_and_insert(spark, warehouse):
+    eng = _setup(spark, warehouse)
+    res = eng.dml(
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET name = s.name, v = s.v + 1 "
+        "WHEN NOT MATCHED THEN INSERT (k, name, v) "
+        "VALUES (s.k, s.name, s.v)")
+    assert res == {"op": "merge", "table": "t", "rows_updated": 1,
+                   "rows_deleted": 0, "rows_inserted": 1}
+    got = sorted((r.k, r.name, r.v)
+                 for r in eng.load_table("t").df.collect())
+    assert got == [(1, "a", 10), (2, "B2", 201), (3, "c", 30),
+                   (4, "d", 40)]
+
+
+def test_merge_delete_and_insert_star(spark, warehouse):
+    eng = _setup(spark, warehouse)
+    res = eng.dml("MERGE INTO t USING (SELECT 1 AS k) d ON t.k = d.k "
+                  "WHEN MATCHED THEN DELETE")
+    assert res["rows_deleted"] == 1
+    assert sorted(r.k for r in eng.load_table("t").df.collect()) == [2, 3]
+
+    res = eng.dml("MERGE INTO t USING s ON t.k = s.k "
+                  "WHEN NOT MATCHED THEN INSERT *")
+    # only k=4 is unmatched; matched k=2 passes through UNCHANGED
+    assert res == {"op": "merge", "table": "t", "rows_updated": 0,
+                   "rows_deleted": 0, "rows_inserted": 1}
+    got = sorted((r.k, r.name, r.v)
+                 for r in eng.load_table("t").df.collect())
+    assert got == [(2, "b", 20), (3, "c", 30), (4, "d", 40)]
+
+
+def test_merge_guards(spark, warehouse):
+    eng = _setup(spark, warehouse)
+    with pytest.raises(SqlError, match="key column"):
+        eng.dml("MERGE INTO t USING s ON t.k = s.k "
+                "WHEN MATCHED THEN UPDATE SET k = s.k + 1")
+    with pytest.raises(SqlError, match="key column"):
+        eng.dml("MERGE INTO t USING s ON t.k = s.k "
+                "WHEN NOT MATCHED THEN INSERT (name) VALUES (s.name)")
+    with pytest.raises(SqlError, match="aliases must differ"):
+        eng.dml("MERGE INTO t AS x USING s x ON x.k = x.k "
+                "WHEN MATCHED THEN DELETE")
+
+
+def test_merge_via_cli(tmp_path, capsys):
+    from messdb_spark.cli import main
+
+    wh = str(tmp_path / "wh")
+    assert main(["-w", wh, "sql", "-c",
+                 "CREATE TABLE mt (k bigint PRIMARY KEY, v bigint); "
+                 "INSERT INTO mt VALUES (1, 10), (2, 20); "
+                 "MERGE INTO mt USING (SELECT 2 AS k, 99 AS v) s "
+                 "ON mt.k = s.k "
+                 "WHEN MATCHED THEN UPDATE SET v = s.v "
+                 "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v); "
+                 "SELECT k, v FROM mt ORDER BY k"]) == 0
+    out = capsys.readouterr().out
+    assert '"rows_updated": 1' in out
+    assert '{"k":1,"v":10}' in out.replace(" ", "")
+    assert '{"k":2,"v":99}' in out.replace(" ", "")
