@@ -366,3 +366,159 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents").cast("double") / 100.0).alias("revenue"),
         quantize((F.col("cents") - prev).cast("double")
                  / prev.cast("double"), 6).alias("wow_change"))
+
+
+# ---- RFM segmentation + time-series autocorrelation ------------------
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+               AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (SELECT count(*) AS n_cust FROM per_cust),
+    scored AS (
+      SELECT monetary_cents,
+             1 + (row_number() OVER (ORDER BY recency_days, o_custkey) - 1)
+                 * 5 // n.n_cust AS r_score,
+             1 + (row_number() OVER (ORDER BY frequency DESC, o_custkey) - 1)
+                 * 5 // n.n_cust AS f_score,
+             1 + (row_number() OVER (ORDER BY monetary_cents DESC, o_custkey)
+                  - 1) * 5 // n.n_cust AS m_score
+      FROM per_cust, n
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           count(*) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS total_cents
+    FROM scored GROUP BY 1, 2, 3
+    """)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) —
+    the classic customer-value cube. Scores are DETERMINISTIC
+    quintiles: rank by (metric, custkey tiebreak), bucket by
+    1 + (rank-1)*5 div n — identical on both engines, unlike ntile
+    over ties. Recency counts days from each customer's last order to
+    the corpus max date; monetary is exact integer cents.
+
+    Scale: one groupBy(custkey) pass; three rank windows over the
+    per-customer aggregate (customer-cardinality, ≪ orders); the
+    output cube is ≤125 rows."""
+    (o,) = load(spark, sf_dir, "orders")
+    snap = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("snap"))
+    per_cust = (o.groupBy("o_custkey")
+                 .agg(F.max(F.col("o_orderdate").cast("date")).alias("last"),
+                      F.count(F.lit(1)).alias("frequency"),
+                      F.sum(F.floor(F.col("o_totalprice") * 100
+                                    + F.lit(0.5)).cast("long"))
+                       .alias("monetary_cents"))
+                 .crossJoin(F.broadcast(snap))
+                 .select("o_custkey",
+                         F.datediff(F.col("snap"), F.col("last"))
+                          .alias("recency_days"),
+                         "frequency", "monetary_cents"))
+    n_cust = per_cust.count()
+
+    def score(order_cols):
+        return 1 + (F.row_number().over(W.orderBy(*order_cols)) - 1) \
+            * 5 / F.lit(n_cust)
+
+    scored = per_cust.select(
+        "monetary_cents",
+        F.floor(score([F.col("recency_days"), F.col("o_custkey")]))
+         .cast("long").alias("r_score"),
+        F.floor(score([F.desc("frequency"), F.col("o_custkey")]))
+         .cast("long").alias("f_score"),
+        F.floor(score([F.desc("monetary_cents"), F.col("o_custkey")]))
+         .cast("long").alias("m_score"))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+                  .agg(F.count(F.lit(1)).alias("n_customers"),
+                       F.sum("monetary_cents").alias("total_cents")))
+
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "autocorrelation_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    stats AS (
+      SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS HUGEINT) AS sxx
+      FROM daily
+    ),
+    ks AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS k),
+    pairs AS (
+      SELECT ks.k, count(*) AS n_pairs,
+             CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS sxy,
+             CAST(sum(a.x) AS BIGINT) AS sh, CAST(sum(b.x) AS BIGINT) AS st
+      FROM ks JOIN daily a ON TRUE
+              JOIN daily b ON b.d = a.d + to_days(CAST(ks.k AS INT))
+      GROUP BY ks.k
+    )
+    SELECT CAST(p.k AS BIGINT) AS k, CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           floor(((CAST(p.sxy AS DOUBLE)
+                   - (CAST(s.sx AS DOUBLE) / s.n) * (p.sh + p.st)
+                   + p.n_pairs * (CAST(s.sx AS DOUBLE) / s.n)
+                     * (CAST(s.sx AS DOUBLE) / s.n))
+                  / (CAST(s.sxx AS DOUBLE)
+                     - s.n * (CAST(s.sx AS DOUBLE) / s.n)
+                       * (CAST(s.sx AS DOUBLE) / s.n)))
+                 * CAST(1000000.0 AS DOUBLE) + 0.5)
+             / CAST(1000000.0 AS DOUBLE) AS acf
+    FROM pairs p, stats s
+    """)
+def autocorrelation_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..{lag} —
+    the seasonality detector (weekly cycles show as a lag-7 peak).
+    Textbook estimator r_k = Σ(x_t−μ)(x_t+k−μ) / Σ(x_t−μ)², expanded
+    into EXACT integer sums (cents, cents², lagged cross-products via
+    a calendar self-join) so both engines perform the identical final
+    double expression (quantized to 1e-6).
+
+    Scale: the daily series is date-cardinality (tiny after the first
+    aggregation); the lag join is over that series × 7 lags, a
+    broadcast-scale operation regardless of order volume."""
+    (o,) = load(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+              .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                          .cast("long")).alias("x")))
+    n, sx, sxx = daily.agg(
+        F.count(F.lit(1)),
+        F.sum("x"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))).first()
+    ks = spark.createDataFrame([(k,) for k in range(1, _ACF_MAX_LAG + 1)],
+                               "k long")
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (F.broadcast(ks)
+             .join(a, F.lit(True))
+             .join(b, F.col("b.d") == F.expr("date_add(a.d, CAST(k AS INT))"))
+             .groupBy("k")
+             .agg(F.count(F.lit(1)).alias("n_pairs"),
+                  F.sum((F.col("a.x").cast("decimal(38,0)")
+                         * F.col("b.x"))).alias("sxy"),
+                  F.sum(F.col("a.x")).alias("sh"),
+                  F.sum(F.col("b.x")).alias("st")))
+    mu = float(sx) / float(n)
+    den = float(sxx) - float(n) * mu * mu
+    acf = ((F.col("sxy").cast("double")
+            - F.lit(mu) * (F.col("sh") + F.col("st"))
+            + F.col("n_pairs") * F.lit(mu) * F.lit(mu)) / F.lit(den))
+    return (pairs.select(F.col("k").cast("long").alias("k"),
+                         F.col("n_pairs").cast("long").alias("n_pairs"),
+                         quantize(acf, 6).alias("acf")))

@@ -692,3 +692,84 @@ def event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (seq.groupBy(F.col("event_type").alias("t1"), "t2", "t3")
                .agg(F.count(F.lit(1)).cast("long").alias("n"))
                .orderBy(F.col("n").desc(), "t1", "t2", "t3").limit(20))
+
+
+@query(
+    "conversion_time_percentiles",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT fv.user_id,
+             (epoch_us(min(e.ts)) - epoch_us(fv.first_view)) // 1000000
+               AS secs
+      FROM fv JOIN events e
+        ON e.user_id = fv.user_id AND e.event_type = 'purchase'
+           AND e.ts > fv.first_view
+      GROUP BY fv.user_id, fv.first_view
+    ),
+    seg AS (
+      SELECT c_mktsegment AS segment, secs FROM conv
+      JOIN customer ON user_id = c_custkey
+    ),
+    n AS (SELECT segment, count(*) AS n_conv FROM seg GROUP BY segment),
+    ranked AS (
+      SELECT segment, secs,
+             row_number() OVER (PARTITION BY segment ORDER BY secs) AS rn
+      FROM seg
+    )
+    SELECT n.segment, CAST(n.n_conv AS BIGINT) AS n_conv,
+           med.secs AS median_secs, p90.secs AS p90_secs
+    FROM n
+    JOIN ranked med ON med.segment = n.segment
+                   AND med.rn = n.n_conv // 2 + 1
+    JOIN ranked p90 ON p90.segment = n.segment
+                   AND p90.rn = least(n.n_conv, n.n_conv * 9 // 10 + 1)
+    """)
+def conversion_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per market segment: seconds from a
+    user's first view to their first subsequent purchase, summarized
+    as EXACT median and p90 order statistics (rank k = n·p div 100 + 1
+    over integer seconds — no interpolation, engine-portable). The
+    funnel-rate sibling (``events_funnel_view_purchase``) counts
+    conversions; this one characterizes their latency.
+
+    Scale: two hash aggs + one user join produce a converted-users
+    relation (user-cardinality); the segment join broadcasts customer;
+    the rank windows run over per-segment converted users only."""
+    (e, c) = load(spark, sf_dir, "events", "customer")
+    fv = (e.filter(F.col("event_type") == "view")
+           .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    conv = (fv.join(e.filter(F.col("event_type") == "purchase"), "user_id")
+              .filter(F.col("ts") > F.col("first_view"))
+              .groupBy("user_id", "first_view")
+              .agg(F.min("ts").alias("first_purchase"))
+              .select("user_id",
+                      ((F.unix_micros("first_purchase")
+                        - F.unix_micros("first_view"))
+                       / F.lit(1000000)).cast("long").alias("secs")))
+    seg = (conv.join(F.broadcast(c),
+                     F.col("user_id") == F.col("c_custkey"))
+               .select(F.col("c_mktsegment").alias("segment"), "secs"))
+    n = seg.groupBy("segment").agg(F.count(F.lit(1)).alias("n_conv"))
+    ranked = seg.withColumn(
+        "rn", F.row_number().over(W.partitionBy("segment").orderBy("secs")))
+    med = (ranked.alias("m")
+           .join(F.broadcast(n.alias("nm")),
+                 (F.col("m.segment") == F.col("nm.segment"))
+                 & (F.col("m.rn") == F.expr("nm.n_conv div 2") + 1))
+           .select(F.col("m.segment").alias("segment"),
+                   F.col("nm.n_conv").alias("n_conv"),
+                   F.col("m.secs").alias("median_secs")))
+    p90 = (ranked.alias("p")
+           .join(F.broadcast(n.alias("np")),
+                 (F.col("p.segment") == F.col("np.segment"))
+                 & (F.col("p.rn") == F.least(
+                     F.col("np.n_conv"),
+                     F.expr("np.n_conv * 9 div 10") + 1)))
+           .select(F.col("p.segment").alias("segment2"),
+                   F.col("p.secs").alias("p90_secs")))
+    return (med.join(p90, F.col("segment") == F.col("segment2"))
+               .select("segment", "n_conv", "median_secs", "p90_secs"))

@@ -574,3 +574,284 @@ def lsh_candidates_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                .filter(jac >= _JAC_THRESH)
                .select("doc_a", "doc_b", quantize(jac, 4).alias("jaccard")))
     return out
+
+
+# ---- corpus-level statistics (entropy, Zipf fit, sketch accuracy) ----
+
+_LN_SCALE = 1_000_000    # fixed-point micro-nats: ln values become exact
+                         # integers so sums are order-insensitive on both
+                         # engines (the decimal-cents discipline for logs)
+
+
+@query(
+    "token_entropy_per_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKENS_DUCK}) AS token
+      FROM documents WHERE length(text) > 0
+    ),
+    cnt AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    scaled AS (
+      SELECT source, c,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * {_LN_SCALE} + 0.5)
+                  AS BIGINT) AS t
+      FROM cnt
+    ),
+    agg AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS vocab,
+             CAST(sum(c * t) AS BIGINT) AS s
+      FROM scaled GROUP BY source
+    )
+    SELECT source, n_tokens, vocab,
+           floor(((CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * {_LN_SCALE}
+                              + 0.5) AS BIGINT) * n_tokens - s) / CAST(
+                  n_tokens AS DOUBLE) / {_LN_SCALE}.0)
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS entropy_nats
+    FROM agg
+    """)
+def token_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per source — the
+    corpus-diversity statistic of pretraining data audits (low entropy
+    = templated/boilerplate source; high = diverse text). Identity
+    used: H = ln N − (Σ c·ln c)/N over per-source token counts.
+
+    FP parity: each ln is computed on an INTEGER count, scaled to
+    micro-nats and floored to a BIGINT, so the big summation is exact
+    integer arithmetic — order-insensitive on both engines — and only
+    one final double division remains (quantized).
+
+    Scale: one token-count shuffle (vocab-bounded partials), one
+    per-source combine; nothing corpus-length-sized survives the first
+    aggregation."""
+    (d,) = load(spark, sf_dir, "documents")
+    toks = (d.filter(F.length("text") > 0)
+             .select("source", F.explode(F.expr(_TOKENS)).alias("token")))
+    cnt = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    t = F.floor(F.log(F.col("c").cast("double")) * _LN_SCALE
+                + F.lit(0.5)).cast("long")
+    agg = (cnt.withColumn("t", t)
+              .groupBy("source")
+              .agg(F.sum("c").alias("n_tokens"),
+                   F.count(F.lit(1)).alias("vocab"),
+                   F.sum(F.col("c") * F.col("t")).alias("s")))
+    t_n = F.floor(F.log(F.col("n_tokens").cast("double")) * _LN_SCALE
+                  + F.lit(0.5)).cast("long")
+    h = ((t_n * F.col("n_tokens") - F.col("s")).cast("double")
+         / F.col("n_tokens").cast("double") / F.lit(float(_LN_SCALE)))
+    return agg.select("source", "n_tokens", "vocab",
+                      quantize(h, 4).alias("entropy_nats"))
+
+
+_ZIPF_TOP = 1000
+
+
+@query(
+    "zipf_token_rank_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKENS_DUCK}) AS token
+      FROM documents WHERE length(text) > 0
+    ),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rn
+      FROM cnt
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(CAST(rn AS DOUBLE)) * {_LN_SCALE} + 0.5)
+                  AS BIGINT) AS x,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * {_LN_SCALE} + 0.5)
+                  AS BIGINT) AS y
+      FROM ranked WHERE rn <= {_ZIPF_TOP}
+    ),
+    s AS (
+      SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * CAST(1000000.0 AS DOUBLE) + 0.5)
+             / CAST(1000000.0 AS DOUBLE) AS zipf_slope,
+           floor(((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                   * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE) / {_LN_SCALE}.0)
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS intercept_ln
+    FROM s
+    """)
+def zipf_token_rank_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus: OLS slope of ln(freq) on
+    ln(rank) for the top-{_ZIPF_TOP} tokens — the classic sanity check
+    that a training corpus has natural-language frequency structure
+    (slope ≈ −1; templated or synthetic text bends it). Deterministic
+    ranks (freq desc, token tiebreak); each ln is computed on an
+    integer and floored to micro-nats, so all five OLS sums are exact
+    integers and the closed-form slope/intercept are single double
+    expressions (quantized) on both engines.
+
+    Scale: vocab-bounded count shuffle; the top-K rank is a
+    WindowGroupLimit-style single ordered spill of K winners; the fit
+    itself is a 5-number aggregate."""
+    (d,) = load(spark, sf_dir, "documents")
+    toks = (d.filter(F.length("text") > 0)
+             .select(F.explode(F.expr(_TOKENS)).alias("token")))
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    ranked = cnt.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.desc("c"), F.col("token"))))
+    ln_i = lambda col: F.floor(   # noqa: E731
+        F.log(F.col(col).cast("double")) * _LN_SCALE + F.lit(0.5)) \
+        .cast("long")
+    pts = (ranked.filter(F.col("rn") <= _ZIPF_TOP)
+                 .select(ln_i("rn").alias("x"), ln_i("c").alias("y")))
+    s = pts.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    nd = F.col("n").cast("double")
+    slope = ((nd * F.col("sxy").cast("double")
+              - F.col("sx").cast("double") * F.col("sy").cast("double"))
+             / (nd * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")))
+    intercept = ((F.col("sy").cast("double") - slope
+                  * F.col("sx").cast("double")) / nd
+                 / F.lit(float(_LN_SCALE)))
+    return s.select(F.col("n").cast("long").alias("n_terms"),
+                    quantize(slope, 6).alias("zipf_slope"),
+                    quantize(intercept, 4).alias("intercept_ln"))
+
+
+_MH_EST_SIG_DUCK = ", ".join(
+    f"list_aggregate(list_transform(hs, h -> xor(h, CAST({s} AS BIGINT))),"
+    f" 'min') AS h{j}" for j, s in enumerate(_MH_SEEDS))
+_MH_EST_BANDS_DUCK = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, h{2*b} AS bx, h{2*b+1} AS by FROM sig"
+    for b in range(_N_BANDS))
+_MH_EST_MATCH_DUCK = " + ".join(
+    f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END"
+    for j in range(_N_HASHES))
+
+
+@query(
+    "minhash_estimate_error",
+    oracle=f"""
+    WITH sh0 AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) - {_SHINGLE_K - 2}),
+               i -> CAST(concat('0x', substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15)) AS BIGINT)) AS hs
+      FROM documents WHERE length(text) >= {_SHINGLE_K}
+    ),
+    sig AS (SELECT doc_id, {_MH_EST_SIG_DUCK} FROM sh0),
+    bands AS ({_MH_EST_BANDS_DUCK}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bx = b.bx AND a.by = b.by
+           AND a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT DISTINCT doc_id, unnest(hs) AS s FROM sh0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({_MH_EST_MATCH_DUCK} AS BIGINT) AS est_match,
+           floor((CAST(coalesce(i.i, 0) AS DOUBLE)
+                  / (za.n + zb.n - coalesce(i.i, 0)))
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS jaccard_exact,
+           floor(abs(CAST(({_MH_EST_MATCH_DUCK}) AS DOUBLE) / {_N_HASHES}.0
+                     - CAST(coalesce(i.i, 0) AS DOUBLE)
+                       / (za.n + zb.n - coalesce(i.i, 0)))
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS abs_err
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    """)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy evaluation: for every LSH candidate pair, the
+    MinHash-ESTIMATED Jaccard (matching fraction of the {_N_HASHES}
+    signature functions) against the EXACT shingle-set Jaccard, with
+    the absolute estimation error — the eval that tells you whether
+    the banded sketch can be trusted as the 100 TB dedup gate, run as
+    a first-class query (the ``ann_recall_eval`` pattern applied to
+    MinHash). All md5-derived → full value-hash oracle.
+
+    Scale: signatures and bands are the standard map-only/band-join
+    path; the exact side runs ONLY on candidate docs (semi-join-
+    pruned shingle join), so the quadratic verification is
+    candidate-bounded, never corpus-wide."""
+    (d,) = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    docs = d.filter(F.length("text") >= _SHINGLE_K).repartition(par)
+    shingle_hashes = (
+        f"transform(sequence(1, length(text) - {_SHINGLE_K - 1}), "
+        f"i -> CAST(conv(substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15), 16, 10) AS BIGINT))")
+    sig = (docs.withColumn("hs", F.expr(shingle_hashes))
+               .select("doc_id", "hs", *[
+                   F.expr(f"array_min(transform(hs, h -> h ^ CAST({s} AS BIGINT)))")
+                    .alias(f"h{j}")
+                   for j, s in enumerate(_MH_SEEDS)])).cache()
+    band_exprs = ", ".join(f"{b}, h{2*b}, h{2*b+1}" for b in range(_N_BANDS))
+    bands = sig.selectExpr(
+        "doc_id", f"stack({_N_BANDS}, {band_exprs}) AS (band_id, bx, by)")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.bx") == F.col("b.bx"))
+                   & (F.col("a.by") == F.col("b.by"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct()).cache()
+    cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
+                 .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    sh = (sig.join(cand_docs, "doc_id", "left_semi")
+             .select("doc_id",
+                     F.explode(F.expr("array_distinct(hs)")).alias("s")))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha, shb = sh.alias("sa0"), sh.alias("sb0")
+    inter = (cand.join(sha, F.col("doc_a") == F.col("sa0.doc_id"))
+                 .join(shb, (F.col("doc_b") == F.col("sb0.doc_id"))
+                       & (F.col("sa0.s") == F.col("sb0.s")))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count(F.lit(1)).alias("i")))
+    siga = sig.select("doc_id", *[F.col(f"h{j}").alias(f"ha{j}")
+                                  for j in range(_N_HASHES)])
+    sigb = sig.select("doc_id", *[F.col(f"h{j}").alias(f"hb{j}")
+                                  for j in range(_N_HASHES)])
+    est_match = sum(
+        (F.col(f"ha{j}") == F.col(f"hb{j}")).cast("long")
+        for j in range(_N_HASHES))
+    za = sizes.select(F.col("doc_id").alias("za_id"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("zb_id"), F.col("n").alias("nb"))
+    ii = F.coalesce(F.col("i"), F.lit(0))
+    jac = ii.cast("double") / (F.col("na") + F.col("nb") - ii)
+    est_j = est_match.cast("double") / float(_N_HASHES)
+    out = (cand.join(siga, cand["doc_a"] == siga["doc_id"])
+               .join(sigb, cand["doc_b"] == sigb["doc_id"])
+               .join(za, cand["doc_a"] == F.col("za_id"))
+               .join(zb, cand["doc_b"] == F.col("zb_id"))
+               .join(inter, ["doc_a", "doc_b"], "left")
+               .select("doc_a", "doc_b",
+                       est_match.cast("long").alias("est_match"),
+                       quantize(jac, 4).alias("jaccard_exact"),
+                       quantize(F.abs(est_j - jac), 4).alias("abs_err")))
+    return pin_result(out, sig, cand)
