@@ -27,55 +27,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate verifies a 50-query budget per round in
-# registration order. Round-5 rotation policy (deterministic, bounded
+# registration order. Round-6 rotation policy (deterministic, bounded
 # staleness): (1) queries with no CORRECTNESS row in any round, (2)
 # queries whose implementation changed this round, (3) queries whose
 # latest row is oldest (r1, then r2 in stable order). Entries past the
 # 50-budget roll to the head of the next round's list; everything stays
 # covered every run by tests/test_oracle_parity.py at sf0.001/sf0.01.
 _CHECK_FIRST = [
-    # (1) never driver-checked, r4-verdict-flagged stragglers FIRST
-    # (their driver row is 2 rounds overdue), then the round-5
-    # additions in build order; anything past the 50-row budget rolls
-    # to the r6 head and stays covered by the local parity sweep
-    "frequent_part_pairs", "hopping_window_counts",
-    "rolling_median_user_value", "linear_interpolation_fill",
-    "weighted_doc_sample", "simpson_diversity_users",
-    "bfs_min_hops", "mannwhitney_value_shift", "cdc_apply_tombstones",
-    "kcore_parts", "ols_daily_revenue_trend", "stream_static_enrich_replay",
-    "cumulative_new_users_daily", "rolling_7d_active_users",
-    "bpe_encode_docs", "incremental_join_view_refresh", "ks_value_distance", "stream_late_drop_replay",
-    "stream_checkpoint_restart_replay", "weighted_median_price_per_priority",
-    "stream_stream_outer_join_replay", "exact_percentile_grid", "matryoshka_prefix_recall",
-    "spearman_spend_activity", "hll_set_ops_orders",
-    "cusum_changepoint_daily", "event_trigram_patterns", "k_anonymity_audit",
-    "referential_integrity_audit", "gini_spend_inequality",
-    "walk_counts_3hop", "token_budget_apportionment", "max_drawdown_daily",
-    "hll_md5_distinct_orders", "ddsketch_price_quantiles",
-    "bloom_prefilter_join", "record_linkage_scores",
-    "duplicate_span_fraction", "user_event_sequences",
-    "training_mix_interleave", "stream_dedup_watermark_replay",
-    "bucketed_colocated_join", "dpp_partition_pruned_join",
-    "bpe_learn_merges", "incremental_hll_refresh", "ann_recall_eval",
-    "range_bucketed_prune", "skew_salted_join", "triangle_count_cosupply",
-    "incremental_sort_view_refresh", "benford_first_digit",
-    # (2) changed in round 5: new count-min/k-means oracles,
-    # sketch self-checks, pin_result cache lifecycle in the
-    # similarity/mining bodies, and every engine-path query that
-    # exercises the (now key-sorted) CAS write / branch layer
-    "countmin_heavy_hitters", "kmeans_embedding_clusters",
-    "approx_distinct_users_hll", "approx_price_quantiles",
-    "ppjoin_jaccard_pairs", "pagerank_customer_supplier",
-    "chisq_keywords_per_source", "ngram_jaccard_pairs",
-    "simhash_near_dup_pairs", "minhash_lsh_candidates", "token_pmi_pairs",
-    "tfidf_top_terms", "q15_top_supplier", "branch_merge_replay",
-    "memo_sorted_spend_view", "incremental_rollup_refresh",
-    "incremental_map_view_refresh", "catalog_table_diff",
-    "stream_replay_upsert", "stream_windowed_counts_replay",
-    "stream_running_totals_replay", "stream_session_windows_replay",
-    "stream_stream_join_replay",
-    # (3) oldest driver rows first (r1 pair, then the r2 cohort
-    # in stable order; r3 rows roll to the r6 head)
+    # (1) never driver-checked or oracle/impl changed this round:
+    # the 3 verdict-flagged pending rows FIRST, then the two sketch
+    # queries (now deterministic verdict relations), then the round-6
+    # additions (MERGE INTO, adaptive buckets, corpus stats, RFM, ACF,
+    # conversion latency) in build order
+    "benford_first_digit", "countmin_heavy_hitters",
+    "kmeans_embedding_clusters", "approx_distinct_users_hll",
+    "approx_price_quantiles", "sql_merge_into_upsert",
+    "adaptive_bucket_split_refresh", "token_entropy_per_source",
+    "zipf_token_rank_fit", "minhash_estimate_error", "rfm_customer_segments",
+    "autocorrelation_daily_revenue", "conversion_time_percentiles",
+    # (2) implementation paths changed in round 6: empty-output
+    # memoization (join/map views), selective view registration +
+    # MV dependency scan + GC leases (engine-path queries), RocksDB
+    # state store for the replay family (representatives covering each
+    # stateful shape; the rest of the family follows by rotation)
+    "incremental_join_view_refresh", "incremental_map_view_refresh",
+    "memo_sorted_spend_view", "branch_merge_replay", "catalog_table_diff",
+    "stream_replay_upsert", "stream_stream_join_replay",
+    "stream_stream_outer_join_replay", "stream_checkpoint_restart_replay",
+    "stream_dedup_watermark_replay", "stream_session_windows_replay",
+    # (3) oldest driver rows first (r1 pair, then r2/r3/r4/r5 cohorts
+    # in stable order) — entries past the 50-row budget roll to the r7
+    # head and stay covered by the local parity sweep every session
     "date_funcs_monthly_revenue", "multimodal_frame_sample",
     "anti_join_quiet_customers", "benchmark_contamination",
     "core_merge_fold_sum", "core_merge_upsert", "core_range_filter",
@@ -85,45 +67,73 @@ _CHECK_FIRST = [
     "events_gap_fill_hourly", "events_hourly_stats", "events_json_props",
     "events_retention_cohorts", "events_top_event_per_user",
     "grouping_sets_revenue", "ivf_topk_search", "lang_id_stopwords",
-    "lsh_bucket_cosine_topk", "percentiles_by_segment", "pii_redaction_stats",
+    "lsh_bucket_cosine_topk", "minhash_lsh_candidates",
+    "ngram_jaccard_pairs", "percentiles_by_segment", "pii_redaction_stats",
     "pivot_user_event_matrix", "q10_returned_items", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "rollup_lineitem_status", "scalar_subquery_above_avg",
-    "semi_join_active_parts", "set_ops_repeat_customers",
-    "stratified_sample_per_lang", "string_funcs_part_brands", "text_quality",
-    "token_stats_by_lang", "topk_orders_per_segment", "unpivot_part_attrs",
-    "window_running_spend", "bpe_tokens_regex", "corpus_prep_near_dedup",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "rollup_lineitem_status",
+    "scalar_subquery_above_avg", "semi_join_active_parts",
+    "set_ops_repeat_customers", "stratified_sample_per_lang",
+    "string_funcs_part_brands", "text_quality", "token_stats_by_lang",
+    "topk_orders_per_segment", "unpivot_part_attrs", "window_running_spend",
+    "bpe_tokens_regex", "corpus_prep_near_dedup",
     "daily_activity_full_outer", "dedup_cluster_components",
     "distinct_doc_sources", "doc_chunking_windows",
     "embedding_bucket_near_dup", "embedding_rp_simhash",
     "events_funnel_view_purchase", "events_sessionization",
     "heavy_hitter_bigrams", "inverted_index_postings",
     "mixture_sample_by_source", "multimodal_metadata",
-    "multimodal_real_decode", "q11_important_parts", "q12_priority_class_agg",
-    "q13_order_count_distribution", "q14_promo_revenue_ratio",
+    "multimodal_real_decode", "q11_important_parts",
+    "q12_priority_class_agg", "q13_order_count_distribution",
+    "q14_promo_revenue_ratio", "q15_top_supplier",
     "q16_supplier_part_counts", "q17_small_quantity_revenue",
     "q18_large_order_customers", "q19_disjunctive_predicates",
     "q20_excess_quantity_suppliers", "q21_waiting_suppliers",
     "q22_idle_rich_customers", "q2_cheapest_supplier_per_part",
     "q4_order_priority_check", "q7_nation_trade_volume", "q8_market_share",
-    "q9_product_profit", "range_join_purchase_window", "rank_functions_suite",
-    "repetition_ngram_stats", "rolling_hash_fingerprint",
-    "salted_agg_event_stats", "scd2_user_value_history",
-    "sequence_packing_offsets", "sorted_neighborhood_pairs",
+    "q9_product_profit", "range_join_purchase_window",
+    "rank_functions_suite", "repetition_ngram_stats",
+    "rolling_hash_fingerprint", "salted_agg_event_stats",
+    "scd2_user_value_history", "sequence_packing_offsets",
+    "simhash_near_dup_pairs", "sorted_neighborhood_pairs", "tfidf_top_terms",
     "trailing_week_revenue", "training_corpus_prep", "twap_user_daily",
-    "udtf_split_sentences", "zscore_event_values", "active_sessions_per_hour",
-    "asof_join_purchase_view", "asof_tolerance_join", "bigram_lm_condprob",
-    "bm25_doc_scores", "boilerplate_bigram_docfreq",
-    "cdf_doc_length_per_source", "char_class_profile", "data_quality_audit",
+    "udtf_split_sentences", "zscore_event_values",
+    "active_sessions_per_hour", "asof_join_purchase_view",
+    "asof_tolerance_join", "bigram_lm_condprob", "bm25_doc_scores",
+    "boilerplate_bigram_docfreq", "cdf_doc_length_per_source",
+    "char_class_profile", "chisq_keywords_per_source", "data_quality_audit",
     "dataset_fold_split", "debounce_event_dedup", "embedding_quantize_int8",
     "event_transition_matrix", "ewma_user_spend", "exact_median_per_segment",
     "exact_median_twopass", "fuzzy_name_pairs", "global_rank_by_length",
-    "join_skew_profile", "length_percentile_gate", "lsh_candidates_verified",
+    "incremental_rollup_refresh", "join_skew_profile",
+    "length_percentile_gate", "lsh_candidates_verified",
     "mad_outlier_events", "merge_schema_evolution", "nearest_event_join",
-    "order_total_histogram", "paragraph_dedup_stats",
-    "perplexity_filter_bigram", "pq_topk_search", "rollup_cascade_daily",
+    "order_total_histogram", "pagerank_customer_supplier",
+    "paragraph_dedup_stats", "perplexity_filter_bigram",
+    "ppjoin_jaccard_pairs", "pq_topk_search", "rollup_cascade_daily",
     "semantic_dedup_survivors", "sequence_pattern_match",
-    "table_stats_profile", "weekly_revenue_wow", "zorder_locality_buckets",
+    "stream_running_totals_replay", "stream_windowed_counts_replay",
+    "table_stats_profile", "token_pmi_pairs", "weekly_revenue_wow",
+    "zorder_locality_buckets", "ann_recall_eval", "bfs_min_hops",
+    "bloom_prefilter_join", "bpe_encode_docs", "bpe_learn_merges",
+    "bucketed_colocated_join", "cdc_apply_tombstones",
+    "cumulative_new_users_daily", "cusum_changepoint_daily",
+    "ddsketch_price_quantiles", "dpp_partition_pruned_join",
+    "duplicate_span_fraction", "event_trigram_patterns",
+    "exact_percentile_grid", "frequent_part_pairs", "gini_spend_inequality",
+    "hll_md5_distinct_orders", "hll_set_ops_orders", "hopping_window_counts",
+    "incremental_hll_refresh", "incremental_sort_view_refresh",
+    "k_anonymity_audit", "kcore_parts", "ks_value_distance",
+    "linear_interpolation_fill", "mannwhitney_value_shift",
+    "matryoshka_prefix_recall", "max_drawdown_daily",
+    "ols_daily_revenue_trend", "range_bucketed_prune",
+    "record_linkage_scores", "referential_integrity_audit",
+    "rolling_7d_active_users", "rolling_median_user_value",
+    "simpson_diversity_users", "skew_salted_join", "spearman_spend_activity",
+    "stream_late_drop_replay", "stream_static_enrich_replay",
+    "token_budget_apportionment", "training_mix_interleave",
+    "triangle_count_cosupply", "user_event_sequences", "walk_counts_3hop",
+    "weighted_doc_sample", "weighted_median_price_per_priority",
 ]
 
 
