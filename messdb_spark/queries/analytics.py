@@ -522,3 +522,68 @@ def autocorrelation_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     return (pairs.select(F.col("k").cast("long").alias("k"),
                          F.col("n_pairs").cast("long").alias("n_pairs"),
                          quantize(acf, 6).alias("acf")))
+
+
+@query(
+    "cohort_ltv_curves",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                  AS BIGINT) AS ym,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    cohort AS (
+      SELECT o_custkey, min(ym) AS cohort_ym FROM o2 GROUP BY o_custkey
+    ),
+    sized AS (
+      SELECT cohort_ym, count(*) AS cohort_size
+      FROM cohort GROUP BY cohort_ym
+    ),
+    monthly AS (
+      SELECT c.cohort_ym, o2.ym - c.cohort_ym AS months_since,
+             count(*) AS n_orders, CAST(sum(o2.cents) AS BIGINT) AS cents
+      FROM o2 JOIN cohort c ON o2.o_custkey = c.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT m.cohort_ym, s.cohort_size, m.months_since, m.n_orders,
+           m.cents,
+           CAST(sum(m.cents) OVER (PARTITION BY m.cohort_ym
+                                   ORDER BY m.months_since) AS BIGINT)
+             AS cum_cents
+    FROM monthly m JOIN sized s ON s.cohort_ym = m.cohort_ym
+    WHERE m.months_since <= 12
+    """)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by first-order
+    month, revenue accumulated by months-since-acquisition (first 12
+    months) — the retention/LTV analysis every growth team runs.
+    Months are integer year*12+month arithmetic (no months_between
+    floats), money is exact integer cents, the cumulative curve is a
+    running integer sum — hash-exact across engines.
+
+    Scale: one groupBy(custkey) cohort pass, one cohort join (the
+    cohort relation is customer-cardinality and broadcastable), one
+    (cohort, month) aggregate — output is cohorts × 13 rows."""
+    (o,) = load(spark, sf_dir, "orders")
+    o2 = o.select("o_custkey",
+                  (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+                  .cast("long").alias("ym"),
+                  F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                   .cast("long").alias("cents"))
+    cohort = o2.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    sized = (cohort.groupBy("cohort_ym")
+                   .agg(F.count(F.lit(1)).alias("cohort_size")))
+    monthly = (o2.join(cohort, "o_custkey")
+                 .groupBy("cohort_ym",
+                          (F.col("ym") - F.col("cohort_ym"))
+                          .alias("months_since"))
+                 .agg(F.count(F.lit(1)).alias("n_orders"),
+                      F.sum("cents").alias("cents")))
+    w = W.partitionBy("cohort_ym").orderBy("months_since")
+    return (monthly.join(F.broadcast(sized), "cohort_ym")
+                   .withColumn("cum_cents", F.sum("cents").over(w))
+                   .filter(F.col("months_since") <= 12)
+                   .select("cohort_ym", "cohort_size", "months_since",
+                           "n_orders", "cents", "cum_cents"))

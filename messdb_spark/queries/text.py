@@ -855,3 +855,124 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                        quantize(jac, 4).alias("jaccard_exact"),
                        quantize(F.abs(est_j - jac), 4).alias("abs_err")))
     return pin_result(out, sig, cand)
+
+
+_RAKE_TOP = 20
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "keyword_extraction_rake",
+    oracle=f"""
+    WITH tl AS (
+      SELECT doc_id, {_TOKENS_DUCK} AS t
+      FROM documents WHERE length(text) > 0
+    ),
+    tok AS (
+      SELECT doc_id, lower(t[j]) AS tok, j AS pos
+      FROM tl, unnest(range(1, len(t) + 1)) AS r(j)
+    ),
+    marked AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN tok IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END AS st
+      FROM tok
+    ),
+    runs0 AS (
+      -- window BEFORE the stopword filter (WHERE evaluates before
+      -- window functions, which would zero every phrase boundary)
+      SELECT doc_id, tok, pos, st,
+             sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+      FROM marked
+    ),
+    runs AS (
+      SELECT doc_id, tok, pos, phrase_id FROM runs0 WHERE st = 0
+    ),
+    phrases AS (
+      SELECT doc_id, phrase_id,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             count(*) AS plen
+      FROM runs GROUP BY doc_id, phrase_id
+    ),
+    wordstats AS (
+      SELECT r.tok, count(*) AS freq,
+             CAST(sum(p.plen) AS BIGINT) AS deg
+      FROM runs r JOIN phrases p
+        ON p.doc_id = r.doc_id AND p.phrase_id = r.phrase_id
+      GROUP BY r.tok
+    ),
+    wordscore AS (
+      SELECT tok, CAST(deg * 1000000 // freq AS BIGINT) AS uscore
+      FROM wordstats
+    ),
+    phrase_scores AS (
+      SELECT p.phrase, count(*) AS n_occurrences,
+             CAST(min(ps.s) AS BIGINT) AS score_micro
+      FROM phrases p JOIN (
+        SELECT r.doc_id, r.phrase_id, CAST(sum(w.uscore) AS BIGINT) AS s
+        FROM runs r JOIN wordscore w ON w.tok = r.tok
+        GROUP BY r.doc_id, r.phrase_id
+      ) ps ON ps.doc_id = p.doc_id AND ps.phrase_id = p.phrase_id
+      GROUP BY p.phrase
+    )
+    SELECT phrase, n_occurrences, score_micro, rk FROM (
+      SELECT phrase, n_occurrences, score_micro,
+             row_number() OVER (ORDER BY score_micro DESC, phrase) AS rk
+      FROM phrase_scores) t
+    WHERE rk <= {_RAKE_TOP}
+    """)
+def keyword_extraction_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs; each word
+    scores degree/frequency (degree = total length of phrases it
+    appears in), a phrase scores the sum of its word scores; top-20
+    phrases by score. The corpus-level keyword surfacing step of a
+    topic/quality audit pipeline.
+
+    FP parity: word scores are EXACT integer micro-units
+    (deg·1e6 div freq — integer division on both engines), so phrase
+    sums are exact integers; ranks break ties lexicographically.
+
+    Scale: phrase segmentation is a per-doc window (doc-length
+    bounded); word stats are vocab-bounded aggregations; phrase
+    re-scoring joins the vocab-bounded score table back to runs —
+    nothing corpus-quadratic anywhere."""
+    (d,) = load(spark, sf_dir, "documents")
+    tok = (d.filter(F.length("text") > 0)
+            .select("doc_id", F.posexplode(F.expr(_TOKENS))
+                    .alias("pos0", "tok0"))
+            .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                    F.lower("tok0").alias("tok")))
+    st = F.when(F.col("tok").isin(*_STOPWORDS), 1).otherwise(0)
+    marked = tok.withColumn("st", st)
+    runs = (marked.withColumn(
+                "phrase_id",
+                F.sum("st").over(W.partitionBy("doc_id").orderBy("pos")))
+                  .filter(F.col("st") == 0)
+                  .select("doc_id", "tok", "pos", "phrase_id")).cache()
+    phrases = (runs.groupBy("doc_id", "phrase_id")
+               .agg(F.expr(
+                    "concat_ws(' ', transform(array_sort("
+                    "collect_list(struct(pos, tok)),"
+                    " (x, y) -> CASE WHEN x.pos < y.pos THEN -1"
+                    " WHEN x.pos > y.pos THEN 1 ELSE 0 END),"
+                    " e -> e.tok))").alias("phrase"),
+                    F.count(F.lit(1)).alias("plen")))
+    wordstats = (runs.join(phrases, ["doc_id", "phrase_id"])
+                     .groupBy("tok")
+                     .agg(F.count(F.lit(1)).alias("freq"),
+                          F.sum("plen").alias("deg")))
+    wordscore = wordstats.select(
+        "tok", F.expr("deg * 1000000 div freq").alias("uscore"))
+    run_scores = (runs.join(F.broadcast(wordscore), "tok")
+                      .groupBy("doc_id", "phrase_id")
+                      .agg(F.sum("uscore").alias("s")))
+    phrase_scores = (phrases.join(run_scores, ["doc_id", "phrase_id"])
+                     .groupBy("phrase")
+                     .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                          F.min("s").alias("score_micro")))
+    w = W.orderBy(F.desc("score_micro"), F.col("phrase"))
+    out = (phrase_scores.withColumn("rk", F.row_number().over(w))
+                        .filter(F.col("rk") <= _RAKE_TOP)
+                        .select("phrase", "n_occurrences",
+                                "score_micro", "rk"))
+    return pin_result(out, runs)
