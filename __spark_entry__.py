@@ -45,6 +45,7 @@ _CHECK_FIRST = [
     "adaptive_bucket_split_refresh", "token_entropy_per_source",
     "zipf_token_rank_fit", "minhash_estimate_error", "rfm_customer_segments",
     "autocorrelation_daily_revenue", "conversion_time_percentiles",
+    "keyword_extraction_rake", "cohort_ltv_curves",
     # (2) implementation paths changed in round 6: empty-output
     # memoization (join/map views), selective view registration +
     # MV dependency scan + GC leases (engine-path queries), RocksDB
