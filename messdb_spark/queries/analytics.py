@@ -587,3 +587,59 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .filter(F.col("months_since") <= 12)
                    .select("cohort_ym", "cohort_size", "months_since",
                            "n_orders", "cents", "cum_cents"))
+
+
+@query(
+    "trimmed_mean_order_values",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS pri,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    n AS (SELECT pri, count(*) AS n_rows FROM c GROUP BY pri),
+    ranked AS (
+      SELECT pri, cents,
+             row_number() OVER (PARTITION BY pri ORDER BY cents) AS rn
+      FROM c
+    )
+    SELECT r.pri AS o_orderpriority,
+           CAST(n.n_rows AS BIGINT) AS n_rows,
+           count(*) AS n_kept,
+           CAST(sum(r.cents) AS BIGINT) AS kept_cents,
+           floor((CAST(sum(r.cents) AS DOUBLE) / count(*))
+                 * CAST(100.0 AS DOUBLE) + 0.5)
+             / CAST(100.0 AS DOUBLE) AS trimmed_mean_cents
+    FROM ranked r JOIN n ON n.pri = r.pri
+    WHERE r.rn > n.n_rows * 5 // 100
+      AND r.rn <= n.n_rows - n.n_rows * 5 // 100
+    GROUP BY r.pri, n.n_rows
+    """)
+def trimmed_mean_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of order values per priority — the robust
+    central-tendency statistic (outlier-resistant, unlike avg; less
+    lossy than median). EXACT: integer-cents rank windows drop the
+    bottom/top n·5 div 100 order statistics, the kept sum is exact
+    integer, one final double division (quantized to cents).
+
+    Scale: per-group rank is the two-pass histogram shape at 100 TB
+    (``exact_percentile_grid``); here groups are few and the window
+    shuffles once on the group key."""
+    (o,) = load(spark, sf_dir, "orders")
+    c = o.select(F.col("o_orderpriority").alias("pri"),
+                 F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                  .cast("long").alias("cents"))
+    n = c.groupBy("pri").agg(F.count(F.lit(1)).alias("n_rows"))
+    ranked = c.withColumn(
+        "rn", F.row_number().over(W.partitionBy("pri").orderBy("cents")))
+    lo = F.expr("n_rows * 5 div 100")
+    kept = (ranked.join(F.broadcast(n), "pri")
+                  .filter((F.col("rn") > lo)
+                          & (F.col("rn") <= F.col("n_rows") - lo)))
+    return (kept.groupBy(F.col("pri").alias("o_orderpriority"), "n_rows")
+                .agg(F.count(F.lit(1)).alias("n_kept"),
+                     F.sum("cents").alias("kept_cents"))
+                .select("o_orderpriority", "n_rows", "n_kept", "kept_cents",
+                        quantize(F.col("kept_cents").cast("double")
+                                 / F.col("n_kept"), 2)
+                         .alias("trimmed_mean_cents")))

@@ -976,3 +976,72 @@ def keyword_extraction_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .select("phrase", "n_occurrences",
                                 "score_micro", "rk"))
     return pin_result(out, runs)
+
+
+@query(
+    "ngram_novelty_scores",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, length(text) - {_SHINGLE_K - 2}),
+                 i -> CAST(concat('0x', substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15)) AS BIGINT))) AS s
+        FROM documents WHERE length(text) >= {_SHINGLE_K})
+    ),
+    first_seen AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+    per_doc AS (
+      SELECT sh.doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM sh JOIN first_seen f ON f.s = sh.s
+      GROUP BY sh.doc_id
+    )
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(p.n_shingles) AS BIGINT) AS shingles,
+           CAST(sum(p.n_novel) AS BIGINT) AS novel,
+           floor((CAST(sum(p.n_novel) AS DOUBLE)
+                  / CAST(sum(p.n_shingles) AS DOUBLE))
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS novelty,
+           CAST(sum(CASE WHEN p.n_novel * 10 < p.n_shingles * 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stale_docs
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """)
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental novelty audit: for each document (in doc_id arrival
+    order), the fraction of its distinct 8-gram hashes never seen in
+    any earlier document — the dedup-rate-over-time curve a crawl
+    pipeline watches to decide when a source is exhausted. Documents
+    under 20% novelty count as stale (integer cross-multiplied gate,
+    no float compare); rolled up per source.
+
+    Scale: one distinct-shingle pass, one min-doc aggregation keyed by
+    the 60-bit shingle hash (8-byte shuffle, text never moves), one
+    join back — all linear; 'first occurrence wins' is exactly the
+    arrival-ordered semantics of a streaming dedup ledger."""
+    (d,) = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    hashed = (f"array_distinct(transform(sequence(1, length(text) - {_SHINGLE_K - 1}),"
+              f" i -> CAST(conv(substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15), 16, 10) AS BIGINT)))")
+    sh = (d.filter(F.length("text") >= _SHINGLE_K).repartition(par)
+           .select("doc_id", F.explode(F.expr(hashed)).alias("s"))).cache()
+    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (sh.join(first_seen, "s")
+                 .groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("n_shingles"),
+                      F.sum((F.col("first_doc") == F.col("doc_id"))
+                            .cast("long")).alias("n_novel")))
+    out = (per_doc.join(d.select("doc_id", "source"), "doc_id")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_shingles").alias("shingles"),
+                F.sum("n_novel").alias("novel"),
+                F.sum((F.col("n_novel") * 10 < F.col("n_shingles") * 2)
+                      .cast("long")).alias("n_stale_docs"))
+           .select("source", "n_docs", "shingles", "novel",
+                   quantize(F.col("novel").cast("double")
+                            / F.col("shingles").cast("double"), 4)
+                    .alias("novelty"),
+                   "n_stale_docs"))
+    return pin_result(out, sh)
