@@ -944,3 +944,172 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 matryoshka_prefix_recall.__doc__ = matryoshka_prefix_recall.__doc__.format(
     k=_TOP_K, d=_MATRYOSHKA_DIMS)
+
+
+# ---- MMR diversified retrieval ---------------------------------------
+
+_MMR_K = 5        # picks per query
+_MMR_NQ = 5       # query vectors (vec_id < _MMR_NQ)
+_MMR_CAND = 10    # relevance candidates fed to the MMR loop
+_MMR_LAM = 0.7    # relevance weight; 1-lam penalizes redundancy
+
+
+def _mmr_oracle() -> str:
+    dot = ("list_aggregate(list_transform(range(1, len({a}) + 1), "
+           "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')")
+    parts = [f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+               AS nrm
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {dot.format(a="q.embedding", b="c.embedding")}
+               / (q.nrm * c.nrm) AS sim
+      FROM n q JOIN n c ON q.vec_id < {_MMR_NQ} AND c.vec_id != q.vec_id
+    ),
+    cand AS (
+      SELECT query_id, cand_id, sim FROM (
+        SELECT query_id, cand_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, cand_id) AS rk
+        FROM sims) t
+      WHERE rk <= {_MMR_CAND}
+    ),
+    pair AS (
+      SELECT ca.query_id, ca.cand_id AS a, cb.cand_id AS b,
+             {dot.format(a="x.embedding", b="y.embedding")}
+               / (x.nrm * y.nrm) AS psim
+      FROM cand ca JOIN cand cb ON ca.query_id = cb.query_id
+                                AND ca.cand_id != cb.cand_id
+      JOIN n x ON x.vec_id = ca.cand_id
+      JOIN n y ON y.vec_id = cb.cand_id
+    ),
+    s1 AS (
+      SELECT query_id, cand_id, sim,
+             {_MMR_LAM} * sim - {1 - _MMR_LAM:.1f} * 0.0 AS score,
+             1 AS pick_rank
+      FROM (SELECT query_id, cand_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_MMR_LAM} * sim DESC, cand_id) AS rrk
+            FROM cand) t WHERE rrk = 1
+    )"""]
+    for s in range(2, _MMR_K + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT query_id, cand_id FROM s{j}" for j in range(1, s))
+        parts.append(f""",
+    pen{s} AS (
+      SELECT c.query_id, c.cand_id, c.sim, max(p.psim) AS pen
+      FROM cand c
+      LEFT JOIN ({sel}) sl
+        ON sl.query_id = c.query_id AND sl.cand_id = c.cand_id
+      JOIN pair p ON p.query_id = c.query_id AND p.a = c.cand_id
+      JOIN ({sel}) se ON se.query_id = p.query_id AND se.cand_id = p.b
+      WHERE sl.cand_id IS NULL
+      GROUP BY c.query_id, c.cand_id, c.sim
+    ),
+    s{s} AS (
+      SELECT query_id, cand_id, sim,
+             {_MMR_LAM} * sim - {1 - _MMR_LAM:.1f} * pen AS score,
+             {s} AS pick_rank
+      FROM (SELECT query_id, cand_id, sim, pen,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_MMR_LAM} * sim - {1 - _MMR_LAM:.1f} * pen
+                                DESC, cand_id) AS rrk
+            FROM pen{s}) t WHERE rrk = 1
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT query_id, cand_id, CAST(pick_rank AS BIGINT) AS pick_rank, "
+        f"floor(score * CAST(1000000.0 AS DOUBLE) + 0.5) "
+        f"/ CAST(1000000.0 AS DOUBLE) AS score FROM s{j}"
+        for j in range(1, _MMR_K + 1))
+    return "".join(parts) + "\n    " + union
+
+
+@query("mmr_diverse_topk", oracle=_mmr_oracle())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-k: from each query's 10 nearest neighbors, pick 5
+    greedily maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the
+    diversity-aware retrieval/sampling step that keeps a training
+    batch or RAG context from filling with near-duplicates of one
+    result. The greedy loop is UNROLLED (k fixed) into per-step
+    anti-join → penalty-max → argmax stages on both engines; sims are
+    in-order-fold doubles (bit-identical cross-engine, the
+    ``cosine_topk_bruteforce`` discipline), ties break on cand_id.
+
+    Scale: candidate generation is the ANN path (here brute-force over
+    broadcast queries); the MMR loop itself touches only q×10
+    candidate rows and their 10×10 pair sims — driver-scale data,
+    distributed plan, no collect."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    n = emb.withColumn("nrm", _norm_col("embedding"))
+    q = (n.filter(F.col("vec_id") < _MMR_NQ)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_emb"),
+                  F.col("nrm").alias("q_nrm")))
+    c = n.select(F.col("vec_id").alias("cand_id"),
+                 F.col("embedding").alias("c_emb"),
+                 F.col("nrm").alias("c_nrm"))
+    sims = (c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+             .select("query_id", "cand_id",
+                     (F.expr(_DOT.format(a="q_emb", b="c_emb"))
+                      / (F.col("q_nrm") * F.col("c_nrm"))).alias("sim")))
+    wq = W.partitionBy("query_id").orderBy(F.desc("sim"), F.col("cand_id"))
+    cand = (sims.withColumn("rk", F.row_number().over(wq))
+                .filter(F.col("rk") <= _MMR_CAND)
+                .select("query_id", "cand_id", "sim")
+                .localCheckpoint(eager=True))
+    pair = (cand.alias("ca")
+            .join(cand.alias("cb"),
+                  (F.col("ca.query_id") == F.col("cb.query_id"))
+                  & (F.col("ca.cand_id") != F.col("cb.cand_id")))
+            .join(n.alias("x"), F.col("ca.cand_id") == F.col("x.vec_id"))
+            .join(n.alias("y"), F.col("cb.cand_id") == F.col("y.vec_id"))
+            .select(F.col("ca.query_id").alias("query_id"),
+                    F.col("ca.cand_id").alias("a"),
+                    F.col("cb.cand_id").alias("b"),
+                    (F.expr(_DOT.format(a="x.embedding", b="y.embedding"))
+                     / (F.col("x.nrm") * F.col("y.nrm"))).alias("psim"))
+            .localCheckpoint(eager=True))
+    lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 1)
+    w1 = W.partitionBy("query_id").orderBy(
+        F.desc(F.lit(lam) * F.col("sim")), F.col("cand_id"))
+    sel = (cand.withColumn("rrk", F.row_number().over(w1))
+               .filter(F.col("rrk") == 1)
+               .select("query_id", "cand_id", "sim",
+                       (F.lit(lam) * F.col("sim")
+                        - F.lit(mu) * F.lit(0.0)).alias("score"),
+                       F.lit(1).alias("pick_rank")))
+    for s in range(2, _MMR_K + 1):
+        chosen = sel.select("query_id", "cand_id")
+        rem = cand.join(chosen, ["query_id", "cand_id"], "left_anti")
+        se = chosen.select(F.col("query_id").alias("sq"),
+                           F.col("cand_id").alias("sb"))
+        pen = (rem.join(pair, (rem["query_id"] == pair["query_id"])
+                        & (rem["cand_id"] == pair["a"]))
+                  .join(se, (pair["query_id"] == F.col("sq"))
+                        & (pair["b"] == F.col("sb")))
+                  .groupBy(rem["query_id"].alias("query_id"),
+                           rem["cand_id"].alias("cand_id"),
+                           rem["sim"].alias("sim"))
+                  .agg(F.max("psim").alias("pen")))
+        score = F.lit(lam) * F.col("sim") - F.lit(mu) * F.col("pen")
+        ws = W.partitionBy("query_id").orderBy(F.desc(score),
+                                               F.col("cand_id"))
+        # localCheckpoint: later iterations join `pair` against frames
+        # derived from this pick — pin it (≤ n_queries rows) so Spark
+        # doesn't see a self-join on the pair lineage
+        pick = (pen.withColumn("rrk", F.row_number().over(ws))
+                   .filter(F.col("rrk") == 1)
+                   .select("query_id", "cand_id", "sim",
+                           score.alias("score"),
+                           F.lit(s).alias("pick_rank"))
+                   .localCheckpoint(eager=True))
+        sel = sel.unionByName(pick)
+    return sel.select("query_id", "cand_id",
+                      F.col("pick_rank").cast("long").alias("pick_rank"),
+                      quantize(F.col("score"), 6).alias("score"))

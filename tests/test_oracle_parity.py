@@ -65,19 +65,14 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 
 def test_approx_sketches_within_bounds(spark, sf_dir):
-    """Rows-only sketch queries verified against exact answers within
-    documented error bounds (the checkable property of an approx op)."""
+    """The sketch queries emit deterministic verdict relations (r6):
+    every row's ``within_bounds`` must be TRUE — an out-of-bounds
+    estimate flips the boolean (and would fail the driver hash)."""
     from messdb_spark.queries import QUERIES
-    approx = {r["event_type"]: (r["approx_users"], r["approx_events"])
-              for r in QUERIES["approx_distinct_users_hll"].fn(spark, sf_dir).collect()}
-    from messdb_spark.session import read_table
-    import pyspark.sql.functions as F
-    e = read_table(spark, sf_dir, "events")
-    exact = {r["event_type"]: (r["u"], r["n"])
-             for r in e.groupBy("event_type")
-                       .agg(F.countDistinct("user_id").alias("u"),
-                            F.countDistinct("event_id").alias("n")).collect()}
-    for et, (au, an) in approx.items():
-        eu, en = exact[et]
-        assert abs(au - eu) <= max(3, 0.1 * eu)
-        assert abs(an - en) <= max(3, 0.1 * en)
+
+    hll = QUERIES["approx_distinct_users_hll"].fn(spark, sf_dir).collect()
+    assert hll and all(r["within_bounds"] for r in hll)
+    apq = QUERIES["approx_price_quantiles"].fn(spark, sf_dir).collect()
+    assert apq and all(r["within_bounds"] for r in apq)
+    for r in apq:
+        assert r["lo_cents"] <= r["hi_cents"]
