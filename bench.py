@@ -108,28 +108,33 @@ def _bench_incremental_at(spark, data_dir: str, suffix: str,
     try:
         store = ObjectStore(wh)
         memo = MemoStore(wh)
-        orders = read_table(spark, data_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        # lineitem: the largest table, so the full write/build legs are
+        # data-dominated (the point of the two-SF comparison) while the
+        # 16-key legs stay bounded by touched buckets
+        li = read_table(spark, data_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+            "l_extendedprice")
         t0 = time.perf_counter()
-        ref = write_bucketed(store, KeyedTable(orders, ("o_orderkey",)),
-                             n_buckets=64)
+        ref = write_bucketed(store, KeyedTable(
+            li, ("l_orderkey", "l_linenumber")), n_buckets=64)
         timings[f"bucketed_full_write{suffix}"] = \
             round(time.perf_counter() - t0, 3)
 
         aggs = {"n": ("sum", F.count(F.lit(1)).alias("n")),
                 "rev_cents": ("sum",
-                              F.sum(F.floor(F.col("o_totalprice") * 100
+                              F.sum(F.floor(F.col("l_extendedprice") * 100
                                             + F.lit(0.5)).cast("long"))
                                .alias("rev_cents"))}
         t0 = time.perf_counter()
         incremental_agg_view(spark, store, memo, ref, "bench_rollup",
-                             ["o_orderpriority"], aggs).df.count()
+                             ["l_returnflag"], aggs).df.count()
         timings[f"agg_view_build{suffix}"] = \
             round(time.perf_counter() - t0, 3)
 
-        delta = (orders.filter(F.col("o_orderkey") % 9973 == 1).limit(16)
-                 .withColumn("o_totalprice", F.lit(0.0).cast(
-                     orders.schema["o_totalprice"].dataType)))
+        delta = (li.filter((F.col("l_orderkey") % 97 == 1)
+                           & (F.col("l_linenumber") == 1)).limit(16)
+                 .withColumn("l_extendedprice", F.lit(0.0).cast(
+                     li.schema["l_extendedprice"].dataType)))
         t0 = time.perf_counter()
         ref2 = incremental_upsert(spark, store, ref, delta)
         timings[f"incremental_upsert_16keys{suffix}"] = \
@@ -141,7 +146,7 @@ def _bench_incremental_at(spark, data_dir: str, suffix: str,
         misses0 = memo.misses
         t0 = time.perf_counter()
         incremental_agg_view(spark, store, memo, ref2, "bench_rollup",
-                             ["o_orderpriority"], aggs).df.count()
+                             ["l_returnflag"], aggs).df.count()
         timings[f"agg_view_refresh_16keys{suffix}"] = \
             round(time.perf_counter() - t0, 3)
         assert memo.misses - misses0 <= touched, \
