@@ -152,6 +152,101 @@ def stream_replay_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_adaptive_ingest_replay",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+    FROM base GROUP BY event_type
+    """)
+def stream_adaptive_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion into the ADAPTIVE bucket layout: events
+    arrive as 3 file micro-batches; each foreachBatch upserts into an
+    adaptively-bucketed table (tiny split threshold so hot buckets
+    split MID-STREAM) and commits the manifest to the catalog — one
+    durable, time-travelable version per micro-batch. In-body asserts:
+    3 catalog versions committed, at least one bucket split during the
+    replay, and each batch's upsert read only its touched leaves.
+    The returned per-type aggregate hash-checks against all events
+    (unique keys ⇒ the folded result equals the input).
+
+    Scale: this is the 100 TB streaming-ingest posture — per-batch
+    cost ∝ batch keys' leaves, the manifest splits exactly where the
+    stream is hot, and every commit is a root swap over shared
+    unchanged leaf objects."""
+    from ..engine import Engine
+    from ..operators.core import KeyedTable
+    from ..plans.adaptive import (AdaptiveRef, read_adaptive,
+                                  upsert_adaptive, write_adaptive)
+
+    (e,) = load(spark, sf_dir, "events")
+    cents = F.floor(F.coalesce("value", F.lit(0.0)) * 100
+                    + F.lit(0.5)).cast("long").alias("cents")
+    fat = F.concat(*[F.sha2(F.concat(F.col("event_id").cast("string"),
+                                     F.lit(str(j))), 256)
+                     for j in range(4)]).alias("payload")
+    src = e.select("event_id", "event_type", cents, fat)
+    tmp = tempfile.mkdtemp(prefix="messdb_adstream_")
+    try:
+        src_dir = os.path.join(tmp, "src")
+        _write_id_splits(src, src_dir)      # 3 files => 3 micro-batches
+        eng = Engine(spark, os.path.join(tmp, "wh"))
+        state: dict = {"ref": None, "touched_ok": True, "batches": 0}
+
+        def ingest(batch_df, batch_id):
+            ref = state["ref"]
+            batch_df = batch_df.localCheckpoint(eager=True)
+            if ref is None:
+                ref = write_adaptive(
+                    eng.objects, KeyedTable(batch_df, ("event_id",)),
+                    n_buckets=8, fanout=4, split_bytes=8 * 1024)
+            else:
+                n_keys = batch_df.count()
+                loads0 = eng.objects.loads
+                ref = upsert_adaptive(spark, eng.objects, ref, batch_df,
+                                      split_bytes=8 * 1024)
+                if not (0 < eng.objects.loads - loads0 <= n_keys):
+                    state["touched_ok"] = False
+            state["ref"] = ref
+            state["batches"] += 1
+            eng.save_adaptive_table("ad_events", ref)
+
+        with _replay_shuffle_partitions(spark):
+            stream = (spark.readStream
+                      .schema(src.schema)
+                      .option("maxFilesPerTrigger", 1)
+                      .option("recursiveFileLookup", "true")
+                      .parquet(src_dir))
+            q = (stream.writeStream.foreachBatch(ingest)
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        ref = state["ref"]
+        if state["batches"] != 3:
+            raise AssertionError(f"{state['batches']} batches, expected 3")
+        if not isinstance(ref, AdaptiveRef) or not ref.split_buckets:
+            raise AssertionError("no bucket split during streaming ingest")
+        if not state["touched_ok"]:
+            raise AssertionError("a batch upsert read more than its leaves")
+        if eng.catalog.current_version() != 3:
+            raise AssertionError("expected one catalog version per batch")
+        out = (read_adaptive(spark, eng.objects, ref).df
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("cents").alias("cents"))
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("event_type", "n", "cents")
+
+
+@query(
     "memo_sorted_spend_view",
     oracle="""
     SELECT o_custkey, count(*) AS n_orders,
