@@ -169,8 +169,15 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"ok": True, **res}))
             elif first.startswith("drop table"):
                 print(json.dumps({"ok": True, **eng.drop_table(stmt)}))
+            elif first.startswith("truncate table"):
+                print(json.dumps({"ok": True, **eng.truncate_table(stmt)}))
             elif first.startswith("alter table"):
-                print(json.dumps({"ok": True, **eng.alter_add_column(stmt)}))
+                from .sql_ddl import parse_rename_table
+                if parse_rename_table(stmt) is not None:
+                    print(json.dumps({"ok": True, **eng.rename_table(stmt)}))
+                else:
+                    print(json.dumps({"ok": True,
+                                      **eng.alter_add_column(stmt)}))
             elif first.rstrip(" ;") == "show tables":
                 defs = eng._view_defs()
                 for n in sorted(eng.catalog.names()):

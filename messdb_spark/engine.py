@@ -383,6 +383,49 @@ class Engine:
         return {"op": "alter_add_column", "table": a.table,
                 "column": a.column, "added": True}
 
+    def truncate_table(self, statement_or_name: str) -> dict:
+        """TRUNCATE TABLE — replace the table's data with an empty
+        relation of the SAME schema and key columns, as a new root
+        version (instantly reversible via time travel, like DROP)."""
+        from .sql_ddl import parse_truncate_table
+        name = parse_truncate_table(statement_or_name) or statement_or_name
+        t = self.load_table(name)       # KeyError if missing
+        empty = self.spark.createDataFrame([], schema=t.df.schema)
+        self.save_table(name, KeyedTable(empty, t.key_cols))
+        return {"op": "truncate_table", "table": name}
+
+    def rename_table(self, statement: str) -> dict:
+        """ALTER TABLE a RENAME TO b — a pure catalog move (zero data
+        movement: the entry keeps its content hash); history keeps the
+        old name at older versions. A registered materialized-view
+        definition follows its table."""
+        from .sql_ddl import parse_rename_table
+        r = parse_rename_table(statement)
+        if r is None:
+            raise SqlError(f"cannot parse RENAME: {statement[:80]!r}")
+        old, new = r
+        e = self.catalog.get(old)
+        if e is None:
+            raise SqlError(f"no such table: {old}")
+        if self.catalog.get(new) is not None:
+            raise SqlError(f"table already exists: {new}")
+        txn = getattr(self.catalog, "transaction", None)
+        if txn is not None:
+            with txn():
+                self.catalog.put(new, e)
+                v = self.catalog.drop(old)
+                self.branches.advance_active(v)
+        else:
+            self.branches.advance_active(self.catalog.current_version() + 2)
+            self.catalog.put(new, e)
+            self.catalog.drop(old)
+        defs = self._view_defs()
+        if old in defs:
+            from .store import _atomic_write_json
+            defs[new] = defs.pop(old)
+            _atomic_write_json(self._views_path(), defs)
+        return {"op": "rename_table", "from": old, "to": new}
+
     # -- materialized views over the memo layer (O8 made SQL) -----------
     def _views_path(self) -> str:
         return os.path.join(self.warehouse, "views.json")

@@ -395,6 +395,10 @@ class AlterAddColumn:
 
 _DROP_RE = re.compile(
     r"^\s*drop\s+table\s+(if\s+exists\s+)?(\w+)\s*$", re.IGNORECASE)
+_TRUNCATE_RE = re.compile(
+    r"^\s*truncate\s+table\s+(\w+)\s*$", re.IGNORECASE)
+_RENAME_RE = re.compile(
+    r"^\s*alter\s+table\s+(\w+)\s+rename\s+to\s+(\w+)\s*$", re.IGNORECASE)
 _ALTER_RE = re.compile(
     r"^\s*alter\s+table\s+(\w+)\s+add\s+column\s+(if\s+not\s+exists\s+)?"
     r'("?[\w]+"?)\s+(.+?)\s*$',
@@ -406,6 +410,18 @@ def parse_drop_table(statement: str) -> DropTable | None:
     if not m:
         return None
     return DropTable(name=m.group(2), if_exists=m.group(1) is not None)
+
+
+def parse_truncate_table(statement: str) -> str | None:
+    """TRUNCATE TABLE name → the table name, or None."""
+    m = _TRUNCATE_RE.match(statement)
+    return m.group(1) if m else None
+
+
+def parse_rename_table(statement: str) -> tuple[str, str] | None:
+    """ALTER TABLE a RENAME TO b → (a, b), or None."""
+    m = _RENAME_RE.match(statement)
+    return (m.group(1), m.group(2)) if m else None
 
 
 def parse_alter_add_column(statement: str) -> AlterAddColumn | None:

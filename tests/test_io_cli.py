@@ -427,3 +427,39 @@ def test_sql_show_tables_and_history(spark, tmp_path, capsys):
     assert main(["-w", wh, "sql", "-c", "DESCRIBE HISTORY"]) == 0
     ns = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert ns[-1]["tables"] == ["a", "mv"]
+
+
+def test_truncate_and_rename(spark, tmp_path, capsys):
+    """TRUNCATE empties under the same schema/keys (reversible via
+    time travel); RENAME is a pure catalog move that keeps the content
+    hash and follows materialized-view definitions."""
+    from messdb_spark.cli import main
+    from messdb_spark.engine import Engine
+
+    wh = str(tmp_path / "wh")
+    assert main(["-w", wh, "sql", "-c",
+                 "CREATE TABLE t (k bigint PRIMARY KEY, v text); "
+                 "INSERT INTO t VALUES (1, 'x'), (2, 'y')"]) == 0
+    eng = Engine(spark, wh)
+    h_before = eng.table_hash("t")
+    assert main(["-w", wh, "sql", "-c", "ALTER TABLE t RENAME TO t2"]) == 0
+    eng2 = Engine(spark, wh)
+    assert eng2.table_hash("t2") == h_before      # zero data movement
+    assert eng2.catalog.get("t") is None
+    assert eng2.load_table("t2").key_cols == ("k",)
+    v_full = eng2.catalog.current_version()
+    assert main(["-w", wh, "sql", "-c", "TRUNCATE TABLE t2"]) == 0
+    eng3 = Engine(spark, wh)
+    assert eng3.load_table("t2").df.count() == 0
+    assert eng3.load_table("t2").key_cols == ("k",)
+    # reversible: the pre-truncate version still holds the rows
+    assert eng3.load_table("t2", version=v_full).df.count() == 2
+    capsys.readouterr()
+    # guards
+    import pytest as _pytest
+    from messdb_spark.sql_ddl import SqlError
+    with _pytest.raises(SqlError, match="no such table"):
+        eng3.rename_table("ALTER TABLE nope RENAME TO zz")
+    eng3.save_table("t3", eng3.load_table("t2"))
+    with _pytest.raises(SqlError, match="already exists"):
+        eng3.rename_table("ALTER TABLE t2 RENAME TO t3")

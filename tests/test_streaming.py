@@ -264,3 +264,29 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, events_dir):
     want = {(r["event_id"], r["tier"])
             for r in stream_static_enrich(batch, profile).collect()}
     assert got == want and len(want) > 0
+
+
+def test_replay_conf_pins_rocksdb_and_restores(spark):
+    """The replay-scoped conf pins the RocksDB state store provider +
+    changelog checkpointing and shuffle partitions, and restores (or
+    unsets) every key afterwards."""
+    from messdb_spark.queries.engine_ops import (_replay_shuffle_partitions,
+                                                 _ROCKSDB_PROVIDER)
+
+    key_p = "spark.sql.streaming.stateStore.providerClass"
+    key_c = ("spark.sql.streaming.stateStore.rocksdb."
+             "changelogCheckpointing.enabled")
+    key_s = "spark.sql.shuffle.partitions"
+    prev_s = spark.conf.get(key_s)
+    with _replay_shuffle_partitions(spark, n=6):
+        assert spark.conf.get(key_p) == _ROCKSDB_PROVIDER
+        assert spark.conf.get(key_c) == "true"
+        assert spark.conf.get(key_s) == "6"
+    assert spark.conf.get(key_s) == prev_s
+    # provider unset back to the session default (the test session
+    # never pinned it), not left at the replay value
+    try:
+        now = spark.conf.get(key_p)
+    except Exception:
+        now = None
+    assert now != _ROCKSDB_PROVIDER
