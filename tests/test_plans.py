@@ -485,3 +485,49 @@ def test_bfs_cdc_mw_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_round6_corpus_stats_plan_shapes(spark, sf_dir):
+    """Round-6 corpus statistics: no cartesian anywhere; the MMR
+    candidate generation broadcasts the query side; entropy/Zipf stay
+    partial-aggregated (vocab-bounded shuffles)."""
+    for name in ("token_entropy_per_source", "zipf_token_rank_fit",
+                 "keyword_extraction_rake", "ngram_novelty_scores"):
+        p = plan_str(QUERIES[name].fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+    # MMR's returned frame is a union of pinned picks (the loop frames
+    # are localCheckpointed); assert the candidate-generation stage —
+    # the only corpus-sized part — broadcasts the query side
+    from messdb_spark.queries.similarity import _DOT, _MMR_NQ, _norm_col
+    from messdb_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.withColumn("nrm", _norm_col("embedding"))
+    q = (n.filter(F.col("vec_id") < _MMR_NQ)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_emb"),
+                  F.col("nrm").alias("q_nrm")))
+    c = n.select(F.col("vec_id").alias("cand_id"),
+                 F.col("embedding").alias("c_emb"),
+                 F.col("nrm").alias("c_nrm"))
+    sims = (c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+             .select("query_id", "cand_id",
+                     (F.expr(_DOT.format(a="q_emb", b="c_emb"))
+                      / (F.col("q_nrm") * F.col("c_nrm"))).alias("sim")))
+    p = plan_str(sims, "simple")
+    assert "BroadcastNestedLoopJoin" in p      # corpus streams, q broadcast
+    assert "CartesianProduct" not in p
+
+
+def test_rfm_and_acf_fold_before_ranking(spark, sf_dir):
+    """RFM ranks run on the per-customer aggregate (HashAggregate
+    below the windows), and the ACF lag join is over the tiny daily
+    series with the lag frame broadcast."""
+    p = plan_str(QUERIES["rfm_customer_segments"].fn(spark, sf_dir))
+    assert "HashAggregate" in p and "Window" in p
+    p2 = plan_str(QUERIES["autocorrelation_daily_revenue"]
+                  .fn(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in p2 or "BroadcastHashJoin" in p2
+    assert "CartesianProduct" not in p2
