@@ -47,7 +47,7 @@ _CHECK_FIRST = [
     "autocorrelation_daily_revenue", "conversion_time_percentiles",
     "keyword_extraction_rake", "cohort_ltv_curves",
     "ngram_novelty_scores", "trimmed_mean_order_values", "mmr_diverse_topk",
-    "stream_adaptive_ingest_replay",
+    "stream_adaptive_ingest_replay", "adaptive_rollup_refresh",
     # (2) implementation paths changed in round 6: empty-output
     # memoization (join/map views), selective view registration +
     # MV dependency scan + GC leases (engine-path queries), RocksDB

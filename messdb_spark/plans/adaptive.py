@@ -326,3 +326,84 @@ def load_adaptive_manifest(store: ObjectStore,
         entries=tuple(tuple(e) if isinstance(e, list) else e
                       for e in m["bucket_hashes"]),
         schema_json=m["schema_json"])
+
+
+def leaf_items(ref: AdaptiveRef) -> list[tuple[str, str]]:
+    """(tag, object hash) for every non-empty leaf — ``"b"`` for
+    unsplit buckets, ``"b_c"`` for children of split ones."""
+    out = []
+    for b, e in enumerate(ref.entries):
+        if isinstance(e, tuple):
+            out += [(f"{b}_{c}", h) for c, h in enumerate(e) if h != EMPTY]
+        elif e != EMPTY:
+            out.append((str(b), e))
+    return out
+
+
+def adaptive_agg_view(spark: SparkSession, store: ObjectStore, memo,
+                      ref: AdaptiveRef, view_key: str,
+                      group_cols: list, aggs: dict):
+    """Incrementally-maintained AGGREGATION view over an ADAPTIVE
+    table — ``incremental_agg_view`` with the LEAF as the memo granule:
+
+        sha256(OP_AGG_LEAF ‖ view key ‖ leaf object hash)
+
+    After an upsert (which touches only delta leaves), refresh
+    recomputes only the touched leaves' partials — so when a hot
+    bucket splits, the view's refresh granule splits WITH it: the
+    maintenance cost of a view over a skewed table tracks the child
+    buckets of the hot range, not whole pre-split buckets. Empty
+    partials memoize as EMPTY (ADVICE r5 discipline). Same
+    distributive/algebraic recombine rule (sum→sum, count→sum,
+    max→max, min→min); returns the combined KeyedTable."""
+    import hashlib as _hl
+
+    from ..operators.core import KeyedTable
+
+    recombine = {"sum": F.sum, "count": F.sum, "max": F.max, "min": F.min}
+    for name, (op, _c) in aggs.items():
+        if op not in recombine:
+            raise ValueError(f"{name}: non-distributive recombine op {op}")
+
+    def digest(leaf_hash: str) -> str:
+        return _hl.sha256(
+            f"OP_AGG_LEAF|{view_key}|{leaf_hash}".encode()).hexdigest()
+
+    partial_hashes: list[str] = []
+    missed: list[tuple[str, str]] = []
+    for tag, h in leaf_items(ref):
+        hit = memo.get(digest(h))
+        if hit == EMPTY:
+            continue
+        if hit is not None and store.exists(hit):
+            partial_hashes.append(hit)
+        else:
+            missed.append((tag, h))
+
+    if missed:
+        base = read_adaptive(spark, store, ref,
+                             tags=[t for t, _h in missed]).df
+        tag_col = _tag_expr(ref.key_cols, ref.n_buckets, ref.fanout,
+                            ref.split_buckets)
+        partials = (base.withColumn(_BUCKET, tag_col)
+                        .groupBy(_BUCKET, *group_cols)
+                        .agg(*[c.alias(n) for n, (_op, c) in aggs.items()]))
+        new_hashes = _write_tagged_buckets(store, partials, key_fn=str)
+        for tag, h in missed:
+            ph = new_hashes.get(tag, EMPTY)
+            memo.put(digest(h), ph)
+            if ph != EMPTY:
+                partial_hashes.append(ph)
+
+    if not partial_hashes:
+        from pyspark.sql import types as T
+        schema = T.StructType.fromJson(json.loads(ref.schema_json))
+        empty = spark.createDataFrame([], schema=schema)
+        out = empty.groupBy(*group_cols).agg(
+            *[recombine[op](c).alias(n) for n, (op, c) in aggs.items()])
+        return KeyedTable(out, tuple(group_cols))
+    parts = spark.read.parquet(*[store.path(h) for h in partial_hashes])
+    store.loads += len(partial_hashes)
+    combined = parts.groupBy(*group_cols).agg(
+        *[recombine[op](F.col(n)).alias(n) for n, (op, _c) in aggs.items()])
+    return KeyedTable(combined, tuple(group_cols))

@@ -152,6 +152,82 @@ def stream_replay_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "adaptive_rollup_refresh",
+    oracle="""
+    WITH all_events AS (
+      SELECT ts, CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT)
+               AS cents
+      FROM events
+      UNION ALL
+      SELECT ts, CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) + 3
+      FROM events WHERE event_id % 1500 = 0
+    )
+    SELECT date_trunc('hour', ts) AS hour,
+           count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM all_events GROUP BY 1
+    """)
+def adaptive_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate over an ADAPTIVE table with LEAF-granular
+    view maintenance (``plans/adaptive.adaptive_agg_view``): hot
+    buckets split, and the view's memo granule splits WITH them — a
+    delta into one child refreshes that child's partial, not the whole
+    pre-split bucket. In-body asserts: the base actually split, and
+    the refresh recomputed no more partials than the upsert touched
+    leaves. Result hash-checks the hourly rollup over base∪delta.
+
+    Scale: the skewed-table view-maintenance story at 100 TB — view
+    refresh cost follows the hot range's child buckets, bounded by the
+    split threshold, regardless of how unbalanced the key space is."""
+    from ..operators.core import KeyedTable
+    from ..plans.adaptive import (adaptive_agg_view, upsert_adaptive,
+                                  write_adaptive)
+    from ..store import MemoStore, ObjectStore
+
+    (e,) = load(spark, sf_dir, "events")
+    cents = F.floor(F.coalesce("value", F.lit(0.0)) * 100
+                    + F.lit(0.5)).cast("long")
+    fat = F.concat(*[F.sha2(F.concat(F.col("event_id").cast("string"),
+                                     F.lit(str(j))), 256)
+                     for j in range(4)]).alias("payload")
+    base = e.select("event_id", F.date_trunc("hour", "ts").alias("hour"),
+                    cents.alias("cents"), fat)
+    delta = (e.filter(F.col("event_id") % 1500 == 0)
+              .select((F.col("event_id") + 1_000_000_000).alias("event_id"),
+                      F.date_trunc("hour", "ts").alias("hour"),
+                      (F.floor(F.coalesce("value", F.lit(0.0)) * 100
+                               + F.lit(0.5)).cast("long") + 3)
+                      .alias("cents"), fat))
+    aggs = {"n": ("sum", F.count(F.lit(1)).alias("n")),
+            "cents": ("sum", F.sum("cents").alias("cents"))}
+    tmp = tempfile.mkdtemp(prefix="messdb_adrollup_")
+    try:
+        store = ObjectStore(os.path.join(tmp, "wh"))
+        memo = MemoStore(os.path.join(tmp, "wh"))
+        ref1 = write_adaptive(store, KeyedTable(base, ("event_id",)),
+                              n_buckets=8, fanout=4, split_bytes=8 * 1024)
+        if not ref1.split_buckets:
+            raise AssertionError("no bucket crossed the split threshold")
+        adaptive_agg_view(spark, store, memo, ref1, "hourly", ["hour"],
+                          aggs).df.count()
+        ref2 = upsert_adaptive(spark, store, ref1, delta,
+                               split_bytes=8 * 1024)
+        touched = len(set(ref2.leaf_hashes()) - set(ref1.leaf_hashes()))
+        m0 = memo.misses
+        out = adaptive_agg_view(spark, store, memo, ref2, "hourly",
+                                ["hour"], aggs)
+        refreshed = memo.misses - m0
+        if refreshed > touched or touched == 0:
+            raise AssertionError(
+                f"refresh recomputed {refreshed} leaf partials, "
+                f"upsert touched {touched}")
+        result = out.df.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result.select("hour", "n", "cents")
+
+
+@query(
     "stream_adaptive_ingest_replay",
     oracle="""
     WITH base AS (

@@ -154,3 +154,65 @@ def test_empty_and_idempotent_paths(spark, warehouse):
     empty = spark.createDataFrame([], "k long, payload string, v long")
     assert upsert_adaptive(spark, store, ref, empty) == ref
     assert compact_adaptive(spark, store, ref) == ref
+
+
+def test_adaptive_agg_view_refresh_tracks_leaves(spark, warehouse):
+    """Leaf-granular view maintenance: a delta into one CHILD of a
+    split bucket refreshes only the touched leaves' partials — the
+    view's refresh granule splits with the table."""
+    from messdb_spark.plans.adaptive import adaptive_agg_view
+    from messdb_spark.store import MemoStore
+
+    store = ObjectStore(warehouse)
+    memo = MemoStore(warehouse)
+    b = F.pmod(F.xxhash64("k"), F.lit(N_BUCKETS))
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("g"),
+        F.when(b == 0, _fat(F.col("id"))).otherwise(F.lit("s"))
+         .alias("payload"),
+        (F.col("id") * 7).alias("v"))
+    ref = write_adaptive(store, KeyedTable(df, ("k",)),
+                         n_buckets=N_BUCKETS, fanout=FANOUT,
+                         split_bytes=256 * 1024)
+    assert ref.split_buckets == [0]
+    aggs = {"n": ("sum", F.count(F.lit(1)).alias("n")),
+            "v_sum": ("sum", F.sum("v").alias("v_sum"))}
+    v1 = adaptive_agg_view(spark, store, memo, ref, "t_view", ["g"], aggs)
+    expect = {r["g"]: (r["n"], r["vs"]) for r in
+              df.groupBy("g").agg(F.count(F.lit(1)).alias("n"),
+                                  F.sum("v").alias("vs")).collect()}
+    got = {r["g"]: (r["n"], r["v_sum"]) for r in v1.df.collect()}
+    assert got == expect
+
+    # no-op refresh: every leaf partial memo-hits
+    m0 = memo.misses
+    adaptive_agg_view(spark, store, memo, ref, "t_view", ["g"], aggs) \
+        .df.count()
+    assert memo.misses == m0
+
+    # delta into ONE child of the split bucket + one flat bucket
+    buckets = {r["k"]: r["b"] for r in
+               spark.range(200).select(
+                   F.col("id").alias("k"),
+                   F.pmod(F.xxhash64("id"), F.lit(N_BUCKETS)).alias("b"))
+               .collect()}
+    k_split = next(k for k, bb in buckets.items() if bb == 0)
+    k_flat = next(k for k, bb in buckets.items() if bb != 0)
+    delta = spark.createDataFrame(
+        [(k_split, 3, "UPD", -1), (k_flat, 4, "UPD", -2)],
+        "k long, g long, payload string, v long")
+    ref2 = upsert_adaptive(spark, store, ref, delta,
+                           split_bytes=256 * 1024)
+    touched = len(set(ref.leaf_hashes()) - set(ref2.leaf_hashes()))
+    m1 = memo.misses
+    v2 = adaptive_agg_view(spark, store, memo, ref2, "t_view", ["g"], aggs)
+    assert 0 < memo.misses - m1 <= 2          # only the 2 touched leaves
+    assert touched == 2
+    df2 = (df.filter(~F.col("k").isin(k_split, k_flat))
+             .unionByName(delta))
+    expect2 = {r["g"]: (r["n"], r["vs"]) for r in
+               df2.groupBy("g").agg(F.count(F.lit(1)).alias("n"),
+                                    F.sum("v").alias("vs")).collect()}
+    got2 = {r["g"]: (r["n"], r["v_sum"]) for r in v2.df.collect()}
+    assert got2 == expect2
