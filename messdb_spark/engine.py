@@ -507,7 +507,25 @@ class Engine:
         two-table join no longer pays a thousand manifest loads. The
         identifier scan is a superset of true references (any bare or
         backquoted appearance counts), so a referenced table can never
-        be missed."""
+        be missed.
+
+        Per-table time travel (lakehouse-style): ``FROM t FOR VERSION
+        AS OF <n>`` pins that one reference to catalog version n — so
+        one query can join a table's current state against its own
+        history (audit diffs, slowly-changing comparisons) without the
+        whole-namespace ``version`` parameter."""
+        import re
+
+        def _pin(m):
+            name, v = m.group(1), int(m.group(2))
+            alias = f"{name}__v{v}"
+            self.load_table(name, version=v) \
+                .df.createOrReplaceTempView(alias)
+            return alias
+
+        query = re.sub(
+            r"(\w+)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)", _pin, query,
+            flags=re.IGNORECASE)
         for name in referenced_tables(query, self.catalog.names(version)):
             self.load_table(name, version=version) \
                 .df.createOrReplaceTempView(name)

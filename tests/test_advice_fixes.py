@@ -274,3 +274,21 @@ def test_describe_history_uppercase_and_missing(tmp_path, capsys):
     out = capsys.readouterr().out
     assert '"table": "Big"' in out
     assert main(["-w", wh, "sql", "-c", "DESCRIBE HISTORY nope"]) == 1
+
+
+# ---- round-6 additions ----------------------------------------------
+
+
+def test_sql_for_version_as_of(spark, warehouse):
+    """Per-table time travel in SQL: one query joins a table's current
+    state to its own history."""
+    eng = Engine(spark, warehouse)
+    eng.ddl("CREATE TABLE t (k BIGINT PRIMARY KEY, v BIGINT)")
+    eng.dml("INSERT INTO t VALUES (1, 10), (2, 20)")
+    v1 = eng.catalog.current_version()
+    eng.dml("UPDATE t SET v = v + 5 WHERE k = 1")
+    rows = {r["k"]: (r["v_now"], r["v_then"]) for r in eng.sql(
+        f"SELECT cur.k, cur.v AS v_now, old.v AS v_then "
+        f"FROM t cur JOIN t FOR VERSION AS OF {v1} old ON cur.k = old.k "
+        f"ORDER BY cur.k").collect()}
+    assert rows == {1: (15, 10), 2: (20, 20)}
