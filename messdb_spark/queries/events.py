@@ -773,3 +773,131 @@ def conversion_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("p.secs").alias("p90_secs")))
     return (med.join(p90, F.col("segment") == F.col("segment2"))
                .select("segment", "n_conv", "median_secs", "p90_secs"))
+
+
+@query(
+    "km_survival_time_to_purchase",
+    oracle="""
+    WITH bounds AS (SELECT max(ts) AS t_end FROM events),
+    fv AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT fv.user_id, fv.first_view, min(e.ts) AS first_purchase
+      FROM fv JOIN events e
+        ON e.user_id = fv.user_id AND e.event_type = 'purchase'
+           AND e.ts > fv.first_view
+      GROUP BY fv.user_id, fv.first_view
+    ),
+    u AS (
+      SELECT fv.user_id, c.c_mktsegment AS segment,
+             CASE WHEN fp.first_purchase IS NOT NULL
+                  THEN (epoch_us(fp.first_purchase)
+                        - epoch_us(fv.first_view)) // 3600000000
+                  ELSE (epoch_us(b.t_end)
+                        - epoch_us(fv.first_view)) // 3600000000
+             END AS dur_h,
+             CASE WHEN fp.first_purchase IS NOT NULL THEN 1 ELSE 0 END
+               AS converted
+      FROM fv
+      LEFT JOIN fp ON fp.user_id = fv.user_id
+      JOIN customer c ON fv.user_id = c.c_custkey
+      CROSS JOIN bounds b
+    ),
+    seg_n AS (SELECT segment, count(*) AS total FROM u GROUP BY segment),
+    at_t AS (
+      SELECT segment, dur_h AS t, count(*) AS n_here,
+             CAST(sum(converted) AS BIGINT) AS d
+      FROM u GROUP BY segment, dur_h
+    ),
+    risk AS (
+      SELECT a.segment, a.t, a.d,
+             s.total - coalesce(sum(a.n_here) OVER (
+               PARTITION BY a.segment ORDER BY a.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM at_t a JOIN seg_n s ON s.segment = a.segment
+    ),
+    km AS (
+      SELECT segment, t, d, n_risk,
+             CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY segment ORDER BY t) = 1
+                  THEN 0.0
+                  ELSE exp(sum(CASE WHEN d < n_risk
+                               THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                               ELSE 0.0 END) OVER (
+                    PARTITION BY segment ORDER BY t))
+             END AS s_km
+      FROM risk
+    )
+    SELECT segment, CAST(t AS BIGINT) AS t_hours,
+           CAST(n_risk AS BIGINT) AS n_risk, d,
+           floor(s_km * CAST(1000000.0 AS DOUBLE) + 0.5)
+             / CAST(1000000.0 AS DOUBLE) AS s_km
+    FROM km WHERE d > 0
+    """)
+def km_survival_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of time-to-first-purchase per
+    market segment (right-censored at corpus end for users who never
+    convert): at each event time t, S(t) multiplies by (1 − d_t/n_t)
+    over conversions d_t among the n_t still at risk — the standard
+    censoring-correct estimator (Kaplan & Meier 1958), which a naive
+    conversion-rate-by-hour analysis gets wrong.
+
+    FP parity: d and n are exact integers; the running product is
+    exp(running sum of ln factors) over the SAME ordered window frame
+    on both engines, quantized to 1e-6.
+
+    Scale: per-user reduction first (two hash aggs + one join), then
+    windows over the (segment, distinct-hour) relation — bounded by
+    time resolution, not user count."""
+    (e, c) = load(spark, sf_dir, "events", "customer")
+    t_end = e.agg(F.max("ts").alias("t_end"))
+    fv = (e.filter(F.col("event_type") == "view")
+           .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    fp = (fv.join(e.filter(F.col("event_type") == "purchase"), "user_id")
+            .filter(F.col("ts") > F.col("first_view"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("first_purchase")))
+    u = (fv.join(fp, "user_id", "left")
+           .join(F.broadcast(c), F.col("user_id") == F.col("c_custkey"))
+           .crossJoin(F.broadcast(t_end))
+           .select(F.col("c_mktsegment").alias("segment"),
+                   F.when(F.col("first_purchase").isNotNull(),
+                          (F.unix_micros("first_purchase")
+                           - F.unix_micros("first_view")))
+                    .otherwise(F.unix_micros("t_end")
+                               - F.unix_micros("first_view"))
+                    .cast("long").alias("us"),
+                   F.col("first_purchase").isNotNull()
+                    .cast("long").alias("converted"))
+           .select("segment", F.expr("us div 3600000000").alias("dur_h"),
+                   "converted"))
+    seg_n = u.groupBy("segment").agg(F.count(F.lit(1)).alias("total"))
+    at_t = (u.groupBy("segment", F.col("dur_h").alias("t"))
+             .agg(F.count(F.lit(1)).alias("n_here"),
+                  F.sum("converted").alias("d")))
+    w_prev = (W.partitionBy("segment").orderBy("t")
+               .rowsBetween(W.unboundedPreceding, -1))
+    risk = (at_t.join(F.broadcast(seg_n), "segment")
+                .withColumn("n_risk",
+                            F.col("total")
+                            - F.coalesce(F.sum("n_here").over(w_prev),
+                                         F.lit(0))))
+    w_run = W.partitionBy("segment").orderBy("t")
+    # a time where every remaining at-risk user converts drives the
+    # survival to EXACT zero — ln would blow up, so the zero is carried
+    # by a flag instead of the log-sum
+    ln_term = F.when(F.col("d") < F.col("n_risk"),
+                     F.log(F.lit(1.0) - F.col("d").cast("double")
+                           / F.col("n_risk"))).otherwise(F.lit(0.0))
+    zero_seen = F.max((F.col("d") >= F.col("n_risk")).cast("int")) \
+        .over(w_run)
+    km = risk.withColumn(
+        "s_km", F.when(zero_seen == 1, F.lit(0.0))
+                 .otherwise(F.exp(F.sum(ln_term).over(w_run))))
+    return (km.filter(F.col("d") > 0)
+              .select("segment", F.col("t").cast("long").alias("t_hours"),
+                      F.col("n_risk").cast("long").alias("n_risk"),
+                      F.col("d"), quantize(F.col("s_km"), 6).alias("s_km")))
