@@ -901,3 +901,119 @@ def km_survival_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("segment", F.col("t").cast("long").alias("t_hours"),
                       F.col("n_risk").cast("long").alias("n_risk"),
                       F.col("d"), quantize(F.col("s_km"), 6).alias("s_km")))
+
+
+@query(
+    "attribution_models_revenue",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pts,
+             CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT p.pid, p.cents, e.event_type, e.ts, e.event_id,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY e.ts, e.event_id) AS rn,
+             count(*) OVER (PARTITION BY p.pid) AS k
+      FROM p JOIN events e
+        ON e.user_id = p.user_id
+           AND e.event_type IN ('view', 'click')
+           AND e.ts < p.pts
+           AND epoch_us(p.pts) - epoch_us(e.ts) <= 86400000000
+    ),
+    with_touch AS (SELECT DISTINCT pid FROM t),
+    direct AS (
+      SELECT 'direct' AS touch_type, m.model,
+             CAST(sum(p.cents) AS BIGINT) AS attributed_cents,
+             count(*) AS n_touches
+      FROM p, (SELECT unnest(['first_touch', 'last_touch', 'linear'])
+               AS model) m
+      WHERE p.pid NOT IN (SELECT pid FROM with_touch)
+      GROUP BY m.model
+    ),
+    first_t AS (
+      SELECT event_type AS touch_type, 'first_touch' AS model,
+             CAST(sum(cents) AS BIGINT) AS attributed_cents,
+             count(*) AS n_touches
+      FROM t WHERE rn = 1 GROUP BY event_type
+    ),
+    last_t AS (
+      SELECT event_type AS touch_type, 'last_touch' AS model,
+             CAST(sum(cents) AS BIGINT) AS attributed_cents,
+             count(*) AS n_touches
+      FROM t WHERE rn = k GROUP BY event_type
+    ),
+    linear_t AS (
+      SELECT event_type AS touch_type, 'linear' AS model,
+             CAST(sum(cents // k
+                      + CASE WHEN rn <= cents % k THEN 1 ELSE 0 END)
+                  AS BIGINT) AS attributed_cents,
+             count(*) AS n_touches
+      FROM t GROUP BY event_type
+    )
+    SELECT * FROM first_t UNION ALL SELECT * FROM last_t
+    UNION ALL SELECT * FROM linear_t UNION ALL SELECT * FROM direct
+    """)
+def attribution_models_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution: every purchase's cents credited
+    to the view/click touchpoints of the preceding 24 h under three
+    models — first-touch, last-touch, and LINEAR with exact Hamilton
+    splitting (cents div k to every touch, the cents mod k remainder
+    to the earliest touches) so each purchase's credit sums to its
+    cents EXACTLY — the invariant float fractions can't give, and the
+    reason the totals hash-check. Untouched purchases credit a
+    'direct' bucket under every model.
+
+    Scale: the touch join is per-user time-bounded (the interval-join
+    family — bucketed equi-join at 100 TB); windows run per purchase
+    over ≤ a day of one user's touches; outputs are model×type rows."""
+    (e,) = load(spark, sf_dir, "events")
+    p = (e.filter(F.col("event_type") == "purchase")
+          .select(F.col("event_id").alias("pid"), "user_id",
+                  F.col("ts").alias("pts"),
+                  F.floor(F.coalesce("value", F.lit(0.0)) * 100
+                          + F.lit(0.5)).cast("long").alias("cents")))
+    tt = (p.join(e.filter(F.col("event_type").isin("view", "click"))
+                  .select("user_id", "event_type", "ts", "event_id"),
+                 "user_id")
+           .filter((F.col("ts") < F.col("pts"))
+                   & (F.unix_micros("pts") - F.unix_micros("ts")
+                      <= 86400000000))
+           .withColumn("rn", F.row_number().over(
+               W.partitionBy("pid").orderBy("ts", "event_id")))
+           .withColumn("k", F.count(F.lit(1)).over(W.partitionBy("pid"))))
+    tt = tt.localCheckpoint(eager=True)
+    first_t = (tt.filter(F.col("rn") == 1).groupBy("event_type")
+                 .agg(F.sum("cents").alias("attributed_cents"),
+                      F.count(F.lit(1)).alias("n_touches"))
+                 .select(F.col("event_type").alias("touch_type"),
+                         F.lit("first_touch").alias("model"),
+                         "attributed_cents", "n_touches"))
+    last_t = (tt.filter(F.col("rn") == F.col("k")).groupBy("event_type")
+                .agg(F.sum("cents").alias("attributed_cents"),
+                     F.count(F.lit(1)).alias("n_touches"))
+                .select(F.col("event_type").alias("touch_type"),
+                        F.lit("last_touch").alias("model"),
+                        "attributed_cents", "n_touches"))
+    linear_t = (tt.withColumn(
+                    "alloc", F.expr("cents div k")
+                    + (F.col("rn") <= F.col("cents") % F.col("k"))
+                    .cast("long"))
+                  .groupBy("event_type")
+                  .agg(F.sum("alloc").alias("attributed_cents"),
+                       F.count(F.lit(1)).alias("n_touches"))
+                  .select(F.col("event_type").alias("touch_type"),
+                          F.lit("linear").alias("model"),
+                          "attributed_cents", "n_touches"))
+    models = spark.createDataFrame(
+        [("first_touch",), ("last_touch",), ("linear",)], "model string")
+    direct = (p.join(tt.select("pid").distinct(), "pid", "left_anti")
+               .crossJoin(F.broadcast(models))
+               .groupBy("model")
+               .agg(F.sum("cents").alias("attributed_cents"),
+                    F.count(F.lit(1)).alias("n_touches"))
+               .select(F.lit("direct").alias("touch_type"), "model",
+                       "attributed_cents", "n_touches"))
+    return (first_t.unionByName(last_t).unionByName(linear_t)
+                   .unionByName(direct))
