@@ -1017,3 +1017,62 @@ def attribution_models_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "attributed_cents", "n_touches"))
     return (first_t.unionByName(last_t).unionByName(linear_t)
                    .unionByName(direct))
+
+
+@query(
+    "error_budget_burn_alerts",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errs
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT hour, n, errs,
+             CAST(sum(n) OVER w6 AS BIGINT) AS n6,
+             CAST(sum(errs) OVER w6 AS BIGINT) AS errs6
+      FROM hourly
+      WINDOW w6 AS (ORDER BY hour
+                    RANGE BETWEEN INTERVAL 5 HOUR PRECEDING
+                          AND CURRENT ROW)
+    )
+    SELECT hour, n, errs,
+           floor((CAST(errs AS DOUBLE) / n / 0.05)
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS burn_1h,
+           floor((CAST(errs6 AS DOUBLE) / n6 / 0.05)
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS burn_6h,
+           (errs * 20 > n * 2) AND (errs6 * 20 > n6 * 2) AS page_alert
+    FROM win
+    """)
+def error_budget_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn-rate alerting (multi-window, SLO 95%):
+    per hour, the 1 h and trailing-6 h burn rates (error rate ÷ budget
+    rate 0.05), and the page condition — BOTH windows burning at >2× —
+    the Google-SRE-workbook pattern that filters blips (short window
+    alone) and slow drifts (long window alone). The alert boolean is
+    an integer cross-multiplication (errs·20 > n·2), so the paging
+    decision itself never touches floats.
+
+    Scale: one hourly rollup, then a range window over the
+    hour-cardinality series — the raw stream never enters a window."""
+    (e,) = load(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum((F.col("event_type") == "error").cast("long"))
+                     .alias("errs")))
+    w6 = (W.orderBy(F.unix_micros("hour"))
+           .rangeBetween(-5 * 3600 * 1000000, 0))
+    win = (hourly.withColumn("n6", F.sum("n").over(w6))
+                 .withColumn("errs6", F.sum("errs").over(w6)))
+    burn = lambda ecol, ncol: quantize(   # noqa: E731
+        F.col(ecol).cast("double") / F.col(ncol) / F.lit(0.05), 4)
+    return win.select(
+        "hour", "n", "errs",
+        burn("errs", "n").alias("burn_1h"),
+        burn("errs6", "n6").alias("burn_6h"),
+        ((F.col("errs") * 20 > F.col("n") * 2)
+         & (F.col("errs6") * 20 > F.col("n6") * 2)).alias("page_alert"))
