@@ -407,3 +407,30 @@ def adaptive_agg_view(spark: SparkSession, store: ObjectStore, memo,
     combined = parts.groupBy(*group_cols).agg(
         *[recombine[op](F.col(n)).alias(n) for n, (op, _c) in aggs.items()])
     return KeyedTable(combined, tuple(group_cols))
+
+
+def lookup_adaptive(spark: SparkSession, store: ObjectStore,
+                    ref: AdaptiveRef, key_values: tuple) -> list:
+    """Point lookup opening exactly ONE leaf object: the key's leaf
+    tag is computed by running the tag expression over a one-row
+    literal frame (same hash the data was written with — no Python
+    reimplementation of xxhash64 to drift), then only that leaf is
+    read and filtered. The flat layout's bucket-pruned point read
+    (``read_bucketed(buckets=[...])``) at child granularity — on a
+    split hot bucket the lookup IO shrinks by the fan-out."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(ref.schema_json))
+    dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+    row = spark.createDataFrame(
+        [tuple(key_values)],
+        ", ".join(f"{k} {dtypes[k]}" for k in ref.key_cols))
+    tag = row.select(_tag_expr(ref.key_cols, ref.n_buckets, ref.fanout,
+                               ref.split_buckets).alias("t")) \
+             .collect()[0]["t"]
+    t = read_adaptive(spark, store, ref, tags=[tag])
+    cond = None
+    for k, v in zip(ref.key_cols, key_values):
+        c = F.col(k) == F.lit(v)
+        cond = c if cond is None else (cond & c)
+    return t.df.filter(cond).collect()

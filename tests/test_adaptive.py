@@ -216,3 +216,31 @@ def test_adaptive_agg_view_refresh_tracks_leaves(spark, warehouse):
                                     F.sum("v").alias("vs")).collect()}
     got2 = {r["g"]: (r["n"], r["v_sum"]) for r in v2.df.collect()}
     assert got2 == expect2
+
+
+def test_point_lookup_opens_one_leaf(spark, warehouse):
+    """lookup_adaptive reads exactly ONE leaf object — child-granular
+    IO on split buckets, bucket-granular on flat ones."""
+    from messdb_spark.plans.adaptive import lookup_adaptive
+
+    store = ObjectStore(warehouse)
+    t = _skewed_table(spark)
+    ref = write_adaptive(store, t, n_buckets=N_BUCKETS, fanout=FANOUT,
+                         split_bytes=256 * 1024)
+    assert ref.split_buckets == [0]
+    buckets = {r["k"]: r["b"] for r in
+               spark.range(100).select(
+                   F.col("id").alias("k"),
+                   F.pmod(F.xxhash64("id"), F.lit(N_BUCKETS)).alias("b"))
+               .collect()}
+    k_split = next(k for k, b in buckets.items() if b == 0)
+    k_flat = next(k for k, b in buckets.items() if b != 0)
+    for key in (k_split, k_flat):
+        loads0 = store.loads
+        rows = lookup_adaptive(spark, store, ref, (key,))
+        assert store.loads - loads0 == 1
+        assert len(rows) == 1 and rows[0]["v"] == key * 7
+    # absent key: still one leaf read, empty result
+    loads0 = store.loads
+    assert lookup_adaptive(spark, store, ref, (999_999,)) == []
+    assert store.loads - loads0 <= 1
