@@ -281,3 +281,113 @@ def gini_spend_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.sum(F.col("i") * F.col("spend"))
          - (n + 1) * F.sum("spend")).cast("long").alias("gini_num"),
         (n * F.sum("spend")).cast("long").alias("gini_den"))
+
+
+_PSI_BINS = 10
+_PSI_SPLIT = "2024-01-16"      # fixed early/late boundary for the corpus
+
+
+@query(
+    "psi_value_drift",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 0 ELSE 1 END
+               AS late
+      FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+      SELECT event_type, min(cents) AS lo, max(cents) AS hi
+      FROM e WHERE late = 0 GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type, e.late,
+             least({_PSI_BINS - 1}, greatest(0,
+               (e.cents - b.lo) * {_PSI_BINS} // (b.hi - b.lo + 1)))
+               AS bin
+      FROM e JOIN bounds b ON b.event_type = e.event_type
+    ),
+    counts AS (
+      SELECT event_type, bin,
+             CAST(sum(CASE WHEN late = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+               AS c_early,
+             CAST(sum(CASE WHEN late = 1 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+               AS c_late
+      FROM binned GROUP BY event_type, bin
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(c_early) AS BIGINT) AS t_early,
+             CAST(sum(c_late) AS BIGINT) AS t_late
+      FROM counts GROUP BY event_type
+    ),
+    terms AS (
+      SELECT c.event_type,
+             CAST(floor(
+               ((CAST(c.c_early AS DOUBLE) / t.t_early
+                 - CAST(c.c_late AS DOUBLE) / t.t_late)
+                * ln((CAST(c.c_early AS DOUBLE) / t.t_early)
+                     / (CAST(c.c_late AS DOUBLE) / t.t_late)))
+               * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+      FROM counts c JOIN tot t ON t.event_type = c.event_type
+    )
+    SELECT event_type, count(*) AS n_bins,
+           floor((CAST(sum(term_nano) AS DOUBLE) / 1000000000.0)
+                 * CAST(1000000.0 AS DOUBLE) + 0.5)
+             / CAST(1000000.0 AS DOUBLE) AS psi,
+           CAST(sum(term_nano) AS DOUBLE) / 1000000000.0 > 0.2 AS drifted
+    FROM terms GROUP BY event_type
+    """)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the standard production drift
+    monitor for model inputs/features: per event type, value
+    distributions of the early vs late half of the corpus over 10
+    equal-width bins (bounds fit on the EARLY half, the deployment-
+    time convention), PSI = Σ (p−q)·ln(p/q) with +1 smoothing;
+    PSI > 0.2 flags drift (the usual action threshold).
+
+    FP parity: each bin's term is computed from exact integer counts
+    and floored to nano-units, so the cross-bin sum is exact integer
+    arithmetic — order-insensitive on both engines — and the drift
+    flag compares on the same scaled sum.
+
+    Scale: two hash aggs over (type, bin) — bin-cardinality shuffles;
+    the raw stream is touched once."""
+    (e,) = load(spark, sf_dir, "events")
+    ev = (e.filter(F.col("value").isNotNull())
+           .select("event_type",
+                   F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                    .alias("cents"),
+                   (F.col("ts") >= F.lit(_PSI_SPLIT).cast("timestamp"))
+                   .cast("int").alias("late")))
+    bounds = (ev.filter(F.col("late") == 0)
+                .groupBy("event_type")
+                .agg(F.min("cents").alias("lo"), F.max("cents").alias("hi")))
+    binned = (ev.join(F.broadcast(bounds), "event_type")
+                .select("event_type", "late",
+                        F.least(F.lit(_PSI_BINS - 1), F.greatest(
+                            F.lit(0),
+                            F.expr(f"(cents - lo) * {_PSI_BINS} "
+                                   f"div (hi - lo + 1)")))
+                        .alias("bin")))
+    counts = (binned.groupBy("event_type", "bin")
+              .agg((F.sum(F.when(F.col("late") == 0, 1).otherwise(0)) + 1)
+                   .alias("c_early"),
+                   (F.sum(F.when(F.col("late") == 1, 1).otherwise(0)) + 1)
+                   .alias("c_late")))
+    tot = (counts.groupBy("event_type")
+                 .agg(F.sum("c_early").alias("t_early"),
+                      F.sum("c_late").alias("t_late")))
+    p = F.col("c_early").cast("double") / F.col("t_early")
+    q = F.col("c_late").cast("double") / F.col("t_late")
+    term = F.floor(((p - q) * F.log(p / q)) * 1e9 + F.lit(0.5)) \
+        .cast("long")
+    terms = (counts.join(F.broadcast(tot), "event_type")
+                   .select("event_type", term.alias("term_nano")))
+    psi_d = F.col("s").cast("double") / F.lit(1e9)
+    return (terms.groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n_bins"),
+                      F.sum("term_nano").alias("s"))
+                 .select("event_type", "n_bins",
+                         quantize(psi_d, 6).alias("psi"),
+                         (psi_d > 0.2).alias("drifted")))
