@@ -1113,3 +1113,81 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("query_id", "cand_id",
                       F.col("pick_rank").cast("long").alias("pick_rank"),
                       quantize(F.col("score"), 6).alias("score"))
+
+
+_KNN_NQ = 50    # deterministic probe set: vec_id < 50
+
+
+@query(
+    "knn_label_agreement",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+               AS nrm
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT q.vec_id AS query_id, q.label AS q_label,
+             c.label AS c_label,
+             list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+               i -> CAST(q.embedding[i] AS DOUBLE)
+                    * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+               / (q.nrm * c.nrm) AS sim,
+             c.vec_id AS cand_id
+      FROM n q JOIN n c ON q.vec_id < {_KNN_NQ} AND c.vec_id != q.vec_id
+    ),
+    nn AS (
+      SELECT query_id, q_label, c_label FROM (
+        SELECT query_id, q_label, c_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, cand_id) AS rk
+        FROM sims) t
+      WHERE rk = 1
+    )
+    SELECT CAST(q_label AS BIGINT) AS label, count(*) AS n_queries,
+           CAST(sum(CASE WHEN q_label = c_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           floor((CAST(sum(CASE WHEN q_label = c_label THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*))
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS agreement
+    FROM nn GROUP BY q_label
+    """)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: 1-NN label agreement — for each probe
+    vector, does its nearest neighbor (cosine, excluding itself) carry
+    the same label? Aggregated per label. The standard cheap proxy for
+    'are these embeddings good for this labeling' before committing to
+    a training run; near-random agreement means the embedding space
+    doesn't separate the classes.
+
+    Scale: the probe set broadcasts against the streaming corpus (the
+    ``cosine_topk_bruteforce`` plan); per-label aggregation is
+    label-cardinality."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    n = emb.withColumn("nrm", _norm_col("embedding"))
+    q = (n.filter(F.col("vec_id") < _KNN_NQ)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("label").alias("q_label"),
+                  F.col("embedding").alias("q_emb"),
+                  F.col("nrm").alias("q_nrm")))
+    c = n.select(F.col("vec_id").alias("cand_id"),
+                 F.col("label").alias("c_label"),
+                 F.col("embedding").alias("c_emb"),
+                 F.col("nrm").alias("c_nrm"))
+    sims = (c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+             .select("query_id", "q_label", "c_label", "cand_id",
+                     (F.expr(_DOT.format(a="q_emb", b="c_emb"))
+                      / (F.col("q_nrm") * F.col("c_nrm"))).alias("sim")))
+    wq = W.partitionBy("query_id").orderBy(F.desc("sim"), F.col("cand_id"))
+    nn = (sims.withColumn("rk", F.row_number().over(wq))
+              .filter(F.col("rk") == 1))
+    agree = F.sum((F.col("q_label") == F.col("c_label")).cast("long"))
+    return (nn.groupBy(F.col("q_label").cast("long").alias("label"))
+              .agg(F.count(F.lit(1)).alias("n_queries"),
+                   agree.alias("n_agree"))
+              .select("label", "n_queries", "n_agree",
+                      quantize(F.col("n_agree").cast("double")
+                               / F.col("n_queries"), 4).alias("agreement")))
