@@ -95,7 +95,7 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 
 # importing modules populates QUERIES
-from . import core_ops, analytics, events, text, similarity, advanced, multimodal, extra, tpch_more, tpch3, approx, udtf_ops, pipeline, graph, packing, quality, corpus, features, relops, engine_ops, mining, sketches, linkage, tokenizer, paths  # noqa: E402,F401
+from . import core_ops, analytics, events, text, similarity, advanced, multimodal, extra, tpch_more, tpch3, approx, udtf_ops, pipeline, graph, packing, quality, corpus, features, relops, engine_ops, mining, sketches, linkage, tokenizer, paths, experiments  # noqa: E402,F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

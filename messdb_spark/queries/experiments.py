@@ -1,0 +1,172 @@
+"""Experimentation analytics (A/B testing) — the analysis layer every
+event pipeline ultimately feeds. Deterministic assignment (user_id
+parity plays the hashed-assignment role), exact integer moments, and
+shared final-expression templates so Spark and DuckDB evaluate the
+SAME double arithmetic over the SAME exact integers."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, query, quantize
+
+_AB_SPLIT = "2024-01-16"   # pre-period / experiment-period boundary
+
+# final scalar expressions over the wide one-row moments relation
+# (identical text on both engines; {BIG} = the >64-bit integer type)
+_AB_EXPRS = {
+    # pooled CUPED theta = cov(pre, post) / var(pre), as an exact
+    # integer ratio: (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+    "theta": ("CAST(CAST(n_all AS {BIG}) * s_xy_all "
+              "- CAST(s_pre_all AS {BIG}) * s_post_all AS DOUBLE) "
+              "/ CAST(CAST(n_all AS {BIG}) * s_pre2_all "
+              "- CAST(s_pre_all AS {BIG}) * s_pre_all AS DOUBLE)"),
+    "mu_pre": "CAST(s_pre_all AS DOUBLE) / n_all",
+    "mean_post_a": "CAST(s_post_a AS DOUBLE) / n_a",
+    "mean_post_b": "CAST(s_post_b AS DOUBLE) / n_b",
+    "mean_pre_a": "CAST(s_pre_a AS DOUBLE) / n_a",
+    "mean_pre_b": "CAST(s_pre_b AS DOUBLE) / n_b",
+    "p_a": "CAST(conv_a AS DOUBLE) / n_a",
+    "p_b": "CAST(conv_b AS DOUBLE) / n_b",
+    "p_pool": "CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)",
+    # pooled variances (biased /n form — consistent on both sides)
+    "var_post": ("CAST(CAST(n_all AS {BIG}) * s_post2_all "
+                 "- CAST(s_post_all AS {BIG}) * s_post_all AS DOUBLE) "
+                 "/ (CAST(n_all AS DOUBLE) * n_all)"),
+    "var_pre": ("CAST(CAST(n_all AS {BIG}) * s_pre2_all "
+                "- CAST(s_pre_all AS {BIG}) * s_pre_all AS DOUBLE) "
+                "/ (CAST(n_all AS DOUBLE) * n_all)"),
+    "cov": ("CAST(CAST(n_all AS {BIG}) * s_xy_all "
+            "- CAST(s_pre_all AS {BIG}) * s_post_all AS DOUBLE) "
+            "/ (CAST(n_all AS DOUBLE) * n_all)"),
+}
+
+
+def _ab_final(BIG: str) -> dict[str, str]:
+    e = {k: v.format(BIG=BIG) for k, v in _AB_EXPRS.items()}
+    theta, mu = e["theta"], e["mu_pre"]
+    ate_naive = f"({e['mean_post_a']}) - ({e['mean_post_b']})"
+    adj_a = f"({e['mean_post_a']}) - ({theta}) * (({e['mean_pre_a']}) - ({mu}))"
+    adj_b = f"({e['mean_post_b']}) - ({theta}) * (({e['mean_pre_b']}) - ({mu}))"
+    var_adj = (f"({e['var_post']}) - 2.0 * ({theta}) * ({e['cov']}) "
+               f"+ ({theta}) * ({theta}) * ({e['var_pre']})")
+    se = (f"sqrt(({e['p_pool']}) * (1.0 - ({e['p_pool']})) "
+          f"* (1.0 / n_a + 1.0 / n_b))")
+    z = (f"CASE WHEN ({se}) = 0.0 THEN 0.0 "
+         f"ELSE (({e['p_a']}) - ({e['p_b']})) / ({se}) END")
+    q6 = "floor(({x}) * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE)"
+    return {
+        "n_a": "CAST(n_a AS BIGINT)",
+        "n_b": "CAST(n_b AS BIGINT)",
+        "ate_naive_cents": q6.format(x=ate_naive),
+        "theta": q6.format(x=theta),
+        "ate_cuped_cents": q6.format(x=f"({adj_a}) - ({adj_b})"),
+        "var_reduction": q6.format(
+            x=f"({var_adj}) / ({e['var_post']})"),
+        "z_conversion": q6.format(x=z),
+    }
+
+
+_AB_MOMENTS_DUCK = f"""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                       AND ts < TIMESTAMP '{_AB_SPLIT}'
+                      THEN CAST(floor(coalesce(value, 0) * 100 + 0.5)
+                                AS BIGINT) ELSE 0 END) AS BIGINT) AS pre,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                       AND ts >= TIMESTAMP '{_AB_SPLIT}'
+                      THEN CAST(floor(coalesce(value, 0) * 100 + 0.5)
+                                AS BIGINT) ELSE 0 END) AS BIGINT) AS post,
+             max(CASE WHEN event_type = 'purchase'
+                  AND ts >= TIMESTAMP '{_AB_SPLIT}'
+                  AND coalesce(value, 0) >= 100 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    wide AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT) AS s_post_a,
+        CAST(sum(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT) AS s_post_b,
+        CAST(sum(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT) AS s_pre_a,
+        CAST(sum(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS BIGINT) AS s_pre_b,
+        CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b,
+        count(*) AS n_all,
+        CAST(sum(pre) AS BIGINT) AS s_pre_all,
+        CAST(sum(post) AS BIGINT) AS s_post_all,
+        CAST(sum(CAST(pre AS HUGEINT) * pre) AS HUGEINT) AS s_pre2_all,
+        CAST(sum(CAST(post AS HUGEINT) * post) AS HUGEINT) AS s_post2_all,
+        CAST(sum(CAST(pre AS HUGEINT) * post) AS HUGEINT) AS s_xy_all
+      FROM u
+    )
+"""
+
+
+@query(
+    "abtest_cuped_analysis",
+    oracle=_AB_MOMENTS_DUCK + "\n    SELECT "
+    + ", ".join(f"{expr} AS {name}"
+                for name, expr in _ab_final("HUGEINT").items())
+    + "\n    FROM wide")
+def abtest_cuped_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng et
+    al. 2013): users split by deterministic assignment (id parity),
+    pre-period spend as the covariate, experiment-period spend as the
+    metric. Reports the naive ATE, the pooled CUPED theta and adjusted
+    ATE, the achieved variance-reduction ratio, and a two-proportion
+    z statistic on conversion — the complete experimentation readout.
+
+    FP parity: every moment is an exact integer (cents, cents²,
+    cross-products in >64-bit integers); the final scalar expressions
+    are generated from ONE template for both engines, so the double
+    arithmetic trees match operation-for-operation.
+
+    Scale: one per-user reduction, one global moment row — the readout
+    is O(1) after a single pass, which is why CUPED is standard at any
+    traffic volume."""
+    (e,) = load(spark, sf_dir, "events")
+    cents = F.floor(F.coalesce("value", F.lit(0.0)) * 100
+                    + F.lit(0.5)).cast("long")
+    is_pre = F.col("ts") < F.lit(_AB_SPLIT).cast("timestamp")
+    is_purchase = F.col("event_type") == "purchase"
+    u = (e.groupBy("user_id")
+          .agg(F.sum(F.when(is_purchase & is_pre, cents).otherwise(0))
+                .alias("pre"),
+               F.sum(F.when(is_purchase & ~is_pre, cents).otherwise(0))
+                .alias("post"),
+               F.max(F.when(is_purchase & ~is_pre
+                         & (F.coalesce("value", F.lit(0.0)) >= 100),
+                         1).otherwise(0))
+                .alias("conv"))
+          .withColumn("arm", F.col("user_id") % 2))
+    dec = "decimal(38,0)"
+    wide = u.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("post")).otherwise(0))
+         .alias("s_post_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("post")).otherwise(0))
+         .alias("s_post_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("pre")).otherwise(0))
+         .alias("s_pre_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("pre")).otherwise(0))
+         .alias("s_pre_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+         .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+         .alias("conv_b"),
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("pre").alias("s_pre_all"),
+        F.sum("post").alias("s_post_all"),
+        F.sum((F.col("pre").cast(dec) * F.col("pre")).cast(dec))
+         .alias("s_pre2_all"),
+        F.sum((F.col("post").cast(dec) * F.col("post")).cast(dec))
+         .alias("s_post2_all"),
+        F.sum((F.col("pre").cast(dec) * F.col("post")).cast(dec))
+         .alias("s_xy_all"))
+    final = _ab_final("DECIMAL(38,0)")
+    return wide.selectExpr(*[f"{expr} AS {name}"
+                             for name, expr in final.items()])
