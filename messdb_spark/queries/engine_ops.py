@@ -1260,6 +1260,73 @@ def range_bucketed_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zorder_box_prune",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderkey) AS mk, max(o_custkey) AS mc
+                FROM orders)
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey >= floor(0.40 * (SELECT mk FROM mx))
+      AND o_orderkey <= floor(0.60 * (SELECT mk FROM mx))
+      AND o_custkey  >= floor(0.40 * (SELECT mc FROM mx))
+      AND o_custkey  <= floor(0.60 * (SELECT mc FROM mx))
+    """)
+def zorder_box_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-ORDER clustered layout end-to-end under the driver gate
+    (``plans.zorder`` — Morton-interleaved two-column clustering with
+    per-bucket min/max skipping, the multi-dimensional sibling of
+    ``range_bucketed_prune``): orders lands as 16 z-bucket objects
+    clustered on (o_orderkey, o_custkey); a 20%×20% box read must —
+    asserted in-body — open at most half the buckets, and a band on
+    EITHER single dimension must also skip buckets (the property an
+    x-sorted layout cannot give for y). The oracle reproduces the box
+    as plain SQL, so a pruning decision that drops or duplicates a
+    boundary row breaks the hash.
+
+    Scale: pruning is decided driver-side from manifest min/max stats
+    alone (Delta/Iceberg file-stats discipline at object granularity);
+    at 100 TB a 10%×10% box opens ~1-2% of GB-sized objects instead of
+    10% (leading-key sort) or 100% (trailing-key band)."""
+    from ..plans.zorder import read_box, write_zclustered
+    from ..store import ObjectStore
+
+    (o,) = load(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_custkey",
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                     .cast("long").alias("cents"))
+    mk, mc = base.agg(F.max("o_orderkey"), F.max("o_custkey")).first()
+    k_lo, k_hi = int(0.40 * mk), int(0.60 * mk)
+    c_lo, c_hi = int(0.40 * mc), int(0.60 * mc)
+    tmp = tempfile.mkdtemp(prefix="messdb_zorder_")
+    try:
+        store = ObjectStore(os.path.join(tmp, "wh"))
+        ref = write_zclustered(store, base, ("o_orderkey", "o_custkey"),
+                               n_buckets=16)
+        loads0 = store.loads
+        out = read_box(spark, store, ref,
+                       {"o_orderkey": (k_lo, k_hi),
+                        "o_custkey": (c_lo, c_hi)})
+        result = out.localCheckpoint(eager=True)
+        opened = store.loads - loads0
+        if not (1 <= opened <= ref.n_buckets // 2):
+            raise AssertionError(
+                f"20%x20% box opened {opened} of {ref.n_buckets} "
+                f"z-buckets; expected manifest skipping")
+        # both single-dimension bands must prune too
+        for col, hi in (("o_orderkey", int(0.2 * mk)),
+                        ("o_custkey", int(0.2 * mc))):
+            band = ref.overlapping({col: (0.0, float(hi))})
+            if len(band) >= ref.n_buckets:
+                raise AssertionError(
+                    f"20% band on {col} pruned nothing "
+                    f"({len(band)}/{ref.n_buckets} buckets)")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result.select("o_orderkey", "o_custkey", "cents")
+
+
+@query(
     "stream_dedup_watermark_replay",
     oracle="""
     SELECT event_id, user_id, event_type,
