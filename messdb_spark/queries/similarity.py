@@ -1191,3 +1191,97 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("label", "n_queries", "n_agree",
                       quantize(F.col("n_agree").cast("double")
                                / F.col("n_queries"), 4).alias("agreement")))
+
+
+_SDD_CELLS = 16      # SemDeDup: coarse cluster count
+_SDD_TAU = 0.40      # similarity cutoff (calibrated to the synthetic
+                     # corpus; production text embeddings use ~0.9)
+
+
+@query(
+    "semdedup_prune",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+              FROM vecs WHERE vec_id < {_SDD_CELLS}),
+    scored AS (
+      SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_aggregate(list_transform(range(1, len(v.embedding) + 1),
+                                       i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+                                       'sum') / (v.nrm * c.cnrm) DESC, c.cid) AS crk
+      FROM vecs v CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, embedding, nrm, cid FROM scored WHERE crk = 1),
+    pairs AS (
+      SELECT a.cid, a.vec_id AS kept_id, b.vec_id AS vec_id,
+             list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                    'sum') / (a.nrm * b.nrm) AS sim
+      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, kept_id,
+           floor(sim * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS sim
+    FROM (SELECT vec_id, cid, kept_id, sim,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, kept_id) AS rk
+          FROM pairs WHERE sim >= {_SDD_TAU})
+    WHERE rk = 1
+    """)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
+    dedup for training corpora: cluster the embedding space coarsely,
+    then mark as prunable every vector that has a same-cluster mate
+    above the cosine cutoff, keeping the lowest-id representative.
+    Output: one row per pruned vector with its cluster, its keeper
+    (the sub-threshold survivor it duplicates — highest sim, then
+    lowest id) and the similarity.
+
+    Scale design — the paper's central trick, preserved: pairwise
+    similarity is computed ONLY within clusters, never corpus-wide, so
+    the quadratic term is Σ(N/K)² « N². Cluster assignment is the IVF
+    literal-codebook map-only argmax (no shuffle); the within-cluster
+    self-join shuffles on cid, and at 100 TB the corpus would be
+    WRITTEN partitioned by cid so the join is partition-local. The
+    same in-order-fold dot products as the ANN family keep the hash
+    oracle exact."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    vecs = emb.withColumn("nrm", _norm_col("embedding"))
+    cents = (vecs.filter(F.col("vec_id") < _SDD_CELLS)
+                 .select("vec_id", "embedding", "nrm")
+                 .orderBy("vec_id").collect())
+    sim_exprs = []
+    for r in cents:
+        arr = "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)"
+                                   for x in r["embedding"]) + ")"
+        dot = (f"aggregate(zip_with(embedding, {arr}, "
+               f"(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+        sim_exprs.append(f"({dot} / (nrm * CAST({float(r['nrm'])!r} AS DOUBLE)))")
+    csims = F.expr("array(" + ", ".join(sim_exprs) + ")")
+    cells = (vecs.withColumn("csims", csims)
+                 .withColumn("cid", (F.expr("array_position(csims, array_max(csims))") - 1)
+                             .cast("long"))
+                 .select("vec_id", "embedding", "nrm", "cid"))
+    a = cells.select(F.col("cid").alias("a_cid"),
+                     F.col("vec_id").alias("kept_id"),
+                     F.col("embedding").alias("a_emb"),
+                     F.col("nrm").alias("a_nrm"))
+    b = cells.select("cid", "vec_id",
+                     F.col("embedding").alias("b_emb"),
+                     F.col("nrm").alias("b_nrm"))
+    pairs = (a.join(b, (F.col("a_cid") == F.col("cid"))
+                    & (F.col("kept_id") < F.col("vec_id")))
+              .withColumn("sim", F.expr(_DOT.format(a="a_emb", b="b_emb"))
+                          / (F.col("a_nrm") * F.col("b_nrm")))
+              .filter(F.col("sim") >= _SDD_TAU))
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("kept_id"))
+    return (pairs.withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") == 1)
+                 .select("vec_id", F.col("cid").alias("cluster_id"),
+                         "kept_id", quantize("sim", 4).alias("sim")))
