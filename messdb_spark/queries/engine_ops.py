@@ -1276,7 +1276,10 @@ def zorder_box_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Z-ORDER clustered layout end-to-end under the driver gate
     (``plans.zorder`` — Morton-interleaved two-column clustering with
     per-bucket min/max skipping, the multi-dimensional sibling of
-    ``range_bucketed_prune``): orders lands as 16 z-bucket objects
+    ``range_bucketed_prune``; ``zorder_locality_buckets`` checks the
+    same interleave's LOCALITY as a relation, this one runs the actual
+    STORAGE layout and asserts its object skipping): orders lands as
+    16 z-bucket objects
     clustered on (o_orderkey, o_custkey); a 20%×20% box read must —
     asserted in-body — open at most half the buckets, and a band on
     EITHER single dimension must also skip buckets (the property an

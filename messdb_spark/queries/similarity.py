@@ -1241,7 +1241,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the cosine cutoff, keeping the lowest-id representative.
     Output: one row per pruned vector with its cluster, its keeper
     (the sub-threshold survivor it duplicates — highest sim, then
-    lowest id) and the similarity.
+    lowest id) and the similarity — the dedup PROVENANCE relation
+    (who shadows whom, at what similarity), complementing
+    ``semantic_dedup_survivors`` which emits the per-vector
+    keep/drop verdict for mixture accounting.
 
     Scale design — the paper's central trick, preserved: pairwise
     similarity is computed ONLY within clusters, never corpus-wide, so
