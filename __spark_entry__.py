@@ -50,7 +50,7 @@ _CHECK_FIRST = [
     "stream_adaptive_ingest_replay", "adaptive_rollup_refresh",
     "km_survival_time_to_purchase", "attribution_models_revenue",
     "error_budget_burn_alerts", "psi_value_drift", "knn_label_agreement",
-    "abtest_cuped_analysis", "zorder_box_prune", "semdedup_prune",
+    "abtest_cuped_analysis", "zorder_box_prune", "semdedup_prune", "dsir_importance_weights",
     # (2) implementation paths changed in round 6: empty-output
     # memoization (join/map views), selective view registration +
     # MV dependency scan + GC leases (engine-path queries), RocksDB

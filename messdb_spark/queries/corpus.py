@@ -293,3 +293,109 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
               .crossJoin(F.broadcast(n))
               .groupBy("doc_id")
               .agg(quantize(F.sum(contrib), 6).alias("bm25")))
+
+
+_DSIR_B = 4096          # hashed feature buckets
+_DSIR_SCALE = 1_000_000  # micro-nat fixed point for log-ratios
+_DSIR_TOPN = 100
+
+# hashed unigram feature id: first 8 md5 hex digits mod B
+_DSIR_FEAT = (f"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) "
+              f"% {_DSIR_B}")
+_DSIR_FEAT_DUCK = (f"CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) "
+                   f"% {_DSIR_B}")
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang, {_DSIR_FEAT_DUCK} AS bucket,
+             count(*) AS c
+      FROM (SELECT doc_id, lang, unnest({_TOKS_DUCK}) AS tok
+            FROM documents)
+      GROUP BY doc_id, lang, bucket
+    ),
+    src AS (SELECT bucket, sum(c) AS n_s FROM feats GROUP BY bucket),
+    tgt AS (SELECT bucket, sum(c) AS n_t FROM feats
+            WHERE lang = 'en' GROUP BY bucket),
+    tots AS (SELECT (SELECT sum(c) FROM feats) AS t_s,
+                    (SELECT sum(c) FROM feats WHERE lang = 'en') AS t_t),
+    lr AS (
+      SELECT s.bucket,
+             CAST(floor(ln(
+                 ((coalesce(t.n_t, 0) + 1.0) / (o.t_t + {_DSIR_B}))
+               / ((s.n_s + 1.0) / (o.t_s + {_DSIR_B}))
+             ) * {_DSIR_SCALE}.0 + 0.5) AS BIGINT) AS lr_micro
+      FROM src s LEFT JOIN tgt t ON t.bucket = s.bucket
+      CROSS JOIN tots o
+    ),
+    w AS (
+      SELECT f.doc_id, f.lang,
+             CAST(sum(f.c * lr.lr_micro) AS BIGINT) AS weight_micro
+      FROM feats f JOIN lr ON lr.bucket = f.bucket
+      GROUP BY f.doc_id, f.lang
+    )
+    SELECT doc_id, lang, weight_micro,
+           CAST(rk AS BIGINT) AS rk, rk <= {_DSIR_TOPN} AS selected
+    FROM (SELECT *, row_number() OVER (ORDER BY weight_micro DESC,
+                                       doc_id) AS rk
+          FROM w)
+    """)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): select raw-corpus documents that look
+    like a TARGET domain (here lang='en') by importance weight under
+    hashed bag-of-words models. Features are md5-hashed unigrams into
+    {_DSIR_B} buckets; per-document log-weight is
+    Σ_f c_f · (ln p_target(f) − ln p_raw(f)) with add-1 smoothing;
+    the top-{_DSIR_TOPN} by weight are the selected examples (the
+    paper resamples with Gumbel noise; rank-by-weight is the
+    deterministic analog).
+
+    FP discipline: each bucket's log-ratio is pre-quantized to an
+    INTEGER micro-nat (the ``zipf_token_rank_fit`` move), so the
+    per-document sum is exact BIGINT arithmetic — no summation-order
+    drift between engines.
+
+    Scale: the feature table shuffles (doc, bucket, count) triples —
+    never text; both distributions are {_DSIR_B}-row (vocab-bounded)
+    aggregates whose log-ratio table BROADCASTS to the per-doc join.
+    This is the published 100 TB recipe: one pass to fit, one
+    broadcast-join pass to score. The final global rank exists to
+    expose the selection as a relation; at corpus scale the rank
+    becomes the two-level prefix-sum rank of ``global_rank_by_length``
+    (or a weight-threshold chosen from a quantile sketch — no total
+    order needed for top-N selection)."""
+    toks = (load(spark, sf_dir, "documents")[0]
+            .select("doc_id", "lang",
+                    F.explode(F.expr(_TOKS)).alias("tok")))
+    feats = (toks.withColumn("bucket", F.expr(_DSIR_FEAT))
+                 .groupBy("doc_id", "lang", "bucket")
+                 .agg(F.count(F.lit(1)).alias("c")))
+    feats = feats.localCheckpoint(eager=False)
+    src = feats.groupBy("bucket").agg(F.sum("c").alias("n_s"))
+    tgt = (feats.filter(F.col("lang") == "en")
+                .groupBy("bucket").agg(F.sum("c").alias("n_t")))
+    tots = (feats.agg(
+        F.sum("c").alias("t_s"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c"))
+               .otherwise(F.lit(0))).alias("t_t")))
+    lr = (src.join(tgt, "bucket", "left")
+             .crossJoin(F.broadcast(tots))
+             .select("bucket", F.floor(F.log(
+                 ((F.coalesce(F.col("n_t"), F.lit(0)) + 1.0)
+                  / (F.col("t_t") + F.lit(float(_DSIR_B))))
+                 / ((F.col("n_s") + 1.0)
+                    / (F.col("t_s") + F.lit(float(_DSIR_B)))))
+                 * _DSIR_SCALE + F.lit(0.5)).cast("long")
+                 .alias("lr_micro")))
+    from pyspark.sql.window import Window as W
+    w = (feats.join(F.broadcast(lr), "bucket")
+              .groupBy("doc_id", "lang")
+              .agg(F.sum(F.col("c") * F.col("lr_micro")).cast("long")
+                    .alias("weight_micro")))
+    rk = F.row_number().over(
+        W.orderBy(F.desc("weight_micro"), F.col("doc_id")))
+    return (w.withColumn("rk", rk.cast("long"))
+             .withColumn("selected", F.col("rk") <= _DSIR_TOPN))
