@@ -170,3 +170,143 @@ def abtest_cuped_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = _ab_final("DECIMAL(38,0)")
     return wide.selectExpr(*[f"{expr} AS {name}"
                              for name, expr in final.items()])
+
+
+_BOOT_B = 200          # bootstrap resamples
+_BOOT_KLO = 5          # ceil(0.025 * B): 2.5th-percentile order stat
+_BOOT_KHI = 196        # B - KLO + 1: 97.5th-percentile order stat
+
+# Poisson(1) CDF thresholds (shortest-round-trip double literals —
+# identical parses on both engines); the deterministic resample weight
+# is the count of thresholds <= u
+_POIS_CDF = ("0.36787944117144233", "0.7357588823428847",
+             "0.9196986029286058", "0.9810118431238463",
+             "0.9963401531726563", "0.9994058151824183",
+             "0.999916758850712", "0.9999897508033253",
+             "0.999998874797402")
+
+# u in [0,1): a 52-bit value (double-exact) / 2^52
+_BOOT_U = ("CAST({h} AS DOUBLE) / 4503599627370496.0")
+
+# per-resample 52-bit remix constants (md5("boot_<b>")[:13]) — plan
+# literals shared by both engines; one md5 per ROW, xor-remixed per
+# resample (the minhash-seed discipline: hash once, remix cheaply)
+import hashlib as _hashlib
+
+_BOOT_KS = tuple(
+    int(_hashlib.md5(f"boot_{b}".encode()).hexdigest()[:13], 16)
+    for b in range(1, _BOOT_B + 1))
+
+
+def _pois_w(u_expr: str) -> str:
+    """Poisson(1) inverse CDF as a sum of comparisons (engine-shared
+    text): w = |{{k : cdf_k <= u}}|."""
+    return "(" + " + ".join(
+        f"CASE WHEN {u_expr} >= {c} THEN 1 ELSE 0 END"
+        for c in _POIS_CDF) + ")"
+
+
+_BOOT_KS_DUCK = "[" + ", ".join(str(k) for k in _BOOT_KS) + "]"
+
+
+@query(
+    "bootstrap_ci_segment_spend",
+    oracle=f"""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(concat('0x', substring(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) AS h0,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    reps AS (
+      SELECT b, {_BOOT_KS_DUCK}[b] AS kb
+      FROM (SELECT unnest(range(1, {_BOOT_B} + 1)) AS b)
+    ),
+    rep AS (
+      SELECT segment, cents, b,
+             {_pois_w(_BOOT_U.format(h="xor(h0, kb)"))} AS w
+      FROM base CROSS JOIN reps
+    ),
+    boot AS (
+      SELECT segment, b,
+             CAST(sum(w * cents) AS DOUBLE) / sum(w) AS mean_b
+      FROM rep GROUP BY segment, b HAVING sum(w) > 0
+    ),
+    ranked AS (
+      SELECT segment, mean_b,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY mean_b, b) AS rn
+      FROM boot
+    ),
+    pt AS (
+      SELECT segment, count(*) AS n_orders,
+             CAST(sum(cents) AS DOUBLE) / count(*) AS point
+      FROM base GROUP BY segment
+    )
+    SELECT p.segment, p.n_orders,
+           floor(p.point * CAST(100.0 AS DOUBLE) + 0.5)
+             / CAST(100.0 AS DOUBLE) AS point_mean_cents,
+           floor(lo.mean_b * CAST(100.0 AS DOUBLE) + 0.5)
+             / CAST(100.0 AS DOUBLE) AS ci_lo_cents,
+           floor(hi.mean_b * CAST(100.0 AS DOUBLE) + 0.5)
+             / CAST(100.0 AS DOUBLE) AS ci_hi_cents
+    FROM pt p
+    JOIN ranked lo ON lo.segment = p.segment AND lo.rn = {_BOOT_KLO}
+    JOIN ranked hi ON hi.segment = p.segment AND hi.rn = {_BOOT_KHI}
+    """)
+def bootstrap_ci_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for mean order value per market
+    segment — the bootstrap that actually runs at scale (Chamandy et
+    al., Google 2012, "Estimating Uncertainty for Massive Data
+    Streams"): instead of materializing B resamples, each row draws an
+    independent Poisson(1) replication count per resample, so the
+    whole thing is ONE streaming pass with a (segment × B)-sized
+    partial aggregation — no per-resample shuffles of the data.
+
+    Determinism: the Poisson draw inverts the exact CDF at
+    u = md5(orderkey, b)[:13 hex] / 2^52 — a double-exact rational
+    both engines compute identically; resample means are exact BIGINT
+    cent sums divided once. CI = order statistics {_BOOT_KLO} and
+    {_BOOT_KHI} of the {_BOOT_B} resample means (percentile
+    bootstrap), selected deterministically by (mean, b) rank.
+
+    Scale: the replicated relation is B× the base rows but map-side
+    combines into ≤ segments × B partials before any shuffle; at
+    100 TB you fold the weight draw into the first aggregation (no
+    explode materialized) and the reduce side stays (groups × B)."""
+    (o, c) = load(spark, sf_dir, "orders", "customer")
+    base = (o.join(c, o["o_custkey"] == c["c_custkey"])
+             .select(F.col("c_mktsegment").alias("segment"),
+                     "o_orderkey",
+                     F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                      .cast("long").alias("cents")))
+    rep = (base.withColumn("b", F.explode(F.sequence(F.lit(1),
+                                                     F.lit(_BOOT_B)))))
+    h = ("CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '_', "
+         "CAST(b AS STRING))), 1, 13), 16, 10) AS BIGINT)")
+    rep = rep.withColumn(
+        "w", F.expr(_pois_w(_BOOT_U.format(h=h))))
+    boot = (rep.groupBy("segment", "b")
+               .agg(F.sum(F.col("w") * F.col("cents")).alias("sw"),
+                    F.sum("w").alias("n"))
+               .filter(F.col("n") > 0)
+               .select("segment", "b",
+                       (F.col("sw").cast("double") / F.col("n"))
+                       .alias("mean_b")))
+    from pyspark.sql.window import Window as W
+    rn = F.row_number().over(
+        W.partitionBy("segment").orderBy("mean_b", "b"))
+    ranked = boot.withColumn("rn", rn)
+    pt = (base.groupBy("segment")
+              .agg(F.count(F.lit(1)).alias("n_orders"),
+                   (F.sum("cents").cast("double")
+                    / F.count(F.lit(1))).alias("point")))
+    lo = (ranked.filter(F.col("rn") == _BOOT_KLO)
+                .select("segment", F.col("mean_b").alias("lo")))
+    hi = (ranked.filter(F.col("rn") == _BOOT_KHI)
+                .select("segment", F.col("mean_b").alias("hi")))
+    return (pt.join(lo, "segment").join(hi, "segment")
+              .select("segment", "n_orders",
+                      quantize("point", 2).alias("point_mean_cents"),
+                      quantize("lo", 2).alias("ci_lo_cents"),
+                      quantize("hi", 2).alias("ci_hi_cents")))
