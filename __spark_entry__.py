@@ -27,47 +27,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate verifies a 50-query budget per round in
-# registration order. Round-6 rotation policy (deterministic, bounded
-# staleness): (1) queries with no CORRECTNESS row in any round, (2)
-# queries whose implementation changed this round, (3) queries whose
-# latest row is oldest (r1, then r2 in stable order). Entries past the
-# 50-budget roll to the head of the next round's list; everything stays
-# covered every run by tests/test_oracle_parity.py at sf0.001/sf0.01.
+# registration order. Round-7 rotation policy (deterministic, bounded
+# staleness): (1) queries with no CORRECTNESS row in any round or whose
+# implementation changed this round, (2) queries whose latest row is
+# oldest (the r2 cohort — 4 rounds stale — then r3, r4, r5 in stable
+# order). Entries past the 50-budget roll to the head of the next
+# round's list; everything stays covered every run by
+# tests/test_oracle_parity.py at sf0.001/sf0.01.
 _CHECK_FIRST = [
-    # (1) never driver-checked or oracle/impl changed this round:
-    # the 3 verdict-flagged pending rows FIRST, then the two sketch
-    # queries (now deterministic verdict relations), then the round-6
-    # additions (MERGE INTO, adaptive buckets, corpus stats, RFM, ACF,
-    # conversion latency) in build order
-    "benford_first_digit", "countmin_heavy_hitters",
-    "kmeans_embedding_clusters", "approx_distinct_users_hll",
-    "approx_price_quantiles", "sql_merge_into_upsert",
-    "adaptive_bucket_split_refresh", "token_entropy_per_source",
-    "zipf_token_rank_fit", "minhash_estimate_error", "rfm_customer_segments",
-    "autocorrelation_daily_revenue", "conversion_time_percentiles",
-    "keyword_extraction_rake", "cohort_ltv_curves",
-    "ngram_novelty_scores", "trimmed_mean_order_values", "mmr_diverse_topk",
-    "stream_adaptive_ingest_replay", "adaptive_rollup_refresh",
-    "km_survival_time_to_purchase", "attribution_models_revenue",
-    "error_budget_burn_alerts", "psi_value_drift", "knn_label_agreement",
-    "abtest_cuped_analysis", "zorder_box_prune", "semdedup_prune", "dsir_importance_weights",
-    # (2) implementation paths changed in round 6: empty-output
-    # memoization (join/map views), selective view registration +
-    # MV dependency scan + GC leases (engine-path queries), RocksDB
-    # state store for the replay family (representatives covering each
-    # stateful shape; the rest of the family follows by rotation)
-    "incremental_join_view_refresh", "incremental_map_view_refresh",
-    "memo_sorted_spend_view", "branch_merge_replay", "catalog_table_diff",
-    "stream_replay_upsert", "stream_stream_join_replay",
-    "stream_stream_outer_join_replay", "stream_checkpoint_restart_replay",
-    "stream_dedup_watermark_replay", "stream_session_windows_replay",
-    # (3) oldest driver rows first (r1 pair, then r2/r3/r4/r5 cohorts
-    # in stable order) — entries past the 50-row budget roll to the r7
-    # head and stay covered by the local parity sweep every session
-    "date_funcs_monthly_revenue", "multimodal_frame_sample",
-    "anti_join_quiet_customers", "benchmark_contamination",
-    "core_merge_fold_sum", "core_merge_upsert", "core_range_filter",
-    "core_sort_rekey", "core_table_insert", "correlated_above_segment_avg",
+    # (1) never driver-checked (the r6 verdict's one red query — body
+    # rewritten this round to the oracle's hash-once xor-remix draw)
+    # plus any round-7 changes/additions appended here in build order
+    "bootstrap_ci_segment_spend",
+    # (2) oldest driver rows first: the r2 cohort (last checked round
+    # 2 per STALENESS.json), then r3/r4/r5 cohorts in stable order
     "cosine_topk_bruteforce", "cube_orders_priority", "dedup_exact",
     "distinct_stats_per_segment", "doc_fingerprint", "embedding_centroids",
     "events_gap_fill_hourly", "events_hourly_stats", "events_json_props",

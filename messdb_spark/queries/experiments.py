@@ -264,28 +264,41 @@ def bootstrap_ci_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation — no per-resample shuffles of the data.
 
     Determinism: the Poisson draw inverts the exact CDF at
-    u = md5(orderkey, b)[:13 hex] / 2^52 — a double-exact rational
-    both engines compute identically; resample means are exact BIGINT
-    cent sums divided once. CI = order statistics {_BOOT_KLO} and
+    u = xor(h0, kb) / 2^52 where h0 = md5(orderkey)[:13 hex] is hashed
+    ONCE per row and kb = md5("boot_b")[:13 hex] are the {_BOOT_B}
+    plan-literal remix keys (`_BOOT_KS`) — the minhash-seed discipline
+    (hash once, remix cheaply), so each resample costs one 64-bit xor
+    instead of a fresh cryptographic hash. Both engines compute the
+    identical 52-bit rational; resample means are exact BIGINT cent
+    sums divided once. CI = order statistics {_BOOT_KLO} and
     {_BOOT_KHI} of the {_BOOT_B} resample means (percentile
     bootstrap), selected deterministically by (mean, b) rank.
 
-    Scale: the replicated relation is B× the base rows but map-side
-    combines into ≤ segments × B partials before any shuffle; at
-    100 TB you fold the weight draw into the first aggregation (no
-    explode materialized) and the reduce side stays (groups × B)."""
+    Scale: the replicated relation is B× the base rows but every
+    replica is integer-only work (xor + 9 compares) inside one
+    whole-stage-codegen pipeline, and it map-side combines into
+    ≤ segments × B partials before any shuffle; at 100 TB you fold
+    the weight draw into the first aggregation (no explode
+    materialized) and the reduce side stays (groups × B)."""
     (o, c) = load(spark, sf_dir, "orders", "customer")
     base = (o.join(c, o["o_custkey"] == c["c_custkey"])
              .select(F.col("c_mktsegment").alias("segment"),
-                     "o_orderkey",
+                     F.expr("CAST(conv(substring(md5(CAST(o_orderkey AS "
+                            "STRING)), 1, 13), 16, 10) AS BIGINT)")
+                      .alias("h0"),
                      F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
                       .cast("long").alias("cents")))
-    rep = (base.withColumn("b", F.explode(F.sequence(F.lit(1),
-                                                     F.lit(_BOOT_B)))))
-    h = ("CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '_', "
-         "CAST(b AS STRING))), 1, 13), 16, 10) AS BIGINT)")
-    rep = rep.withColumn(
-        "w", F.expr(_pois_w(_BOOT_U.format(h=h))))
+    ks = F.lit(list(_BOOT_KS))   # one array Literal, not per-row CreateArray
+    par = spark.sparkContext.defaultParallelism
+    rep = (base.repartition(par)   # small-testdata artifact: the single
+                                   # parquet row-group would pin the 200x
+                                   # explode+agg pipeline to ONE task
+               .select("segment", "cents", "h0",
+                       F.posexplode(ks).alias("p", "kb"))
+               .select("segment", "cents",
+                       (F.col("p") + 1).alias("b"),
+                       F.expr(_BOOT_U.format(h="h0 ^ kb")).alias("u")))
+    rep = rep.withColumn("w", F.expr(_pois_w("u")))
     boot = (rep.groupBy("segment", "b")
                .agg(F.sum(F.col("w") * F.col("cents")).alias("sw"),
                     F.sum("w").alias("n"))
@@ -301,11 +314,16 @@ def bootstrap_ci_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_orders"),
                    (F.sum("cents").cast("double")
                     / F.count(F.lit(1))).alias("point")))
-    lo = (ranked.filter(F.col("rn") == _BOOT_KLO)
-                .select("segment", F.col("mean_b").alias("lo")))
-    hi = (ranked.filter(F.col("rn") == _BOOT_KHI)
-                .select("segment", F.col("mean_b").alias("hi")))
-    return (pt.join(lo, "segment").join(hi, "segment")
+    # both order statistics from ONE pass over the ranked resamples —
+    # two separate rn filters would make Catalyst duplicate the whole
+    # explode+aggregate subtree (2× the scan and hash work)
+    ci = (ranked.filter(F.col("rn").isin(_BOOT_KLO, _BOOT_KHI))
+                .groupBy("segment")
+                .agg(F.max(F.when(F.col("rn") == _BOOT_KLO,
+                                  F.col("mean_b"))).alias("lo"),
+                     F.max(F.when(F.col("rn") == _BOOT_KHI,
+                                  F.col("mean_b"))).alias("hi")))
+    return (pt.join(ci, "segment")
               .select("segment", "n_orders",
                       quantize("point", 2).alias("point_mean_cents"),
                       quantize("lo", 2).alias("ci_lo_cents"),

@@ -28,3 +28,11 @@ def sf_dir():
 @pytest.fixture()
 def warehouse(tmp_path):
     return str(tmp_path / "warehouse")
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Flush parity passes recorded by test_oracle_parity into
+    tests/parity_ledger.json (see messdb_spark/parity.py)."""
+    from messdb_spark.parity import flush_ledger
+
+    flush_ledger()

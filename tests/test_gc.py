@@ -209,3 +209,88 @@ def test_put_holds_lease_during_write(spark, tmp_path, monkeypatch):
     store.put(df, table_content_hash)
     assert len(seen["leases_during_write"]) == 1
     assert store.active_leases() == []  # released after commit
+
+
+def test_gc_vs_streaming_upsert_lease_compose(spark, sf_dir, tmp_path):
+    """GC leases composed with the streaming sink (r6 verdict task 6):
+    a multi-batch foreachBatch upsert whose sink holds the compound
+    writer lease across stage→commit. Mid-commit — after the merged
+    object is staged into the CAS but BEFORE the catalog root
+    references it — gc must refuse with GcBusyError and the in-flight
+    object must survive; after the stream drains (no live leases) gc
+    proceeds, sweeps only superseded roots, and the final table is
+    intact."""
+    from pyspark.sql import functions as F
+
+    from messdb_spark.engine import Engine
+    from messdb_spark.hashing import table_content_hash
+    from messdb_spark.store import CatalogEntry
+    from messdb_spark.operators.core import (KeyedTable, canonicalize_input,
+                                             merge_tables)
+    from messdb_spark.store import GcBusyError
+    from messdb_spark.streaming.stream import read_event_stream
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    # two files → two triggers at max_files_per_trigger=1 → two commits
+    from messdb_spark.session import read_table
+    batch = read_table(spark, sf_dir, "events")
+    n_total = batch.count()
+    d = tmp_path / "split"
+    batch.filter(F.col("event_id") % 2 == 0).coalesce(1) \
+         .write.parquet(str(d / "a"))
+    batch.filter(F.col("event_id") % 2 == 1).coalesce(1) \
+         .write.parquet(str(d / "b"))
+    src = tmp_path / "gc_events_in"
+    src.mkdir()
+    for sub in ("a", "b"):
+        for f in (d / sub).glob("part-*.parquet"):
+            (src / f"{sub}_{f.name}").symlink_to(f)
+
+    probes = []
+
+    def sink(batch_df, epoch_id):
+        with eng.write_lease():
+            folded = canonicalize_input(batch_df, ("event_id",))
+            incoming = KeyedTable(folded.df.localCheckpoint(eager=True),
+                                  folded.key_cols)
+            try:
+                current = eng.load_table("events_live")
+                merged = merge_tables([current, incoming])
+            except KeyError:
+                merged = incoming
+            # stage the object WITHOUT registering it — the in-flight
+            # window a concurrent gc must not be able to sweep
+            h = eng.objects.put(merged.df, table_content_hash,
+                                key_cols=("event_id",))
+            refused = False
+            try:
+                eng.gc(keep_versions=1)
+            except GcBusyError:
+                refused = True
+            probes.append((epoch_id, refused, eng.objects.exists(h)))
+            eng._register("events_live", CatalogEntry(
+                table_hash=h, schema_json=merged.df.schema.json(),
+                key_cols=list(merged.key_cols)))
+
+    stream = read_event_stream(spark, str(src))
+    q = (stream.writeStream.foreachBatch(sink).outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "gc_ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(probes) == 2
+    for _, refused, inflight_survived in probes:
+        assert refused, "gc ran inside a live writer lease"
+        assert inflight_survived, "in-flight object was swept"
+    # stream drained → no live leases → gc proceeds and sweeps only the
+    # superseded v1 root's object
+    assert eng.objects.active_leases() == []
+    stats = eng.gc(keep_versions=1)
+    assert probes[0][0] != probes[1][0]
+    t = eng.load_table("events_live")
+    assert t.df.count() == n_total
+    assert t.df.select("event_id").distinct().count() == n_total
+    swept = set(stats["swept"])
+    assert eng.catalog.get("events_live").table_hash not in swept

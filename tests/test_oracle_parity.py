@@ -10,6 +10,7 @@ import math
 import duckdb
 import pytest
 
+from messdb_spark.parity import record_pass
 from messdb_spark.queries import QUERIES
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -51,6 +52,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
     srows = [tuple(r) for r in sdf.collect()]
     if q.oracle is None:
         assert len(srows) >= 0   # rows-only check
+        record_pass(name)
         return
     con = duck_con(sf_dir)
     res = con.execute(q.oracle)
@@ -62,6 +64,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
     d_norm, _ = normalize(drows, dcols)
     mismatches = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]
     assert not mismatches, f"{name}: first value mismatch {mismatches[:3]}"
+    record_pass(name)
 
 
 def test_approx_sketches_within_bounds(spark, sf_dir):
