@@ -37,8 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     # (1) never driver-checked (the r6 verdict's one red query — body
     # rewritten this round to the oracle's hash-once xor-remix draw)
-    # plus any round-7 changes/additions appended here in build order
-    "bootstrap_ci_segment_spend",
+    # plus round-7 additions in build order
+    "bootstrap_ci_segment_spend", "knn_graph_lsh", "dp_noisy_counts",
+    "colbert_maxsim_topk",
     # (2) oldest driver rows first: the r2 cohort (last checked round
     # 2 per STALENESS.json), then r3/r4/r5 cohorts in stable order
     "cosine_topk_bruteforce", "cube_orders_priority", "dedup_exact",

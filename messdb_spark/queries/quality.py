@@ -391,3 +391,71 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("event_type", "n_bins",
                          quantize(psi_d, 6).alias("psi"),
                          (psi_d > 0.2).alias("drifted")))
+
+
+# ε-DP geometric mechanism (Ghosh–Roughgarden–Sundararajan 2009): the
+# discrete analog of Laplace for integer counts. α = 1/2 → ε = ln 2.
+# CDF of the two-sided geometric, P(X ≤ k) = 2^(k+1)/3 (k < 0) and
+# 1 − 2^(−k)/3 (k ≥ 0), truncated to [−16, 16] by clamping the inverse.
+# The thresholds are correctly-rounded double literals (Fraction →
+# float) whose TEXT is shared with the oracle, so noise = count of
+# thresholds ≤ u is pure integer arithmetic on both engines — no
+# transcendentals, no FP-summation drift, full value-hash parity (the
+# codebase's micro-nat/Poisson-CDF discipline applied to DP noise).
+from fractions import Fraction as _Fr
+
+_DP_SPAN = 16
+_DP_CDF = tuple(
+    repr(float(_Fr(2) ** (k + 1) / 3)) if k < 0
+    else repr(float(1 - _Fr(1, 3) / 2 ** k))
+    for k in range(-_DP_SPAN, _DP_SPAN))
+
+# u in [0,1): md5 of the cell key, 13 hex nibbles / 2^52 (double-exact)
+_DP_U = ("(CAST({h} AS DOUBLE) / 4503599627370496.0)")
+
+
+def _dp_noise(u_expr: str) -> str:
+    """Engine-shared inverse-CDF text: noise = −{span} + |{{k: cdf_k ≤ u}}|."""
+    return (f"(-{_DP_SPAN} + (" + " + ".join(
+        f"CASE WHEN {u_expr} >= {c} THEN 1 ELSE 0 END"
+        for c in _DP_CDF) + "))")
+
+
+@query(
+    "dp_noisy_counts",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             count(*) AS n_true
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type,
+           CAST(n_true + {_dp_noise(_DP_U.format(
+               h="CAST(concat('0x', substring(md5(concat('dp_', CAST(day AS VARCHAR), '_', event_type)), 1, 13)) AS BIGINT)"))}
+             AS BIGINT) AS noisy_count
+    FROM cells
+    """)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release: daily event-type
+    counts with ε = ln 2 geometric-mechanism noise — the release step
+    after the ``k_anonymity_audit`` pre-check when counts themselves
+    must be published (usage dashboards, data-sharing agreements,
+    telemetry exports). The geometric mechanism is the
+    utility-optimal ε-DP mechanism for integer counts; noise here is
+    drawn deterministically per cell (md5 inverse-CDF) so the release
+    is reproducible and hash-checkable — a production deployment
+    swaps the uniform for a real RNG and keeps every other line.
+
+    Scale: one map-side-combined count agg; noise is a per-cell
+    projection over the (days × types)-bounded release relation —
+    zero extra shuffles, noise cost independent of corpus size."""
+    (e,) = load(spark, sf_dir, "events")
+    cells = (e.groupBy(F.col("ts").cast("date").alias("day"),
+                       "event_type")
+              .agg(F.count(F.lit(1)).alias("n_true")))
+    h = ("CAST(conv(substring(md5(concat('dp_', CAST(day AS STRING), '_', "
+         "event_type)), 1, 13), 16, 10) AS BIGINT)")
+    noise = F.expr(_dp_noise(_DP_U.format(h=h)))
+    return cells.select(
+        "day", "event_type",
+        (F.col("n_true") + noise).cast("long").alias("noisy_count"))

@@ -1288,3 +1288,217 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .filter(F.col("rk") == 1)
                  .select("vec_id", F.col("cid").alias("cluster_id"),
                          "kept_id", quantize("sim", 4).alias("sim")))
+
+
+_KG_BANDS = 2      # LSH bands over the 8 hyperplane bits (4 bits each)
+_KG_BITS = 4
+_KG_K = 3          # neighbors per node in the output graph
+
+_KG_DUCK_BITS = " || ".join(_duck_sign_bit(p) for p in range(_N_PLANES))
+
+
+@query(
+    "knn_graph_lsh",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, {_KG_DUCK_BITS} AS bits FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, b, substring(bits, 1 + b * {_KG_BITS}, {_KG_BITS}) AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(range({_KG_BANDS})) AS b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS node_id, c.vec_id AS cand_id
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ),
+    n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+               AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT p.node_id, p.cand_id,
+             list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+               / (a.nrm * c.nrm) AS sim
+      FROM pairs p
+      JOIN n a ON a.vec_id = p.node_id
+      JOIN n c ON c.vec_id = p.cand_id
+    )
+    SELECT node_id, rk, cand_id,
+           floor(sim * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS sim
+    FROM (SELECT node_id, cand_id, sim,
+                 row_number() OVER (PARTITION BY node_id
+                                    ORDER BY sim DESC, cand_id) AS rk
+          FROM scored) t
+    WHERE rk <= {_KG_K}
+    """)
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH build — every corpus vector gets its {_KG_K} nearest
+    same-bucket neighbors (cosine), with candidates generated by
+    banded random-hyperplane LSH ({_KG_BANDS} bands × {_KG_BITS} sign
+    bits; a pair is a candidate if it collides in ANY band — the
+    minhash-band discipline applied to dense vectors). The k-NN graph
+    is the substrate for graph-based dedup clustering, SemDeDup-style
+    pruning, label propagation, and graph-ANN (NSW) index seeding —
+    distinct from the probe-set searches (``cosine_topk_bruteforce``,
+    ``ivf_topk_search``): here EVERY node is a query, which is exactly
+    when brute force becomes corpus-quadratic and banding becomes
+    mandatory.
+
+    Scale: plane projections are map-only plan literals (one fused
+    multiply-add pass per vector, no per-row hashing); band self-joins
+    shuffle only (vec_id, band, bucket) slivers; the candidate set is
+    id-DISTINCT'd BEFORE embeddings are re-attached, so full vectors
+    ride only two hash joins of the deduped pair list against the
+    corpus — pair generation never shuffles a vector. At 100 TB the
+    corpus side is written bucketed by vec_id so both re-attach joins
+    co-locate; Σ bucket² bounds candidate volume like every banded
+    path in this codebase (cf. ``minhash_lsh_candidates``)."""
+    import hashlib
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    ndims = emb.select(F.size("embedding").alias("n")).first()["n"]
+    sign_bits = []
+    for p in range(_N_PLANES):
+        ws = [1.0 if hashlib.md5(f"plane{p}_{i}".encode()).hexdigest()[0] < "8"
+              else -1.0 for i in range(1, ndims + 1)]
+        arr = "array(" + ", ".join(f"CAST({w} AS DOUBLE)" for w in ws) + ")"
+        dot = (f"aggregate(zip_with(embedding, {arr}, "
+               f"(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), "
+               f"(a, v) -> a + v)")
+        sign_bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    bits = F.expr("concat(" + ", ".join(sign_bits) + ")")
+
+    par = spark.sparkContext.defaultParallelism
+    sig = (emb.repartition(par)
+              .select("vec_id", bits.alias("bits"))
+              .select("vec_id", F.posexplode(F.expr(
+                  f"transform(sequence(0, {_KG_BANDS - 1}), "
+                  f"b -> substring(bits, 1 + b * {_KG_BITS}, {_KG_BITS}))"))
+                  .alias("b", "bucket")))
+    a = sig.select(F.col("vec_id").alias("node_id"), "b", "bucket")
+    c = sig.select(F.col("vec_id").alias("cand_id"), "b", "bucket")
+    pairs = (a.join(c, ["b", "bucket"])
+              .filter(F.col("node_id") != F.col("cand_id"))
+              .select("node_id", "cand_id").distinct())
+
+    n = emb.select("vec_id", "embedding",
+                   _norm_col("embedding").alias("nrm"))
+    na = n.select(F.col("vec_id").alias("node_id"),
+                  F.col("embedding").alias("a_emb"),
+                  F.col("nrm").alias("a_nrm"))
+    nc = n.select(F.col("vec_id").alias("cand_id"),
+                  F.col("embedding").alias("c_emb"),
+                  F.col("nrm").alias("c_nrm"))
+    scored = (pairs.join(na, "node_id").join(nc, "cand_id")
+                   .withColumn("sim",
+                               F.expr(_DOT.format(a="a_emb", b="c_emb"))
+                               / (F.col("a_nrm") * F.col("c_nrm"))))
+    w = W.partitionBy("node_id").orderBy(F.desc("sim"), F.col("cand_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= _KG_K)
+                  .select("node_id", "rk", "cand_id",
+                          quantize("sim", 4).alias("sim")))
+
+
+_CB_NTOK = 8    # token views per vector: 64 dims = 8 tokens x 8 dims
+_CB_TDIM = 8
+_CB_NQ = 10     # probe queries: vec_id < 10
+_CB_K = 5       # reranked results per query
+
+
+@query(
+    "colbert_maxsim_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT vec_id,
+             list_transform(range(0, {_CB_NTOK}), t ->
+               list_transform(list_slice(embedding,
+                                         1 + t * {_CB_TDIM},
+                                         {_CB_TDIM} + t * {_CB_TDIM}),
+                              x -> CAST(x AS DOUBLE))) AS tk
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, tk,
+             list_transform(tk, a ->
+               sqrt(list_aggregate(list_transform(a, x -> x * x), 'sum')))
+               AS tn
+      FROM tok
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_aggregate(list_transform(range(0, {_CB_NTOK}), t ->
+               list_max(list_transform(range(0, {_CB_NTOK}), u ->
+                 CASE WHEN q.tn[t+1] * c.tn[u+1] = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE list_aggregate(list_transform(range(1, {_CB_TDIM} + 1),
+                        i -> q.tk[t+1][i] * c.tk[u+1][i]), 'sum')
+                      / (q.tn[t+1] * c.tn[u+1]) END))), 'sum') AS score
+      FROM n q JOIN n c ON q.vec_id < {_CB_NQ} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, rk, cand_id,
+           floor(score * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS score
+    FROM (SELECT query_id, cand_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, cand_id) AS rk
+          FROM scored) t
+    WHERE rk <= {_CB_K}
+    """)
+def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim retrieval: each vector
+    is viewed as {_CB_NTOK} token embeddings of {_CB_TDIM} dims (a
+    deterministic reinterpretation of the testdata's flat 64-dim
+    vectors — a real deployment stores per-token embeddings directly);
+    score(q, d) = Σ_t max_u cos(q_t, d_u). MaxSim is the standard
+    second-stage reranker between single-vector ANN recall and full
+    cross-encoders: it keeps per-token granularity (term-level
+    matching) while remaining embarrassingly data-parallel.
+
+    Exactness: every cosine is an in-order 8-element fold, the max is
+    exact, and the outer sum folds t = 0..{_CB_NTOK - 1} in order —
+    identical expression trees on both engines, then quantized.
+
+    Scale: the {_CB_NQ}-query token matrix broadcasts; the corpus
+    streams through one whole-stage-codegen projection (no shuffle
+    until the per-query top-{_CB_K} WindowGroupLimit). At 100 TB the
+    candidate set comes from the ANN ladder (``ivf_topk_search`` /
+    ``knn_graph_lsh``) instead of the full corpus — MaxSim then costs
+    candidates × tokens², never corpus × tokens²."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    tok = (f"transform(sequence(0, {_CB_NTOK - 1}), t -> "
+           f"transform(slice(embedding, 1 + t * {_CB_TDIM}, {_CB_TDIM}), "
+           f"x -> CAST(x AS DOUBLE)))")
+    tn = ("transform(tk, a -> sqrt(aggregate(a, CAST(0.0 AS DOUBLE), "
+          "(acc, x) -> acc + x * x)))")
+    n = (emb.select("vec_id", F.expr(tok).alias("tk"))
+            .select("vec_id", "tk", F.expr(tn).alias("tn")))
+    q = (n.filter(F.col("vec_id") < _CB_NQ)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("tk").alias("q_tk"), F.col("tn").alias("q_tn")))
+    c = n.select(F.col("vec_id").alias("cand_id"),
+                 F.col("tk").alias("c_tk"), F.col("tn").alias("c_tn"))
+    cos = (f"CASE WHEN element_at(q_tn, t + 1) * element_at(c_tn, u + 1) "
+           f"= CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE) "
+           f"ELSE aggregate(zip_with(element_at(q_tk, t + 1), "
+           f"element_at(c_tk, u + 1), (x, y) -> x * y), "
+           f"CAST(0.0 AS DOUBLE), (a, v) -> a + v) "
+           f"/ (element_at(q_tn, t + 1) * element_at(c_tn, u + 1)) END")
+    score = (f"aggregate(transform(sequence(0, {_CB_NTOK - 1}), t -> "
+             f"array_max(transform(sequence(0, {_CB_NTOK - 1}), u -> "
+             f"{cos}))), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+    par = spark.sparkContext.defaultParallelism
+    scored = (c.repartition(par)
+               .join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+               .withColumn("score", F.expr(score)))
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.col("cand_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= _CB_K)
+                  .select("query_id", "rk", "cand_id",
+                          quantize("score", 4).alias("score")))

@@ -292,3 +292,34 @@ def test_sql_for_version_as_of(spark, warehouse):
         f"FROM t cur JOIN t FOR VERSION AS OF {v1} old ON cur.k = old.k "
         f"ORDER BY cur.k").collect()}
     assert rows == {1: (15, 10), 2: (20, 20)}
+
+
+def test_sql_selective_registration_at_catalog_scale(spark, warehouse):
+    """Catalog-scale pin for O(referenced) driver work (r6 verdict
+    task 7): on a 200-table catalog, a two-table join must load and
+    register exactly 2 tables — a regression to O(catalog) (manifest
+    load or temp-view registration per catalog entry) trips the
+    counters. The 200 entries share one physical object (catalog
+    entries are just root pointers), so the test stays fast while the
+    NAMESPACE is full-size."""
+    from messdb_spark.store import CatalogEntry
+
+    eng = Engine(spark, warehouse)
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    h = eng.save_table("seed00", KeyedTable(df, ("k",)))
+    entry = eng.catalog.get("seed00")
+    for i in range(1, 200):
+        eng.catalog.put(f"seed{i:02d}" if i < 100 else f"wide{i:03d}",
+                        CatalogEntry(table_hash=h,
+                                     schema_json=entry.schema_json,
+                                     key_cols=entry.key_cols))
+    assert len(eng.catalog.names()) == 200
+
+    loads0 = eng.objects.loads
+    views0 = len([t.name for t in spark.catalog.listTables()])
+    out = eng.sql("SELECT a.v + b.v AS s FROM seed03 a JOIN wide150 b "
+                  "ON a.k = b.k").collect()
+    assert out[0][0] == 20
+    assert eng.objects.loads - loads0 == 2         # O(referenced), not O(200)
+    views1 = len([t.name for t in spark.catalog.listTables()])
+    assert views1 - views0 <= 2                    # no namespace-wide views
