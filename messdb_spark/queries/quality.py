@@ -459,3 +459,87 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.select(
         "day", "event_type",
         (F.col("n_true") + noise).cast("long").alias("noisy_count"))
+
+
+_QC_B = 512        # hashed feature buckets
+_QC_WSPAN = 1000   # weights are integers in [-1000, 1000] (milli-units)
+
+
+def _qc_weights() -> list[int]:
+    """Deterministic 'trained' linear-model weights, one per hashed
+    feature bucket: md5('qw_<b>') mod 2001 − 1000. Stands in for real
+    learned weights; a production run loads them from the model
+    artifact and keeps every other line."""
+    import hashlib
+
+    return [int(hashlib.md5(f"qw_{b}".encode()).hexdigest()[:8], 16)
+            % (2 * _QC_WSPAN + 1) - _QC_WSPAN
+            for b in range(_QC_B)]
+
+
+@query(
+    "quality_classifier_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_TOKS_DUCK}) AS tok
+      FROM documents WHERE length(text) > 0
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             count(*) AS n_tokens,
+             CAST(sum(
+               (CAST(concat('0x', substring(md5('qw_' ||
+                  CAST(CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)
+                       % {_QC_B} AS VARCHAR)), 1, 8)) AS BIGINT)
+                % {2 * _QC_WSPAN + 1}) - {_QC_WSPAN}
+             ) AS BIGINT) AS margin_milli
+      FROM toks GROUP BY doc_id, source
+    )
+    SELECT doc_id, source, n_tokens, margin_milli,
+           floor((CAST(margin_milli AS DOUBLE) / n_tokens)
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS margin_per_token,
+           margin_milli >= 0 AS keep
+    FROM scored
+    """)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the linear-classifier stage of
+    every LLM data pipeline (the CCNet / GPT-3 'quality classifier'
+    shape): hashed bag-of-words features ({_QC_B} md5 buckets) scored
+    against a weight vector, per-document margin decides keep/drop.
+    Complements the HEURISTIC gates (``text_quality``,
+    ``length_percentile_gate``): this is the plumbing for a trained
+    model applied corpus-wide. Weights here are deterministic
+    md5-derived integers (see ``_qc_weights``) so the release
+    hash-checks; swap in learned weights and nothing else changes.
+
+    FP discipline: the margin is an exact BIGINT milli-unit sum (the
+    DSIR integer-micro-nat move); only the final per-token
+    normalization divides, and that division of two exact integers is
+    correctly rounded identically on both engines, then quantized.
+
+    Scale: weights ride as ONE plan-literal array (element_at lookup —
+    no join); tokens never leave their partition (explode + map-side
+    combine into per-doc partials), so the only shuffle is the per-doc
+    aggregation of (doc_id, partial-sum) pairs. At 100 TB this is one
+    corpus pass — the same cost as counting tokens."""
+    (d,) = load(spark, sf_dir, "documents")
+    W_arr = F.lit(_qc_weights())
+    par = spark.sparkContext.defaultParallelism
+    toks = (d.filter(F.length("text") > 0)
+             .repartition(par)
+             .select("doc_id", "source",
+                     F.explode(F.expr(_TOKS)).alias("tok")))
+    w_tok = F.element_at(
+        W_arr,
+        (F.expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)")
+         % _QC_B + 1).cast("int"))
+    scored = (toks.select("doc_id", "source", w_tok.alias("w"))
+                  .groupBy("doc_id", "source")
+                  .agg(F.count(F.lit(1)).alias("n_tokens"),
+                       F.sum("w").cast("long").alias("margin_milli")))
+    return scored.select(
+        "doc_id", "source", "n_tokens", "margin_milli",
+        quantize(F.col("margin_milli").cast("double") / F.col("n_tokens"),
+                 4).alias("margin_per_token"),
+        (F.col("margin_milli") >= 0).alias("keep"))
