@@ -330,7 +330,35 @@ class Engine:
 
         Existing name: ``IF NOT EXISTS`` no-ops (the existing table —
         and its data — is untouched); a plain CREATE TABLE raises, so a
-        re-run can never silently reset a table to empty."""
+        re-run can never silently reset a table to empty.
+
+        CTAS (``CREATE TABLE t [PRIMARY KEY (k, ...)] AS SELECT ...``,
+        capability superset) evaluates the SELECT over the catalog
+        (O(referenced) registration) and saves the canonicalized
+        result as a new keyed table — duplicate keys in the SELECT
+        output fold last-wins like every other write path."""
+        from .sql_ddl import parse_ctas
+
+        ctas = parse_ctas(statement)
+        if ctas is not None:
+            if self.catalog.get(ctas.name) is not None:
+                if ctas.if_not_exists:
+                    return
+                raise SqlError(f"table already exists: {ctas.name} "
+                               f"(use CREATE TABLE IF NOT EXISTS to no-op)")
+            for n in referenced_tables(ctas.select_sql,
+                                       self.catalog.names()):
+                self.load_table(n).df.createOrReplaceTempView(n)
+            out = self.spark.sql(ctas.select_sql)
+            keys = ctas.key_cols or [out.columns[0]]
+            missing = [k for k in keys if k not in out.columns]
+            if missing:
+                raise SqlError(f"CTAS key columns not in SELECT output: "
+                               f"{missing}")
+            from .operators.core import canonicalize_input
+            self.save_table(ctas.name,
+                            canonicalize_input(out, tuple(keys)))
+            return
         ct = parse_create_table(statement)
         if self.catalog.get(ct.name) is not None:
             if ct.if_not_exists:

@@ -2106,3 +2106,67 @@ def stream_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFra
         shutil.rmtree(tmp, ignore_errors=True)
     return (out.filter(F.col("p_id") >= 0)   # drop sentinel purchases
                .select("p_id", "v_id", F.col("p_user").alias("user_id")))
+
+
+@query(
+    "sql_ctas_segment_summary",
+    oracle="""
+    WITH agg AS (
+      SELECT c.c_mktsegment AS segment,
+             count(*) AS n_orders,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment
+    )
+    SELECT segment, n_orders, cents FROM agg
+    """)
+def sql_ctas_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE AS SELECT end-to-end under the driver gate (§2.5
+    capability superset — the reference accepts only column-list
+    CREATE TABLE, ``SQL.hs:21-35``): CTAS materializes a join+agg over
+    two catalog tables into a NEW keyed table in one statement; the
+    result is read back FROM THE CATALOG (content-addressed object,
+    time-travelable, GC-traceable like any save_table write) and
+    hash-checked against DuckDB computing the same summary directly.
+    In-body asserts pin the declared key and CTAS idempotence guards
+    (re-CREATE raises; IF NOT EXISTS no-ops without clobbering).
+
+    Scale: CTAS is exactly its SELECT's cost plus one canonicalized
+    save — the write path shuffles only on the declared key, and
+    selective registration keeps driver work O(referenced tables)."""
+    from ..engine import Engine, SqlError
+    from ..operators.core import KeyedTable
+
+    (o, c) = load(spark, sf_dir, "orders", "customer")
+    tmp = tempfile.mkdtemp(prefix="messdb_ctas_")
+    try:
+        eng = Engine(spark, os.path.join(tmp, "wh"))
+        eng.save_table("orders", KeyedTable(o, ("o_orderkey",)))
+        eng.save_table("customer", KeyedTable(c, ("c_custkey",)))
+        eng.ddl("""
+            CREATE TABLE seg_summary PRIMARY KEY (segment) AS
+            SELECT c.c_mktsegment AS segment,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment
+        """)
+        t = eng.load_table("seg_summary")
+        if t.key_cols != ("segment",):
+            raise AssertionError(f"CTAS key {t.key_cols} != ('segment',)")
+        try:
+            eng.ddl("CREATE TABLE seg_summary AS SELECT 1 AS one")
+            raise AssertionError("re-CREATE of existing CTAS table "
+                                 "must raise")
+        except SqlError:
+            pass
+        eng.ddl("CREATE TABLE IF NOT EXISTS seg_summary AS "
+                "SELECT 1 AS one")          # must no-op
+        out = (eng.load_table("seg_summary").df
+               .select("segment", "n_orders", "cents")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

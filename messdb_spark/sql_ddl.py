@@ -432,3 +432,37 @@ def parse_alter_add_column(statement: str) -> AlterAddColumn | None:
                           if_not_exists=m.group(2) is not None,
                           column=m.group(3).strip('"'),
                           dtype=_resolve_type(m.group(4)))
+
+
+@dataclass(frozen=True)
+class CtasStmt:
+    name: str
+    key_cols: list[str] | None     # None → default to first output column
+    select_sql: str
+    if_not_exists: bool = False
+
+
+_CTAS_RE = re.compile(
+    r"^\s*create\s+table\s+(if\s+not\s+exists\s+)?([A-Za-z_][\w.]*)\s*"
+    r"(?:primary\s+key\s*\(([^)]*)\)\s*)?as\s+(select\b.*)$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def parse_ctas(statement: str) -> CtasStmt | None:
+    """CREATE TABLE name [PRIMARY KEY (k, ...)] AS SELECT ... — CTAS
+    (capability superset: the reference accepts only column-list
+    CREATE TABLE, ``SQL.hs:21-35``). The PRIMARY KEY clause names the
+    key columns of the new table; omitted, the first output column is
+    the key (every table needs one — the relational model is keyed,
+    ``SQL/Schema.hs:44``)."""
+    m = _CTAS_RE.match(statement.strip().rstrip(";"))
+    if m is None:
+        return None
+    keys = None
+    if m.group(3):
+        keys = [c.strip() for c in m.group(3).split(",") if c.strip()]
+        if not keys:
+            raise SqlError("empty PRIMARY KEY column list in CTAS")
+    return CtasStmt(name=m.group(2), key_cols=keys,
+                    select_sql=m.group(4).strip(),
+                    if_not_exists=bool(m.group(1)))

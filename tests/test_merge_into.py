@@ -107,3 +107,40 @@ def test_merge_via_cli(tmp_path, capsys):
     assert '"rows_updated": 1' in out
     assert '{"k":1,"v":10}' in out.replace(" ", "")
     assert '{"k":2,"v":99}' in out.replace(" ", "")
+
+
+def test_ctas_creates_keyed_table_from_select(spark, tmp_path):
+    """CREATE TABLE ... AS SELECT: result saved as a keyed table with
+    last-wins canonicalization; PRIMARY KEY clause picks the key,
+    default is the first output column; IF NOT EXISTS no-ops; existing
+    name without it raises."""
+    import pytest as _pytest
+
+    from messdb_spark.engine import Engine, SqlError
+    from messdb_spark.operators.core import KeyedTable
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "id long, grp string, v long")
+    eng.save_table("src", KeyedTable(df, ("id",)))
+
+    eng.ddl("CREATE TABLE agg PRIMARY KEY (grp) AS "
+            "SELECT grp, sum(v) AS total FROM src GROUP BY grp")
+    t = eng.load_table("agg")
+    assert t.key_cols == ("grp",)
+    assert {(r["grp"], r["total"]) for r in t.df.collect()} == {
+        ("a", 30), ("b", 30)}
+
+    # default key = first output column
+    eng.ddl("CREATE TABLE copy AS SELECT id, v FROM src")
+    assert eng.load_table("copy").key_cols == ("id",)
+
+    with _pytest.raises(SqlError, match="already exists"):
+        eng.ddl("CREATE TABLE agg AS SELECT 1 AS one")
+    eng.ddl("CREATE TABLE IF NOT EXISTS agg AS SELECT 1 AS one")  # no-op
+    assert eng.load_table("agg").df.count() == 2
+
+    with _pytest.raises(SqlError, match="not in SELECT output"):
+        eng.ddl("CREATE TABLE bad PRIMARY KEY (nope) AS "
+                "SELECT id FROM src")
