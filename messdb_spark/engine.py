@@ -65,6 +65,7 @@ class Engine:
         self.spark = spark
         self.warehouse = warehouse
         self.objects = ObjectStore(warehouse)
+        self._txn_entries: dict | None = None   # Engine.transaction buffer
         if manifest_backend == "sqlite":
             from .sqlite_store import SqliteCatalog, SqliteMemoStore
             self.memo = SqliteMemoStore(warehouse)
@@ -152,6 +153,10 @@ class Engine:
         prediction is safe under the single-writer contract the JSON
         backend already assumes; the sqlite backend does both writes
         in one transaction and ignores the ordering question."""
+        if self._txn_entries is not None:
+            # inside Engine.transaction: buffer — ONE root swap at exit
+            self._txn_entries[name] = entry
+            return self.catalog.current_version() + 1
         txn = getattr(self.catalog, "transaction", None)
         if txn is not None:
             with txn():
@@ -160,6 +165,51 @@ class Engine:
             return v
         self.branches.advance_active(self.catalog.current_version() + 1)
         return self.catalog.put(name, entry)
+
+    def transaction(self):
+        """Multi-table ATOMIC commit: every ``save_table`` /
+        ``save_bucketed_table`` / DDL / DML inside the context lands in
+        ONE catalog root swap — all visible at the new version, or
+        (on any exception) none, with the pre-transaction root
+        untouched. This generalizes the reference's defining
+        single-root-swap semantics (R2 atomic root swap,
+        ``Repo.hs:115-118``) across the namespace — the cross-table
+        consistency a warehouse needs (fact + dims + rollup move
+        together).
+
+        Objects staged by an aborted transaction are unreferenced CAS
+        garbage for a later gc sweep; a writer lease is held across
+        the whole transaction so a concurrent gc cannot sweep a staged
+        object before the commit points at it. Reads inside the
+        transaction see its own writes (buffered entries resolve
+        before the catalog). Reentrant: a nested transaction joins the
+        outer one."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _txn():
+            if self._txn_entries is not None:
+                yield
+                return
+            self._txn_entries = {}
+            try:
+                with self.objects.lease():
+                    yield
+                    entries = self._txn_entries
+                    self._txn_entries = None
+                    if entries:
+                        ctxn = getattr(self.catalog, "transaction", None)
+                        if ctxn is not None:
+                            with ctxn():
+                                v = self.catalog.put_many(entries)
+                                self.branches.advance_active(v)
+                        else:
+                            self.branches.advance_active(
+                                self.catalog.current_version() + 1)
+                            self.catalog.put_many(entries)
+            finally:
+                self._txn_entries = None
+        return _txn()
 
     def _drop(self, name: str) -> int:
         """Catalog drop + head advance, same crash ordering as
@@ -292,7 +342,11 @@ class Engine:
         """Load a table; ``version`` reads from an archived catalog
         root (time travel — immutable objects make old snapshots free).
         A manifest-backed entry reassembles from its bucket objects."""
-        e = self.catalog.get(name, version=version)
+        e = None
+        if version is None and self._txn_entries is not None:
+            e = self._txn_entries.get(name)      # read-your-writes in txn
+        if e is None:
+            e = self.catalog.get(name, version=version)
         if e is None:
             raise KeyError(f"no such table: {name}"
                            + (f" at version {version}" if version is not None else ""))

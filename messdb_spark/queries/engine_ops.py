@@ -2170,3 +2170,85 @@ def sql_ctas_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "txn_multi_table_commit",
+    oracle="""
+    WITH fact AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    dim AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+    ),
+    rollup AS (
+      SELECT d.c_mktsegment AS segment, count(*) AS n,
+             CAST(sum(f.cents) AS BIGINT) AS cents
+      FROM fact f JOIN dim d ON d.c_custkey = f.o_custkey
+      GROUP BY d.c_mktsegment
+    )
+    SELECT segment, n, cents FROM rollup
+    """)
+def txn_multi_table_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table ATOMIC commit under the driver gate
+    (``Engine.transaction`` — the reference's single-root-swap
+    semantics, ``Repo.hs:115-118``, generalized across the namespace):
+    fact, dim, and their rollup land in ONE catalog version (asserted
+    in-body), an aborted second transaction leaves all three untouched
+    (asserted), and the returned rollup — read back from the committed
+    catalog — must hash-match DuckDB computing it directly from the
+    source tables: a torn commit (fact without rollup, or a surviving
+    aborted write) breaks the counts.
+
+    Scale: the transaction costs its writes plus ONE root swap;
+    consistency across any number of tables is O(1) metadata, which is
+    the whole point — at warehouse scale you cannot re-validate
+    cross-table invariants on read."""
+    from ..engine import Engine
+    from ..operators.core import KeyedTable
+
+    (o, c) = load(spark, sf_dir, "orders", "customer")
+    fact = o.select("o_orderkey", "o_custkey",
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                     .cast("long").alias("cents"))
+    dim = c.select("c_custkey", "c_mktsegment")
+    tmp = tempfile.mkdtemp(prefix="messdb_txn_")
+    try:
+        eng = Engine(spark, os.path.join(tmp, "wh"))
+        v0 = eng.catalog.current_version()
+        with eng.transaction():
+            eng.save_table("fact", KeyedTable(fact, ("o_orderkey",)))
+            eng.save_table("dim", KeyedTable(dim, ("c_custkey",)))
+            f = eng.load_table("fact").df          # read-your-writes
+            d = eng.load_table("dim").df
+            roll = (f.join(d, f["o_custkey"] == d["c_custkey"])
+                     .groupBy(F.col("c_mktsegment").alias("segment"))
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("cents").cast("long").alias("cents")))
+            eng.save_table("rollup", KeyedTable(roll, ("segment",)))
+        v1 = eng.catalog.current_version()
+        if v1 != v0 + 1:
+            raise AssertionError(
+                f"3-table transaction took {v1 - v0} root swaps, not 1")
+        committed = eng.table_hash("rollup")
+        # an aborted transaction must leave every table untouched
+        try:
+            with eng.transaction():
+                eng.save_table("fact", KeyedTable(
+                    fact.limit(1), ("o_orderkey",)))
+                eng.save_table("rollup", KeyedTable(
+                    roll.limit(0), ("segment",)))
+                raise RuntimeError("abort")
+        except RuntimeError:
+            pass
+        if (eng.catalog.current_version() != v1
+                or eng.table_hash("rollup") != committed):
+            raise AssertionError("aborted transaction mutated the catalog")
+        out = (eng.load_table("rollup").df
+               .select("segment", "n", "cents")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -158,6 +158,18 @@ class SqliteCatalog:
                       "key_cols": entry.key_cols}
         return self._swap_root(root)
 
+    def put_many(self, entries) -> int:
+        """Multi-table atomic commit: one root swap covering every
+        entry (see ``store.Catalog.put_many``); the sqlite backend
+        additionally does it inside one sqlite transaction."""
+        with self.transaction():
+            root = self._load_root()
+            for name, e in entries.items():
+                root[name] = {"table_hash": e.table_hash,
+                              "schema_json": e.schema_json,
+                              "key_cols": e.key_cols}
+            return self._swap_root(root)
+
     def drop(self, name: str) -> int:
         root = self._load_root()
         root.pop(name, None)

@@ -355,6 +355,18 @@ class Catalog:
                       "key_cols": entry.key_cols}
         return self._swap_root(root)
 
+    def put_many(self, entries: dict[str, CatalogEntry]) -> int:
+        """Register several tables in ONE root swap — the multi-table
+        atomic commit (the reference's single-root-swap semantics,
+        generalized across the namespace: either every table in the
+        batch is visible at the new version, or none is)."""
+        root = self._load_root()
+        for name, e in entries.items():
+            root[name] = {"table_hash": e.table_hash,
+                          "schema_json": e.schema_json,
+                          "key_cols": e.key_cols}
+        return self._swap_root(root)
+
     def drop(self, name: str) -> int:
         root = self._load_root()
         root.pop(name, None)
