@@ -2252,3 +2252,108 @@ def txn_multi_table_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_txn_rollup_replay",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id, user_id, event_type, ts,
+             CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+    FROM raw GROUP BY 1, 2
+    """)
+def stream_txn_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MULTI-TABLE transactional sink: each micro-batch
+    upserts the raw events AND refreshes their daily rollup inside ONE
+    ``Engine.transaction`` — so every durable catalog version shows a
+    rollup consistent with its raw table (the lakehouse invariant a
+    reader joins on; without the transaction a crash between the two
+    saves publishes raw rows the rollup hasn't counted). In-body
+    asserts: exactly one catalog version per micro-batch (not two),
+    and AT EVERY committed version the recomputed rollup from that
+    version's raw table equals that version's stored rollup — the
+    torn-commit detector run over the whole history. The final rollup
+    hash-checks against DuckDB aggregating the events directly.
+
+    Scale: per batch the raw upsert is the anti-join merge (base never
+    shuffles) and the rollup refresh re-aggregates only the merged
+    result of day-bounded groups; the transaction adds one root swap.
+    State lives in the catalog, not the stream — restart replays from
+    the checkpoint and the idempotent merges converge."""
+    from ..engine import Engine
+    from ..operators.core import KeyedTable, canonicalize_input, merge_tables
+
+    (e,) = load(spark, sf_dir, "events")
+    raw = e.select("event_id", "user_id", "event_type", "ts",
+                   F.floor(F.coalesce("value", F.lit(0.0)) * 100
+                           + F.lit(0.5)).cast("long").alias("cents"))
+    tmp = tempfile.mkdtemp(prefix="messdb_txnstream_")
+    try:
+        src_dir = os.path.join(tmp, "src")
+        _write_id_splits(raw, src_dir)       # 3 files => 3 micro-batches
+        eng = Engine(spark, os.path.join(tmp, "wh"))
+        versions = []
+
+        def sink(batch_df, epoch_id):
+            pinned = batch_df.localCheckpoint(eager=True)
+            with eng.transaction():
+                incoming = canonicalize_input(pinned, ("event_id",))
+                try:
+                    cur = eng.load_table("raw_events")
+                    merged = merge_tables([cur, incoming])
+                except KeyError:
+                    merged = incoming
+                eng.save_table("raw_events", merged)
+                roll = (eng.load_table("raw_events").df
+                        .groupBy(F.col("ts").cast("date").alias("day"),
+                                 "event_type")
+                        .agg(F.count(F.lit(1)).alias("n"),
+                             F.sum("cents").cast("long").alias("cents")))
+                eng.save_table("daily_rollup", KeyedTable(
+                    roll, ("day", "event_type")))
+            versions.append(eng.catalog.current_version())
+
+        with _replay_shuffle_partitions(spark):
+            stream = (spark.readStream
+                      .schema(raw.schema)
+                      .option("maxFilesPerTrigger", 1)
+                      .option("recursiveFileLookup", "true")
+                      .parquet(src_dir))
+            q = (stream.writeStream.foreachBatch(sink)
+                 .outputMode("update")
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        if len(versions) != 3 or versions != sorted(set(versions)):
+            raise AssertionError(f"expected 3 batch commits, got {versions}")
+        if versions[-1] - versions[0] != len(versions) - 1:
+            raise AssertionError(
+                f"multi-table batch commits were not single root swaps: "
+                f"{versions}")
+        # torn-commit detector: every committed version's rollup must
+        # equal the rollup RECOMPUTED from that version's raw table
+        for v in versions:
+            raw_v = eng.load_table("raw_events", version=v).df
+            want = (raw_v.groupBy(F.col("ts").cast("date").alias("day"),
+                                  "event_type")
+                         .agg(F.count(F.lit(1)).alias("n"),
+                              F.sum("cents").cast("long").alias("cents")))
+            got = eng.load_table("daily_rollup", version=v).df
+            if (got.count() != want.count()
+                    or got.exceptAll(want).limit(1).count() != 0):
+                raise AssertionError(
+                    f"version {v}: stored rollup inconsistent with its "
+                    f"raw table — torn multi-table commit")
+        out = (eng.load_table("daily_rollup").df
+               .select("day", "event_type", "n", "cents")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
