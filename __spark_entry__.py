@@ -42,6 +42,8 @@ _CHECK_FIRST = [
     "colbert_maxsim_topk", "quality_classifier_scores",
     "ivf_store_pruned_search", "sql_ctas_segment_summary",
     "txn_multi_table_commit", "stream_txn_rollup_replay",
+    "seasonal_dow_decomposition", "target_encoding_loo",
+    "randomized_response_rate",
     # (2) oldest driver rows first: the r2 cohort (last checked round
     # 2 per STALENESS.json), then r3/r4/r5 cohorts in stable order
     "cosine_topk_bruteforce", "cube_orders_priority", "dedup_exact",

@@ -643,3 +643,65 @@ def trimmed_mean_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                         quantize(F.col("kept_cents").cast("double")
                                  / F.col("n_kept"), 2)
                          .alias("trimmed_mean_cents")))
+
+
+@query(
+    "seasonal_dow_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(sum(CAST(coalesce(floor(value * 100 + 0.5), 0)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s FROM daily)
+    SELECT CAST(d % 7 AS BIGINT) AS dow,
+           count(*) AS n_days,
+           CAST(sum(cents) AS BIGINT) AS dow_cents,
+           CAST((SELECT n FROM tot) * sum(cents)
+                - count(*) * (SELECT s FROM tot) AS BIGINT)
+             AS seasonal_num,
+           CAST(count(*) * (SELECT n FROM tot) AS BIGINT) AS seasonal_den,
+           floor((CAST(sum(cents) AS DOUBLE) / count(*)
+                  - CAST((SELECT s FROM tot) AS DOUBLE)
+                    / (SELECT n FROM tot))
+                 * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE)
+             AS seasonal_cents
+    FROM daily GROUP BY 1
+    """)
+def seasonal_dow_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of daily revenue — the
+    additive-seasonality readout (the mean-by-period core of STL
+    without the loess smoothing): for each weekday slot (epoch-day mod
+    7, engine-portable — no locale-dependent weekday numbering), its
+    seasonal effect = slot mean − grand mean, emitted BOTH as an exact
+    BIGINT rational (seasonal_num/seasonal_den — the OLS-trend
+    discipline: sign and magnitude hash-check without any float) and
+    as quantized cents for display. Feeds anomaly gates: a residual z
+    test against (daily − trend − seasonal) flags true outliers
+    instead of re-flagging every weekend.
+
+    Scale: one map-combined pass to daily sums (days-bounded
+    relation), a 1-row grand total joined as a broadcast scalar, then
+    a 7-row aggregate — nothing beyond the first agg touches the fact
+    table."""
+    (e,) = load(spark, sf_dir, "events")
+    cents = F.coalesce(F.floor(F.col("value") * 100 + F.lit(0.5)),
+                       F.lit(0)).cast("long")
+    daily = (e.groupBy(F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                        .cast("long").alias("d"))
+              .agg(F.sum(cents).alias("cents")))
+    tot = daily.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("cents").cast("long").alias("s"))
+    by_dow = (daily.groupBy((F.col("d") % 7).cast("long").alias("dow"))
+                   .agg(F.count(F.lit(1)).alias("n_days"),
+                        F.sum("cents").cast("long").alias("dow_cents")))
+    j = by_dow.crossJoin(F.broadcast(tot))
+    return j.select(
+        "dow", "n_days", "dow_cents",
+        (F.col("n") * F.col("dow_cents") - F.col("n_days") * F.col("s"))
+          .cast("long").alias("seasonal_num"),
+        (F.col("n_days") * F.col("n")).cast("long").alias("seasonal_den"),
+        quantize(F.col("dow_cents").cast("double") / F.col("n_days")
+                 - F.col("s").cast("double") / F.col("n"), 2)
+          .alias("seasonal_cents"))

@@ -590,3 +590,84 @@ def exact_percentile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .filter(F.col("rn") == F.col("rk"))
                      .select("p", F.col("cents").alias("pct_cents"),
                              F.lit(n_rows).cast("long").alias("n_rows")))
+
+
+_TE_M = 10   # smoothing prior strength (pseudo-observations of the
+             # global mean) for the smoothed encoding
+
+
+@query(
+    "target_encoding_loo",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT c.c_custkey, c.c_mktsegment AS segment,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS target
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT segment, count(*) AS seg_n,
+             CAST(sum(target) AS BIGINT) AS seg_sum
+      FROM per_cust GROUP BY segment
+    ),
+    tot AS (SELECT count(*) AS n, CAST(sum(target) AS BIGINT) AS s
+            FROM per_cust)
+    SELECT p.c_custkey, p.segment,
+           CAST(s.seg_sum - p.target AS BIGINT) AS loo_num,
+           CAST(s.seg_n - 1 AS BIGINT) AS loo_den,
+           floor((CAST(s.seg_sum - p.target AS DOUBLE) / (s.seg_n - 1))
+                 * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE)
+             AS loo_cents,
+           floor((CAST((s.seg_sum - p.target) * (SELECT n FROM tot)
+                       + {_TE_M} * (SELECT s FROM tot) AS DOUBLE)
+                  / (CAST((SELECT n FROM tot) AS DOUBLE)
+                     * (s.seg_n - 1 + {_TE_M})))
+                 * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE)
+             AS smoothed_cents
+    FROM per_cust p JOIN seg s ON s.segment = p.segment
+    """)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the standard high-cardinality
+    categorical feature for tabular ML (each row's category replaced
+    by the mean target of the OTHER rows in its category, so the
+    feature never leaks the row's own label), plus the
+    {_TE_M}-pseudo-observation smoothed variant that shrinks sparse
+    categories toward the global mean (the micci-barreca encoding).
+    Target = customer's total order cents; category = market segment.
+    The LOO value is emitted as an exact BIGINT rational
+    (loo_num/loo_den) AND quantized cents; the smoothed variant's
+    numerator/denominator are exact integer products (global count ×
+    category residual + prior × global sum), so the one double
+    division per row is correctly rounded identically on both
+    engines.
+
+    Scale: one per-customer agg over the fact join, one
+    category-bounded agg, a 1-row global broadcast, then a broadcast
+    join back — each row's encoding is O(1); no window, no self-join,
+    no shuffle of the fact table beyond the first agg."""
+    (c, o) = load(spark, sf_dir, "customer", "orders")
+    per_cust = (c.join(o, o["o_custkey"] == c["c_custkey"])
+                 .groupBy(F.col("c_custkey"),
+                          F.col("c_mktsegment").alias("segment"))
+                 .agg(F.sum(F.floor(F.col("o_totalprice") * 100
+                                    + F.lit(0.5)).cast("long"))
+                       .cast("long").alias("target")))
+    seg = (per_cust.groupBy("segment")
+                   .agg(F.count(F.lit(1)).alias("seg_n"),
+                        F.sum("target").cast("long").alias("seg_sum")))
+    tot = per_cust.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("target").cast("long").alias("s"))
+    j = (per_cust.join(F.broadcast(seg), "segment")
+                 .crossJoin(F.broadcast(tot)))
+    loo_num = (F.col("seg_sum") - F.col("target")).cast("long")
+    loo_den = (F.col("seg_n") - 1).cast("long")
+    sm_num = (loo_num * F.col("n") + F.lit(_TE_M) * F.col("s"))
+    sm_den = (F.col("n").cast("double")
+              * (F.col("seg_n") - 1 + F.lit(_TE_M)))
+    return j.select(
+        "c_custkey", "segment",
+        loo_num.alias("loo_num"), loo_den.alias("loo_den"),
+        quantize(loo_num.cast("double") / loo_den, 2).alias("loo_cents"),
+        quantize(sm_num.cast("double") / sm_den, 2)
+          .alias("smoothed_cents"))

@@ -543,3 +543,82 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(F.col("margin_milli").cast("double") / F.col("n_tokens"),
                  4).alias("margin_per_token"),
         (F.col("margin_milli") >= 0).alias("keep"))
+
+
+# Randomized response (Warner 1965) — LOCAL differential privacy: each
+# user reports their true bit with probability p = 3/4, the flipped
+# bit otherwise, so any single report is plausibly deniable
+# (ε = ln(p/(1−p)) = ln 3); the aggregator debiases the population
+# rate as (p̂ + p − 1)/(2p − 1). p·2^52 is an exact integer, so the
+# per-user coin (md5 uniform < p) is a pure integer comparison.
+_RR_P_NUM = 3 * 2 ** 50          # 0.75 * 2^52, exact
+
+
+@query(
+    "randomized_response_rate",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, user_id % 5 AS cohort,
+             max(CASE WHEN event_type = 'purchase'
+                      AND coalesce(value, 0) >= 100
+                  THEN 1 ELSE 0 END) AS b
+      FROM events GROUP BY user_id
+    ),
+    rr AS (
+      SELECT cohort, b,
+             CASE WHEN CAST(concat('0x', substring(
+                      md5('rr_' || CAST(user_id AS VARCHAR)), 1, 13))
+                      AS BIGINT) < {_RR_P_NUM}
+                  THEN b ELSE 1 - b END AS reported
+      FROM u
+    )
+    SELECT cohort, count(*) AS n_users,
+           CAST(sum(reported) AS BIGINT) AS n_reported,
+           CAST(sum(b) AS BIGINT) AS n_true,
+           CAST(4 * sum(reported) - count(*) AS BIGINT) AS est_num,
+           CAST(2 * count(*) AS BIGINT) AS est_den,
+           floor((CAST(4 * sum(reported) - count(*) AS DOUBLE)
+                  / (2 * count(*)))
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS est_rate
+    FROM rr GROUP BY cohort
+    """)
+def randomized_response_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL differential privacy: Warner's randomized response over a
+    sensitive per-user bit (did the user make a ≥$100 purchase), the
+    client-side complement to the central-DP ``dp_noisy_counts`` —
+    here the TRUE bits never need to be collected; each user's report
+    is already privatized (ε = ln 3), and the per-cohort rate is
+    recovered by the unbiased estimator (p̂ − 1/4)/(1/2), emitted as
+    an exact integer rational (4·Σreport − n)/(2n) plus a quantized
+    display rate. The n_true column (available here because this is a
+    correctness harness) lets the driver hash pin BOTH the mechanism
+    and the estimator; a deployment drops it and nothing else changes.
+    The coin is deterministic md5-vs-exact-integer-threshold
+    (0.75·2^52), so the whole relation is integer arithmetic.
+
+    Scale: one per-user reduction (map-side combined), then a
+    cohort-bounded aggregate; the mechanism adds one hash + compare
+    per user — no joins, no extra shuffles."""
+    (e,) = load(spark, sf_dir, "events")
+    u = (e.groupBy("user_id")
+          .agg(F.max(F.when((F.col("event_type") == "purchase")
+                            & (F.coalesce("value", F.lit(0.0)) >= 100),
+                            1).otherwise(0)).alias("b"))
+          .withColumn("cohort", F.col("user_id") % 5))
+    coin = F.expr("CAST(conv(substring(md5(concat('rr_', "
+                  "CAST(user_id AS STRING))), 1, 13), 16, 10) AS BIGINT)")
+    rr = u.withColumn(
+        "reported",
+        F.when(coin < F.lit(_RR_P_NUM), F.col("b"))
+         .otherwise(1 - F.col("b")))
+    agg = (rr.groupBy("cohort")
+             .agg(F.count(F.lit(1)).alias("n_users"),
+                  F.sum("reported").cast("long").alias("n_reported"),
+                  F.sum("b").cast("long").alias("n_true")))
+    est_num = (4 * F.col("n_reported") - F.col("n_users")).cast("long")
+    est_den = (2 * F.col("n_users")).cast("long")
+    return agg.select(
+        "cohort", "n_users", "n_reported", "n_true",
+        est_num.alias("est_num"), est_den.alias("est_den"),
+        quantize(est_num.cast("double") / est_den, 4).alias("est_rate"))
