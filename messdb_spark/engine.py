@@ -628,11 +628,73 @@ class Engine:
           reject (a re-key is O2 ``sort_table``, not UPDATE).
         - DELETE [WHERE] → one filter rewrite; NULL predicates keep the
           row (SQL semantics: DELETE removes only WHERE=TRUE rows).
+        - INSERT OVERWRITE [TABLE] t [(cols)] SELECT|VALUES ... →
+          atomic full replace: the canonicalized source becomes the
+          table (schema/keys kept, one root swap, time-travel
+          reversible like TRUNCATE).
 
         Returns {"op", "table", "rows"} with rows = affected count."""
         from .operators.core import canonicalize_input, merge_tables
         from .sql_ddl import (DeleteStmt, InsertStmt, MergeStmt, UpdateStmt,
                               parse_dml)
+
+        return self._dml(statement, canonicalize_input, merge_tables,
+                         DeleteStmt, InsertStmt, MergeStmt, UpdateStmt,
+                         parse_dml)
+
+    def _align_insert_source(self, t: KeyedTable,
+                             columns: list[str] | None,
+                             source_sql: str):
+        """Shared INSERT / INSERT OVERWRITE source preparation:
+        selective catalog registration, VALUES wrapping, column-list
+        validation (keys mandatory), positional cast-alignment to the
+        target schema, typed nulls for unlisted columns."""
+        for name in referenced_tables(source_sql, self.catalog.names()):
+            self.load_table(name).df.createOrReplaceTempView(name)
+        src_sql = source_sql
+        if src_sql.lower().startswith("values"):
+            src_sql = f"SELECT * FROM ({src_sql})"
+        src = self.spark.sql(src_sql)
+        target_cols = columns or list(t.df.columns)
+        unknown = [c for c in target_cols if c not in t.df.columns]
+        if unknown:
+            raise SqlError(f"unknown column(s): {unknown}")
+        if len(src.columns) != len(target_cols):
+            raise SqlError(
+                f"INSERT arity mismatch: {len(src.columns)} values "
+                f"for {len(target_cols)} columns")
+        missing_keys = [k for k in t.key_cols if k not in target_cols]
+        if missing_keys:
+            raise SqlError(f"INSERT must provide key column(s): "
+                           f"{missing_keys}")
+        dtypes = dict(zip(t.df.schema.names,
+                          [f.dataType for f in t.df.schema.fields]))
+        aligned = src.select(*[
+            F.col(s).cast(dtypes[c]).alias(c)
+            for s, c in zip(src.columns, target_cols)])
+        for c in t.df.columns:              # unlisted columns: typed nulls
+            if c not in target_cols:
+                aligned = aligned.withColumn(
+                    c, F.lit(None).cast(dtypes[c]))
+        return aligned.select(*t.df.columns)
+
+    def _dml(self, statement, canonicalize_input, merge_tables,
+             DeleteStmt, InsertStmt, MergeStmt, UpdateStmt, parse_dml):
+
+        from .sql_ddl import parse_insert_overwrite
+
+        ov = parse_insert_overwrite(statement)
+        if ov is not None:
+            # atomic full replace: same source alignment as INSERT,
+            # but the canonicalized source BECOMES the table (one root
+            # swap, time-travel reversible like TRUNCATE)
+            t = self.load_table(ov.table)
+            incoming = canonicalize_input(
+                self._align_insert_source(t, ov.columns, ov.source_sql),
+                t.key_cols)
+            n = incoming.df.count()
+            self.save_table(ov.table, incoming)
+            return {"op": "insert_overwrite", "table": ov.table, "rows": n}
 
         stmt = parse_dml(statement)
         if stmt is None:
@@ -642,37 +704,9 @@ class Engine:
         t = self.load_table(stmt.table)
 
         if isinstance(stmt, InsertStmt):
-            # register only the catalog tables the source references
-            for name in referenced_tables(stmt.source_sql,
-                                          self.catalog.names()):
-                self.load_table(name).df.createOrReplaceTempView(name)
-            src_sql = stmt.source_sql
-            if src_sql.lower().startswith("values"):
-                src_sql = f"SELECT * FROM ({src_sql})"
-            src = self.spark.sql(src_sql)
-            target_cols = stmt.columns or list(t.df.columns)
-            unknown = [c for c in target_cols if c not in t.df.columns]
-            if unknown:
-                raise SqlError(f"unknown column(s): {unknown}")
-            if len(src.columns) != len(target_cols):
-                raise SqlError(
-                    f"INSERT arity mismatch: {len(src.columns)} values "
-                    f"for {len(target_cols)} columns")
-            missing_keys = [k for k in t.key_cols if k not in target_cols]
-            if missing_keys:
-                raise SqlError(f"INSERT must provide key column(s): "
-                               f"{missing_keys}")
-            dtypes = dict(zip(t.df.schema.names,
-                              [f.dataType for f in t.df.schema.fields]))
-            aligned = src.select(*[
-                F.col(s).cast(dtypes[c]).alias(c)
-                for s, c in zip(src.columns, target_cols)])
-            for c in t.df.columns:          # unlisted columns: typed nulls
-                if c not in target_cols:
-                    aligned = aligned.withColumn(
-                        c, F.lit(None).cast(dtypes[c]))
-            aligned = aligned.select(*t.df.columns)
-            incoming = canonicalize_input(aligned, t.key_cols)
+            incoming = canonicalize_input(
+                self._align_insert_source(t, stmt.columns, stmt.source_sql),
+                t.key_cols)
             n = incoming.df.count()
             merged = merge_tables([t, incoming])
             self.save_table(stmt.table, merged)

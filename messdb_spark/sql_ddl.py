@@ -466,3 +466,33 @@ def parse_ctas(statement: str) -> CtasStmt | None:
     return CtasStmt(name=m.group(2), key_cols=keys,
                     select_sql=m.group(4).strip(),
                     if_not_exists=bool(m.group(1)))
+
+
+@dataclass(frozen=True)
+class InsertOverwriteStmt:
+    table: str
+    columns: list[str] | None      # None = positional over all columns
+    source_sql: str                # "VALUES ..." or "SELECT ..."
+
+
+_INSERT_OVERWRITE_RE = re.compile(
+    r"^\s*insert\s+overwrite\s+(?:table\s+)?(\w+)\s*(\([^()]*\))?\s*"
+    r"((?:values|select)\b.*)$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def parse_insert_overwrite(statement: str) -> InsertOverwriteStmt | None:
+    """INSERT OVERWRITE [TABLE] t [(cols)] SELECT ... | VALUES ... —
+    atomic full-replace of a table's content (the lakehouse refresh
+    statement): the table's schema and key columns are kept, the data
+    becomes exactly the canonicalized source relation, in one root
+    swap (time-travel reversible like TRUNCATE)."""
+    m = _INSERT_OVERWRITE_RE.match(statement.strip().rstrip(";"))
+    if m is None:
+        return None
+    cols = None
+    if m.group(2):
+        cols = [c.strip().strip('"') for c in
+                m.group(2)[1:-1].split(",") if c.strip()]
+    return InsertOverwriteStmt(table=m.group(1), columns=cols,
+                               source_sql=m.group(3).strip())

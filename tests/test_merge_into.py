@@ -144,3 +144,38 @@ def test_ctas_creates_keyed_table_from_select(spark, tmp_path):
     with _pytest.raises(SqlError, match="not in SELECT output"):
         eng.ddl("CREATE TABLE bad PRIMARY KEY (nope) AS "
                 "SELECT id FROM src")
+
+
+def test_insert_overwrite_replaces_content_atomically(spark, tmp_path):
+    """INSERT OVERWRITE [TABLE]: data becomes exactly the canonicalized
+    source, schema/keys unchanged, one root swap (old content remains
+    at the previous version)."""
+    from messdb_spark.engine import Engine
+    from messdb_spark.operators.core import KeyedTable
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    eng.save_table("t", KeyedTable(df, ("id",)))
+    v0 = eng.catalog.current_version()
+
+    res = eng.dml("INSERT OVERWRITE t VALUES (7, 'x'), (8, 'y'), (7, 'z')")
+    assert res == {"op": "insert_overwrite", "table": "t", "rows": 2}
+    got = {r["id"]: r["v"] for r in eng.load_table("t").df.collect()}
+    assert got == {7: "z", 8: "y"}          # within-source last wins
+    assert eng.load_table("t").key_cols == ("id",)
+    assert eng.catalog.current_version() == v0 + 1
+    # time travel: the pre-overwrite content is still readable
+    old = {r["id"]: r["v"]
+           for r in eng.load_table("t", version=v0).df.collect()}
+    assert old == {1: "a", 2: "b"}
+
+    # SELECT source + TABLE keyword + column subset with typed nulls
+    eng.ddl("CREATE TABLE u (id BIGINT PRIMARY KEY, v VARCHAR, "
+            "w BIGINT)")
+    eng.dml("INSERT INTO u VALUES (1, 'keep', 10)")
+    eng.dml("INSERT OVERWRITE TABLE u (id, v) "
+            "SELECT id, v FROM t WHERE id = 7")
+    rows = eng.load_table("u").df.collect()
+    assert len(rows) == 1
+    assert rows[0]["id"] == 7 and rows[0]["v"] == "z"
+    assert rows[0]["w"] is None             # unlisted column: typed null
