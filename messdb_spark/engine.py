@@ -465,6 +465,43 @@ class Engine:
         return {"op": "alter_add_column", "table": a.table,
                 "column": a.column, "added": True}
 
+    def alter_column_type(self, statement: str) -> dict:
+        """ALTER TABLE t ALTER [COLUMN] c [SET DATA] TYPE newtype —
+        WIDENING-only schema evolution (byte→short→int→long→
+        decimal(20,0), int→double, float→double): the rewrite is a
+        single projected cast that can never truncate or overflow, so
+        it commits without a data audit. Narrowing or cross-family
+        changes raise — those need an explicit UPDATE/CTAS where the
+        loss is visible in the statement. Key columns widen too (the
+        canonical row encoding hashes the VALUE text, and widened
+        integers print identically — the content hash is stable unless
+        the decimal form changes, which the catalog version records
+        either way)."""
+        from .sql_ddl import is_widening, parse_alter_column_type
+        a = parse_alter_column_type(statement)
+        if a is None:
+            raise SqlError(f"cannot parse ALTER TYPE: {statement[:80]!r}")
+        t = self.load_table(a.table)
+        if a.column not in t.df.columns:
+            raise SqlError(f"no such column: {a.column}")
+        cur = dict(zip(t.df.schema.names,
+                       [f.dataType for f in t.df.schema.fields]))[a.column]
+        if cur == a.dtype:
+            return {"op": "alter_column_type", "table": a.table,
+                    "column": a.column, "changed": False}
+        if not is_widening(cur, a.dtype):
+            raise SqlError(
+                f"non-widening type change {cur.simpleString()} -> "
+                f"{a.dtype.simpleString()} refused; rewrite explicitly "
+                f"(UPDATE / CREATE TABLE ... AS SELECT) if truncation "
+                f"is intended")
+        df = t.df.withColumn(a.column, F.col(a.column).cast(a.dtype))
+        self.save_table(a.table, KeyedTable(df.select(*t.df.columns),
+                                            t.key_cols))
+        return {"op": "alter_column_type", "table": a.table,
+                "column": a.column, "changed": True,
+                "from": cur.simpleString(), "to": a.dtype.simpleString()}
+
     def truncate_table(self, statement_or_name: str) -> dict:
         """TRUNCATE TABLE — replace the table's data with an empty
         relation of the SAME schema and key columns, as a new root

@@ -230,3 +230,91 @@ def dataset_fold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("source", "fold")
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.sum("n_tokens").alias("total_tokens")))
+
+
+_LEAK_K = 8     # character shingle width (the corpus-wide dedup unit,
+                # text.py _SHINGLE_K)
+
+
+@query(
+    "train_eval_leakage_audit",
+    oracle=f"""
+    WITH folds AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_N_FOLDS} AS fold
+      FROM documents WHERE length(text) >= {_LEAK_K}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, length(text) - {_LEAK_K - 2}),
+                 i -> CAST(concat('0x', substring(md5(substring(text, i, {_LEAK_K})), 1, 15)) AS BIGINT))) AS s
+        FROM documents WHERE length(text) >= {_LEAK_K})
+    ),
+    eval_sh AS (
+      SELECT DISTINCT sh.s FROM sh JOIN folds f ON f.doc_id = sh.doc_id
+      WHERE f.fold = 0
+    ),
+    leaky AS (
+      SELECT DISTINCT sh.doc_id
+      FROM sh JOIN folds f ON f.doc_id = sh.doc_id
+      WHERE f.fold != 0 AND sh.s IN (SELECT s FROM eval_sh)
+    )
+    SELECT f.source,
+           CAST(sum(CASE WHEN f.fold != 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaky,
+           floor((CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE)
+                  / sum(CASE WHEN f.fold != 0 THEN 1 ELSE 0 END))
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS leak_rate
+    FROM folds f LEFT JOIN leaky l ON l.doc_id = f.doc_id
+    GROUP BY f.source
+    """)
+def train_eval_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval DECONTAMINATION sweep — the internal complement to
+    ``benchmark_contamination`` (which checks against an external
+    benchmark): using the pipeline's own fold assignment
+    (``dataset_fold_split``: fold 0 = eval, others = train), flag
+    every train document sharing ANY {_LEAK_K}-char shingle with any
+    eval document. A near-dup straddling the split inflates eval — the
+    leak every 'we dedup'd train' paper still gets burned by; this
+    audit runs per ingest so the flagged docs are dropped from train
+    BEFORE a token is spent.
+
+    Scale: shingle hashes are 8-byte 60-bit ints (text never
+    shuffles); the eval shingle set is (eval docs × shingles)-bounded
+    and semi-joins the train side — at a 1/{_N_FOLDS} eval fraction
+    this is the small side and broadcasts; per-source rollup is
+    domain-bounded."""
+    (d,) = load(spark, sf_dir, "documents")
+    base = d.filter(F.length("text") >= _LEAK_K)
+    fold = (F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, "
+                   "15), 16, 10) AS BIGINT)") % _N_FOLDS)
+    folds = base.select("doc_id", "source", fold.alias("fold"))
+    par = spark.sparkContext.defaultParallelism
+    sh = (base.repartition(par)
+              .select("doc_id", F.explode(F.expr(
+                  f"transform(sequence(1, length(text) - {_LEAK_K - 1}), "
+                  f"i -> CAST(conv(substring(md5(substring(text, i, "
+                  f"{_LEAK_K})), 1, 15), 16, 10) AS BIGINT))"))
+                  .alias("s"))
+              .distinct())
+    sh_f = sh.join(folds.select("doc_id", "fold"), "doc_id")
+    eval_sh = (sh_f.filter(F.col("fold") == 0)
+                   .select("s").distinct())
+    leaky = (sh_f.filter(F.col("fold") != 0)
+                 .join(eval_sh, "s", "left_semi")
+                 .select("doc_id").distinct()
+                 .withColumn("is_leaky", F.lit(1)))
+    j = folds.join(leaky, "doc_id", "left")
+    n_train = F.sum(F.when(F.col("fold") != 0, 1).otherwise(0))
+    n_leaky = F.sum(F.when(F.col("is_leaky").isNotNull(), 1).otherwise(0))
+    return (j.groupBy("source")
+             .agg(n_train.cast("long").alias("n_train"),
+                  n_leaky.cast("long").alias("n_leaky"),
+                  quantize(n_leaky.cast("double") / n_train, 4)
+                    .alias("leak_rate")))

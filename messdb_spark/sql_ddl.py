@@ -496,3 +496,43 @@ def parse_insert_overwrite(statement: str) -> InsertOverwriteStmt | None:
                 m.group(2)[1:-1].split(",") if c.strip()]
     return InsertOverwriteStmt(table=m.group(1), columns=cols,
                                source_sql=m.group(3).strip())
+
+
+@dataclass(frozen=True)
+class AlterColumnType:
+    table: str
+    column: str
+    dtype: "T.DataType"
+
+
+_ALTER_TYPE_RE = re.compile(
+    r"^\s*alter\s+table\s+(\w+)\s+alter\s+(?:column\s+)?(\"?\w+\"?)\s+"
+    r"(?:set\s+data\s+)?type\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+# lossless widenings (SQL-standard-safe; anything else must go through
+# an explicit rewrite so data can't silently truncate) — keyed by
+# DataType.simpleString()
+_WIDENINGS: dict[str, set[str]] = {
+    "tinyint": {"smallint", "int", "bigint", "double", "decimal(20,0)"},
+    "smallint": {"int", "bigint", "double", "decimal(20,0)"},
+    "int": {"bigint", "double", "decimal(20,0)"},
+    "bigint": {"decimal(20,0)"},
+    "float": {"double"},
+}
+
+
+def is_widening(src: "T.DataType", dst: "T.DataType") -> bool:
+    return dst.simpleString() in _WIDENINGS.get(src.simpleString(), set())
+
+
+def parse_alter_column_type(statement: str) -> AlterColumnType | None:
+    """ALTER TABLE t ALTER [COLUMN] c [SET DATA] TYPE newtype — schema
+    widening (capability superset; the reference has no ALTER at
+    all)."""
+    m = _ALTER_TYPE_RE.match(statement)
+    if not m:
+        return None
+    return AlterColumnType(table=m.group(1),
+                           column=m.group(2).strip('"'),
+                           dtype=_resolve_type(m.group(3)))

@@ -179,3 +179,40 @@ def test_insert_overwrite_replaces_content_atomically(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["id"] == 7 and rows[0]["v"] == "z"
     assert rows[0]["w"] is None             # unlisted column: typed null
+
+
+def test_alter_column_type_widening_only(spark, tmp_path):
+    """ALTER COLUMN TYPE: lossless widenings commit as one cast
+    rewrite; narrowing refuses; key columns widen with data intact."""
+    from pyspark.sql import types as T
+
+    from messdb_spark.engine import Engine, SqlError
+    from messdb_spark.operators.core import KeyedTable
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id int, v int")
+    eng.save_table("t", KeyedTable(df, ("id",)))
+
+    res = eng.alter_column_type("ALTER TABLE t ALTER COLUMN v TYPE bigint")
+    assert res["changed"] and res["from"] == "int" and res["to"] == "bigint"
+    t = eng.load_table("t")
+    assert dict(t.df.dtypes)["v"] == "bigint"
+    assert {(r["id"], r["v"]) for r in t.df.collect()} == {(1, 10), (2, 20)}
+
+    # idempotent no-op on same type
+    assert eng.alter_column_type(
+        "ALTER TABLE t ALTER v SET DATA TYPE bigint")["changed"] is False
+
+    # narrowing refused
+    import pytest as _pytest
+    with _pytest.raises(SqlError, match="non-widening"):
+        eng.alter_column_type("ALTER TABLE t ALTER COLUMN v TYPE int")
+    # cross-family refused
+    with _pytest.raises(SqlError, match="non-widening"):
+        eng.alter_column_type("ALTER TABLE t ALTER COLUMN v TYPE varchar")
+
+    # key column widens, range filter still works on reload
+    eng.alter_column_type("ALTER TABLE t ALTER COLUMN id TYPE bigint")
+    t2 = eng.load_table("t")
+    assert dict(t2.df.dtypes)["id"] == "bigint"
+    assert t2.df.filter("id >= 2").count() == 1
