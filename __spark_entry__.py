@@ -44,6 +44,8 @@ _CHECK_FIRST = [
     "txn_multi_table_commit", "stream_txn_rollup_replay",
     "seasonal_dow_decomposition", "target_encoding_loo",
     "randomized_response_rate", "train_eval_leakage_audit",
+    "propensity_strata_ate", "calibration_bins_ece",
+    "theil_sen_daily_trend",
     # (2) oldest driver rows first: the r2 cohort (last checked round
     # 2 per STALENESS.json), then r3/r4/r5 cohorts in stable order
     "cosine_topk_bruteforce", "cube_orders_priority", "dedup_exact",

@@ -705,3 +705,89 @@ def seasonal_dow_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(F.col("dow_cents").cast("double") / F.col("n_days")
                  - F.col("s").cast("double") / F.col("n"), 2)
           .alias("seasonal_cents"))
+
+
+@query(
+    "theil_sen_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(coalesce(floor(value * 100 + 0.5), 0)
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS BIGINT) AS num,
+             CAST(b.x - a.x AS BIGINT) AS den
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.x > a.x
+    ),
+    ranked AS (
+      SELECT event_type, num, den,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(num AS DOUBLE) / den,
+                                         num, den) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM slopes
+    )
+    SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+           num AS med_num, den AS med_den,
+           floor((CAST(num AS DOUBLE) / den)
+                 * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE)
+             AS slope_cents_per_day
+    FROM ranked
+    WHERE rk = CAST(floor((n_pairs + 1) / 2.0) AS BIGINT)
+    """)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue per event type: the
+    MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i) — a single
+    Black-Friday spike that drags the OLS fit
+    (``ols_daily_revenue_trend``) barely moves this one (29.3%
+    breakdown point). The median slope is selected by rank over
+    (double quotient, then exact num/den tie-break): two distinct
+    rationals whose doubles collide still order identically on both
+    engines via the integer tie-break, so the pick is deterministic;
+    the chosen slope is emitted as its exact integer pair plus
+    quantized cents/day.
+
+    Scale: pairwise slopes are quadratic IN DAYS, not rows — the daily
+    relation is (types × days)-bounded after the one corpus pass, so
+    even a decade of history is ~6.7M pairs per type, a partition-local
+    window problem; the corpus itself is touched once."""
+    from pyspark.sql.window import Window as W
+
+    (e,) = load(spark, sf_dir, "events")
+    cents = F.coalesce(F.floor(F.col("value") * 100 + F.lit(0.5)),
+                       F.lit(0)).cast("long")
+    daily = (e.groupBy("event_type",
+                       F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                        .cast("long").alias("x"))
+              .agg(F.sum(cents).alias("y")))
+    a = daily.select("event_type", F.col("x").alias("xa"),
+                     F.col("y").alias("ya"))
+    b = daily.select(F.col("event_type").alias("et_b"),
+                     F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (a.join(b, (F.col("et_b") == F.col("event_type"))
+                     & (F.col("xb") > F.col("xa")))
+               .select("event_type",
+                       (F.col("yb") - F.col("ya")).cast("long")
+                        .alias("num"),
+                       (F.col("xb") - F.col("xa")).cast("long")
+                        .alias("den")))
+    w = W.partitionBy("event_type").orderBy(
+        F.col("num").cast("double") / F.col("den"), "num", "den")
+    ranked = (slopes
+              .withColumn("rk", F.row_number().over(w))
+              .withColumn("n_pairs",
+                          F.count(F.lit(1)).over(
+                              W.partitionBy("event_type"))))
+    lower_median = F.floor((F.col("n_pairs") + 1) / 2.0).cast("long")
+    return (ranked.filter(F.col("rk") == lower_median)
+            .select("event_type",
+                    F.col("n_pairs").cast("long").alias("n_pairs"),
+                    F.col("num").alias("med_num"),
+                    F.col("den").alias("med_den"),
+                    quantize(F.col("num").cast("double") / F.col("den"), 2)
+                      .alias("slope_cents_per_day")))

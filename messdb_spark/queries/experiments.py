@@ -328,3 +328,86 @@ def bootstrap_ci_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
                       quantize("point", 2).alias("point_mean_cents"),
                       quantize("lo", 2).alias("ci_lo_cents"),
                       quantize("hi", 2).alias("ci_hi_cents")))
+
+
+@query(
+    "propensity_strata_ate",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             count(*) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(coalesce(value, 0) * 100 + 0.5)
+                                AS BIGINT) ELSE 0 END) AS BIGINT) AS spend
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT *, ntile(5) OVER (ORDER BY n_events, user_id) AS stratum
+      FROM u
+    ),
+    strata AS (
+      SELECT stratum,
+             count(*) AS n,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN arm = 0 THEN spend ELSE 0 END) AS BIGINT)
+               AS s_a,
+             CAST(sum(CASE WHEN arm = 1 THEN spend ELSE 0 END) AS BIGINT)
+               AS s_b
+      FROM ranked GROUP BY stratum
+    )
+    SELECT CAST(stratum AS BIGINT) AS stratum, n, n_a, n_b,
+           floor((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+                 * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE)
+             AS strata_ate_cents,
+           floor(((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+                  * n / (SELECT sum(n) FROM strata))
+                 * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE)
+             AS weighted_contribution_cents
+    FROM strata
+    """)
+def propensity_strata_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified treatment-effect estimation (propensity-score
+    subclassification, Rosenbaum & Rubin 1984): users are stratified
+    into activity quintiles (the deterministic stand-in for a fitted
+    propensity score — swap in model scores and nothing else changes),
+    and the per-stratum arm contrast plus its size-weighted
+    contribution estimate the ATE with confounding-by-activity
+    removed — the observational complement to the randomized
+    ``abtest_cuped_analysis``. Quintile assignment uses ntile with a
+    total (n_events, user_id) order, so stratum boundaries are
+    deterministic on both engines.
+
+    Scale: one per-user reduction, one 5-row strata aggregate; the
+    quintile window sorts the USER relation (1/events of the corpus) —
+    at 100 TB you'd bucket on precomputed score deciles instead of a
+    global ntile, the documented trade."""
+    from pyspark.sql.window import Window as W
+
+    (e,) = load(spark, sf_dir, "events")
+    cents = F.floor(F.coalesce("value", F.lit(0.0)) * 100
+                    + F.lit(0.5)).cast("long")
+    u = (e.groupBy("user_id")
+          .agg(F.count(F.lit(1)).alias("n_events"),
+               F.sum(F.when(F.col("event_type") == "purchase", cents)
+                      .otherwise(0)).cast("long").alias("spend"))
+          .withColumn("arm", F.col("user_id") % 2))
+    ranked = u.withColumn(
+        "stratum", F.ntile(5).over(W.orderBy("n_events", "user_id")))
+    strata = (ranked.groupBy("stratum")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+                   F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+                   F.sum(F.when(F.col("arm") == 0, F.col("spend"))
+                          .otherwise(0)).cast("long").alias("s_a"),
+                   F.sum(F.when(F.col("arm") == 1, F.col("spend"))
+                          .otherwise(0)).cast("long").alias("s_b")))
+    total_n = strata.agg(F.sum("n").alias("tn"))
+    j = strata.crossJoin(F.broadcast(total_n))
+    ate = (F.col("s_a").cast("double") / F.col("n_a")
+           - F.col("s_b").cast("double") / F.col("n_b"))
+    return j.select(
+        F.col("stratum").cast("long").alias("stratum"), "n", "n_a", "n_b",
+        quantize(ate, 2).alias("strata_ate_cents"),
+        quantize(ate * F.col("n") / F.col("tn"), 2)
+          .alias("weighted_contribution_cents"))

@@ -622,3 +622,101 @@ def randomized_response_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort", "n_users", "n_reported", "n_true",
         est_num.alias("est_num"), est_den.alias("est_den"),
         quantize(est_num.cast("double") / est_den, 4).alias("est_rate"))
+
+
+@query(
+    "calibration_bins_ece",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_DUCK}) AS tok, length(text) AS n_chars
+      FROM documents WHERE length(text) > 0
+    ),
+    scored AS (
+      SELECT doc_id, max(n_chars) AS n_chars, count(*) AS n_tokens,
+             CAST(sum(
+               (CAST(concat('0x', substring(md5('qw_' ||
+                  CAST(CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)
+                       % {_QC_B} AS VARCHAR)), 1, 8)) AS BIGINT)
+                % {2 * _QC_WSPAN + 1}) - {_QC_WSPAN}
+             ) AS BIGINT) AS margin_milli
+      FROM toks GROUP BY doc_id
+    ),
+    binned AS (
+      SELECT doc_id,
+             least(9, CAST(floor(
+               CAST(10 * (margin_milli + {_QC_WSPAN} * n_tokens) AS DOUBLE)
+               / (2 * {_QC_WSPAN} * n_tokens)) AS BIGINT)) AS bin,
+             CAST(floor(
+               CAST(1000000 * (margin_milli + {_QC_WSPAN} * n_tokens)
+                    AS DOUBLE)
+               / (2 * {_QC_WSPAN} * n_tokens) + 0.5) AS BIGINT)
+               AS conf_micro,
+             CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS label
+      FROM scored
+    )
+    SELECT bin, count(*) AS n_docs,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           floor((CAST(sum(conf_micro) AS DOUBLE) / count(*) / 1000000.0)
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS confidence,
+           floor((CAST(sum(label) AS DOUBLE) / count(*))
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS accuracy
+    FROM binned GROUP BY bin
+    """)
+def calibration_bins_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality classifier
+    (``quality_classifier_scores``): margins map to [0,1] confidences
+    (affine from the ±{_QC_WSPAN} milli-unit range), docs bin into
+    confidence deciles, and each bin reports confidence vs observed
+    label rate (label: document length ≥ 400 chars — the
+    deterministic stand-in for a held-out quality label). The gap
+    column per bin is what Expected Calibration Error sums — the
+    standard post-training check before a classifier's scores gate a
+    corpus; an uncalibrated filter silently shifts the kept
+    distribution.
+
+    Exactness: bin assignment is an integer-ratio floor (numerator and
+    denominator exact BIGINTs; a double quotient can't cross an
+    integer boundary because the true ratio is ≥ 2^-40 from one unless
+    exactly integral); per-doc confidence quantizes to an INTEGER
+    micro-unit before any summation (the micro-nat move), so bin
+    averages are exact integer sums ÷ counts — no order-dependent
+    double accumulation on either engine.
+
+    Scale: same single corpus pass as the classifier, then a 10-row
+    aggregate."""
+    (d,) = load(spark, sf_dir, "documents")
+    W_arr = F.lit(_qc_weights())
+    par = spark.sparkContext.defaultParallelism
+    toks = (d.filter(F.length("text") > 0)
+             .repartition(par)
+             .select("doc_id", F.length("text").alias("n_chars"),
+                     F.explode(F.expr(_TOKS)).alias("tok")))
+    w_tok = F.element_at(
+        W_arr,
+        (F.expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)")
+         % _QC_B + 1).cast("int"))
+    scored = (toks.select("doc_id", "n_chars", w_tok.alias("w"))
+                  .groupBy("doc_id")
+                  .agg(F.max("n_chars").alias("n_chars"),
+                       F.count(F.lit(1)).alias("n_tokens"),
+                       F.sum("w").cast("long").alias("margin_milli")))
+    p_num = (F.col("margin_milli")
+             + _QC_WSPAN * F.col("n_tokens")).cast("long")
+    p_den = (2 * _QC_WSPAN * F.col("n_tokens")).cast("long")
+    binned = scored.select(
+        F.least(F.lit(9),
+                F.floor((10 * p_num).cast("double") / p_den)
+                 .cast("long")).alias("bin"),
+        F.floor((1000000 * p_num).cast("double") / p_den + F.lit(0.5))
+         .cast("long").alias("conf_micro"),
+        F.when(F.col("n_chars") >= 400, 1).otherwise(0).alias("label"))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("label").cast("long").alias("n_pos"),
+                 quantize(F.sum("conf_micro").cast("double")
+                          / F.count(F.lit(1)) / 1000000.0, 4)
+                   .alias("confidence"),
+                 quantize(F.sum("label").cast("double")
+                          / F.count(F.lit(1)), 4).alias("accuracy")))

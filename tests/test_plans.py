@@ -531,3 +531,40 @@ def test_rfm_and_acf_fold_before_ranking(spark, sf_dir):
                   .fn(spark, sf_dir), "simple")
     assert "BroadcastNestedLoopJoin" in p2 or "BroadcastHashJoin" in p2
     assert "CartesianProduct" not in p2
+
+
+def test_round7_new_ops_plan_shapes(spark, sf_dir):
+    """Round-7 queries: no cartesian products anywhere; the MaxSim
+    reranker and k-NN graph keep the corpus streaming (broadcast query
+    side / id-only pair shuffles); the quality classifier is a single
+    hash-agg pipeline with the weight array folded as a literal (no
+    join for the weights); bootstrap's resample relation partial-
+    aggregates before its only exchange."""
+    for name in ("knn_graph_lsh", "colbert_maxsim_topk",
+                 "quality_classifier_scores", "dp_noisy_counts",
+                 "seasonal_dow_decomposition", "target_encoding_loo",
+                 "randomized_response_rate", "train_eval_leakage_audit",
+                 "bootstrap_ci_segment_spend"):
+        p = plan_str(QUERIES[name].fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in p, name
+
+    # MaxSim: the 10-query token matrix must broadcast (corpus never
+    # shuffles for the join)
+    p = plan_str(QUERIES["colbert_maxsim_topk"].fn(spark, sf_dir),
+                 "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # quality classifier: weights are a plan literal — exactly the
+    # explode + two-level hash agg, no join operator at all
+    p = plan_str(QUERIES["quality_classifier_scores"].fn(spark, sf_dir),
+                 "simple")
+    assert "Join" not in p
+    assert "HashAggregate" in p
+    # target encoding: segment stats and global mean broadcast back
+    p = plan_str(QUERIES["target_encoding_loo"].fn(spark, sf_dir),
+                 "simple")
+    assert "BroadcastHashJoin" in p
+    # leakage audit: the eval shingle set must semi-join (never an
+    # inner-join blowup on shingle multiplicity)
+    p = plan_str(QUERIES["train_eval_leakage_audit"].fn(spark, sf_dir),
+                 "simple")
+    assert "LeftSemi" in p
