@@ -791,3 +791,99 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("den").alias("med_den"),
                     quantize(F.col("num").cast("double") / F.col("den"), 2)
                       .alias("slope_cents_per_day")))
+
+
+@query(
+    "seasonal_residual_outliers",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(sum(CAST(coalesce(floor(value * 100 + 0.5), 0)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    dow AS (
+      SELECT d % 7 AS dow, count(*) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM daily GROUP BY 1
+    ),
+    resid AS (
+      SELECT y.d, y.cents, w.dow,
+             CAST(floor(CAST(1000000 * (y.cents * w.n_days - w.s)
+                             AS DOUBLE) / w.n_days + 0.5) AS BIGINT)
+               AS r_micro
+      FROM daily y JOIN dow w ON w.dow = y.d % 7
+    ),
+    mom AS (
+      SELECT count(*) AS n,
+             CAST(sum(r_micro) AS BIGINT) AS s1,
+             CAST(sum(CAST(r_micro AS HUGEINT) * r_micro) AS HUGEINT) AS s2
+      FROM resid
+    )
+    SELECT r.d AS day_index, CAST(r.dow AS BIGINT) AS dow, r.cents,
+           floor((CAST(r.r_micro AS DOUBLE) / 1000000.0)
+                 * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE)
+             AS residual_cents,
+           abs(CAST(r.r_micro AS DOUBLE)
+               - CAST((SELECT s1 FROM mom) AS DOUBLE)
+                 / (SELECT n FROM mom))
+             > 2.0 * sqrt(CAST((SELECT s2 FROM mom) AS DOUBLE)
+                            / (SELECT n FROM mom)
+                          - (CAST((SELECT s1 FROM mom) AS DOUBLE)
+                             / (SELECT n FROM mom))
+                            * (CAST((SELECT s1 FROM mom) AS DOUBLE)
+                               / (SELECT n FROM mom)))
+             AS is_outlier
+    FROM resid r
+    """)
+def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection — the composition
+    ``seasonal_dow_decomposition`` exists to enable: each day's
+    residual vs its weekday-slot mean, flagged when |residual − mean
+    residual| > 2σ. Deseasonalizing first is the whole point: a plain
+    z-test on raw dailies flags every weekend; on residuals only true
+    anomalies fire.
+
+    FP parity: each day's residual quantizes to an INTEGER micro-unit
+    (one correctly-rounded division of exact BIGINTs, then floored),
+    the moments are exact integer sums (s2 in >64-bit integers), and
+    both engines evaluate the identical threshold expression over the
+    identical exact operands — no order-dependent double accumulation
+    anywhere. The boolean flag is the hash-checked output — a single
+    bit of disagreement fails the driver.
+
+    Scale: days-bounded after one corpus pass; the slot and moment
+    relations are 7 rows and 1 row, broadcast back."""
+    (e,) = load(spark, sf_dir, "events")
+    cents = F.coalesce(F.floor(F.col("value") * 100 + F.lit(0.5)),
+                       F.lit(0)).cast("long")
+    daily = (e.groupBy(F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                        .cast("long").alias("d"))
+              .agg(F.sum(cents).alias("cents")))
+    dow = (daily.groupBy((F.col("d") % 7).alias("dow"))
+                .agg(F.count(F.lit(1)).alias("n_days"),
+                     F.sum("cents").cast("long").alias("s")))
+    resid = (daily.withColumn("dow", F.col("d") % 7)
+                  .join(F.broadcast(dow), "dow")
+                  .select("d", "cents", "dow",
+                          F.floor((1000000 * (F.col("cents")
+                                              * F.col("n_days")
+                                              - F.col("s"))).cast("double")
+                                  / F.col("n_days") + F.lit(0.5))
+                           .cast("long").alias("r_micro")))
+    dec = "decimal(38,0)"
+    mom = resid.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_micro").cast("long").alias("s1"),
+        F.sum((F.col("r_micro").cast(dec) * F.col("r_micro")).cast(dec))
+         .alias("s2"))
+    j = resid.crossJoin(F.broadcast(mom))
+    rm = F.col("r_micro").cast("double")
+    mean = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(F.col("s2").cast("double") / F.col("n") - mean * mean)
+    return j.select(
+        F.col("d").alias("day_index"),
+        F.col("dow").cast("long").alias("dow"),
+        "cents",
+        quantize(rm / 1000000.0, 2).alias("residual_cents"),
+        (F.abs(rm - mean) > 2.0 * sd).alias("is_outlier"))

@@ -2357,3 +2357,103 @@ def stream_txn_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+from .text import _MH_SEEDS as _IMH_SEEDS  # noqa: E402
+from .text import _SHINGLE_K as _IMH_K  # noqa: E402
+
+_REGISTRY.transforms.pop("doc_minhash", None)
+
+
+@_REGISTRY.transform("doc_minhash", new_key_cols=("doc_id",))
+def _doc_minhash(df: DataFrame) -> DataFrame:
+    """Key-preserving MinHash signature map: one md5 per shingle,
+    xor-seed remixes for the 8 signature functions (text.py's
+    ``minhash_lsh_candidates`` discipline); short docs get NULL
+    signatures (never dropped — the view stays key-complete)."""
+    hs = (f"CASE WHEN length(text) >= {_IMH_K} THEN "
+          f"transform(sequence(1, length(text) - {_IMH_K - 1}), "
+          f"i -> CAST(conv(substring(md5(substring(text, i, {_IMH_K})), "
+          f"1, 15), 16, 10) AS BIGINT)) ELSE array() END")
+    with_hs = df.withColumn("hs", F.expr(hs))
+    return with_hs.select(
+        "doc_id",
+        *[F.expr(f"array_min(transform(hs, h -> h ^ CAST({s} AS BIGINT)))")
+           .alias(f"h{j}") for j, s in enumerate(_IMH_SEEDS)],
+        "__messdb_ord")
+
+
+@query(
+    "incremental_minhash_refresh",
+    oracle=f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0
+      UNION ALL
+      SELECT doc_id, concat(text, ' drift drift drift') AS text
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= {_IMH_K} THEN
+               list_transform(range(1, length(text) - {_IMH_K - 2}),
+                 i -> CAST(concat('0x', substring(md5(substring(text, i, {_IMH_K})), 1, 15)) AS BIGINT))
+             ELSE [] END AS hs
+      FROM all_docs
+    )
+    SELECT doc_id, {", ".join(
+        f"list_aggregate(list_transform(hs, h -> xor(h, CAST({s} AS BIGINT))), 'min') AS h{j}"
+        for j, s in enumerate(_IMH_SEEDS))}
+    FROM sh
+    """)
+def incremental_minhash_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-dedup pipeline composed with INCREMENTAL VIEW
+    MAINTENANCE: MinHash signatures kept as a memoized per-bucket map
+    view over a bucketed documents table — when 2% of docs are
+    edited (upserted in place), the refresh recomputes ONLY the
+    touched buckets' signatures (asserted in-body against the memo
+    miss counter), not the corpus. This is the operational shape of
+    dedup at 100 TB: the crawl updates a fraction of documents per
+    cycle, and re-fingerprinting must cost ∝ the delta, never a full
+    corpus re-hash — the reference's per-node memoize
+    (``Trie.hs:280-295``) carrying a real fingerprint workload.
+    Refreshed signatures hash-check against DuckDB computing MinHash
+    directly over base-with-edits."""
+    from ..operators.core import KeyedTable
+    from ..plans.incremental import (incremental_map_view,
+                                     incremental_upsert, read_bucketed,
+                                     write_bucketed)
+    from ..store import MemoStore, ObjectStore
+
+    (d,) = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text")
+    delta = (d.filter(F.col("doc_id") % 50 == 0)
+              .select("doc_id",
+                      F.concat(F.col("text"),
+                               F.lit(" drift drift drift")).alias("text")))
+    tmp = tempfile.mkdtemp(prefix="messdb_iminhash_")
+    try:
+        store = ObjectStore(os.path.join(tmp, "wh"))
+        memo = MemoStore(os.path.join(tmp, "wh"))
+        ref1 = write_bucketed(store, KeyedTable(base, ("doc_id",)),
+                              n_buckets=32)
+        incremental_map_view(spark, store, memo, ref1, "doc_minhash")
+        misses_full = memo.misses
+        ref2 = incremental_upsert(spark, store, ref1, delta)
+        n_changed = sum(1 for a, b in zip(ref1.bucket_hashes,
+                                          ref2.bucket_hashes) if a != b)
+        view_ref = incremental_map_view(spark, store, memo, ref2,
+                                        "doc_minhash")
+        refresh_misses = memo.misses - misses_full
+        if refresh_misses > n_changed or n_changed == 0:
+            raise AssertionError(
+                f"minhash refresh recomputed {refresh_misses} buckets, "
+                f"delta changed {n_changed}")
+        if n_changed >= ref2.n_buckets:
+            raise AssertionError("2% edit touched every bucket — no "
+                                 "incrementality demonstrated")
+        out = read_bucketed(spark, store, view_ref).df \
+            .localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("doc_id",
+                      *[f"h{j}" for j in range(len(_IMH_SEEDS))])
