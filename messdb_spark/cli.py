@@ -172,9 +172,13 @@ def main(argv: list[str] | None = None) -> int:
             elif first.startswith("truncate table"):
                 print(json.dumps({"ok": True, **eng.truncate_table(stmt)}))
             elif first.startswith("alter table"):
-                from .sql_ddl import parse_rename_table
+                from .sql_ddl import (parse_alter_column_type,
+                                      parse_rename_table)
                 if parse_rename_table(stmt) is not None:
                     print(json.dumps({"ok": True, **eng.rename_table(stmt)}))
+                elif parse_alter_column_type(stmt) is not None:
+                    print(json.dumps({"ok": True,
+                                      **eng.alter_column_type(stmt)}))
                 else:
                     print(json.dumps({"ok": True,
                                       **eng.alter_add_column(stmt)}))

@@ -153,6 +153,10 @@ def canonicalize_input(df: DataFrame, key_cols: Sequence[str],
     inputs already known to be canonical (catalog loads) skip this."""
     keys = tuple(key_cols)
     value_cols = [c for c in df.columns if c not in keys]
+    if not value_cols:
+        # every column is a key: any fold of duplicates is the row
+        # itself — canonicalization degenerates to DISTINCT
+        return KeyedTable(df.select(*keys).distinct(), keys)
     with_ord = df.withColumn(_ORD, F.monotonically_increasing_id())
     agg_cols = fold.agg(value_cols, F.col(_ORD))
     out = with_ord.groupBy(*[F.col(k) for k in keys]).agg(*agg_cols)

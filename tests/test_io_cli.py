@@ -463,3 +463,29 @@ def test_truncate_and_rename(spark, tmp_path, capsys):
     eng3.save_table("t3", eng3.load_table("t2"))
     with _pytest.raises(SqlError, match="already exists"):
         eng3.rename_table("ALTER TABLE t2 RENAME TO t3")
+
+
+def test_cli_ctas_overwrite_altertype(spark, tmp_path, capsys):
+    """Round-7 SQL surface through the CLI: CTAS, INSERT OVERWRITE,
+    and widening ALTER COLUMN TYPE all route from the sql verb."""
+    from messdb_spark.cli import main
+    wh = str(tmp_path / "wh7")
+    assert main(["-w", wh, "sql", "-c",
+                 "CREATE TABLE src (id int PRIMARY KEY, v int)"]) == 0
+    assert main(["-w", wh, "sql", "-c",
+                 "INSERT INTO src VALUES (1, 10), (2, 20)"]) == 0
+    assert main(["-w", wh, "sql", "-c",
+                 "CREATE TABLE agg PRIMARY KEY (s) AS "
+                 "SELECT CAST(sum(v) AS BIGINT) AS s FROM src"]) == 0
+    assert main(["-w", wh, "sql", "-c",
+                 "INSERT OVERWRITE src VALUES (9, 90)"]) == 0
+    assert main(["-w", wh, "sql", "-c",
+                 "ALTER TABLE src ALTER COLUMN v TYPE bigint"]) == 0
+    capsys.readouterr()
+    assert main(["-w", wh, "sql", "-c", "SELECT id, v FROM src"]) == 0
+    rows = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows == [{"id": 9, "v": 90}]
+    assert main(["-w", wh, "sql", "-c", "SELECT s FROM agg"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()
+                      .splitlines()[-1]) == {"s": 30}
