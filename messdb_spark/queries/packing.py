@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from . import load, query
+from . import load, query, quantize
 
 _BUDGET = 120          # sampled docs across all sources
 _CONTEXT = 512         # tokens per packed context window
@@ -188,3 +188,73 @@ def token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 token_budget_apportionment.__doc__ = \
     token_budget_apportionment.__doc__.format(budget=_APPORTION_BUDGET)
+
+
+_LB_BUCKETS = (64, 128, 256, 512, 1024, 2048)   # length-bucket bounds
+_LB_MAXLEN = 2048                                # hard truncation cap
+
+
+@query(
+    "length_bucketed_batching",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             least(len({_TOKS_DUCK}), {_LB_MAXLEN}) AS n_tokens
+      FROM documents WHERE length(text) > 0
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tokens,
+             CASE {" ".join(f"WHEN n_tokens <= {b} THEN {b}"
+                            for b in _LB_BUCKETS)}
+                  ELSE {_LB_MAXLEN} END AS bucket
+      FROM docs
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_len,
+           CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+             AS bucket_pad_tokens,
+           CAST(count(*) * {_LB_MAXLEN} - sum(n_tokens) AS BIGINT)
+             AS unbucketed_pad_tokens,
+           floor((CAST(count(*) * max(n_tokens) - sum(n_tokens) AS DOUBLE)
+                  / (count(*) * max(n_tokens)))
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS pad_frac
+    FROM bucketed GROUP BY bucket
+    """)
+def length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit — the padding-waste readout that
+    justifies bucketed batch construction: docs group into power-of-2
+    length buckets ({", ".join(map(str, _LB_BUCKETS))}); per bucket,
+    the padding cost of batching at the bucket's own max length vs
+    padding everything to the global {_LB_MAXLEN} cap. The
+    ``unbucketed − bucketed`` padding delta is compute saved per epoch
+    (padding tokens burn FLOPs and contribute nothing) — typically
+    the single cheapest throughput win in a training pipeline, and
+    this relation is the evidence a pipeline records before adopting
+    it. Complements ``sequence_packing_offsets`` (packing removes
+    padding entirely; bucketing is the simpler change that keeps
+    example boundaries).
+
+    Scale: one token-count pass (map-side combined), bucket-bounded
+    output; all integers exact."""
+    (d,) = load(spark, sf_dir, "documents")
+    n_tokens = F.least(F.size(F.expr(_TOKS_SPARK)), F.lit(_LB_MAXLEN))
+    bucket = F.coalesce(
+        *[F.when(n_tokens <= b, F.lit(b)) for b in _LB_BUCKETS],
+        F.lit(_LB_MAXLEN))
+    docs = (d.filter(F.length("text") > 0)
+             .select(n_tokens.alias("n_tokens"), bucket.alias("bucket")))
+    cnt = F.count(F.lit(1))
+    pad = (cnt * F.max("n_tokens") - F.sum("n_tokens")).cast("long")
+    return (docs.groupBy(F.col("bucket").cast("long").alias("bucket"))
+            .agg(cnt.alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("real_tokens"),
+                 F.max("n_tokens").cast("long").alias("max_len"),
+                 pad.alias("bucket_pad_tokens"),
+                 (cnt * _LB_MAXLEN - F.sum("n_tokens")).cast("long")
+                   .alias("unbucketed_pad_tokens"),
+                 quantize(pad.cast("double")
+                          / (cnt * F.max("n_tokens")), 4)
+                   .alias("pad_frac")))

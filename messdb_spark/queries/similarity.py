@@ -1657,3 +1657,76 @@ def ivf_store_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+_HN_K = 3    # hard negatives per anchor
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+               AS nrm
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+             c.vec_id AS neg_id, c.label AS neg_label,
+             list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+               i -> CAST(q.embedding[i] AS DOUBLE)
+                    * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+               / (q.nrm * c.nrm) AS sim
+      FROM n q JOIN n c
+        ON q.vec_id < {_N_QUERIES} AND c.label != q.label
+    )
+    SELECT anchor_id, rk, neg_id,
+           CAST(neg_label AS BIGINT) AS neg_label,
+           floor(sim * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS sim
+    FROM (SELECT anchor_id, neg_id, neg_label, sim,
+                 row_number() OVER (PARTITION BY anchor_id
+                                    ORDER BY sim DESC, neg_id) AS rk
+          FROM sims) t
+    WHERE rk <= {_HN_K}
+    """)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    sentence-transformers batch-construction step): for each anchor,
+    the top-{_HN_K} most-similar vectors carrying a DIFFERENT label —
+    the negatives that actually move a contrastive loss (random
+    negatives are trivially separated; hardest-confusable ones define
+    the decision boundary). Same broadcast-probe discipline as
+    ``knn_label_agreement`` with the label-mismatch predicate fused
+    into the join.
+
+    Scale: anchors broadcast, corpus streams once, WindowGroupLimit
+    caps per-anchor state at k; at 100 TB the candidate pool comes
+    from the ANN ladder and this ranks candidates × anchors, never
+    corpus × anchors."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    n = emb.withColumn("nrm", _norm_col("embedding"))
+    q = (n.filter(F.col("vec_id") < _N_QUERIES)
+          .select(F.col("vec_id").alias("anchor_id"),
+                  F.col("label").alias("anchor_label"),
+                  F.col("embedding").alias("q_emb"),
+                  F.col("nrm").alias("q_nrm")))
+    c = n.select(F.col("vec_id").alias("neg_id"),
+                 F.col("label").alias("neg_label"),
+                 F.col("embedding").alias("c_emb"),
+                 F.col("nrm").alias("c_nrm"))
+    par = spark.sparkContext.defaultParallelism
+    sims = (c.repartition(par)
+             .join(F.broadcast(q),
+                   F.col("neg_label") != F.col("anchor_label"))
+             .withColumn("sim",
+                         F.expr(_DOT.format(a="q_emb", b="c_emb"))
+                         / (F.col("q_nrm") * F.col("c_nrm"))))
+    w = W.partitionBy("anchor_id").orderBy(F.desc("sim"), F.col("neg_id"))
+    return (sims.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= _HN_K)
+                .select("anchor_id", "rk", "neg_id",
+                        F.col("neg_label").cast("long").alias("neg_label"),
+                        quantize("sim", 4).alias("sim")))
