@@ -720,3 +720,63 @@ def calibration_bins_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("confidence"),
                  quantize(F.sum("label").cast("double")
                           / F.count(F.lit(1)), 4).alias("accuracy")))
+
+
+# candidate functional dependencies to profile: (table, lhs, rhs)
+_FD_CANDIDATES = (
+    ("part", "p_name", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_type", "p_size"),
+    ("customer", "c_name", "c_nationkey"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+)
+
+
+@query(
+    "functional_dependency_audit",
+    oracle="\n    UNION ALL\n".join(f"""
+    SELECT '{t}' AS tbl, '{lhs}' AS lhs, '{rhs}' AS rhs,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+           floor((CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*)) * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS violation_frac
+    FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nd
+          FROM {t} GROUP BY {lhs})
+    """ for t, lhs, rhs in _FD_CANDIDATES))
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery/profiling — the schema-quality
+    audit a warehouse runs before trusting a column as a join or
+    partition key: for each candidate FD lhs → rhs, the number of lhs
+    groups mapping to more than one rhs value. A dependency that
+    HOLDS licenses normalization, dictionary encoding, and
+    sort-key/partition-key choices; a violated one flags dirty data or
+    a wrong assumption. Complements ``referential_integrity_audit``
+    (cross-table) and ``data_quality_audit`` (per-column) with the
+    cross-column axis.
+
+    Scale: each candidate is one (lhs, rhs-distinct) hash agg with
+    map-side partials folded to a single verdict row — candidates ×
+    one-pass, no joins; at a thousand candidates you'd batch the same
+    probes per table scan."""
+    (p, c, o) = load(spark, sf_dir, "part", "customer", "orders")
+    frames = {"part": p, "customer": c, "orders": o}
+    outs = []
+    for t, lhs, rhs in _FD_CANDIDATES:
+        g = (frames[t].groupBy(lhs)
+             .agg(F.countDistinct(rhs).alias("nd")))
+        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        outs.append(g.agg(
+            F.lit(t).alias("tbl"), F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.count(F.lit(1)).alias("n_groups"),
+            viol.cast("long").alias("n_violating"),
+            (viol == 0).alias("holds"),
+            quantize(viol.cast("double") / F.count(F.lit(1)), 4)
+              .alias("violation_frac")))
+    out = outs[0]
+    for f_ in outs[1:]:
+        out = out.unionByName(f_)
+    return out

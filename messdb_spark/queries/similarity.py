@@ -1730,3 +1730,121 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("anchor_id", "rk", "neg_id",
                         F.col("neg_label").cast("long").alias("neg_label"),
                         quantize("sim", 4).alias("sim")))
+
+
+@query(
+    "pooling_recall_eval",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+               AS nrm,
+             list_transform(range(1, {_CB_TDIM} + 1), d ->
+               list_aggregate(list_transform(range(0, {_CB_NTOK}),
+                 t -> CAST(embedding[d + t * {_CB_TDIM}] AS DOUBLE)),
+                 'sum') / {_CB_NTOK}) AS pooled
+      FROM embeddings
+    ),
+    np AS (
+      SELECT vec_id, embedding, nrm, pooled,
+             sqrt(list_aggregate(list_transform(pooled, v -> v * v),
+                                 'sum')) AS pnrm
+      FROM n
+    ),
+    full_rank AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+                 i -> CAST(q.embedding[i] AS DOUBLE)
+                      * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+               / (q.nrm * c.nrm) DESC, c.vec_id) AS rk
+      FROM np q JOIN np c
+        ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    pooled_rank AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_aggregate(list_transform(range(1, {_CB_TDIM} + 1),
+                 i -> q.pooled[i] * c.pooled[i]), 'sum')
+               / (q.pnrm * c.pnrm) DESC, c.vec_id) AS rk
+      FROM np q JOIN np c
+        ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT f.query_id,
+           CAST(count(p.cand_id) AS BIGINT) AS n_overlap,
+           floor((CAST(count(p.cand_id) AS DOUBLE) / {_TOP_K})
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS recall_at_{_TOP_K}
+    FROM (SELECT * FROM full_rank WHERE rk <= {_TOP_K}) f
+    LEFT JOIN (SELECT * FROM pooled_rank WHERE rk <= {_TOP_K}) p
+      ON p.query_id = f.query_id AND p.cand_id = f.cand_id
+    GROUP BY f.query_id
+    """)
+def pooling_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooling-fidelity eval: does MEAN-POOLING the {_CB_NTOK} token
+    views (64 dims → {_CB_TDIM}) preserve the nearest-neighbor
+    structure? For each probe, recall@{_TOP_K} of the pooled-vector
+    ranking against the full-vector ranking — the measurement that
+    decides whether an 8× smaller index (cheaper ANN, cheaper
+    storage) is acceptable, the same decision ``matryoshka_prefix_
+    recall`` makes for prefix truncation and
+    ``embedding_quantize_int8`` for scalar quantization. Closes the
+    compression-eval triad: truncate / quantize / pool.
+
+    Exactness: pooled dims are in-order 8-element folds divided by a
+    constant; both rankings tie-break on cand_id, so the overlap count
+    is an exact integer on both engines.
+
+    Scale: probes broadcast; the corpus streams once per ranking (the
+    pooled pass reads {_CB_TDIM}-dim vectors — at scale it runs over
+    the materialized pooled index, not the full corpus)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    pooled = (f"transform(sequence(1, {_CB_TDIM}), d -> "
+              f"aggregate(transform(sequence(0, {_CB_NTOK - 1}), "
+              f"t -> CAST(element_at(embedding, d + t * {_CB_TDIM}) "
+              f"AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v) "
+              f"/ {_CB_NTOK}.0D)")
+    n = (emb.select("vec_id", "embedding",
+                    _norm_col("embedding").alias("nrm"),
+                    F.expr(pooled).alias("pooled"))
+            .withColumn("pnrm", F.sqrt(F.expr(
+                _DOT.format(a="pooled", b="pooled")))))
+    q = (n.filter(F.col("vec_id") < _N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_emb"),
+                  F.col("nrm").alias("q_nrm"),
+                  F.col("pooled").alias("q_pool"),
+                  F.col("pnrm").alias("q_pnrm")))
+    c = n.select(F.col("vec_id").alias("cand_id"),
+                 F.col("embedding").alias("c_emb"),
+                 F.col("nrm").alias("c_nrm"),
+                 F.col("pooled").alias("c_pool"),
+                 F.col("pnrm").alias("c_pnrm"))
+    par = spark.sparkContext.defaultParallelism
+    pairs = (c.repartition(par)
+              .join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+              .withColumn("full_sim",
+                          F.expr(_DOT.format(a="q_emb", b="c_emb"))
+                          / (F.col("q_nrm") * F.col("c_nrm")))
+              .withColumn("pool_sim",
+                          F.expr(_DOT.format(a="q_pool", b="c_pool"))
+                          / (F.col("q_pnrm") * F.col("c_pnrm"))))
+    wf = W.partitionBy("query_id").orderBy(F.desc("full_sim"),
+                                           F.col("cand_id"))
+    wp = W.partitionBy("query_id").orderBy(F.desc("pool_sim"),
+                                           F.col("cand_id"))
+    ranked = (pairs.withColumn("frk", F.row_number().over(wf))
+                   .withColumn("prk", F.row_number().over(wp)))
+    fsel = (ranked.filter(F.col("frk") <= _TOP_K)
+                  .select("query_id", "cand_id"))
+    psel = (ranked.filter(F.col("prk") <= _TOP_K)
+                  .select(F.col("query_id").alias("p_qid"),
+                          F.col("cand_id").alias("p_cid"),
+                          F.lit(1).alias("hit")))
+    j = fsel.join(psel, (fsel["query_id"] == psel["p_qid"])
+                  & (fsel["cand_id"] == psel["p_cid"]), "left")
+    return (j.groupBy("query_id")
+             .agg(F.count("hit").cast("long").alias("n_overlap"),
+                  quantize(F.count("hit").cast("double") / _TOP_K, 4)
+                    .alias(f"recall_at_{_TOP_K}")))
