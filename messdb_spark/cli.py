@@ -146,6 +146,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"-- {stmt}", file=sys.stderr)
             import re as _re2
             first = stmt.lower().lstrip()
+            if first.startswith("explain "):
+                # physical-plan inspection without executing — the
+                # operability verb a perf investigation starts with
+                df = eng.sql(stmt[len("explain "):])
+                df.explain("formatted")
+                continue
             mv = _re2.match(
                 r"create\s+(or\s+replace\s+)?materialized\s+view\s+(\w+)"
                 r"\s+as\s+(.*)$", stmt.strip(), _re2.IGNORECASE | _re2.DOTALL)

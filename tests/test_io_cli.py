@@ -489,3 +489,20 @@ def test_cli_ctas_overwrite_altertype(spark, tmp_path, capsys):
     assert main(["-w", wh, "sql", "-c", "SELECT s FROM agg"]) == 0
     assert json.loads(capsys.readouterr().out.strip()
                       .splitlines()[-1]) == {"s": 30}
+
+
+def test_cli_explain_prints_physical_plan(spark, tmp_path, capsys):
+    """EXPLAIN SELECT ... prints the formatted physical plan without
+    executing the query."""
+    from messdb_spark.cli import main
+    wh = str(tmp_path / "whx")
+    assert main(["-w", wh, "sql", "-c",
+                 "CREATE TABLE e (id bigint PRIMARY KEY, v bigint)"]) == 0
+    assert main(["-w", wh, "sql", "-c",
+                 "INSERT INTO e VALUES (1, 5)"]) == 0
+    capsys.readouterr()
+    assert main(["-w", wh, "sql", "-c",
+                 "EXPLAIN SELECT v FROM e WHERE id = 1"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "Scan parquet" in out or "Scan " in out

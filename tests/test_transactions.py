@@ -101,3 +101,25 @@ def test_transaction_nested_joins_outer(spark, warehouse):
     assert eng.catalog.current_version() == v0 + 1
     assert eng.load_table("a").df.count() == 1
     assert eng.load_table("b").df.count() == 1
+
+
+def test_transaction_on_branch_advances_that_branch(spark, warehouse):
+    """A multi-table transaction committed on a checked-out branch
+    advances THAT branch's head by one version; the other branch's
+    view of the namespace is untouched."""
+    eng = Engine(spark, warehouse)
+    eng.save_table("t", _kv(spark, [(1, "main")]))
+    eng.create_branch("feature")
+    eng.checkout("feature")
+    with eng.transaction():
+        eng.save_table("t", _kv(spark, [(1, "feat")]))
+        eng.save_table("extra", _kv(spark, [(2, "x")]))
+    assert eng.load_table("t").df.collect()[0]["v"] == "feat"
+    assert eng.load_table("extra").df.count() == 1
+    eng.checkout("main")
+    assert eng.load_table("t").df.collect()[0]["v"] == "main"
+    assert eng.catalog.get("extra") is None
+    # merge brings both tables over as pointer copies
+    eng.merge_branch("feature")
+    assert eng.load_table("t").df.collect()[0]["v"] == "feat"
+    assert eng.load_table("extra").df.count() == 1
