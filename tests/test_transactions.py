@@ -123,3 +123,53 @@ def test_transaction_on_branch_advances_that_branch(spark, warehouse):
     eng.merge_branch("feature")
     assert eng.load_table("t").df.collect()[0]["v"] == "feat"
     assert eng.load_table("extra").df.count() == 1
+
+
+# -- model-based property: a random program of transactions ------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_tbl = st.sampled_from(["ta", "tb", "tc"])
+_rows = st.lists(st.tuples(st.integers(0, 5), st.text("ab", max_size=2)),
+                 min_size=1, max_size=4)
+# a program: each transaction is (commit?, [(table, rows), ...])
+_program = st.lists(
+    st.tuples(st.booleans(),
+              st.lists(st.tuples(_tbl, _rows), min_size=1, max_size=3)),
+    min_size=1, max_size=4)
+
+
+@given(program=_program)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_transaction_program_matches_model(spark, tmp_path_factory,
+                                           program):
+    """Random programs of multi-table transactions (some aborted)
+    against a dict-of-dicts model: committed transactions apply all
+    their saves (last write inside a txn wins per table, canonicalized
+    last-wins per key), aborted ones apply nothing, and the catalog
+    version advances exactly once per non-empty committed
+    transaction."""
+    eng = Engine(spark, str(tmp_path_factory.mktemp("txnp") / "wh"))
+    model: dict[str, dict[int, str]] = {}
+    expected_version = eng.catalog.current_version()
+    for commit, saves in program:
+        staged: dict[str, dict[int, str]] = {}
+        try:
+            with eng.transaction():
+                for tbl, rows in saves:
+                    eng.save_table(tbl, _kv(spark, rows))
+                    staged[tbl] = dict(rows)     # last (k, v) wins
+                if not commit:
+                    raise RuntimeError("abort")
+        except RuntimeError:
+            continue
+        model.update(staged)
+        expected_version += 1
+        assert eng.catalog.current_version() == expected_version
+    assert eng.catalog.current_version() == expected_version
+    for tbl, want in model.items():
+        got = {r["k"]: r["v"] for r in eng.load_table(tbl).df.collect()}
+        assert got == want, tbl
+    for tbl in {"ta", "tb", "tc"} - set(model):
+        assert eng.catalog.get(tbl) is None
