@@ -2457,3 +2457,123 @@ def incremental_minhash_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
     return out.select("doc_id",
                       *[f"h{j}" for j in range(len(_IMH_SEEDS))])
+
+
+@query(
+    "stream_minhash_ingest_replay",
+    oracle=f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= {_IMH_K} THEN
+               list_transform(range(1, length(text) - {_IMH_K - 2}),
+                 i -> CAST(concat('0x', substring(md5(substring(text, i, {_IMH_K})), 1, 15)) AS BIGINT))
+             ELSE [] END AS hs
+      FROM all_docs
+    )
+    SELECT doc_id, {", ".join(
+        f"list_aggregate(list_transform(hs, h -> xor(h, CAST({s} AS BIGINT))), 'min') AS h{j}"
+        for j, s in enumerate(_IMH_SEEDS))}
+    FROM sh
+    """)
+def stream_minhash_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup fingerprint pipeline DRIVEN BY A STREAM: documents
+    arrive over 3 micro-batches; each batch upserts into the bucketed
+    corpus table AND refreshes the memoized MinHash signature view,
+    committing both to the catalog in ONE transaction per batch — the
+    full operational loop (crawl → ingest → fingerprint → durable
+    version) in one query. In-body asserts: 3 batch commits, one root
+    swap each, and — the incrementality contract — each refresh
+    recomputes no more signature buckets than its batch's upsert
+    touched. The final signature view hash-checks against DuckDB
+    computing MinHash over the whole corpus.
+
+    Scale: per micro-batch cost is (batch buckets upserted) + (batch
+    buckets re-fingerprinted) + one root swap — arrival-rate-bounded,
+    corpus-size-independent; exactly what a 100 TB crawl ingest needs
+    from its dedup front-end."""
+    from ..engine import Engine
+    from ..operators.core import canonicalize_input
+    from ..plans.incremental import (incremental_map_view,
+                                     incremental_upsert, read_bucketed,
+                                     write_bucketed)
+
+    (d,) = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="messdb_mhstream_")
+    try:
+        src_dir = os.path.join(tmp, "src")
+        (docs.withColumn("__sp", F.pmod(F.col("doc_id"), F.lit(3))
+                         .cast("int"))
+             .repartition(3, "__sp")
+             .write.partitionBy("__sp").mode("overwrite").parquet(src_dir))
+        eng = Engine(spark, os.path.join(tmp, "wh"))
+        batches = []
+
+        def sink(batch_df, epoch_id):
+            pinned = batch_df.localCheckpoint(eager=True)
+            with eng.transaction():
+                entry = eng.catalog.get("docs")
+                if entry is None:
+                    ref = write_bucketed(
+                        eng.objects, canonicalize_input(pinned, ("doc_id",)),
+                        n_buckets=16)
+                    touched = 16
+                else:
+                    from ..plans.incremental import load_manifest
+                    prev = load_manifest(eng.objects, entry.table_hash)
+                    ref = incremental_upsert(spark, eng.objects, prev,
+                                             pinned)
+                    touched = sum(1 for a, b in zip(prev.bucket_hashes,
+                                                    ref.bucket_hashes)
+                                  if a != b)
+                eng.save_bucketed_table("docs", ref)
+                misses0 = eng.memo.misses
+                view_ref = incremental_map_view(spark, eng.objects,
+                                                eng.memo, ref,
+                                                "doc_minhash")
+                eng.save_bucketed_table("doc_sigs", view_ref)
+                batches.append(
+                    (eng.catalog.current_version() + 1, touched,
+                     eng.memo.misses - misses0))
+
+        stream = (spark.readStream
+                  .schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("recursiveFileLookup", "true")
+                  .parquet(src_dir))
+        with _replay_shuffle_partitions(spark):
+            q = (stream.writeStream.foreachBatch(sink)
+                 .outputMode("update")
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        if len(batches) != 3:
+            raise AssertionError(f"expected 3 micro-batches, got "
+                                 f"{len(batches)}")
+        versions = [b[0] for b in batches]
+        if versions != sorted(set(versions)) or \
+                versions[-1] - versions[0] != 2:
+            raise AssertionError(
+                f"each batch must commit docs+sigs in ONE root swap: "
+                f"{versions}")
+        for v, touched, misses in batches:
+            if misses > touched:
+                raise AssertionError(
+                    f"batch at v{v} re-fingerprinted {misses} buckets "
+                    f"but upserted only {touched}")
+        entry = eng.catalog.get("doc_sigs")
+        from ..plans.incremental import load_manifest
+        out = read_bucketed(
+            spark, eng.objects,
+            load_manifest(eng.objects, entry.table_hash)).df \
+            .localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("doc_id",
+                      *[f"h{j}" for j in range(len(_IMH_SEEDS))])
