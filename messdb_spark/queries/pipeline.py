@@ -318,3 +318,59 @@ def train_eval_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                   n_leaky.cast("long").alias("n_leaky"),
                   quantize(n_leaky.cast("double") / n_train, 4)
                     .alias("leak_rate")))
+
+
+_SHARD_N = 8    # export shards
+
+
+@query(
+    "export_shard_manifest",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_SHARD_N} AS shard_id,
+             len({_TOKS_DUCK}) AS n_tokens,
+             CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
+                  '|', coalesce(text, ''))), 1, 15)) AS BIGINT) AS doc_fp
+      FROM documents
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(bit_xor(doc_fp) AS BIGINT) AS shard_fingerprint
+    FROM docs GROUP BY shard_id
+    """)
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data DELIVERY manifest — the last step of the
+    pipeline: docs assign to {_SHARD_N} shards by content-stable hash
+    (reproducible across runs/engines/repartitions, and stable under
+    incremental additions — a new doc lands in one shard without
+    reshuffling the others, the ``dataset_fold_split`` property), and
+    each shard's manifest row carries doc/token/source accounting plus
+    an ORDER-INSENSITIVE fingerprint (xor of per-doc content hashes —
+    the engine's own commutative-digest discipline, ``hashing.py``).
+    The consumer verifies a downloaded shard against its fingerprint
+    without trusting transport or ordering; the producer diffs
+    manifests across releases to ship only changed shards.
+
+    Scale: one map pass (hash + token count), one {_SHARD_N}-row agg;
+    xor is commutative so the fingerprint partial-aggregates map-side
+    like every digest in this engine."""
+    (d,) = load(spark, sf_dir, "documents")
+    shard = (F.expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, "
+                    "15), 16, 10) AS BIGINT)") % _SHARD_N)
+    doc_fp = F.expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|', "
+        "coalesce(text, ''))), 1, 15), 16, 10) AS BIGINT)")
+    n_tokens = F.size(F.expr(_TOKS_SPARK))
+    docs = d.select(shard.alias("shard_id"), "source",
+                    n_tokens.cast("long").alias("n_tokens"),
+                    doc_fp.alias("doc_fp"))
+    return (docs.groupBy(F.col("shard_id").cast("long").alias("shard_id"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 F.countDistinct("source").cast("long").alias("n_sources"),
+                 F.expr("bit_xor(doc_fp)").cast("long")
+                  .alias("shard_fingerprint")))
