@@ -780,3 +780,81 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f_ in outs[1:]:
         out = out.unionByName(f_)
     return out
+
+
+_KL_SCALE = 1_000_000   # micro-nats
+
+
+@query(
+    "source_mix_kl_drift",
+    oracle=f"""
+    WITH halves AS (
+      SELECT source,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ref,
+             CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cur
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+             CAST(sum(n_cur) AS BIGINT) AS t_cur,
+             count(*) AS n_src
+      FROM halves
+    ),
+    lr AS (
+      SELECT h.source, h.n_ref, h.n_cur,
+             CAST(floor(ln(
+                 (CAST(h.n_cur + 1 AS DOUBLE) / (o.t_cur + o.n_src))
+               / (CAST(h.n_ref + 1 AS DOUBLE) / (o.t_ref + o.n_src))
+             ) * {_KL_SCALE}.0 + 0.5) AS BIGINT) AS lr_micro,
+             o.t_cur, o.n_src
+      FROM halves h CROSS JOIN tot o
+    )
+    SELECT source, n_ref, n_cur, lr_micro,
+           CAST(floor(CAST((n_cur + 1) * lr_micro AS DOUBLE)
+                      / (t_cur + n_src) + 0.5) AS BIGINT)
+             AS kl_contrib_micro,
+           abs(lr_micro) > {_KL_SCALE} / 2 AS drifted
+    FROM lr
+    """)
+def source_mix_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus COMPOSITION drift monitor: KL(current ‖ reference) of
+    the source mixture, per-source — the companion to ``psi_value_
+    drift`` (value distributions) for the axis that silently ruins
+    training runs: the crawl's source mix shifting between snapshots
+    (halves here stand in for two crawl snapshots, deterministic by
+    doc parity). Per-source log-ratios floor to INTEGER micro-nats
+    (the DSIR discipline) with add-1 smoothing, each source's KL
+    contribution is an exact integer, and sources beyond ±0.5 nats
+    flag ``drifted`` — so both the per-source diagnosis and the total
+    (an exact integer sum of the contributions) hash-check.
+
+    Scale: one map-side-combined count agg, a 1-row total broadcast,
+    source-bounded output — composition monitoring is free at any
+    corpus size."""
+    (d,) = load(spark, sf_dir, "documents")
+    halves = (d.groupBy("source")
+               .agg(F.sum(F.when(F.col("doc_id") % 2 == 0, 1)
+                           .otherwise(0)).cast("long").alias("n_ref"),
+                    F.sum(F.when(F.col("doc_id") % 2 == 1, 1)
+                           .otherwise(0)).cast("long").alias("n_cur")))
+    tot = halves.agg(F.sum("n_ref").cast("long").alias("t_ref"),
+                     F.sum("n_cur").cast("long").alias("t_cur"),
+                     F.count(F.lit(1)).alias("n_src"))
+    j = halves.crossJoin(F.broadcast(tot))
+    lr_micro = F.floor(
+        F.log(((F.col("n_cur") + 1).cast("double")
+               / (F.col("t_cur") + F.col("n_src")))
+              / ((F.col("n_ref") + 1).cast("double")
+                 / (F.col("t_ref") + F.col("n_src"))))
+        * _KL_SCALE + F.lit(0.5)).cast("long")
+    withlr = j.withColumn("lr_micro", lr_micro)
+    contrib = F.floor(((F.col("n_cur") + 1) * F.col("lr_micro"))
+                      .cast("double")
+                      / (F.col("t_cur") + F.col("n_src"))
+                      + F.lit(0.5)).cast("long")
+    return withlr.select(
+        "source", "n_ref", "n_cur", "lr_micro",
+        contrib.alias("kl_contrib_micro"),
+        (F.abs(F.col("lr_micro")) > _KL_SCALE / 2).alias("drifted"))

@@ -1848,3 +1848,113 @@ def pooling_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count("hit").cast("long").alias("n_overlap"),
                   quantize(F.count("hit").cast("double") / _TOP_K, 4)
                     .alias(f"recall_at_{_TOP_K}")))
+
+
+_RRF_K = 60     # RRF damping constant (the standard k=60)
+
+
+@query(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+               AS nrm,
+             list_transform(range(1, {_CB_TDIM} + 1), d ->
+               list_aggregate(list_transform(range(0, {_CB_NTOK}),
+                 t -> CAST(embedding[d + t * {_CB_TDIM}] AS DOUBLE)),
+                 'sum') / {_CB_NTOK}) AS pooled
+      FROM embeddings
+    ),
+    np AS (
+      SELECT vec_id, embedding, nrm, pooled,
+             sqrt(list_aggregate(list_transform(pooled, v -> v * v),
+                                 'sum')) AS pnrm
+      FROM n
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+                 i -> CAST(q.embedding[i] AS DOUBLE)
+                      * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+               / (q.nrm * c.nrm) DESC, c.vec_id) AS frk,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_aggregate(list_transform(range(1, {_CB_TDIM} + 1),
+                 i -> q.pooled[i] * c.pooled[i]), 'sum')
+               / (q.pnrm * c.pnrm) DESC, c.vec_id) AS prk
+      FROM np q JOIN np c
+        ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, rk, cand_id, frk, prk,
+           floor((1.0 / ({_RRF_K} + frk) + 1.0 / ({_RRF_K} + prk))
+                 * CAST(1000000.0 AS DOUBLE) + 0.5)
+             / CAST(1000000.0 AS DOUBLE) AS rrf_score
+    FROM (SELECT query_id, cand_id, frk, prk,
+                 row_number() OVER (PARTITION BY query_id ORDER BY
+                   1.0 / ({_RRF_K} + frk) + 1.0 / ({_RRF_K} + prk) DESC,
+                   cand_id) AS rk
+          FROM pairs) t
+    WHERE rk <= {_TOP_K}
+    """)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009, k = {_RRF_K}): two rankers — full-vector cosine and the 8×-
+    compressed mean-pooled cosine — fuse by Σ 1/(k + rank) per
+    candidate, the score-free combination that powers production
+    hybrid search (dense + sparse, multi-index, multi-model) because
+    it needs NO score calibration between rankers, only ranks.
+
+    Exactness: ranks are deterministic integers (cand_id tie-breaks),
+    each RRF term is one exact-integer division, and the score is a
+    two-term sum in fixed order — bit-identical across engines.
+
+    Scale: both rankings come from the same broadcast-probe corpus
+    pass (two window ranks over one joined relation — no second
+    scan); fusing R rankers is R rank columns on that relation, never
+    R scans."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    pooled = (f"transform(sequence(1, {_CB_TDIM}), d -> "
+              f"aggregate(transform(sequence(0, {_CB_NTOK - 1}), "
+              f"t -> CAST(element_at(embedding, d + t * {_CB_TDIM}) "
+              f"AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v) "
+              f"/ {_CB_NTOK}.0D)")
+    n = (emb.select("vec_id", "embedding",
+                    _norm_col("embedding").alias("nrm"),
+                    F.expr(pooled).alias("pooled"))
+            .withColumn("pnrm", F.sqrt(F.expr(
+                _DOT.format(a="pooled", b="pooled")))))
+    q = (n.filter(F.col("vec_id") < _N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("q_emb"),
+                  F.col("nrm").alias("q_nrm"),
+                  F.col("pooled").alias("q_pool"),
+                  F.col("pnrm").alias("q_pnrm")))
+    c = n.select(F.col("vec_id").alias("cand_id"),
+                 F.col("embedding").alias("c_emb"),
+                 F.col("nrm").alias("c_nrm"),
+                 F.col("pooled").alias("c_pool"),
+                 F.col("pnrm").alias("c_pnrm"))
+    par = spark.sparkContext.defaultParallelism
+    pairs = (c.repartition(par)
+              .join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+              .withColumn("full_sim",
+                          F.expr(_DOT.format(a="q_emb", b="c_emb"))
+                          / (F.col("q_nrm") * F.col("c_nrm")))
+              .withColumn("pool_sim",
+                          F.expr(_DOT.format(a="q_pool", b="c_pool"))
+                          / (F.col("q_pnrm") * F.col("c_pnrm"))))
+    wf = W.partitionBy("query_id").orderBy(F.desc("full_sim"),
+                                           F.col("cand_id"))
+    wp = W.partitionBy("query_id").orderBy(F.desc("pool_sim"),
+                                           F.col("cand_id"))
+    ranked = (pairs.withColumn("frk", F.row_number().over(wf))
+                   .withColumn("prk", F.row_number().over(wp)))
+    rrf = (1.0 / (_RRF_K + F.col("frk"))
+           + 1.0 / (_RRF_K + F.col("prk")))
+    wr = W.partitionBy("query_id").orderBy(F.desc(rrf), F.col("cand_id"))
+    return (ranked.withColumn("rk", F.row_number().over(wr))
+                  .filter(F.col("rk") <= _TOP_K)
+                  .select("query_id", "rk", "cand_id", "frk", "prk",
+                          quantize(rrf, 6).alias("rrf_score")))
