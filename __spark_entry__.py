@@ -50,6 +50,7 @@ _CHECK_FIRST = [
     "length_bucketed_batching", "functional_dependency_audit",
     "pooling_recall_eval", "stream_minhash_ingest_replay",
     "export_shard_manifest", "hybrid_rrf_fusion", "source_mix_kl_drift",
+    "consistent_hash_rebalance",
     # (2) oldest driver rows first: the r2 cohort (last checked round
     # 2 per STALENESS.json), then r3/r4/r5 cohorts in stable order
     "cosine_topk_bruteforce", "cube_orders_priority", "dedup_exact",

@@ -374,3 +374,99 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("source").cast("long").alias("n_sources"),
                  F.expr("bit_xor(doc_fp)").cast("long")
                   .alias("shard_fingerprint")))
+
+
+_CH_FROM = 8     # current shard count
+_CH_TO = 10      # target shard count
+_CH_VNODES = 64  # virtual nodes per physical shard on the ring
+
+import hashlib as _chl
+
+# ring boundaries: md5('ring_<shard>_<vnode>')[:13] — 52-bit points,
+# shared literals on both engines; a key belongs to the first boundary
+# clockwise from its hash (wrap to the minimum boundary)
+
+
+def _ring(n_shards: int) -> list[tuple[int, int]]:
+    pts = [(int(_chl.md5(f"ring_{s}_{v}".encode()).hexdigest()[:13], 16), s)
+           for s in range(n_shards) for v in range(_CH_VNODES)]
+    return sorted(pts)
+
+
+def _ring_case(n_shards: int, h_expr: str) -> str:
+    """SQL CASE mapping a 52-bit hash to its ring shard (first
+    boundary ≥ h, wrapping to the smallest boundary)."""
+    pts = _ring(n_shards)
+    arms = " ".join(f"WHEN {h_expr} <= {p} THEN {s}" for p, s in pts)
+    return f"(CASE {arms} ELSE {pts[0][1]} END)"
+
+
+@query(
+    "consistent_hash_rebalance",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS h
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id,
+             h % {_CH_FROM} AS mod_from, h % {_CH_TO} AS mod_to,
+             {_ring_case(_CH_FROM, "h")} AS ring_from,
+             {_ring_case(_CH_TO, "h")} AS ring_to
+      FROM d
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN mod_from != mod_to THEN 1 ELSE 0 END)
+                AS BIGINT) AS mod_moved,
+           CAST(sum(CASE WHEN ring_from != ring_to THEN 1 ELSE 0 END)
+                AS BIGINT) AS ring_moved,
+           floor((CAST(sum(CASE WHEN mod_from != mod_to THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*))
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS mod_moved_frac,
+           floor((CAST(sum(CASE WHEN ring_from != ring_to THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*))
+                 * CAST(10000.0 AS DOUBLE) + 0.5)
+             / CAST(10000.0 AS DOUBLE) AS ring_moved_frac
+    FROM assigned
+    """)
+def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding-cost analysis: growing {_CH_FROM} → {_CH_TO} shards,
+    how much data MOVES under modulo placement vs a consistent-hash
+    ring ({_CH_VNODES} virtual nodes/shard, Karger et al. 1997)?
+    Modulo reassigns ~1 − 1/lcm ≈ 90% of keys; the ring moves ≈
+    2/{_CH_TO} — the measurement that justifies ring placement for
+    any sharded store before the first painful reshard (the engine's
+    own bucket layouts face exactly this when n_buckets changes; the
+    adaptive layout's split-only growth is the other answer).
+
+    Exactness: assignments are integer comparisons against shared
+    md5-derived ring literals — the whole relation is integer
+    arithmetic.
+
+    Scale: one map pass + one global agg; the ring is a plan literal
+    (CASE ladder here; binary-search over a literal array at larger
+    vnode counts)."""
+    (d,) = load(spark, sf_dir, "documents")
+    h = ("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13), 16, "
+         "10) AS BIGINT)")
+    a = d.select(
+        F.expr(h).alias("h")).select(
+        (F.col("h") % _CH_FROM).alias("mod_from"),
+        (F.col("h") % _CH_TO).alias("mod_to"),
+        F.expr(_ring_case(_CH_FROM, "h")).alias("ring_from"),
+        F.expr(_ring_case(_CH_TO, "h")).alias("ring_to"))
+    moved_mod = F.sum(F.when(F.col("mod_from") != F.col("mod_to"), 1)
+                       .otherwise(0))
+    moved_ring = F.sum(F.when(F.col("ring_from") != F.col("ring_to"), 1)
+                        .otherwise(0))
+    n = F.count(F.lit(1))
+    return a.agg(n.alias("n_docs"),
+                 moved_mod.cast("long").alias("mod_moved"),
+                 moved_ring.cast("long").alias("ring_moved"),
+                 quantize(moved_mod.cast("double") / n, 4)
+                   .alias("mod_moved_frac"),
+                 quantize(moved_ring.cast("double") / n, 4)
+                   .alias("ring_moved_frac"))
