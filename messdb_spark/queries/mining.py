@@ -114,6 +114,15 @@ def paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (large vocab) k=8 would already be fine.
 _PP_K = 24
 
+# Broadcast the candidate-pair list through the verify joins only while
+# it is provably small. 1M rows of (2 bigint ids, 2 int sizes) ≈ 32 MB
+# serialized — comfortably inside executor memory on every profile. A
+# near-duplicate-heavy crawl shard can exceed this by orders of
+# magnitude, and a forced broadcast hint would then OOM the driver;
+# above the cap the verify joins fall back to shuffle hash joins on the
+# bigint pair keys (AQE may still re-broadcast if runtime stats allow).
+_PP_BCAST_MAX = 1_000_000
+
 
 @query(
     "ppjoin_jaccard_pairs",
@@ -175,7 +184,18 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rarity (common shingles never block); candidates then verify via
     a count-style intersection join that ships only (pair, 8-byte
     hash) rows. Everything shuffles hashes; t is 0.5 so the prefix
-    length n - (n+1) DIV 2 + 1 is pure integer math on both engines."""
+    length n - (n+1) DIV 2 + 1 is pure integer math on both engines.
+    The candidate list broadcasts through the verify joins only below
+    _PP_BCAST_MAX pairs (counted from the cached frame — a metadata
+    -cheap job); beyond it the verify stage shuffles on the pair keys
+    instead of forcing a driver-sized broadcast."""
+    return _ppjoin_pairs(spark, sf_dir, _PP_BCAST_MAX)
+
+
+def _ppjoin_pairs(spark: SparkSession, sf_dir: str,
+                  bcast_max: int) -> DataFrame:
+    """Body of ppjoin_jaccard_pairs with the broadcast cap injectable
+    so plan tests can pin BOTH the broadcast and shuffle branches."""
     par = spark.sparkContext.defaultParallelism
     (d,) = load(spark, sf_dir, "documents")
     docs = d.filter(F.length("text") >= _PP_K)
@@ -206,17 +226,21 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("b.doc_id").alias("db"),
                      F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
              .distinct())
-    # candidate list ≪ corpus: broadcast it through the verify joins so
-    # NO corpus-sized frame shuffles — ea rides a broadcast join where
-    # it sits, and eb is broadcast-semi-filtered to candidate docs
-    # before its shuffle (candidate shingles only, not the corpus)
+    # When the candidate list is provably small (counted from the
+    # cached frame — also materializes the cache the verify stage
+    # reuses), broadcast it through the verify joins so NO corpus-sized
+    # frame shuffles: ea rides a broadcast join where it sits, and eb
+    # is semi-filtered to candidate docs before its shuffle (candidate
+    # shingles only, not the corpus). On a near-duplicate-heavy shard
+    # the count exceeds the cap and the verify joins shuffle on the
+    # bigint keys instead — the semi-filter prune is kept either way.
     cand = cand.cache()
+    bc = F.broadcast if cand.count() <= bcast_max else (lambda df: df)
     ea = ex.select(F.col("doc_id").alias("da"), F.col("h").alias("ha"))
     eb = (ex.select(F.col("doc_id").alias("db2"), F.col("h").alias("hb"))
-            .join(F.broadcast(cand.select(F.col("db").alias("db2"))
-                              .distinct()),
+            .join(bc(cand.select(F.col("db").alias("db2")).distinct()),
                   "db2", "left_semi"))
-    inter = (ea.join(F.broadcast(cand), "da")
+    inter = (ea.join(bc(cand), "da")
                .join(eb, (F.col("db") == F.col("db2"))
                          & (F.col("ha") == F.col("hb")))
                .groupBy("da", "db")
