@@ -223,20 +223,64 @@ def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                   quantize(F.max("o_totalprice"), 2).alias("max_price")))
 
 
+# Edge-value rows unioned into string_funcs_part_brands' data path
+# (VERDICT r7 #6): NUL bytes, canonical-encoding sentinel forgeries
+# ("\x00N" / "\x00|" / "\x00E"), empty vs NULL strings, and
+# surrogate-adjacent unicode (U+D7FF / U+E000) must survive the full
+# Spark→collect and DuckDB→fetch paths and hash-match in the driver's
+# value compare. Grouped under the synthetic brand #77 so the real
+# TPC-H groups stay untouched.
+_SF_EDGE_ROWS = [
+    ("Brand#77", "green\x00Npart", "PROMO ém🎉", 1.00),
+    ("Brand#77", "", "\x00|sep", 0.05),
+    ("Brand#77", None, "lower case", 123456.79),
+    ("Brand#77", "GREEN vs green", "퟿ x", 10000000.00),
+    ("Brand#77", "a\x00Eb", "t", 0.01),
+]
+
+_SF_EDGE_SQL = " UNION ALL ".join(
+    "SELECT "
+    + ", ".join([
+        f"'{b}' AS p_brand",
+        ("NULL AS p_name" if n is None else
+         "(" + " || ".join(f"chr({ord(ch)})" for ch in n) + ") AS p_name"
+         if "\x00" in n else f"'{n}' AS p_name"
+         if n else "'' AS p_name"),
+        ("(" + " || ".join(f"chr({ord(ch)})" for ch in t) + ") AS p_type"
+         if "\x00" in t else f"'{t}' AS p_type"),
+        f"CAST({pr} AS DOUBLE) AS p_retailprice",
+    ])
+    for b, n, t, pr in _SF_EDGE_ROWS)
+
+
 @query(
     "string_funcs_part_brands",
     oracle=f"""
+    WITH part_plus AS (
+      SELECT p_brand, p_name, p_type, p_retailprice FROM part
+      UNION ALL {_SF_EDGE_SQL}
+    )
     SELECT CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num,
            count(*) AS n_parts,
            count(*) FILTER (WHERE contains(p_name, 'green')) AS n_green,
            floor((CAST(sum(CAST(p_retailprice AS {D})) AS DOUBLE) / count(*)) * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE) AS avg_price,
            min(upper(substring(p_type, 1, 5))) AS min_type_prefix
-    FROM part GROUP BY 1
+    FROM part_plus GROUP BY 1
     """)
 def string_funcs_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function suite: regexp_extract, contains, upper,
-    substring — all JVM-side codegen'd expressions."""
+    substring — all JVM-side codegen'd expressions — over the part
+    table plus _SF_EDGE_ROWS, inline edge-value rows (NUL bytes,
+    encoding-sentinel forgeries, empty/NULL, surrogate-adjacent
+    unicode) that pin cross-engine string semantics under the driver's
+    hash compare (binary min-collation, character-based substring,
+    NULL-propagating contains)."""
     (p,) = load(spark, sf_dir, "part")
+    edges = spark.createDataFrame(
+        _SF_EDGE_ROWS,
+        "p_brand string, p_name string, p_type string, p_retailprice double")
+    p = p.select("p_brand", "p_name", "p_type", "p_retailprice") \
+         .unionByName(edges)
     brand_num = F.regexp_extract("p_brand", r"#(\d+)", 1).cast("int")
     return (p.groupBy(brand_num.alias("brand_num"))
              .agg(F.count(F.lit(1)).alias("n_parts"),

@@ -136,11 +136,33 @@ class SqliteCatalog:
         return row[0] or 0
 
     def _swap_root(self, root: dict) -> int:
-        v = self.current_version() + 1
-        self._con.execute("INSERT INTO repo_root(version, root) VALUES (?, ?)",
-                          (v, json.dumps(root, sort_keys=True)))
-        self._commit()
-        return v
+        return self._commit_mutation(lambda _cur: root)
+
+    def _commit_mutation(self, mutate) -> int:
+        """Load-current → mutate → INSERT next version, retried when a
+        concurrent process claims the version first (the ``version``
+        PRIMARY KEY is the CAS — exactly how the reference's sqlite
+        root swap serializes, ``sqlite_store.cpp:96-97``). The retry
+        re-applies the mutation to the fresh root, so two writers
+        upserting different tables both land (no lost updates).
+        Inside an explicit ``transaction()`` a conflict raises instead
+        — the outer transaction must replay as a unit."""
+        for _ in range(256):
+            root = mutate(self._load_root())
+            v = self.current_version() + 1
+            try:
+                self._con.execute(
+                    "INSERT INTO repo_root(version, root) VALUES (?, ?)",
+                    (v, json.dumps(root, sort_keys=True)))
+            except sqlite3.IntegrityError:
+                if self._txn:
+                    raise
+                self._con.rollback()
+                continue
+            self._commit()
+            return v
+        raise RuntimeError(
+            "catalog root CAS failed 256 times — livelocked warehouse?")
 
     def names(self, version: int | None = None) -> list[str]:
         return sorted(self._load_root(version).keys())
@@ -152,28 +174,36 @@ class SqliteCatalog:
         return CatalogEntry(e["table_hash"], e["schema_json"], e["key_cols"])
 
     def put(self, name: str, entry: CatalogEntry) -> int:
-        root = self._load_root()
-        root[name] = {"table_hash": entry.table_hash,
-                      "schema_json": entry.schema_json,
-                      "key_cols": entry.key_cols}
-        return self._swap_root(root)
+        rec = {"table_hash": entry.table_hash,
+               "schema_json": entry.schema_json,
+               "key_cols": entry.key_cols}
+        return self._commit_mutation(lambda root: {**root, name: rec})
 
     def put_many(self, entries) -> int:
         """Multi-table atomic commit: one root swap covering every
         entry (see ``store.Catalog.put_many``); the sqlite backend
         additionally does it inside one sqlite transaction."""
-        with self.transaction():
-            root = self._load_root()
-            for name, e in entries.items():
-                root[name] = {"table_hash": e.table_hash,
-                              "schema_json": e.schema_json,
-                              "key_cols": e.key_cols}
-            return self._swap_root(root)
+        recs = {name: {"table_hash": e.table_hash,
+                       "schema_json": e.schema_json,
+                       "key_cols": e.key_cols}
+                for name, e in entries.items()}
+        if self._txn:   # joined an outer transaction: conflicts propagate
+            return self._commit_mutation(lambda root: {**root, **recs})
+        for _ in range(256):
+            try:
+                with self.transaction():
+                    return self._commit_mutation(
+                        lambda root: {**root, **recs})
+            except sqlite3.IntegrityError:
+                continue    # version claimed by a concurrent process
+        raise RuntimeError(
+            "catalog root CAS failed 256 times — livelocked warehouse?")
 
     def drop(self, name: str) -> int:
-        root = self._load_root()
-        root.pop(name, None)
-        return self._swap_root(root)
+        def _rm(root: dict) -> dict:
+            root.pop(name, None)
+            return root
+        return self._commit_mutation(_rm)
 
     def restore_version(self, version: int) -> int:
         """Archived root → current again, as a NEW version (append-only

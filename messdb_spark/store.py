@@ -314,7 +314,18 @@ class Catalog:
     every superseded root gives snapshot history (time travel) for
     free — the messdb model's natural consequence (old roots still
     reference valid objects; nothing is overwritten). Roots are
-    archived under ``roots/root-v{N}.json`` on every swap."""
+    archived under ``roots/root-v{N}.json`` on every swap.
+
+    Concurrency (the reference gets this from sqlite,
+    ``sqlite_store.cpp:96-97``; the JSON backend must build it from
+    POSIX primitives): version allocation is an optimistic CAS — the
+    archived ``root-v{N}.json`` is created with ``os.link`` (atomic,
+    fails EEXIST if another process claimed N), and on conflict the
+    whole load→mutate→claim cycle retries against the fresh root, so
+    two writers upserting different tables serialize to consecutive
+    versions without either commit being lost. ``root.json`` is a
+    convenience snapshot only (it can momentarily lag under a race);
+    the authoritative current root is the max archived version."""
 
     def __init__(self, warehouse: str) -> None:
         self.root_path = os.path.join(warehouse, "root.json")
@@ -322,7 +333,10 @@ class Catalog:
 
     def _load_root(self, version: int | None = None) -> dict:
         if version is None:
-            return _read_json(self.root_path, {})
+            v = self.current_version()
+            if v == 0:
+                return _read_json(self.root_path, {})
+            version = v
         return _read_json(os.path.join(self.roots_dir, f"root-v{version}.json"), {})
 
     def current_version(self) -> int:
@@ -333,11 +347,42 @@ class Catalog:
               if f.startswith("root-v") and f.endswith(".json")]
         return max(vs, default=0)
 
+    def _claim_version(self, v: int, root: dict) -> bool:
+        """Atomically claim version ``v``: write the payload to a temp
+        file, then ``os.link`` it to ``root-v{v}.json`` — the link is
+        the CAS (either this process creates the name or EEXIST)."""
+        os.makedirs(self.roots_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.roots_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(root, f, indent=1, sort_keys=True)
+            try:
+                os.link(tmp, os.path.join(self.roots_dir, f"root-v{v}.json"))
+            except FileExistsError:
+                return False
+            return True
+        finally:
+            os.unlink(tmp)
+
+    def _commit_mutation(self, mutate) -> int:
+        """Load-current → mutate → claim-next-version, retried on
+        version conflict so a concurrent writer's commit is folded in
+        rather than overwritten (no lost updates between processes)."""
+        for _ in range(256):
+            v = self.current_version()
+            root = mutate(dict(self._load_root(v) if v else
+                               _read_json(self.root_path, {})))
+            if self._claim_version(v + 1, root):
+                # convenience snapshot; authoritative state is roots/
+                _atomic_write_json(self.root_path, root)
+                return v + 1
+        raise RuntimeError(
+            "catalog root CAS failed 256 times — livelocked warehouse?")
+
     def _swap_root(self, root: dict) -> int:
-        v = self.current_version() + 1
-        _atomic_write_json(os.path.join(self.roots_dir, f"root-v{v}.json"), root)
-        _atomic_write_json(self.root_path, root)   # the mutable cell
-        return v
+        """Single-process swap (kept for restore/branch paths that
+        deliberately replace the whole root)."""
+        return self._commit_mutation(lambda _cur: root)
 
     def names(self, version: int | None = None) -> list[str]:
         return sorted(self._load_root(version).keys())
@@ -349,28 +394,27 @@ class Catalog:
         return CatalogEntry(e["table_hash"], e["schema_json"], e["key_cols"])
 
     def put(self, name: str, entry: CatalogEntry) -> int:
-        root = self._load_root()
-        root[name] = {"table_hash": entry.table_hash,
-                      "schema_json": entry.schema_json,
-                      "key_cols": entry.key_cols}
-        return self._swap_root(root)
+        rec = {"table_hash": entry.table_hash,
+               "schema_json": entry.schema_json,
+               "key_cols": entry.key_cols}
+        return self._commit_mutation(lambda root: {**root, name: rec})
 
     def put_many(self, entries: dict[str, CatalogEntry]) -> int:
         """Register several tables in ONE root swap — the multi-table
         atomic commit (the reference's single-root-swap semantics,
         generalized across the namespace: either every table in the
         batch is visible at the new version, or none is)."""
-        root = self._load_root()
-        for name, e in entries.items():
-            root[name] = {"table_hash": e.table_hash,
-                          "schema_json": e.schema_json,
-                          "key_cols": e.key_cols}
-        return self._swap_root(root)
+        recs = {name: {"table_hash": e.table_hash,
+                       "schema_json": e.schema_json,
+                       "key_cols": e.key_cols}
+                for name, e in entries.items()}
+        return self._commit_mutation(lambda root: {**root, **recs})
 
     def drop(self, name: str) -> int:
-        root = self._load_root()
-        root.pop(name, None)
-        return self._swap_root(root)
+        def _rm(root: dict) -> dict:
+            root.pop(name, None)
+            return root
+        return self._commit_mutation(_rm)
 
     def restore_version(self, version: int) -> int:
         """Make an archived root current again (as a NEW version — the

@@ -1,0 +1,100 @@
+"""Cross-process root-swap race (VERDICT r7 #5).
+
+The reference gets root-swap atomicity from sqlite
+(``sqlite_store.cpp:96-97``); here BOTH manifest backends must survive
+two writer processes upserting different tables into one warehouse
+concurrently: every commit lands, versions serialize consecutively,
+and no update is lost (the classic load→mutate→write lost-update race
+the r7 verdict called out).
+
+The JSON backend serializes via the ``os.link`` version-claim CAS
+(``store.Catalog._claim_version``); the sqlite backend via the
+``version`` PRIMARY KEY + retry (``SqliteCatalog._commit_mutation``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = """
+import sys
+sys.path.insert(0, {repo!r})
+backend, warehouse, prefix, n = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+from messdb_spark.store import Catalog, CatalogEntry
+if backend == "json":
+    cat = Catalog(warehouse)
+else:
+    from messdb_spark.sqlite_store import SqliteCatalog
+    cat = SqliteCatalog(warehouse)
+for i in range(n):
+    cat.put(f"{{prefix}}_{{i}}",
+            CatalogEntry(f"hash_{{prefix}}_{{i}}", "{{}}", ["k"]))
+print("done", prefix)
+""".format(repo=REPO)
+
+N = 25
+
+
+def _race(backend: str, warehouse: str) -> None:
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, backend, warehouse, prefix, str(N)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for prefix in ("alpha", "beta")
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, f"writer failed: {err[-2000:]}"
+
+
+@pytest.mark.parametrize("backend", ["json", "sqlite"])
+def test_two_writer_processes_lose_no_commit(tmp_path, backend):
+    warehouse = str(tmp_path / "wh")
+    os.makedirs(warehouse)
+    _race(backend, warehouse)
+
+    if backend == "json":
+        from messdb_spark.store import Catalog
+        cat = Catalog(warehouse)
+    else:
+        from messdb_spark.sqlite_store import SqliteCatalog
+        cat = SqliteCatalog(warehouse)
+
+    names = cat.names()
+    expect = {f"alpha_{i}" for i in range(N)} | {f"beta_{i}" for i in range(N)}
+    assert set(names) == expect, (
+        f"lost commits: missing {sorted(expect - set(names))[:5]}")
+
+    # versions serialize with no gaps: 2N puts → versions 1..2N, and
+    # each version's root holds exactly v names (every put adds one)
+    assert cat.current_version() == 2 * N
+    for v in (1, N, 2 * N):
+        assert len(cat.names(version=v)) == v
+
+    # each table resolves to the hash its writer committed
+    assert cat.get("alpha_0").table_hash == "hash_alpha_0"
+    assert cat.get(f"beta_{N - 1}").table_hash == f"hash_beta_{N - 1}"
+
+
+def test_json_snapshot_lag_does_not_corrupt_reads(tmp_path):
+    """root.json is a convenience snapshot that can lag under a race;
+    the authoritative read path must come from the max archived
+    version. Simulate the lag by rewriting root.json with stale
+    content and assert reads ignore it."""
+    from messdb_spark.store import Catalog, CatalogEntry
+
+    warehouse = str(tmp_path / "wh")
+    cat = Catalog(warehouse)
+    cat.put("t1", CatalogEntry("h1", "{}", ["k"]))
+    cat.put("t2", CatalogEntry("h2", "{}", ["k"]))
+    with open(cat.root_path, "w") as f:
+        json.dump({}, f)   # stale/lagging snapshot
+    assert set(cat.names()) == {"t1", "t2"}
+    assert cat.get("t2").table_hash == "h2"
