@@ -36,6 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Everything stays locally re-verified every run by
 # tests/test_oracle_parity.py at sf0.001/sf0.01 (ledger-pinned).
 _CHECK_FIRST = [
+    'incremental_ivf_refresh',   # new this round (never driver-checked)
     'ppjoin_jaccard_pairs', 'q5_local_supplier_volume',
     'q6_forecast_revenue', 'rollup_lineitem_status',
     'scalar_subquery_above_avg', 'semi_join_active_parts',

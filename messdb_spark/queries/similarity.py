@@ -1659,6 +1659,218 @@ def ivf_store_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# incremental IVF maintenance: fraction of vectors re-embedded per cycle
+_IVF_DRIFT_MOD = 25   # vec_id % 25 == 3 → drifted (4% of the corpus)
+
+
+def _ivf_refresh_oracle() -> str:
+    """``_ivf_search_oracle``'s relation over the POST-DRIFT corpus
+    (vec_id % {mod} == 3 re-embedded as -x, the codebook frozen on the
+    undrifted base) — the full-rebuild answer the incremental refresh
+    must reproduce exactly."""
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % {_IVF_DRIFT_MOD} = 3
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, embedding AS cemb,
+             sqrt(list_aggregate(list_transform(cemb,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS cnrm
+      FROM embeddings WHERE vec_id < {_N_CELLS}
+    ),
+    vecs AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      FROM corpus
+    ),
+    scored AS (
+      SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_aggregate(list_transform(range(1, len(v.embedding) + 1),
+                                       i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)),
+                                       'sum') / (v.nrm * c.cnrm) DESC, c.cid) AS crk
+      FROM vecs v CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, embedding, nrm, cid FROM scored WHERE crk = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM scored
+               WHERE vec_id < {_N_QUERIES} AND crk <= {_N_PROBE}),
+    qv AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+           FROM vecs WHERE vec_id < {_N_QUERIES}),
+    sims AS (
+      SELECT p.query_id, t.vec_id AS cand_id,
+             list_aggregate(list_transform(range(1, len(q.q_emb) + 1),
+                    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)),
+                    'sum') / (q.q_nrm * t.nrm) AS sim
+      FROM probes p JOIN cells t ON t.cid = p.cid AND t.vec_id != p.query_id
+                    JOIN qv q ON q.query_id = p.query_id
+    )
+    SELECT query_id, cand_id, floor((sim) * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS sim, rk
+    FROM (SELECT query_id, cand_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, cand_id) AS rk
+          FROM sims)
+    WHERE rk <= {_TOP_K}
+    """
+
+
+@query("incremental_ivf_refresh", oracle=_ivf_refresh_oracle())
+def incremental_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE under churn (VERDICT r7 #7): 4% of the
+    corpus re-embeds (sign-flip drift — exact in float on both
+    engines), and the cell-partitioned CAS store from
+    ``ivf_store_pruned_search`` refreshes by rewriting ONLY the cells
+    the delta touches — a drifted vector's OLD cell (it leaves) and
+    NEW cell (it arrives; sign-flip guarantees movement). In-body
+    asserts pin the contract: (a) refreshed cells ≤ touched cells > 0
+    and < all cells, (b) every untouched cell keeps its v1 content
+    hash with zero new writes, (c) the refreshed manifest is
+    CELL-FOR-CELL HASH-EQUAL to a from-scratch rebuild of the
+    post-drift corpus (computed as one digest aggregation — no second
+    write), and (d) the probe reads exactly the probed cells' objects.
+    The probe's top-k then hash-checks against DuckDB's full-rebuild
+    relation.
+
+    Scale: refresh cost ∝ rows in touched cells (re-embed rate ×
+    cluster size), never the corpus; this is the operational loop of
+    a 100 TB vector store under continuous re-embedding — the
+    reference's delta-proportional refresh (``Trie.hs:346-348``)
+    carried to ANN serving infrastructure."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..hashing import bucket_content_hashes
+    from ..plans.incremental import _BUCKET, _write_tagged_buckets
+    from ..store import ObjectStore
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    vecs1 = base.withColumn("nrm", _norm_col("embedding"))
+    # frozen codebook from the UNDRIFTED base (re-clustering is a
+    # separate, rarer maintenance op) — plan literals, map-only assign
+    cents = (vecs1.filter(F.col("vec_id") < _N_CELLS)
+                  .select("vec_id", "embedding", "nrm")
+                  .orderBy("vec_id").collect())
+    sim_exprs = []
+    for r in cents:
+        arr = "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)"
+                                   for x in r["embedding"]) + ")"
+        dot = (f"aggregate(zip_with(embedding, {arr}, "
+               f"(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), "
+               f"(a, v) -> a + v)")
+        sim_exprs.append(f"({dot} / (nrm * CAST({float(r['nrm'])!r} AS DOUBLE)))")
+    csims = F.expr("array(" + ", ".join(sim_exprs) + ")")
+
+    def assign(df: DataFrame) -> DataFrame:
+        return (df.withColumn("csims", csims)
+                  .withColumn("cid", (F.expr(
+                      "array_position(csims, array_max(csims))") - 1)
+                      .cast("long"))
+                  .select("vec_id", "embedding", "nrm", "cid"))
+
+    is_drift = F.col("vec_id") % _IVF_DRIFT_MOD == 3
+    a1 = assign(vecs1).localCheckpoint(eager=True)
+
+    tmp = tempfile.mkdtemp(prefix="messdb_ivfrefresh_")
+    try:
+        store = ObjectStore(os.path.join(tmp, "wh"))
+        man1 = _write_tagged_buckets(store,
+                                     a1.withColumnRenamed("cid", _BUCKET))
+
+        # the delta: drifted vectors, reassigned under the same codebook
+        drifted = (base.filter(is_drift)
+                       .withColumn("embedding",
+                                   F.expr("transform(embedding, x -> -x)"))
+                       .withColumn("nrm", _norm_col("embedding")))
+        d2 = assign(drifted).localCheckpoint(eager=True)
+        old_cids = {r["cid"] for r in
+                    a1.filter(is_drift).select("cid").distinct().collect()}
+        new_cids = {r["cid"] for r in d2.select("cid").distinct().collect()}
+        touched = sorted(old_cids | new_cids)
+        if not 0 < len(touched) < _N_CELLS:
+            raise AssertionError(
+                f"drift touched {len(touched)}/{_N_CELLS} cells — no "
+                f"incrementality to demonstrate")
+
+        # refresh: rewrite ONLY touched cells with their post-drift rows
+        saves0 = store.saves + store.save_skips
+        v2_touched = (a1.filter(~is_drift).filter(F.col("cid").isin(touched))
+                        .unionByName(d2))
+        man_delta = _write_tagged_buckets(
+            store, v2_touched.withColumnRenamed("cid", _BUCKET))
+        refreshed = (store.saves + store.save_skips) - saves0
+        if refreshed > len(touched):
+            raise AssertionError(
+                f"refresh wrote {refreshed} cells for {len(touched)} touched")
+        man2 = {c: h for c, h in man1.items() if c not in set(touched)}
+        man2.update(man_delta)   # a drained touched cell simply drops out
+
+        # (c) hash-equal to a from-scratch rebuild (digest-only, no write)
+        v2_full = a1.filter(~is_drift).unionByName(d2)
+        man_full = bucket_content_hashes(
+            v2_full.withColumnRenamed("cid", _BUCKET), _BUCKET)
+        if man2 != man_full:
+            diff = {c for c in set(man2) | set(man_full)
+                    if man2.get(c) != man_full.get(c)}
+            raise AssertionError(
+                f"incremental refresh != full rebuild at cells {sorted(diff)}")
+
+        # probe the refreshed store: per-query top-nprobe cells
+        qsims = (v2_full.filter(F.col("vec_id") < _N_QUERIES)
+                        .withColumn("csims", csims)
+                        .select(F.col("vec_id").alias("query_id"),
+                                F.posexplode("csims").alias("pos", "csim")))
+        wq = W.partitionBy("query_id").orderBy(F.col("csim").desc(),
+                                               F.col("pos"))
+        probes = (qsims.withColumn("crk", F.row_number().over(wq))
+                       .filter(F.col("crk") <= _N_PROBE)
+                       .select("query_id",
+                               F.col("pos").cast("long").alias("cid"))
+                       .localCheckpoint(eager=True))
+        probed_cells = sorted({r["cid"] for r in probes.select("cid")
+                               .distinct().collect()})
+        loads0 = store.loads
+        cand = None
+        for cid in probed_cells:
+            if cid not in man2:
+                continue
+            part = (store.load(spark, man2[cid])
+                    .withColumn("cid", F.lit(cid).cast("long")))
+            cand = part if cand is None else cand.unionByName(part)
+        opened = store.loads - loads0
+        if opened != len([c for c in probed_cells if c in man2]):
+            raise AssertionError(
+                f"opened {opened} objects for {len(probed_cells)} probed "
+                f"cells — probe IO must equal the probe list")
+
+        qv = (v2_full.filter(F.col("vec_id") < _N_QUERIES)
+                     .select(F.col("vec_id").alias("query_id"),
+                             F.col("embedding").alias("q_emb"),
+                             F.col("nrm").alias("q_nrm")))
+        probe_q = probes.join(qv, "query_id")
+        sims = (cand.join(F.broadcast(probe_q),
+                          (cand["cid"] == probe_q["cid"]) &
+                          (cand["vec_id"] != probe_q["query_id"]))
+                    .withColumn("sim",
+                                F.expr(_DOT.format(a="q_emb", b="embedding")) /
+                                (F.col("q_nrm") * F.col("nrm"))))
+        w = W.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                              F.col("vec_id"))
+        out = (sims.withColumn("rk", F.row_number().over(w))
+                   .filter(F.col("rk") <= _TOP_K)
+                   .select("query_id", F.col("vec_id").alias("cand_id"),
+                           quantize("sim", 4).alias("sim"), "rk")
+                   .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 _HN_K = 3    # hard negatives per anchor
 
 

@@ -360,3 +360,26 @@ def test_incremental_join_view_recomputes_only_changed_pairs(spark, warehouse):
     ref_d = write_bucketed(store, bad, n_buckets=16)
     with pytest.raises(ValueError, match="key mismatch"):
         incremental_join_view(spark, store, memo, ref_a, ref_d, "ab")
+
+
+def test_incremental_ivf_refresh_counters(spark):
+    """IVF maintenance under churn (VERDICT r7 #7): the query body
+    carries the counter assertions (refreshed cells ≤ touched cells,
+    untouched cells keep their v1 hashes, refreshed manifest hash-equal
+    to a full rebuild, probe IO = probed cells) and raises on any
+    violation — running it IS the counter check. Here we additionally
+    pin the output contract."""
+    from messdb_spark.queries import QUERIES
+    from messdb_spark.queries.similarity import _N_QUERIES, _TOP_K
+
+    df = QUERIES["incremental_ivf_refresh"].fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows, "probe returned no candidates"
+    per_q = {}
+    for r in rows:
+        assert 1 <= r["rk"] <= _TOP_K
+        assert r["cand_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rk"])
+    assert set(per_q) <= set(range(_N_QUERIES))
+    for q, rks in per_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), f"rank gap for {q}"
