@@ -1659,19 +1659,27 @@ def ivf_store_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# incremental IVF maintenance: fraction of vectors re-embedded per cycle
-_IVF_DRIFT_MOD = 25   # vec_id % 25 == 3 → drifted (4% of the corpus)
+# incremental IVF maintenance: one re-embed micro-batch. A FIXED-COUNT
+# delta (8 vectors, ids just past the codebook block) rather than a
+# corpus fraction: a fractional delta at bench SF scatters its members'
+# OLD cells across the whole 16-cell codebook (any ≥50 random vectors
+# touch every cell), leaving no untouched cells to prune — the
+# cell-pruning contract is only observable when the delta is small
+# relative to the cell count, which is exactly the per-cycle shape
+# (real IVF also scales cells ~√N, keeping deltas cell-sparse).
+_IVF_DRIFT_LO = 16
+_IVF_DRIFT_HI = 24
 
 
 def _ivf_refresh_oracle() -> str:
     """``_ivf_search_oracle``'s relation over the POST-DRIFT corpus
-    (vec_id % {mod} == 3 re-embedded as -x, the codebook frozen on the
+    (vec_ids [16, 24) re-embedded as -x, the codebook frozen on the
     undrifted base) — the full-rebuild answer the incremental refresh
     must reproduce exactly."""
     return f"""
     WITH corpus AS (
       SELECT vec_id,
-             CASE WHEN vec_id % {_IVF_DRIFT_MOD} = 3
+             CASE WHEN vec_id >= {_IVF_DRIFT_LO} AND vec_id < {_IVF_DRIFT_HI}
                   THEN list_transform(embedding, x -> -x)
                   ELSE embedding END AS embedding
       FROM embeddings
@@ -1720,9 +1728,9 @@ def _ivf_refresh_oracle() -> str:
 
 @query("incremental_ivf_refresh", oracle=_ivf_refresh_oracle())
 def incremental_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF index MAINTENANCE under churn (VERDICT r7 #7): 4% of the
-    corpus re-embeds (sign-flip drift — exact in float on both
-    engines), and the cell-partitioned CAS store from
+    """IVF index MAINTENANCE under churn (VERDICT r7 #7): a re-embed
+    micro-batch (vec_ids [_IVF_DRIFT_LO, _IVF_DRIFT_HI), sign-flip
+    drift — exact in float on both engines) arrives, and the cell-partitioned CAS store from
     ``ivf_store_pruned_search`` refreshes by rewriting ONLY the cells
     the delta touches — a drifted vector's OLD cell (it leaves) and
     NEW cell (it arrives; sign-flip guarantees movement). In-body
@@ -1773,7 +1781,8 @@ def incremental_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("long"))
                   .select("vec_id", "embedding", "nrm", "cid"))
 
-    is_drift = F.col("vec_id") % _IVF_DRIFT_MOD == 3
+    is_drift = ((F.col("vec_id") >= _IVF_DRIFT_LO)
+                & (F.col("vec_id") < _IVF_DRIFT_HI))
     a1 = assign(vecs1).localCheckpoint(eager=True)
 
     tmp = tempfile.mkdtemp(prefix="messdb_ivfrefresh_")
