@@ -51,6 +51,22 @@ ALLOWED_REGRESSIONS = {
 }
 
 
+def gate_regressions(timings: dict[str, float],
+                     baseline: dict[str, float]):
+    """Yield (name, time, pinned, bar) for every query slower than its
+    pinned reference by more than max(2x, +0.5 s) — the per-query
+    regression gate (pins live in bench_baseline.json, covering the
+    FULL inventory since r8). Pulled out of main() so the gate itself
+    is unit-testable (tests/test_bench_gate.py)."""
+    for name, t in timings.items():
+        b = baseline.get(name)
+        if b is None:
+            continue
+        bar = max(2 * b, b + 0.5)
+        if t > bar:
+            yield name, t, b, bar
+
+
 def bench_memo_layers(spark, sf_dir: str, timings: dict[str, float]) -> None:
     """The engine's defining feature (O8 memoization + bucket-granular
     incremental refresh) measured at the bench SF: the second
@@ -325,21 +341,16 @@ def main() -> None:
     except OSError as e:
         print(f"# bench_last.json write failed: {e}", file=sys.stderr)
 
-    # regression gate vs the recorded round-1 numbers (sf0.1 only)
+    # regression gate vs the pinned per-query reference (sf0.1 only)
     rc = 1 if errors else 0
-    for name, t in timings.items():
-        b = baseline.get(name)
-        if b is None:
-            continue
-        bar = max(2 * b, b + 0.5)
-        if t > bar:
-            if name in ALLOWED_REGRESSIONS:
-                print(f"# allowed regression {name}: {t}s vs r01 {b}s "
-                      f"({ALLOWED_REGRESSIONS[name]})", file=sys.stderr)
-            else:
-                print(f"# REGRESSION {name}: {t}s > {bar:.2f}s "
-                      f"(r01 {b}s)", file=sys.stderr)
-                rc = 1
+    for name, t, b, bar in gate_regressions(timings, baseline):
+        if name in ALLOWED_REGRESSIONS:
+            print(f"# allowed regression {name}: {t}s vs pinned {b}s "
+                  f"({ALLOWED_REGRESSIONS[name]})", file=sys.stderr)
+        else:
+            print(f"# REGRESSION {name}: {t}s > {bar:.2f}s "
+                  f"(pinned {b}s)", file=sys.stderr)
+            rc = 1
     sys.exit(rc)
 
 
