@@ -26,26 +26,35 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _WORKER = """
 import sys
 sys.path.insert(0, {repo!r})
-backend, warehouse, prefix, n = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+backend, warehouse, prefix, n, mode = (sys.argv[1], sys.argv[2],
+                                       sys.argv[3], int(sys.argv[4]),
+                                       sys.argv[5])
 from messdb_spark.store import Catalog, CatalogEntry
 if backend == "json":
     cat = Catalog(warehouse)
 else:
     from messdb_spark.sqlite_store import SqliteCatalog
     cat = SqliteCatalog(warehouse)
-for i in range(n):
-    cat.put(f"{{prefix}}_{{i}}",
-            CatalogEntry(f"hash_{{prefix}}_{{i}}", "{{}}", ["k"]))
+if mode == "put":
+    for i in range(n):
+        cat.put(f"{{prefix}}_{{i}}",
+                CatalogEntry(f"hash_{{prefix}}_{{i}}", "{{}}", ["k"]))
+else:   # put_many: n multi-table commits of 3 tables each
+    for i in range(n):
+        cat.put_many({{f"{{prefix}}_{{i}}_{{j}}":
+                       CatalogEntry(f"hash_{{prefix}}_{{i}}_{{j}}", "{{}}", ["k"])
+                       for j in range(3)}})
 print("done", prefix)
 """.format(repo=REPO)
 
 N = 25
 
 
-def _race(backend: str, warehouse: str) -> None:
+def _race(backend: str, warehouse: str, mode: str = "put") -> None:
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, backend, warehouse, prefix, str(N)],
+            [sys.executable, "-c", _WORKER, backend, warehouse, prefix,
+             str(N), mode],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for prefix in ("alpha", "beta")
     ]
@@ -83,6 +92,35 @@ def test_two_writer_processes_lose_no_commit(tmp_path, backend):
     assert cat.get(f"beta_{N - 1}").table_hash == f"hash_beta_{N - 1}"
 
 
+@pytest.mark.parametrize("backend", ["json", "sqlite"])
+def test_two_writer_multi_table_commits_stay_atomic(tmp_path, backend):
+    """put_many under a cross-process race: every 3-table batch must
+    land whole at SOME version (the single-root-swap atomicity),
+    versions stay consecutive, and no batch is lost."""
+    warehouse = str(tmp_path / "wh")
+    os.makedirs(warehouse)
+    _race(backend, warehouse, mode="put_many")
+
+    if backend == "json":
+        from messdb_spark.store import Catalog
+        cat = Catalog(warehouse)
+    else:
+        from messdb_spark.sqlite_store import SqliteCatalog
+        cat = SqliteCatalog(warehouse)
+
+    expect = {f"{p}_{i}_{j}" for p in ("alpha", "beta")
+              for i in range(N) for j in range(3)}
+    assert set(cat.names()) == expect
+    assert cat.current_version() == 2 * N   # one swap per batch
+    # batch atomicity: at every version, each batch is all-or-nothing
+    for v in range(1, 2 * N + 1):
+        seen = cat.names(version=v)
+        batches = {n.rsplit("_", 1)[0] for n in seen}
+        for b in batches:
+            assert sum(1 for n in seen if n.rsplit("_", 1)[0] == b) == 3, (
+                f"torn batch {b} at version {v}")
+
+
 def test_json_snapshot_lag_does_not_corrupt_reads(tmp_path):
     """root.json is a convenience snapshot that can lag under a race;
     the authoritative read path must come from the max archived
@@ -98,3 +136,19 @@ def test_json_snapshot_lag_does_not_corrupt_reads(tmp_path):
         json.dump({}, f)   # stale/lagging snapshot
     assert set(cat.names()) == {"t1", "t2"}
     assert cat.get("t2").table_hash == "h2"
+
+
+def test_json_crashed_claim_tmp_is_harmless(tmp_path):
+    """A writer that dies between mkstemp and os.link leaves a .tmp in
+    roots/ — it must not affect version numbering, reads, or later
+    commits (the claim is only the link; tmps are never parsed)."""
+    from messdb_spark.store import Catalog, CatalogEntry
+
+    warehouse = str(tmp_path / "wh")
+    cat = Catalog(warehouse)
+    cat.put("t1", CatalogEntry("h1", "{}", ["k"]))
+    with open(os.path.join(cat.roots_dir, "deadbeef.tmp"), "w") as f:
+        f.write('{"torn":')    # crashed writer's partial payload
+    assert cat.current_version() == 1
+    assert cat.put("t2", CatalogEntry("h2", "{}", ["k"])) == 2
+    assert set(cat.names()) == {"t1", "t2"}
