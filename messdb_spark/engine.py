@@ -1111,6 +1111,19 @@ class Engine:
                         shutil.rmtree(os.path.join(
                             self.objects.objects_dir, entry),
                             ignore_errors=True)
+        # orphaned staging dirs: a kill-9'd writer never reaches its
+        # finally-cleanup, leaking its stage-write forever (GiB-scale
+        # at 100 TB). Safe to clear here: gc only proceeds once no
+        # writer lease is live (or stale/forced), so nothing under
+        # staging/ can still be awaiting its commit rename.
+        orphaned_staging = 0
+        staging_root = os.path.join(self.objects.warehouse, "staging")
+        if os.path.isdir(staging_root):
+            for entry in sorted(os.listdir(staging_root)):
+                orphaned_staging += 1
+                if not dry_run:
+                    shutil.rmtree(os.path.join(staging_root, entry),
+                                  ignore_errors=True)
         from .plans.incremental import EMPTY as _EMPTY
         # EMPTY-valued memo entries (a bucket op whose output is no
         # rows) reference no object — always live
@@ -1120,7 +1133,8 @@ class Engine:
         if keep_versions is not None and not dry_run:
             pruned_roots = self.catalog.prune_roots(min_v)
         return {"live": len(live), "swept": swept,
-                "pruned_memo": pruned_memo, "pruned_roots": pruned_roots}
+                "pruned_memo": pruned_memo, "pruned_roots": pruned_roots,
+                "orphaned_staging": orphaned_staging}
 
     def _memo_targets(self) -> set[str]:
         """Memo result hashes for backends without a dict cache."""

@@ -294,3 +294,33 @@ def test_gc_vs_streaming_upsert_lease_compose(spark, sf_dir, tmp_path):
     assert t.df.select("event_id").distinct().count() == n_total
     swept = set(stats["swept"])
     assert eng.catalog.get("events_live").table_hash not in swept
+
+
+def test_gc_clears_orphaned_staging(spark, tmp_path):
+    """A kill-9'd writer leaves its stage-write under staging/ forever
+    (its finally-cleanup never ran); gc — which only proceeds once no
+    writer lease is live — must clear those orphans, and a dry run
+    must count them without deleting."""
+    import os
+
+    from messdb_spark.engine import Engine
+    from messdb_spark.operators.core import KeyedTable
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    eng.save_table("t", KeyedTable(df, ("k",)))
+    # simulate two crashed writers' leftovers
+    staging = os.path.join(eng.objects.warehouse, "staging")
+    for name in ("deadbeef01", "deadbeef02"):
+        d = os.path.join(staging, name)
+        os.makedirs(d)
+        with open(os.path.join(d, "part-00000.parquet"), "wb") as f:
+            f.write(b"torn")
+    stats = eng.gc(dry_run=True)
+    assert stats["orphaned_staging"] == 2
+    assert len(os.listdir(staging)) == 2     # dry run deletes nothing
+    stats = eng.gc()
+    assert stats["orphaned_staging"] == 2
+    assert os.listdir(staging) == []
+    # the committed table is untouched
+    assert eng.load_table("t").df.count() == 1
