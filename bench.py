@@ -44,11 +44,12 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 # Queries whose semantics changed since the recorded baseline — the
 # time moved because the work moved, not because the plan regressed.
-ALLOWED_REGRESSIONS = {
-    "simhash_near_dup_pairs":
-        "r01 ran a 1/10-sample cartesian; r02 runs the FULL corpus "
-        "through the banded-LSH equi-join (10x the docs)",
-}
+# Prefer RE-PINNING the query in bench_baseline.json at its new
+# semantics' clean time over adding an entry here: an allowance
+# excuses EVERY future regression of that query, not just the one
+# semantic change (simhash's r02 full-corpus entry was retired this
+# way in r8 — pin moved 0.837 → 1.479).
+ALLOWED_REGRESSIONS: dict[str, str] = {}
 
 
 def gate_regressions(timings: dict[str, float],
