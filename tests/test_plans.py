@@ -598,17 +598,6 @@ def test_round7_new_ops_plan_shapes(spark, sf_dir):
     p = plan_str(QUERIES["quality_classifier_scores"].fn(spark, sf_dir),
                  "simple")
     assert "Join" not in p
-
-
-def test_incremental_ivf_refresh_plan_shape(spark, sf_dir):
-    """Round-8 IVF maintenance: the probe must stay an equi-join of
-    the probed cells against the broadcast (probe, query-vector) list
-    — never a cartesian over the cell union; cell assignment is a
-    literal-codebook projection (no join for the codebook)."""
-    p = plan_str(QUERIES["incremental_ivf_refresh"].fn(spark, sf_dir),
-                 "simple")
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
     assert "HashAggregate" in p
     # target encoding: segment stats and global mean broadcast back
     p = plan_str(QUERIES["target_encoding_loo"].fn(spark, sf_dir),
