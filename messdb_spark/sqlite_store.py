@@ -146,21 +146,31 @@ class SqliteCatalog:
         re-applies the mutation to the fresh root, so two writers
         upserting different tables both land (no lost updates).
         Inside an explicit ``transaction()`` a conflict raises instead
-        — the outer transaction must replay as a unit."""
+        — the outer transaction must replay as a unit.
+
+        The (version, root) pair MUST come from ONE query: reading the
+        root and then SELECT max(version) separately opens a window —
+        a commit landing between the two reads bumps the version we
+        insert against WITHOUT its content being in the root we
+        mutated, so our INSERT succeeds (no PK conflict) and silently
+        drops that commit (caught by test_root_swap_race under load)."""
         for _ in range(256):
-            root = mutate(self._load_root())
-            v = self.current_version() + 1
+            row = self._con.execute(
+                "SELECT version, root FROM repo_root "
+                "ORDER BY version DESC LIMIT 1").fetchone()
+            v0, root = (row[0], json.loads(row[1])) if row else (0, {})
+            root = mutate(root)
             try:
                 self._con.execute(
                     "INSERT INTO repo_root(version, root) VALUES (?, ?)",
-                    (v, json.dumps(root, sort_keys=True)))
+                    (v0 + 1, json.dumps(root, sort_keys=True)))
             except sqlite3.IntegrityError:
                 if self._txn:
                     raise
                 self._con.rollback()
                 continue
             self._commit()
-            return v
+            return v0 + 1
         raise RuntimeError(
             "catalog root CAS failed 256 times — livelocked warehouse?")
 

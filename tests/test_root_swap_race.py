@@ -50,13 +50,18 @@ print("done", prefix)
 N = 25
 
 
+_PREFIXES = ("alpha", "beta", "gamma")   # 3 writers: collisions are
+# near-certain at this commit rate; the 2-writer variant only caught
+# the sqlite double-read lost-update (r8) on a loaded box
+
+
 def _race(backend: str, warehouse: str, mode: str = "put") -> None:
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _WORKER, backend, warehouse, prefix,
              str(N), mode],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
-        for prefix in ("alpha", "beta")
+        for prefix in _PREFIXES
     ]
     for p in procs:
         out, err = p.communicate(timeout=120)
@@ -77,14 +82,14 @@ def test_two_writer_processes_lose_no_commit(tmp_path, backend):
         cat = SqliteCatalog(warehouse)
 
     names = cat.names()
-    expect = {f"alpha_{i}" for i in range(N)} | {f"beta_{i}" for i in range(N)}
+    expect = {f"{p}_{i}" for p in _PREFIXES for i in range(N)}
     assert set(names) == expect, (
         f"lost commits: missing {sorted(expect - set(names))[:5]}")
 
-    # versions serialize with no gaps: 2N puts → versions 1..2N, and
+    # versions serialize with no gaps: 3N puts → versions 1..3N, and
     # each version's root holds exactly v names (every put adds one)
-    assert cat.current_version() == 2 * N
-    for v in (1, N, 2 * N):
+    assert cat.current_version() == len(_PREFIXES) * N
+    for v in (1, N, len(_PREFIXES) * N):
         assert len(cat.names(version=v)) == v
 
     # each table resolves to the hash its writer committed
@@ -108,12 +113,12 @@ def test_two_writer_multi_table_commits_stay_atomic(tmp_path, backend):
         from messdb_spark.sqlite_store import SqliteCatalog
         cat = SqliteCatalog(warehouse)
 
-    expect = {f"{p}_{i}_{j}" for p in ("alpha", "beta")
+    expect = {f"{p}_{i}_{j}" for p in _PREFIXES
               for i in range(N) for j in range(3)}
     assert set(cat.names()) == expect
-    assert cat.current_version() == 2 * N   # one swap per batch
+    assert cat.current_version() == len(_PREFIXES) * N   # one swap per batch
     # batch atomicity: at every version, each batch is all-or-nothing
-    for v in range(1, 2 * N + 1):
+    for v in range(1, len(_PREFIXES) * N + 1):
         seen = cat.names(version=v)
         batches = {n.rsplit("_", 1)[0] for n in seen}
         for b in batches:
