@@ -76,6 +76,26 @@ class BranchManager:
     def _save(self, state: dict) -> None:
         _atomic_write_json(self.path, state)
 
+    def _mutate(self, fn):
+        """Load-modify-save under an exclusive flock: branches.json is
+        a flat state file (unlike the versioned catalog root, which
+        serializes via the os.link version-claim CAS), so two
+        processes creating/advancing DIFFERENT branches would
+        otherwise lose one update (the same shape as the sqlite
+        double-read window fixed in r8). Reads stay lock-free —
+        atomic-rename writes mean every read is a consistent
+        snapshot. The sqlite branch backend gets this from its own
+        transaction instead."""
+        import fcntl
+
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            state = self._load()
+            result = fn(state)
+            self._save(state)
+            return result
+
     def _clamp(self, v: int) -> int:
         if self._current_version is None:
             return v
@@ -96,44 +116,44 @@ class BranchManager:
         return self._load()["active"]
 
     def create(self, name: str, version: int) -> None:
-        s = self._load()
-        if name in s["branches"]:
-            raise ValueError(f"branch exists: {name}")
-        s["branches"][name] = {"head": version, "base": version}
-        self._save(s)
+        def _do(s):
+            if name in s["branches"]:
+                raise ValueError(f"branch exists: {name}")
+            s["branches"][name] = {"head": version, "base": version}
+        self._mutate(_do)
 
     def set_active(self, name: str | None) -> None:
-        s = self._load()
-        s["active"] = name
-        self._save(s)
+        def _do(s):
+            s["active"] = name
+        self._mutate(_do)
 
     def set_head(self, name: str, version: int) -> None:
-        s = self._load()
-        s["branches"][name]["head"] = version
-        self._save(s)
+        def _do(s):
+            s["branches"][name]["head"] = version
+        self._mutate(_do)
 
     def set_base(self, name: str, version: int) -> None:
-        s = self._load()
-        s["branches"][name]["base"] = version
-        self._save(s)
+        def _do(s):
+            s["branches"][name]["base"] = version
+        self._mutate(_do)
 
     def activate(self, name: str, version: int) -> None:
         """Set head AND active in ONE atomic write (checkout path —
         splitting them would open a window where the new branch is
         active with its pre-restore head)."""
-        s = self._load()
-        if name not in s["branches"]:
-            raise KeyError(f"no such branch: {name}")
-        s["branches"][name]["head"] = version
-        s["active"] = name
-        self._save(s)
+        def _do(s):
+            if name not in s["branches"]:
+                raise KeyError(f"no such branch: {name}")
+            s["branches"][name]["head"] = version
+            s["active"] = name
+        self._mutate(_do)
 
     def advance_active(self, version: int) -> None:
-        s = self._load()
-        a = s["active"]
-        if a is not None and a in s["branches"]:
-            s["branches"][a]["head"] = version
-            self._save(s)
+        def _do(s):
+            a = s["active"]
+            if a is not None and a in s["branches"]:
+                s["branches"][a]["head"] = version
+        self._mutate(_do)
 
 
 def three_way_merge(base: KeyedTable | None, ours: KeyedTable,

@@ -157,3 +157,33 @@ def test_json_crashed_claim_tmp_is_harmless(tmp_path):
     assert cat.current_version() == 1
     assert cat.put("t2", CatalogEntry("h2", "{}", ["k"])) == 2
     assert set(cat.names()) == {"t1", "t2"}
+
+
+def test_branch_create_race_loses_no_branch(tmp_path):
+    """Two processes creating DIFFERENT branches concurrently: the
+    flock-guarded mutate must keep both (branches.json is a flat
+    state file — without the lock, load-modify-save loses one)."""
+    warehouse = str(tmp_path / "wh")
+    os.makedirs(warehouse)
+    worker = """
+import sys
+sys.path.insert(0, {repo!r})
+from messdb_spark.branches import BranchManager
+bm = BranchManager(sys.argv[1])
+prefix = sys.argv[2]
+for i in range(25):
+    bm.create(f"{{prefix}}_{{i}}", i + 1)
+""".format(repo=REPO)
+    procs = [subprocess.Popen([sys.executable, "-c", worker, warehouse, p],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True)
+             for p in ("dev", "exp")]
+    for p in procs:
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 0, f"branch writer failed: {err[-2000:]}"
+    from messdb_spark.branches import BranchManager
+    bm = BranchManager(warehouse)
+    names = set(bm.list())
+    expect = {f"{p}_{i}" for p in ("dev", "exp") for i in range(25)}
+    assert names == expect, f"lost branches: {sorted(expect - names)[:5]}"
+    assert bm.get("exp_24").head == 25
