@@ -32,7 +32,11 @@ from .store import CatalogEntry
 
 def _connect(path: str) -> sqlite3.Connection:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    con = sqlite3.connect(path)
+    # generous busy timeout: on a heavily loaded box a writer can hold
+    # the WAL write lock past the 5 s library default, and the root-
+    # swap retry loop must see IntegrityError (version conflict), not
+    # a spurious 'database is locked' OperationalError
+    con = sqlite3.connect(path, timeout=60.0)
     con.execute("PRAGMA journal_mode=WAL")
     con.execute("PRAGMA synchronous=OFF")
     con.execute("""CREATE TABLE IF NOT EXISTS memo_store (
