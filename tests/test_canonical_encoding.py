@@ -218,18 +218,25 @@ _dyadic = st.builds(
 _safe_double = st.one_of(
     st.sampled_from([float("nan"), float("inf"), float("-inf"), 0.0, -0.0]),
     _dyadic, _dyadic.map(lambda v: -v))
+import decimal
+
+_decimal = st.integers(-10**16 + 1, 10**16 - 1).map(
+    lambda c: decimal.Decimal(c).scaleb(-2))   # decimal(18,2) cents
+
 _safe_row = st.tuples(st.integers(-2**63, 2**63 - 1),
                       st.none() | _safe_double,
                       st.none() | _any_string, st.none() | _any_binary,
                       st.none() | _ts, st.booleans(),
                       st.dates(min_value=datetime.date(1, 1, 1),
-                               max_value=datetime.date(9999, 12, 31)))
+                               max_value=datetime.date(9999, 12, 31)),
+                      st.none() | _decimal)
 _SAFE_SCHEMA = ("i long, d double, s string, b binary, t timestamp, "
-                "bo boolean, dt date")
+                "bo boolean, dt date, dc decimal(18,2)")
 # values are Spark dataType.simpleString() names — the schema
 # fingerprint hashes these exact strings (hashing.schema_fingerprint)
 _SAFE_TYPES = {"i": "bigint", "d": "double", "s": "string", "b": "binary",
-               "t": "timestamp", "bo": "boolean", "dt": "date"}
+               "t": "timestamp", "bo": "boolean", "dt": "date",
+               "dc": "decimal(18,2)"}
 
 
 def _mkdf(spark, rows, schema):
