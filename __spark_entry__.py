@@ -38,9 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # via tests/test_oracle_parity.py at sf0.001/sf0.01 (ledger-pinned).
 
 _ROTATION_FRONT = [
-    # round-8 edits whose driver rows predate the change
-    "ppjoin_jaccard_pairs",        # broadcast gate (VERDICT r7 #2)
-    "string_funcs_part_brands",    # edge-value rows (VERDICT r7 #6)
+    # round-9 edits whose driver rows predate the change
+    "string_funcs_part_brands",    # oracle literal encoder (ADVICE r8)
 ]
 
 

@@ -68,6 +68,16 @@ def gate_regressions(timings: dict[str, float],
             yield name, t, b, bar
 
 
+def unpinned_queries(timings: dict[str, float],
+                     baseline: dict[str, float]) -> list[str]:
+    """Timed queries with no pin in bench_baseline.json — these escape
+    gate_regressions entirely, so they must be VISIBLE, not silently
+    ungated (no-silent-caps policy; ADVICE r8). Expected only for
+    queries added since the last pin run; tests/test_bench_gate.py
+    fails the suite until the pin lands."""
+    return sorted(n for n in timings if n not in baseline)
+
+
 def bench_memo_layers(spark, sf_dir: str, timings: dict[str, float]) -> None:
     """The engine's defining feature (O8 memoization + bucket-granular
     incremental refresh) measured at the bench SF: the second
@@ -344,6 +354,11 @@ def main() -> None:
 
     # regression gate vs the pinned per-query reference (sf0.1 only)
     rc = 1 if errors else 0
+    if baseline:
+        for name in unpinned_queries(timings, baseline):
+            print(f"# UNPINNED {name}: no bench_baseline.json entry — "
+                  f"regression gate does not cover it; add a pin from a "
+                  f"clean run", file=sys.stderr)
     for name, t, b, bar in gate_regressions(timings, baseline):
         if name in ALLOWED_REGRESSIONS:
             print(f"# allowed regression {name}: {t}s vs pinned {b}s "

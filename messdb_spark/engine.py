@@ -1113,17 +1113,34 @@ class Engine:
                             ignore_errors=True)
         # orphaned staging dirs: a kill-9'd writer never reaches its
         # finally-cleanup, leaking its stage-write forever (GiB-scale
-        # at 100 TB). Safe to clear here: gc only proceeds once no
-        # writer lease is live (or stale/forced), so nothing under
-        # staging/ can still be awaiting its commit rename.
+        # at 100 TB). The lease check at gc() START is not enough here:
+        # mark-and-sweep can run long, and a writer that acquired its
+        # lease AFTER that check may be mid stage-write when we reach
+        # this sweep — deleting under it could truncate the staged
+        # parquet and commit a silently short object (its content hash
+        # is computed from the staged bytes, so the corruption would be
+        # self-consistent and undetectable). Age-gate: only reap
+        # entries older than ``lease_stale_after`` — a LIVE writer's
+        # staging dir always has a recent mtime (it is being written),
+        # while a crashed writer's dir ages past the same horizon as
+        # its abandoned lease. ``force=True`` (single-writer setups)
+        # reaps regardless of age.
+        import time as _time
         orphaned_staging = 0
         staging_root = os.path.join(self.objects.warehouse, "staging")
         if os.path.isdir(staging_root):
+            now = _time.time()
             for entry in sorted(os.listdir(staging_root)):
+                p = os.path.join(staging_root, entry)
+                try:
+                    mtime = os.path.getmtime(p)
+                except OSError:
+                    continue          # committed/cleaned between list and stat
+                if not force and now - mtime <= lease_stale_after:
+                    continue          # possibly an in-flight stage-write
                 orphaned_staging += 1
                 if not dry_run:
-                    shutil.rmtree(os.path.join(staging_root, entry),
-                                  ignore_errors=True)
+                    shutil.rmtree(p, ignore_errors=True)
         from .plans.incremental import EMPTY as _EMPTY
         # EMPTY-valued memo entries (a bucket op whose output is no
         # rows) reference no object — always live

@@ -238,16 +238,26 @@ _SF_EDGE_ROWS = [
     ("Brand#77", "a\x00Eb", "t", 0.01),
 ]
 
+def _sql_str(s: str | None) -> str:
+    """SQL literal for an arbitrary edge string: NULL, '' for empty,
+    else EVERY character chr()-encoded. Unconditional encoding (ADVICE
+    r8): the old form only chr()-encoded strings containing \\x00 and
+    f-string-interpolated the rest, so a future edge row with a single
+    quote (or quote-bearing text beside a NUL-free value) would emit
+    broken or silently wrong oracle SQL."""
+    if s is None:
+        return "NULL"
+    if s == "":
+        return "''"
+    return "(" + " || ".join(f"chr({ord(ch)})" for ch in s) + ")"
+
+
 _SF_EDGE_SQL = " UNION ALL ".join(
     "SELECT "
     + ", ".join([
-        f"'{b}' AS p_brand",
-        ("NULL AS p_name" if n is None else
-         "(" + " || ".join(f"chr({ord(ch)})" for ch in n) + ") AS p_name"
-         if "\x00" in n else f"'{n}' AS p_name"
-         if n else "'' AS p_name"),
-        ("(" + " || ".join(f"chr({ord(ch)})" for ch in t) + ") AS p_type"
-         if "\x00" in t else f"'{t}' AS p_type"),
+        f"{_sql_str(b)} AS p_brand",
+        f"{_sql_str(n)} AS p_name",
+        f"{_sql_str(t)} AS p_type",
         f"CAST({pr} AS DOUBLE) AS p_retailprice",
     ])
     for b, n, t, pr in _SF_EDGE_ROWS)

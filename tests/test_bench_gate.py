@@ -13,7 +13,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from bench import ALLOWED_REGRESSIONS, gate_regressions  # noqa: E402
+from bench import (ALLOWED_REGRESSIONS, gate_regressions,  # noqa: E402
+                   unpinned_queries)
 
 
 def test_gate_trips_on_deliberate_slowdown():
@@ -33,6 +34,16 @@ def test_gate_trips_on_deliberate_slowdown():
     # 2x trips the big query too
     assert {n for n, *_ in gate_regressions({"q_slow": 16.1}, baseline)} \
         == {"q_slow"}
+
+
+def test_unpinned_queries_are_reported():
+    """A timed query with no pin silently escapes gate_regressions;
+    unpinned_queries() is what main() prints so that hole is visible
+    (ADVICE r8 — no-silent-caps applies to the gate itself)."""
+    baseline = {"q_a": 0.2}
+    timings = {"q_a": 0.2, "q_new2": 1.0, "q_new1": 2.0}
+    assert unpinned_queries(timings, baseline) == ["q_new1", "q_new2"]
+    assert unpinned_queries({"q_a": 0.1}, baseline) == []
 
 
 def test_baseline_pins_full_inventory():

@@ -298,10 +298,11 @@ def test_gc_vs_streaming_upsert_lease_compose(spark, sf_dir, tmp_path):
 
 def test_gc_clears_orphaned_staging(spark, tmp_path):
     """A kill-9'd writer leaves its stage-write under staging/ forever
-    (its finally-cleanup never ran); gc — which only proceeds once no
-    writer lease is live — must clear those orphans, and a dry run
-    must count them without deleting."""
+    (its finally-cleanup never ran); gc must clear those orphans once
+    they age past ``lease_stale_after`` — the same horizon as an
+    abandoned lease — and a dry run must count without deleting."""
     import os
+    import time
 
     from messdb_spark.engine import Engine
     from messdb_spark.operators.core import KeyedTable
@@ -309,13 +310,15 @@ def test_gc_clears_orphaned_staging(spark, tmp_path):
     eng = Engine(spark, str(tmp_path / "wh"))
     df = spark.createDataFrame([(1, "x")], "k bigint, v string")
     eng.save_table("t", KeyedTable(df, ("k",)))
-    # simulate two crashed writers' leftovers
+    # simulate two crashed writers' leftovers, aged past the horizon
     staging = os.path.join(eng.objects.warehouse, "staging")
+    old = time.time() - 7200
     for name in ("deadbeef01", "deadbeef02"):
         d = os.path.join(staging, name)
         os.makedirs(d)
         with open(os.path.join(d, "part-00000.parquet"), "wb") as f:
             f.write(b"torn")
+        os.utime(d, (old, old))
     stats = eng.gc(dry_run=True)
     assert stats["orphaned_staging"] == 2
     assert len(os.listdir(staging)) == 2     # dry run deletes nothing
@@ -324,3 +327,35 @@ def test_gc_clears_orphaned_staging(spark, tmp_path):
     assert os.listdir(staging) == []
     # the committed table is untouched
     assert eng.load_table("t").df.count() == 1
+
+
+def test_gc_staging_sweep_spares_fresh_writers(spark, tmp_path):
+    """TOCTOU guard (ADVICE r8): a writer that acquired its lease AFTER
+    gc's initial lease check can be mid stage-write when the staging
+    sweep runs; its fresh dir must be spared (age-gated), or a
+    partially-deleted stage could commit a silently truncated object.
+    ``force=True`` (single-writer setups) reaps regardless of age."""
+    import os
+    import time
+
+    from messdb_spark.engine import Engine
+    from messdb_spark.operators.core import KeyedTable
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    eng.save_table("t", KeyedTable(df, ("k",)))
+    staging = os.path.join(eng.objects.warehouse, "staging")
+    fresh = os.path.join(staging, "inflight01")
+    stale = os.path.join(staging, "crashed01")
+    for d in (fresh, stale):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-00000.parquet"), "wb") as f:
+            f.write(b"bytes")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    stats = eng.gc()
+    assert stats["orphaned_staging"] == 1          # only the aged one
+    assert os.path.isdir(fresh) and not os.path.isdir(stale)
+    stats = eng.gc(force=True)
+    assert stats["orphaned_staging"] == 1          # force reaps fresh too
+    assert os.listdir(staging) == []
