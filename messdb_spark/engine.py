@@ -95,13 +95,18 @@ class Engine:
         # the plan evaluates exactly once, so nondeterministic plans
         # can't store bytes that mismatch their content address.
         # key_cols: objects are laid out key-sorted (Trie.hs:124-134
-        # made physical) so reloaded range filters prune whole files
-        h = self.objects.put(table.df, table_content_hash,
-                             key_cols=tuple(table.key_cols))
-        self._register(name, CatalogEntry(
-            table_hash=h,
-            schema_json=table.df.schema.json(),
-            key_cols=list(table.key_cols)))
+        # made physical) so reloaded range filters prune whole files.
+        # The lease spans put AND register: between the CAS commit and
+        # the root swap the object is referenced by nothing, and a
+        # concurrent gc would sweep it out from under the registration
+        # (caught by tests/test_gc_writer_race.py before this guard)
+        with self.objects.lease():
+            h = self.objects.put(table.df, table_content_hash,
+                                 key_cols=tuple(table.key_cols))
+            self._register(name, CatalogEntry(
+                table_hash=h,
+                schema_json=table.df.schema.json(),
+                key_cols=list(table.key_cols)))
         return h
 
     def save_bucketed_table(self, name: str, ref) -> str:
@@ -110,10 +115,11 @@ class Engine:
         the table is durable, time-travelable, and GC-traceable like
         any plain table."""
         from .plans.incremental import save_manifest
-        h = save_manifest(self.objects, ref)
-        self._register(name, CatalogEntry(
-            table_hash=h, schema_json=ref.schema_json,
-            key_cols=list(ref.key_cols)))
+        with self.objects.lease():      # manifest → root swap, no gc gap
+            h = save_manifest(self.objects, ref)
+            self._register(name, CatalogEntry(
+                table_hash=h, schema_json=ref.schema_json,
+                key_cols=list(ref.key_cols)))
         return h
 
     def save_adaptive_table(self, name: str, ref) -> str:
@@ -121,10 +127,11 @@ class Engine:
         two-level split/merge manifest): durable, time-travelable,
         GC-traceable like any plain table."""
         from .plans.adaptive import save_adaptive_manifest
-        h = save_adaptive_manifest(self.objects, ref)
-        self._register(name, CatalogEntry(
-            table_hash=h, schema_json=ref.schema_json,
-            key_cols=list(ref.key_cols)))
+        with self.objects.lease():      # manifest → root swap, no gc gap
+            h = save_adaptive_manifest(self.objects, ref)
+            self._register(name, CatalogEntry(
+                table_hash=h, schema_json=ref.schema_json,
+                key_cols=list(ref.key_cols)))
         return h
 
     def save_range_bucketed_table(self, name: str, ref) -> str:
@@ -132,10 +139,11 @@ class Engine:
         catalog — same durability/time-travel/GC contract as
         ``save_bucketed_table``, ordered-fan-out flavor."""
         from .plans.range_layout import save_range_manifest
-        h = save_range_manifest(self.objects, ref)
-        self._register(name, CatalogEntry(
-            table_hash=h, schema_json=ref.schema_json,
-            key_cols=list(ref.key_cols)))
+        with self.objects.lease():      # manifest → root swap, no gc gap
+            h = save_range_manifest(self.objects, ref)
+            self._register(name, CatalogEntry(
+                table_hash=h, schema_json=ref.schema_json,
+                key_cols=list(ref.key_cols)))
         return h
 
     def _register(self, name: str, entry: CatalogEntry) -> int:
@@ -159,12 +167,34 @@ class Engine:
             return self.catalog.current_version() + 1
         txn = getattr(self.catalog, "transaction", None)
         if txn is not None:
-            with txn():
+            def unit():
                 v = self.catalog.put(name, entry)
                 self.branches.advance_active(v)
-            return v
+                return v
+            return self._catalog_txn_retry(txn, unit)
         self.branches.advance_active(self.catalog.current_version() + 1)
         return self.catalog.put(name, entry)
+
+    def _catalog_txn_retry(self, txn, unit):
+        """Replay a ``catalog.transaction()``-wrapped mutation unit on
+        a cross-process version conflict. Inside an explicit catalog
+        transaction the sqlite PK CAS RAISES instead of retrying
+        (``SqliteCatalog._commit_mutation``: the unit must replay as a
+        whole) — but every engine caller composes a self-contained
+        unit (root swap + branch-head advance), so the replay loop
+        lives here. Without it, two engine writers racing the same
+        sqlite warehouse crash with IntegrityError instead of
+        serializing (caught by tests/test_gc_writer_race.py)."""
+        import sqlite3
+        for _ in range(256):
+            try:
+                with txn():
+                    return unit()
+            except sqlite3.IntegrityError:
+                continue      # transaction rolled back; replay the unit
+        raise RuntimeError(
+            "catalog transaction conflicted 256 times — livelocked "
+            "warehouse?")
 
     def transaction(self):
         """Multi-table ATOMIC commit: every ``save_table`` /
@@ -200,9 +230,11 @@ class Engine:
                     if entries:
                         ctxn = getattr(self.catalog, "transaction", None)
                         if ctxn is not None:
-                            with ctxn():
+                            def unit():
                                 v = self.catalog.put_many(entries)
                                 self.branches.advance_active(v)
+                                return v
+                            self._catalog_txn_retry(ctxn, unit)
                         else:
                             self.branches.advance_active(
                                 self.catalog.current_version() + 1)
@@ -216,10 +248,11 @@ class Engine:
         ``_register``."""
         txn = getattr(self.catalog, "transaction", None)
         if txn is not None:
-            with txn():
+            def unit():
                 v = self.catalog.drop(name)
                 self.branches.advance_active(v)
-            return v
+                return v
+            return self._catalog_txn_retry(txn, unit)
         self.branches.advance_active(self.catalog.current_version() + 1)
         return self.catalog.drop(name)
 
@@ -330,10 +363,11 @@ class Engine:
         branch head (same crash ordering as ``_register``)."""
         txn = getattr(self.catalog, "transaction", None)
         if txn is not None:
-            with txn():
+            def unit():
                 v = self.catalog.restore_version(version)
                 self.branches.advance_active(v)
-            return v
+                return v
+            return self._catalog_txn_retry(txn, unit)
         self.branches.advance_active(self.catalog.current_version() + 1)
         return self.catalog.restore_version(version)
 
@@ -530,10 +564,11 @@ class Engine:
             raise SqlError(f"table already exists: {new}")
         txn = getattr(self.catalog, "transaction", None)
         if txn is not None:
-            with txn():
+            def unit():
                 self.catalog.put(new, e)
                 v = self.catalog.drop(old)
                 self.branches.advance_active(v)
+            self._catalog_txn_retry(txn, unit)
         else:
             self.branches.advance_active(self.catalog.current_version() + 2)
             self.catalog.put(new, e)
@@ -1059,13 +1094,19 @@ class Engine:
         object; prune memo entries whose target died (a memo hit must
         never dangle) and catalog roots older than the horizon.
 
-        Concurrent-writer safety: every stage-write path
-        (``ObjectStore.put``, ``_write_tagged_buckets``,
-        ``save_manifest``) holds a writer LEASE across stage → commit;
-        gc refuses (``GcBusyError``) while any live lease exists, so an
-        in-flight object that no root references yet cannot be swept.
-        Leases older than ``lease_stale_after`` are reaped as crashed
-        writers; ``force=True`` overrides (single-writer setups)."""
+        Concurrent-writer safety: every writer path holds a LEASE from
+        stage-write through its catalog/memo registration
+        (``ObjectStore.put``, ``Engine.save_*``,
+        ``Materializer.materialize``, ``Engine.transaction``); gc
+        refuses (``GcBusyError``) while any live lease exists — at
+        entry AND again after the mark, with the sweep restricted to a
+        pre-re-check listdir snapshot and the mark restarted if the
+        catalog version moved (see the in-body ordering comment). So an
+        in-flight object that no root references yet cannot be swept,
+        however the writer and gc interleave
+        (``tests/test_gc_writer_race.py``). Leases older than
+        ``lease_stale_after`` are reaped as crashed writers;
+        ``force=True`` overrides (single-writer setups)."""
         import shutil
 
         from .store import GcBusyError
@@ -1078,39 +1119,67 @@ class Engine:
                     f"{len(leases)} writer lease(s) active; an in-flight "
                     f"stage-write could lose its object — retry when "
                     f"writes settle, or gc(force=True)")
-        cur = self.catalog.current_version()
         if keep_versions is not None and keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
-        min_v = 1 if keep_versions is None else max(1, cur - keep_versions + 1)
-        live: set[str] = set(extra_live)
-        for v in range(min_v, cur + 1):
-            root = self.catalog._load_root(v)
-            live |= {e["table_hash"] for e in root.values()}
-        live |= {e["table_hash"]
-                 for e in self.catalog._load_root(None).values()}
-        if not collect_memoized:
-            cache = getattr(self.memo, "_cache", None)
-            live |= (set(cache.values()) if cache is not None
-                     else self._memo_targets())
-        # close over manifest → bucket edges (any manifest flavor)
         from .plans.incremental import manifest_children
-        frontier = list(live)
-        while frontier:
-            children = manifest_children(self.objects, frontier.pop())
-            for h in children or ():
-                if h not in live:
-                    live.add(h)
-                    frontier.append(h)
+
+        # mark → snapshot → re-validate → sweep, retried when the
+        # catalog advances mid-mark. The initial lease check is not
+        # enough on its own: a writer acquiring its lease AFTER it can
+        # commit an object before the sweep's listdir while its root
+        # swap lands after the mark read roots — the object would be
+        # swept though a root now references it. Ordering closes it:
+        # the sweep deletes only from a listdir SNAPSHOT taken before
+        # re-checking leases+version, so a writer active at re-check
+        # raises GcBusyError, a finished writer moved the version
+        # (→ re-mark), and a writer starting after the snapshot commits
+        # objects the snapshot never saw.
+        for _attempt in range(8):
+            cur = self.catalog.current_version()
+            min_v = 1 if keep_versions is None \
+                else max(1, cur - keep_versions + 1)
+            live: set[str] = set(extra_live)
+            for v in range(min_v, cur + 1):
+                root = self.catalog._load_root(v)
+                live |= {e["table_hash"] for e in root.values()}
+            live |= {e["table_hash"]
+                     for e in self.catalog._load_root(None).values()}
+            if not collect_memoized:
+                cache = getattr(self.memo, "_cache", None)
+                live |= (set(cache.values()) if cache is not None
+                         else self._memo_targets())
+            # close over manifest → bucket edges (any manifest flavor)
+            frontier = list(live)
+            while frontier:
+                children = manifest_children(self.objects, frontier.pop())
+                for h in children or ():
+                    if h not in live:
+                        live.add(h)
+                        frontier.append(h)
+            snapshot = (sorted(os.listdir(self.objects.objects_dir))
+                        if os.path.isdir(self.objects.objects_dir) else [])
+            if dry_run or force:
+                break
+            if self.objects.active_leases(stale_after=lease_stale_after):
+                raise GcBusyError(
+                    "writer lease appeared during mark — an in-flight "
+                    "commit could lose its object; retry when writes "
+                    "settle, or gc(force=True)")
+            if self.catalog.current_version() == cur:
+                break       # quiescent window: snapshot is sweep-safe
+        else:
+            raise GcBusyError(
+                "catalog advanced on every mark attempt — warehouse too "
+                "busy to gc; retry when writes settle, or gc(force=True)")
 
         swept: list[str] = []
-        if os.path.isdir(self.objects.objects_dir):
-            for entry in sorted(os.listdir(self.objects.objects_dir)):
-                if entry not in live:
-                    swept.append(entry)
-                    if not dry_run:
-                        shutil.rmtree(os.path.join(
-                            self.objects.objects_dir, entry),
-                            ignore_errors=True)
+        for entry in snapshot:
+            if entry not in live:
+                swept.append(entry)
+                if not dry_run:
+                    shutil.rmtree(os.path.join(
+                        self.objects.objects_dir, entry),
+                        ignore_errors=True)
         # orphaned staging dirs: a kill-9'd writer never reaches its
         # finally-cleanup, leaking its stage-write forever (GiB-scale
         # at 100 TB). The lease check at gc() START is not enough here:

@@ -134,10 +134,14 @@ class Materializer:
         self.computed_ops += 1
         # single evaluation: stage-write, hash the written data, rename
         # into the CAS (write-once: dedups equal content); keyed views
-        # land key-sorted so reloads keep the pruning invariant
-        h = self.objects.put(table.df, self.content_hash_fn,
-                             key_cols=tuple(table.key_cols))
-        self.memo.put(digest, h)
+        # land key-sorted so reloads keep the pruning invariant.
+        # Lease spans put AND memo.put: between CAS commit and memo
+        # record the output is referenced by nothing, and a concurrent
+        # gc would sweep it, leaving the memo to record a dangling hash
+        with self.objects.lease():
+            h = self.objects.put(table.df, self.content_hash_fn,
+                                 key_cols=tuple(table.key_cols))
+            self.memo.put(digest, h)
         return h
 
     def dataframe(self, ir: dict) -> DataFrame:

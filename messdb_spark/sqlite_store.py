@@ -31,20 +31,41 @@ from .store import CatalogEntry
 
 
 def _connect(path: str) -> sqlite3.Connection:
+    import time
+
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # generous busy timeout: on a heavily loaded box a writer can hold
     # the WAL write lock past the 5 s library default, and the root-
     # swap retry loop must see IntegrityError (version conflict), not
     # a spurious 'database is locked' OperationalError
     con = sqlite3.connect(path, timeout=60.0)
-    con.execute("PRAGMA journal_mode=WAL")
-    con.execute("PRAGMA synchronous=OFF")
-    con.execute("""CREATE TABLE IF NOT EXISTS memo_store (
-        key TEXT PRIMARY KEY, value TEXT NOT NULL)""")
-    con.execute("""CREATE TABLE IF NOT EXISTS repo_root (
-        version INTEGER PRIMARY KEY, root TEXT NOT NULL)""")
-    con.commit()
-    return con
+    # the delete→WAL journal-mode switch needs a brief exclusive lock
+    # and is one of the transitions sqlite's busy handler does NOT
+    # retry for us: two processes opening a fresh warehouse at once
+    # can race it into an immediate 'database is locked'. Bounded
+    # backoff — after the first successful switch WAL is persistent in
+    # the db file and later connects hit the fast path.
+    last: sqlite3.OperationalError | None = None
+    for attempt in range(100):
+        try:
+            con.execute("PRAGMA journal_mode=WAL")
+            con.execute("PRAGMA synchronous=OFF")
+            con.execute("""CREATE TABLE IF NOT EXISTS memo_store (
+                key TEXT PRIMARY KEY, value TEXT NOT NULL)""")
+            con.execute("""CREATE TABLE IF NOT EXISTS repo_root (
+                version INTEGER PRIMARY KEY, root TEXT NOT NULL)""")
+            con.commit()
+            return con
+        except sqlite3.OperationalError as e:
+            if "locked" not in str(e) and "busy" not in str(e):
+                raise
+            last = e
+            try:
+                con.rollback()
+            except sqlite3.Error:
+                pass
+            time.sleep(min(0.05 * (attempt + 1), 0.5))
+    raise last
 
 
 class SqliteMemoStore:

@@ -159,6 +159,48 @@ def test_json_crashed_claim_tmp_is_harmless(tmp_path):
     assert set(cat.names()) == {"t1", "t2"}
 
 
+def test_json_current_hint_is_nonauthoritative(tmp_path):
+    """roots/CURRENT is an O(1) version hint (VERDICT r8 #1) with the
+    same contract as root.json: NON-authoritative. Every degraded
+    state — lagging hint (crash between claim and hint write), hint at
+    a missing/pruned version, garbage bytes, hint absent — must still
+    resolve to the max archived version, and a lagging hint must be
+    absorbed by walk-forward, not a full rescan of a wrong answer."""
+    from messdb_spark.store import Catalog, CatalogEntry
+
+    warehouse = str(tmp_path / "wh")
+    cat = Catalog(warehouse)
+    for i in range(5):
+        cat.put(f"t{i}", CatalogEntry(f"h{i}", "{}", ["k"]))
+    assert cat.current_version() == 5
+    # lagging hint: writer crashed between claim and hint write
+    with open(cat.hint_path, "w") as f:
+        f.write("2")
+    assert cat.current_version() == 5          # walk-forward
+    # hint beyond the frontier (copied warehouse / corrupt)
+    with open(cat.hint_path, "w") as f:
+        f.write("99")
+    assert cat.current_version() == 5          # scan fallback
+    # garbage hint
+    with open(cat.hint_path, "w") as f:
+        f.write("not-a-version")
+    assert cat.current_version() == 5
+    # absent hint
+    os.remove(cat.hint_path)
+    assert cat.current_version() == 5
+    # a commit through any degraded state repairs the hint
+    cat.put("t5", CatalogEntry("h5", "{}", ["k"]))
+    with open(cat.hint_path) as f:
+        assert f.read().strip() == "6"
+    # hint survives prune (points at the retained current version)
+    cat.prune_roots(6)
+    assert cat.current_version() == 6
+    # hint pointing at a PRUNED version falls back to the scan
+    with open(cat.hint_path, "w") as f:
+        f.write("3")
+    assert cat.current_version() == 6
+
+
 def test_branch_create_race_loses_no_branch(tmp_path):
     """Two processes creating DIFFERENT branches concurrently: the
     flock-guarded mutate must keep both (branches.json is a flat
