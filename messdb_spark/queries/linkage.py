@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from . import query, load, quantize, quantize_sql
+from . import load, pin_result, quantize, quantize_sql, query
 
 # Fellegi–Sunter agreement weights (log-odds scaled to integers; fixed
 # constants so both engines score identically). Field m/u probabilities
@@ -297,3 +297,196 @@ def training_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("doc_id", "source", "rk", epoch.alias("epoch"),
                     F.row_number().over(gw).cast("bigint")
                      .alias("global_pos"))
+
+
+# -- exact cross-document substring dedup (ExactSubstr) ---------------
+#
+# The Lee et al. 2022 "Deduplicating Training Data Makes Language
+# Models Better" exact-substring recipe: find maximal character runs of
+# length >= L shared VERBATIM across documents, emit a span manifest,
+# and per-doc cleaned-length stats. The paper's single-node suffix
+# array cannot hold a 100 TB corpus; this is the distributed
+# re-expression (VERDICT r8 task 1):
+#
+#   1. every position i of every doc emits (doc_id, i, xxhash64(L-gram))
+#      — hash computed INLINE in whole-stage codegen, so the gram
+#      string itself never leaves the scan stage: the detection shuffle
+#      is 24-byte rows, not L-byte substrings;
+#   2. hashes seen in >= 2 distinct docs (min(doc)!=max(doc) partial
+#      agg — cheaper than count_distinct) are the candidate set,
+#      corpus-duplication-bounded;
+#   3. BOUNDED VERIFY: only candidate positions rejoin their documents
+#      to re-extract the actual gram; grouping by the gram string
+#      re-applies the cross-doc test on true bytes, so xxhash64
+#      collisions cannot fabricate a span (exactness is restored at
+#      candidate cost, never corpus cost);
+#   4. verified positions merge into maximal islands with a per-doc
+#      window (gaps-and-islands on interval [i, i+L)) — state bounded
+#      per doc, no global window, no all-pairs, no suffix array.
+#
+# Scale knob: when the stride-1 position shuffle dominates, winnowing
+# anchors (min-hash per w-window) cut it by ~w at the cost of missing
+# matches shorter than L+w-1 — the exact-threshold contract here keeps
+# stride 1, the honest cost of "exact" (the suffix-array route pays the
+# same corpus-bytes shuffle to sort).
+#
+# Complements duplicate_span_fraction above (token-shingle, >=2
+# occurrences anywhere incl. same-doc) with the char-exact CROSS-doc
+# semantics, threshold L, maximal-span output.
+
+_XS_L = 30     # minimum shared run length (chars)
+
+_XS_SPANS_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= {_XS_L}
+    ),
+    g AS (
+      SELECT doc_id, i, substring(text, i, {_XS_L}) AS gram
+      FROM d, LATERAL unnest(generate_series(1, length(text) - {_XS_L - 1}))
+           AS t(i)
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+    ),
+    p AS (SELECT doc_id, i FROM g JOIN dup USING (gram)),
+    m AS (
+      SELECT doc_id, i,
+             max(i + {_XS_L}) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM p
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN prev_end IS NULL OR i > prev_end
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM m
+    )
+    SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+           CAST(max(i) + {_XS_L} AS BIGINT) AS span_end,
+           CAST(max(i) + {_XS_L} - min(i) AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, island
+"""
+
+
+def _exact_substring_spans(spark: SparkSession, sf_dir: str):
+    """Maximal cross-doc shared-run spans (see block comment above).
+    Returns ``(spans_df, pinned)``: (doc_id, span_start, span_end,
+    span_len) with 1-based start, exclusive end, char units (Spark
+    substring and DuckDB substring are both character-addressed, so
+    the oracle matches on any charset); ``pinned`` is the checkpointed
+    candidate frame the caller must hand to ``pin_result`` so its
+    storage is released after the result pins."""
+    (doc,) = load(spark, sf_dir, "documents")
+    d = (doc.filter(F.length("text") >= _XS_L)
+            .select("doc_id", "text"))
+    pos = (d.select(
+        "doc_id", "text",
+        F.explode(F.expr(
+            f"sequence(1, length(text) - {_XS_L - 1})")).alias("i"))
+        .select("doc_id", "i",
+                F.xxhash64(F.expr(f"substring(text, i, {_XS_L})"))
+                 .alias("h")))
+    # cross-doc candidate hashes: min!=max is a 2-value partial agg
+    # (map-side combine), vs count_distinct's per-group set state
+    dup_h = (pos.groupBy("h")
+                .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+                .filter(F.col("lo") != F.col("hi"))
+                .select("h"))
+    cand = pos.join(dup_h, "h").select("doc_id", "i")
+    # bounded verify on true bytes (collision-proof): candidates only
+    verified = (cand.join(d, "doc_id")
+                    .select("doc_id", "i",
+                            F.expr(f"substring(text, i, {_XS_L})")
+                             .alias("gram")))
+    # pin the candidate set: it feeds BOTH the gram-verify agg and the
+    # position join below — without the checkpoint each consumer
+    # re-runs the corpus position scan (duplication-bounded rows, so
+    # the pin is small; the corpus itself is scanned exactly twice:
+    # once for the hash agg, once for the candidate semi-join).
+    # __pre_pin__ keeps the REAL detection plan visible to the plan
+    # tests (a checkpointed frame explains as a bare ExistingRDD)
+    pre_pin = verified
+    verified = verified.localCheckpoint(eager=True)
+    verified.__pre_pin__ = pre_pin
+    dup_gram = (verified.groupBy("gram")
+                        .agg(F.min("doc_id").alias("lo"),
+                             F.max("doc_id").alias("hi"))
+                        .filter(F.col("lo") != F.col("hi"))
+                        .select("gram"))
+    p = verified.join(dup_gram, "gram").select("doc_id", "i")
+    # gaps-and-islands over intervals [i, i+L): per-doc window state
+    w_prev = (W.partitionBy("doc_id").orderBy("i")
+               .rowsBetween(W.unboundedPreceding, -1))
+    w_run = (W.partitionBy("doc_id").orderBy("i")
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    m = p.withColumn("prev_end",
+                     F.max(F.col("i") + F.lit(_XS_L)).over(w_prev))
+    isl = m.withColumn(
+        "island",
+        F.sum(F.when(F.col("prev_end").isNull()
+                     | (F.col("i") > F.col("prev_end")), 1)
+               .otherwise(0)).over(w_run))
+    spans = (isl.groupBy("doc_id", "island")
+                .agg(F.min("i").cast("bigint").alias("span_start"),
+                     (F.max("i") + F.lit(_XS_L)).cast("bigint")
+                      .alias("span_end"))
+                .withColumn("span_len",
+                            (F.col("span_end") - F.col("span_start"))
+                             .cast("bigint"))
+                .select("doc_id", "span_start", "span_end", "span_len"))
+    return spans, verified
+
+
+@query("exact_substring_spans", oracle=_XS_SPANS_SQL)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span manifest: one row per maximal character run of
+    length >= {L} shared verbatim by >= 2 documents — the spans a
+    training-data cleaner would cut (Lee et al. 2022), computed by
+    hash-bucketed detection + bounded exact verify + per-doc island
+    merge (scale design in the block comment above)."""
+    spans, pinned = _exact_substring_spans(spark, sf_dir)
+    return pin_result(spans, pinned)
+
+
+@query(
+    "exact_substring_dedup",
+    oracle=f"""
+    WITH spans AS ({_XS_SPANS_SQL}),
+    agg AS (
+      SELECT doc_id, count(*) AS dup_spans,
+             sum(span_len) AS dup_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS doc_len,
+           CAST(coalesce(a.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+           CAST(length(d.text) - coalesce(a.dup_chars, 0) AS BIGINT)
+             AS clean_chars
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document ExactSubstr cleaning stats over the FULL corpus:
+    span count, duplicated chars (union of maximal spans — no double
+    count on overlap), and the cleaned length after cutting every
+    cross-doc run >= {L} chars. Docs with no shared runs (or shorter
+    than L) report zero — the left join keeps the whole corpus in the
+    manifest, so downstream mixing sees every doc exactly once."""
+    spans, pinned = _exact_substring_spans(spark, sf_dir)
+    agg = (spans.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("dup_spans"),
+                     F.sum("span_len").cast("bigint").alias("dup_chars")))
+    (doc,) = load(spark, sf_dir, "documents")
+    out = (doc.select("doc_id",
+                      F.length("text").cast("bigint").alias("doc_len"))
+              .join(agg, "doc_id", "left")
+              .select("doc_id", "doc_len",
+                      F.coalesce(F.col("dup_spans"), F.lit(0))
+                       .cast("bigint").alias("dup_spans"),
+                      F.coalesce(F.col("dup_chars"), F.lit(0))
+                       .cast("bigint").alias("dup_chars"),
+                      (F.col("doc_len")
+                       - F.coalesce(F.col("dup_chars"), F.lit(0)))
+                       .cast("bigint").alias("clean_chars")))
+    return pin_result(out, pinned)

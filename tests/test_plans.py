@@ -608,3 +608,25 @@ def test_round7_new_ops_plan_shapes(spark, sf_dir):
     p = plan_str(QUERIES["train_eval_leakage_audit"].fn(spark, sf_dir),
                  "simple")
     assert "LeftSemi" in p
+
+
+def test_exact_substring_plan_shape(spark, sf_dir):
+    """ExactSubstr (round 9): the detection pass must shuffle position
+    HASHES, never gram strings or a cartesian pair space — and the
+    island merge must be a per-doc window, not a global sort."""
+    from messdb_spark.queries.linkage import _exact_substring_spans
+
+    spans, verified = _exact_substring_spans(spark, sf_dir)
+    # detection phase (pre-checkpoint frame rides on __pre_pin__):
+    # inline hashing — xxhash64(substring(...)) inside the projection
+    # means only (doc_id, i, h) rows reach the first exchange
+    det = plan_str(verified)
+    assert "xxhash64" in det
+    assert "CartesianProduct" not in det
+    assert "BroadcastNestedLoopJoin" not in det
+    # island merge is a doc-partitioned window, not a global ordering
+    full = plan_str(spans)
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
+    assert "Window" in full
+    assert "hashpartitioning(doc_id" in full
