@@ -113,6 +113,54 @@ def table_content_hash(df: DataFrame, sort_columns: bool = True) -> str:
     return _digest_of_row(agg.collect()[0], schema_fingerprint(df))
 
 
+def observed_content_hash(df: DataFrame):
+    """Digest-during-action: returns ``(observed_df, finish)`` where
+    ``observed_df`` is ``df`` with the content-digest aggregates
+    attached as an :class:`pyspark.sql.Observation`, and ``finish()``
+    (callable once any action has consumed ``observed_df``) returns
+    the same hash :func:`table_content_hash` would compute — WITHOUT a
+    second pass. ``ObjectStore.put`` uses it to fold the digest into
+    the stage-write job: the rows streaming through the parquet writer
+    ARE the rows digested, so the single evaluation also guarantees a
+    nondeterministic plan can't store bytes mismatching their address
+    (the property the old write-then-rescan sequence bought with an
+    extra O(rows) job per CAS write — VERDICT r8 task 6 measured it at
+    ~50% of every content-hashed write).
+
+    Exactness: the digest is commutative over per-row hashes, so
+    observing pre-write rows equals re-scanning the written file; the
+    canonical encoding sees identical values either way (parquet
+    round-trips preserve NaN/-0.0/denormals, and the schema
+    fingerprint already ignores the one thing a round-trip relaxes —
+    nullability). Observed metrics come from each partition's first
+    successful task only (Spark's exactly-once accumulator contract
+    for result stages), so task retries don't double-count;
+    ``tests/test_observed_digest.py`` pins observed == rescan across
+    the tricky-type matrix."""
+    from pyspark.sql import Observation
+
+    c = canon_column(df)
+    obs = Observation()
+    odf = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(c).cast("decimal(38,0)")).alias("s1"),
+        F.bit_xor(F.xxhash64(c)).alias("x1"),
+        F.sum(F.xxhash64(c, F.lit(1)).cast("decimal(38,0)")).alias("s2"),
+        F.bit_xor(F.xxhash64(c, F.lit(1))).alias("x2"))
+    fp = schema_fingerprint(df)
+
+    def finish() -> str:
+        return _digest_of_row(obs.get, fp)
+    return odf, finish
+
+
+# ObjectStore.put consults this attribute to fold the digest into its
+# stage-write job; any custom content_hash_fn without it keeps the
+# two-job write-then-rescan path
+table_content_hash.observed = observed_content_hash
+
+
 def bucket_content_hashes(df: DataFrame, bucket_col: str,
                           key_fn=int) -> dict:
     """Per-bucket content digests in ONE aggregation job (groupBy the
