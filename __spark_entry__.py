@@ -40,6 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROTATION_FRONT = [
     # round-9 edits whose driver rows predate the change
     "string_funcs_part_brands",    # oracle literal encoder (ADVICE r8)
+    "ivf_store_pruned_search",     # load_many single-scan probe (r8 #3)
+    "incremental_ivf_refresh",     # load_many single-scan probe (r8 #3)
 ]
 
 

@@ -205,6 +205,27 @@ class ObjectStore:
         self.loads += 1
         return spark.read.parquet(self.path(table_hash))
 
+    def load_many(self, spark: SparkSession,
+                  table_hashes: list[str]) -> DataFrame:
+        """ONE parquet scan spanning several objects — the probe
+        fan-in (VERDICT r8 what's-wrong #3: an IVF probe loop was
+        building an O(probed-cells) union of per-cell ``load`` plans
+        driver-side; a multi-path read is one scan node and lets the
+        reader schedule all files together). Rows carry
+        ``__messdb_object`` (the owning object's hash, recovered from
+        the file path) so callers can re-attach per-object tags with a
+        broadcast join — exact even when two tags map to ONE object
+        (content-equal cells dedup to a single path). IO accounting:
+        one load per distinct object."""
+        from pyspark.sql import functions as F
+
+        hs = list(dict.fromkeys(table_hashes))
+        self.loads += len(hs)
+        df = spark.read.parquet(*[self.path(h) for h in hs])
+        return df.withColumn(
+            "__messdb_object",
+            F.regexp_extract(F.input_file_name(), "objects/([^/]+)/", 1))
+
 
 class MemoryObjectStore(ObjectStore):
     """S1 MemoryStore analog (``Store/Memory.hs:14-38``): rows held in
@@ -258,6 +279,17 @@ class MemoryObjectStore(ObjectStore):
         self.loads += 1
         schema, rows = self._tables[table_hash]
         return spark.createDataFrame(rows, schema=schema)
+
+    def load_many(self, spark: SparkSession,
+                  table_hashes: list[str]) -> DataFrame:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        hs = list(dict.fromkeys(table_hashes))
+        parts = [self.load(spark, h).withColumn("__messdb_object", F.lit(h))
+                 for h in hs]        # load() counts one per object
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 class DebugStore:

@@ -404,3 +404,38 @@ def test_cas_objects_are_key_sorted_and_file_prunable(spark, warehouse):
     got = range_filter(t, KeyBound((100,), True), KeyBound((110,), False))
     assert sorted(r["k"] for r in got.df.collect()) == list(range(100, 110))
     assert eng.verify_table("t")
+
+
+def test_load_many_one_scan_and_object_tags(spark, warehouse):
+    """load_many (r9): N objects -> ONE multi-path parquet scan node
+    (not a union of per-object scans), rows tagged with their owning
+    object hash, duplicate requests collapsed, IO counted per distinct
+    object."""
+    import contextlib
+    import io
+
+    from messdb_spark.store import ObjectStore
+
+    store = ObjectStore(warehouse)
+    hs = []
+    for i in range(3):
+        df = spark.createDataFrame([(i, j) for j in range(5)],
+                                   "tag long, v long")
+        hs.append(store.put(df, table_content_hash))
+    assert len(set(hs)) == 3
+    loads0 = store.loads
+    out = store.load_many(spark, hs + [hs[0]])      # dup collapses
+    assert store.loads - loads0 == 3
+    rows = out.collect()
+    assert len(rows) == 15
+    by_obj = {}
+    for r in rows:
+        by_obj.setdefault(r["__messdb_object"], set()).add(r["tag"])
+    # each object's rows tag back to exactly its content
+    assert by_obj == {hs[i]: {i} for i in range(3)}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    # formatted explain prints each node once in the tree and once in
+    # the detail section: one scan node == one "(n) Scan parquet" entry
+    assert buf.getvalue().count(") Scan parquet") == 1
