@@ -490,3 +490,68 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                        - F.coalesce(F.col("dup_chars"), F.lit(0)))
                        .cast("bigint").alias("clean_chars")))
     return pin_result(out, pinned)
+
+
+@query(
+    "exact_substring_clean",
+    oracle=f"""
+    WITH spans AS ({_XS_SPANS_SQL}),
+    pos AS (
+      SELECT d.doc_id, t.p, substring(d.text, t.p, 1) AS ch
+      FROM documents d,
+           LATERAL unnest(generate_series(1, length(d.text))) AS t(p)
+    ),
+    kept AS (
+      SELECT po.doc_id, po.p, po.ch
+      FROM pos po LEFT JOIN spans s
+        ON s.doc_id = po.doc_id
+       AND po.p >= s.span_start AND po.p < s.span_end
+      WHERE s.doc_id IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             coalesce(string_agg(ch, '' ORDER BY p), '') AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS clean_len,
+           md5(coalesce(r.clean_text, '')) AS clean_md5
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """)
+def exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT step completing the ExactSubstr arc (detect → manifest
+    → stats → clean): every cross-doc run >= {L} chars is excised and
+    the per-doc cleaned text re-emitted (fingerprinted as md5 + length
+    so the driver compares corpus-scale output by digest, not by
+    shipping text through the value hash).
+
+    Scale: spans collect per doc (bounded by that doc's span count)
+    into one array; the rebuild is a single JVM-side ``aggregate``
+    over the sorted span list — substring stitching per doc, no
+    explode of the corpus into characters (the oracle does that; the
+    engine must not). Text moves only within its own row."""
+    spans, pinned = _exact_substring_spans(spark, sf_dir)
+    per_doc = (spans.groupBy("doc_id")
+                    .agg(F.array_sort(F.collect_list(
+                        F.struct("span_start", "span_end"))).alias("sp")))
+    (doc,) = load(spark, sf_dir, "documents")
+    j = doc.select("doc_id", "text").join(per_doc, "doc_id", "left")
+    # fold the span list into (cursor, rebuilt-text); spans are
+    # disjoint and sorted, so each step copies the gap before the span
+    # and advances the cursor past it; the finisher copies the tail
+    clean = F.when(F.col("sp").isNull(), F.coalesce(F.col("text"), F.lit(""))) \
+             .otherwise(F.expr(
+                 "aggregate(sp, "
+                 "named_struct('p', CAST(1 AS BIGINT), 't', ''), "
+                 "(acc, s) -> named_struct("
+                 "'p', s.span_end, "
+                 "'t', concat(acc.t, substring(text, acc.p, "
+                 "            s.span_start - acc.p))), "
+                 "acc -> concat(acc.t, substring(text, acc.p, "
+                 "              length(text) - acc.p + 1)))"))
+    out = (j.select("doc_id", clean.alias("clean_text"))
+            .select("doc_id",
+                    F.length("clean_text").cast("bigint").alias("clean_len"),
+                    F.md5(F.col("clean_text").cast("binary"))
+                     .alias("clean_md5")))
+    return pin_result(out, pinned)
