@@ -190,7 +190,12 @@ class Engine:
             try:
                 with txn():
                     return unit()
-            except sqlite3.IntegrityError:
+            except sqlite3.IntegrityError as e:
+                # only the version-CAS conflict is retryable; any other
+                # constraint violation is a real bug that must surface,
+                # not spin 256 times and report phantom contention
+                if "repo_root.version" not in str(e):
+                    raise
                 continue      # transaction rolled back; replay the unit
         raise RuntimeError(
             "catalog transaction conflicted 256 times — livelocked "
@@ -1123,104 +1128,116 @@ class Engine:
             raise ValueError("keep_versions must be >= 1")
         from .plans.incremental import manifest_children
 
-        # mark → snapshot → re-validate → sweep, retried when the
-        # catalog advances mid-mark. The initial lease check is not
-        # enough on its own: a writer acquiring its lease AFTER it can
-        # commit an object before the sweep's listdir while its root
-        # swap lands after the mark read roots — the object would be
-        # swept though a root now references it. Ordering closes it:
-        # the sweep deletes only from a listdir SNAPSHOT taken before
-        # re-checking leases+version, so a writer active at re-check
-        # raises GcBusyError, a finished writer moved the version
-        # (→ re-mark), and a writer starting after the snapshot commits
-        # objects the snapshot never saw.
-        for _attempt in range(8):
-            cur = self.catalog.current_version()
-            min_v = 1 if keep_versions is None \
-                else max(1, cur - keep_versions + 1)
-            live: set[str] = set(extra_live)
-            for v in range(min_v, cur + 1):
-                root = self.catalog._load_root(v)
-                live |= {e["table_hash"] for e in root.values()}
-            live |= {e["table_hash"]
-                     for e in self.catalog._load_root(None).values()}
-            if not collect_memoized:
-                cache = getattr(self.memo, "_cache", None)
-                live |= (set(cache.values()) if cache is not None
-                         else self._memo_targets())
-            # close over manifest → bucket edges (any manifest flavor)
-            frontier = list(live)
-            while frontier:
-                children = manifest_children(self.objects, frontier.pop())
-                for h in children or ():
-                    if h not in live:
-                        live.add(h)
-                        frontier.append(h)
-            snapshot = (sorted(os.listdir(self.objects.objects_dir))
-                        if os.path.isdir(self.objects.objects_dir) else [])
-            if dry_run or force:
-                break
-            if self.objects.active_leases(stale_after=lease_stale_after):
+        # mark → snapshot → GATE → re-validate → sweep, retried when
+        # the catalog advances mid-mark. The initial lease check is
+        # not enough on its own: a writer acquiring its lease AFTER it
+        # can commit before the sweep — including a root-reference to
+        # an EXISTING unreferenced object (write-once dedup skips the
+        # write, so "not in snapshot" does not protect it). The sweep
+        # GATE closes every interleaving: it goes up before the final
+        # lease/version re-check, and lease acquisition is
+        # lock-then-validate against it (see ``ObjectStore.lease``) —
+        # so any writer either holds a lease the re-check sees (gc
+        # aborts busy) or observes the gate and waits out the sweep.
+        # A finished writer moved the version (→ re-mark); the gate is
+        # touched per swept entry so it stays fresh through long
+        # sweeps, and writers ignore a stale gate (crashed gc).
+        gated = False
+        try:
+            for _attempt in range(8):
+                cur = self.catalog.current_version()
+                min_v = 1 if keep_versions is None \
+                    else max(1, cur - keep_versions + 1)
+                live: set[str] = set(extra_live)
+                for v in range(min_v, cur + 1):
+                    root = self.catalog._load_root(v)
+                    live |= {e["table_hash"] for e in root.values()}
+                live |= {e["table_hash"]
+                         for e in self.catalog._load_root(None).values()}
+                if not collect_memoized:
+                    cache = getattr(self.memo, "_cache", None)
+                    live |= (set(cache.values()) if cache is not None
+                             else self._memo_targets())
+                # close over manifest → bucket edges (any manifest flavor)
+                frontier = list(live)
+                while frontier:
+                    children = manifest_children(self.objects,
+                                                 frontier.pop())
+                    for h in children or ():
+                        if h not in live:
+                            live.add(h)
+                            frontier.append(h)
+                snapshot = (sorted(os.listdir(self.objects.objects_dir))
+                            if os.path.isdir(self.objects.objects_dir)
+                            else [])
+                if dry_run or force:
+                    break
+                self.objects.raise_sweep_gate()
+                gated = True
+                if self.objects.active_leases(
+                        stale_after=lease_stale_after):
+                    raise GcBusyError(
+                        "writer lease appeared during mark — an "
+                        "in-flight commit could lose its object; retry "
+                        "when writes settle, or gc(force=True)")
+                if self.catalog.current_version() == cur:
+                    break   # quiescent window: snapshot is sweep-safe
+                self.objects.lower_sweep_gate()
+                gated = False
+            else:
                 raise GcBusyError(
-                    "writer lease appeared during mark — an in-flight "
-                    "commit could lose its object; retry when writes "
-                    "settle, or gc(force=True)")
-            if self.catalog.current_version() == cur:
-                break       # quiescent window: snapshot is sweep-safe
-        else:
-            raise GcBusyError(
-                "catalog advanced on every mark attempt — warehouse too "
-                "busy to gc; retry when writes settle, or gc(force=True)")
+                    "catalog advanced on every mark attempt — warehouse "
+                    "too busy to gc; retry when writes settle, or "
+                    "gc(force=True)")
 
-        swept: list[str] = []
-        for entry in snapshot:
-            if entry not in live:
-                swept.append(entry)
-                if not dry_run:
-                    shutil.rmtree(os.path.join(
-                        self.objects.objects_dir, entry),
-                        ignore_errors=True)
-        # orphaned staging dirs: a kill-9'd writer never reaches its
-        # finally-cleanup, leaking its stage-write forever (GiB-scale
-        # at 100 TB). The lease check at gc() START is not enough here:
-        # mark-and-sweep can run long, and a writer that acquired its
-        # lease AFTER that check may be mid stage-write when we reach
-        # this sweep — deleting under it could truncate the staged
-        # parquet and commit a silently short object (its content hash
-        # is computed from the staged bytes, so the corruption would be
-        # self-consistent and undetectable). Age-gate: only reap
-        # entries older than ``lease_stale_after`` — a LIVE writer's
-        # staging dir always has a recent mtime (it is being written),
-        # while a crashed writer's dir ages past the same horizon as
-        # its abandoned lease. ``force=True`` (single-writer setups)
-        # reaps regardless of age.
-        import time as _time
-        orphaned_staging = 0
-        staging_root = os.path.join(self.objects.warehouse, "staging")
-        if os.path.isdir(staging_root):
-            now = _time.time()
-            for entry in sorted(os.listdir(staging_root)):
-                p = os.path.join(staging_root, entry)
-                try:
-                    mtime = os.path.getmtime(p)
-                except OSError:
-                    continue          # committed/cleaned between list and stat
-                if not force and now - mtime <= lease_stale_after:
-                    continue          # possibly an in-flight stage-write
-                orphaned_staging += 1
-                if not dry_run:
-                    shutil.rmtree(p, ignore_errors=True)
-        from .plans.incremental import EMPTY as _EMPTY
-        # EMPTY-valued memo entries (a bucket op whose output is no
-        # rows) reference no object — always live
-        pruned_memo = 0 if dry_run else self.memo.prune(
-            lambda h: h == _EMPTY or h in live)
-        pruned_roots = 0
-        if keep_versions is not None and not dry_run:
-            pruned_roots = self.catalog.prune_roots(min_v)
-        return {"live": len(live), "swept": swept,
-                "pruned_memo": pruned_memo, "pruned_roots": pruned_roots,
-                "orphaned_staging": orphaned_staging}
+            swept: list[str] = []
+            for entry in snapshot:
+                if entry not in live:
+                    swept.append(entry)
+                    if not dry_run:
+                        self.objects.touch_sweep_gate()
+                        shutil.rmtree(os.path.join(
+                            self.objects.objects_dir, entry),
+                            ignore_errors=True)
+            # orphaned staging dirs: a kill-9'd writer never reaches
+            # its finally-cleanup, leaking its stage-write forever
+            # (GiB-scale at 100 TB). Age-gate: only reap entries older
+            # than ``lease_stale_after`` — a LIVE writer's lease
+            # heartbeat keeps gc out entirely (a fresh lease refuses
+            # the sweep), and a writer that started after the gate
+            # went up is waiting, so anything old here is a crashed
+            # writer's leftover. ``force=True`` (single-writer setups)
+            # reaps regardless of age.
+            import time as _time
+            orphaned_staging = 0
+            staging_root = os.path.join(self.objects.warehouse, "staging")
+            if os.path.isdir(staging_root):
+                now = _time.time()
+                for entry in sorted(os.listdir(staging_root)):
+                    p = os.path.join(staging_root, entry)
+                    try:
+                        mtime = os.path.getmtime(p)
+                    except OSError:
+                        continue      # cleaned between list and stat
+                    if not force and now - mtime <= lease_stale_after:
+                        continue      # possibly an in-flight stage-write
+                    orphaned_staging += 1
+                    if not dry_run:
+                        shutil.rmtree(p, ignore_errors=True)
+            from .plans.incremental import EMPTY as _EMPTY
+            # EMPTY-valued memo entries (a bucket op whose output is no
+            # rows) reference no object — always live
+            pruned_memo = 0 if dry_run else self.memo.prune(
+                lambda h: h == _EMPTY or h in live)
+            pruned_roots = 0
+            if keep_versions is not None and not dry_run:
+                pruned_roots = self.catalog.prune_roots(min_v)
+            return {"live": len(live), "swept": swept,
+                    "pruned_memo": pruned_memo, "pruned_roots": pruned_roots,
+                    "orphaned_staging": orphaned_staging}
+        finally:
+            if gated:
+                self.objects.lower_sweep_gate()
 
     def _memo_targets(self) -> set[str]:
         """Memo result hashes for backends without a dict cache."""

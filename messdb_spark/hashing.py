@@ -67,18 +67,25 @@ def schema_fingerprint(df: DataFrame) -> str:
     return hashlib.sha256(json.dumps(fields, sort_keys=True).encode()).hexdigest()
 
 
-def _digest_aggs() -> list:
+def _digest_aggs(c: F.Column | str = "c") -> list:
     # hash sums go through DECIMAL(38,0): a LONG sum wraps, which ANSI
     # mode (the default in plain Spark 4 sessions) rejects with
     # ARITHMETIC_OVERFLOW — the decimal sum is exact in both modes
     # (|sum| <= rows * 2^63, within 38 digits up to ~5e18 rows) and is
-    # reduced mod 2^64 driver-side so the digest value is mode-invariant
+    # reduced mod 2^64 driver-side so the digest value is mode-invariant.
+    # SINGLE source of truth for the digest formula: the two-pass path
+    # (table_content_hash / bucket_content_hashes) and the observed
+    # single-job path (observed_content_hash) must never fork — a
+    # divergence would silently split content addresses between write
+    # paths (tests/test_observed_digest.py pins the equality).
+    if isinstance(c, str):
+        c = F.col(c)
     return [
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("c").cast("decimal(38,0)")).alias("s1"),
-        F.expr("bit_xor(xxhash64(c))").alias("x1"),
-        F.sum(F.xxhash64("c", F.lit(1)).cast("decimal(38,0)")).alias("s2"),
-        F.expr("bit_xor(xxhash64(c, 1))").alias("x2"),
+        F.sum(F.xxhash64(c).cast("decimal(38,0)")).alias("s1"),
+        F.bit_xor(F.xxhash64(c)).alias("x1"),
+        F.sum(F.xxhash64(c, F.lit(1)).cast("decimal(38,0)")).alias("s2"),
+        F.bit_xor(F.xxhash64(c, F.lit(1))).alias("x2"),
     ]
 
 
@@ -139,15 +146,8 @@ def observed_content_hash(df: DataFrame):
     the tricky-type matrix."""
     from pyspark.sql import Observation
 
-    c = canon_column(df)
     obs = Observation()
-    odf = df.observe(
-        obs,
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(c).cast("decimal(38,0)")).alias("s1"),
-        F.bit_xor(F.xxhash64(c)).alias("x1"),
-        F.sum(F.xxhash64(c, F.lit(1)).cast("decimal(38,0)")).alias("s2"),
-        F.bit_xor(F.xxhash64(c, F.lit(1))).alias("x2"))
+    odf = df.observe(obs, *_digest_aggs(canon_column(df)))
     fp = schema_fingerprint(df)
 
     def finish() -> str:

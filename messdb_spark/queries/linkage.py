@@ -401,14 +401,18 @@ def _exact_substring_spans(spark: SparkSession, sf_dir: str):
                             F.expr(f"substring(text, i, {_XS_L})")
                              .alias("gram")))
     # pin the candidate set: it feeds BOTH the gram-verify agg and the
-    # position join below — without the checkpoint each consumer
-    # re-runs the corpus position scan (duplication-bounded rows, so
-    # the pin is small; the corpus itself is scanned exactly twice:
-    # once for the hash agg, once for the candidate semi-join).
-    # __pre_pin__ keeps the REAL detection plan visible to the plan
-    # tests (a checkpointed frame explains as a bare ExistingRDD)
+    # position join below — without the pin each consumer re-runs the
+    # corpus position scan (duplication-bounded rows, so the pin is
+    # small; the corpus itself is scanned exactly twice: once for the
+    # hash agg, once for the candidate semi-join). persist+count, NOT
+    # localCheckpoint: DataFrame.unpersist() is a CacheManager call
+    # and a no-op on checkpointed frames, so pin_result could never
+    # release a checkpoint (its blocks linger until RDD GC — the r4
+    # storage-leak class). __pre_pin__ keeps the REAL detection plan
+    # visible to the plan tests.
     pre_pin = verified
-    verified = verified.localCheckpoint(eager=True)
+    verified = verified.persist()
+    verified.count()
     verified.__pre_pin__ = pre_pin
     dup_gram = (verified.groupBy("gram")
                         .agg(F.min("doc_id").alias("lo"),
@@ -586,8 +590,9 @@ def _anchor_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("doc_id", F.col("a.i").alias("i"),
                   F.col("a.g").alias("gram")))
     pre_pin = a                          # real detection plan, for tests
-    a = a.localCheckpoint(eager=True)    # feeds hit-agg, stats, islands
-    a.__pre_pin__ = pre_pin
+    a = a.persist()                      # feeds hit-agg, stats, islands;
+    a.count()                            # persist (not checkpoint) so
+    a.__pre_pin__ = pre_pin              # pin_result can release it
     return a
 
 

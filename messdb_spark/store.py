@@ -69,14 +69,65 @@ class ObjectStore:
         self.loads = 0
 
     # -- writer leases (GC safety) -------------------------------------
+    #: writers treat a gc sweep gate older than this as a crashed gc
+    SWEEP_GATE_STALE = 120.0
+
+    def _sweep_gate_path(self) -> str:
+        return os.path.join(self.warehouse, "gc.sweep.lock")
+
+    def sweep_gate_active(self) -> bool:
+        """Is a gc sweep phase in progress? (Engine.gc raises the gate
+        before its final pre-sweep re-checks and touches it while
+        sweeping; a gate older than ``SWEEP_GATE_STALE`` is a crashed
+        gc and is ignored.)"""
+        import time
+        try:
+            return (time.time() - os.path.getmtime(self._sweep_gate_path())
+                    < self.SWEEP_GATE_STALE)
+        except OSError:
+            return False
+
+    def raise_sweep_gate(self) -> None:
+        with open(self._sweep_gate_path(), "w") as f:
+            f.write(str(os.getpid()))
+
+    def touch_sweep_gate(self) -> None:
+        try:
+            os.utime(self._sweep_gate_path())
+        except OSError:
+            pass
+
+    def lower_sweep_gate(self) -> None:
+        try:
+            os.remove(self._sweep_gate_path())
+        except OSError:
+            pass
+
     def lease(self):
         """Context manager: a writer lease held across stage-write →
-        commit. ``Engine.gc`` refuses to sweep while any live lease
-        exists, closing the Delta-VACUUM-style window where a
-        concurrent writer's just-written (but not yet root-referenced)
-        object would be collected. Crash-safe: a lease whose file
-        outlives ``stale_after`` is reaped as abandoned."""
+        commit/registration. ``Engine.gc`` refuses to sweep while any
+        live lease exists, closing the Delta-VACUUM-style window where
+        a concurrent writer's just-written (but not yet
+        root-referenced) object would be collected.
+
+        Heartbeat: a daemon thread re-touches the lease file every
+        30 s, so a stage-write of ANY duration stays live — without
+        it, a write longer than gc's ``lease_stale_after`` would be
+        reaped as a crashed writer mid-write (ADVICE r9). Crash-safe:
+        a lease whose file stops being touched for ``stale_after`` is
+        abandoned.
+
+        Sweep-gate dance (lock-then-validate): the lease file is
+        created FIRST, then the gc sweep gate is checked — if a sweep
+        is in progress the lease is withdrawn and acquisition waits.
+        Either our lease exists before gc's post-gate lease re-check
+        (gc aborts), or our gate check happens after the gate went up
+        (we wait) — so no writer can slip a commit (including a
+        root-reference to an EXISTING dedup'd object) past a running
+        sweep."""
         import contextlib
+        import threading
+        import time
         import uuid
 
         @contextlib.contextmanager
@@ -84,11 +135,29 @@ class ObjectStore:
             d = os.path.join(self.warehouse, "leases")
             os.makedirs(d, exist_ok=True)
             p = os.path.join(d, uuid.uuid4().hex + ".lease")
-            with open(p, "w") as f:
-                f.write(str(os.getpid()))
+            while True:
+                with open(p, "w") as f:
+                    f.write(str(os.getpid()))
+                if not self.sweep_gate_active():
+                    break
+                os.remove(p)          # withdraw; let the sweep finish
+                while self.sweep_gate_active():
+                    time.sleep(0.05)
+            stop = threading.Event()
+
+            def _beat() -> None:
+                while not stop.wait(30.0):
+                    try:
+                        os.utime(p)
+                    except OSError:
+                        break         # released/reaped: stop beating
+
+            beat = threading.Thread(target=_beat, daemon=True)
+            beat.start()
             try:
                 yield p
             finally:
+                stop.set()
                 try:
                     os.remove(p)
                 except OSError:
@@ -222,9 +291,12 @@ class ObjectStore:
         hs = list(dict.fromkeys(table_hashes))
         self.loads += len(hs)
         df = spark.read.parquet(*[self.path(h) for h in hs])
+        # the part file's PARENT directory is the object hash — robust
+        # against warehouse paths that themselves contain an "objects"
+        # segment (a prefix regexp would capture the wrong one)
         return df.withColumn(
             "__messdb_object",
-            F.regexp_extract(F.input_file_name(), "objects/([^/]+)/", 1))
+            F.element_at(F.split(F.input_file_name(), "/"), -2))
 
 
 class MemoryObjectStore(ObjectStore):

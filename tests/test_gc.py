@@ -359,3 +359,64 @@ def test_gc_staging_sweep_spares_fresh_writers(spark, tmp_path):
     stats = eng.gc(force=True)
     assert stats["orphaned_staging"] == 1          # force reaps fresh too
     assert os.listdir(staging) == []
+
+
+def test_lease_acquisition_waits_for_sweep_gate(spark, tmp_path):
+    """Lock-then-validate (r9): lease acquisition must block while a
+    FRESH gc sweep gate is up (a sweep is deleting from its snapshot;
+    a commit now could reference an object mid-delete) and must ignore
+    a STALE gate (crashed gc must not wedge writers forever)."""
+    import os
+    import threading
+    import time
+
+    from messdb_spark.store import ObjectStore
+
+    store = ObjectStore(str(tmp_path / "wh"))
+    store.raise_sweep_gate()
+    acquired = threading.Event()
+
+    def _writer():
+        with store.lease():
+            acquired.set()
+
+    t = threading.Thread(target=_writer, daemon=True)
+    t.start()
+    assert not acquired.wait(0.5), "lease acquired through a fresh gate"
+    leases_dir = os.path.join(store.warehouse, "leases")
+    assert not any(f.endswith(".lease")
+                   for f in os.listdir(leases_dir)), \
+        "withdrawn lease left behind while waiting"
+    store.lower_sweep_gate()
+    assert acquired.wait(5), "lease never acquired after gate lowered"
+    t.join(5)
+
+    # stale gate (crashed gc): writers proceed
+    store.raise_sweep_gate()
+    old = time.time() - store.SWEEP_GATE_STALE - 10
+    os.utime(store._sweep_gate_path(), (old, old))
+    with store.lease():
+        pass                                # no hang
+
+
+def test_gc_lowers_gate_on_all_paths(spark, tmp_path):
+    """The sweep gate must come down after a successful gc AND after a
+    GcBusyError abort — a leaked gate blocks every writer for
+    SWEEP_GATE_STALE seconds."""
+    import os
+
+    from messdb_spark.engine import Engine
+    from messdb_spark.operators.core import KeyedTable
+    from messdb_spark.store import GcBusyError
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    eng.save_table("t", KeyedTable(df, ("k",)))
+    eng.gc()
+    assert not eng.objects.sweep_gate_active()
+    # abort path: a live lease makes the post-gate re-check raise
+    with eng.objects.lease():
+        import pytest as _pytest
+        with _pytest.raises(GcBusyError):
+            eng.gc()
+    assert not eng.objects.sweep_gate_active()

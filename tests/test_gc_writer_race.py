@@ -45,7 +45,14 @@ for i in range(n):
     if last_h is not None and not eng.objects.exists(last_h):
         print(f"LOST still-referenced object {last_h}", file=sys.stderr)
         sys.exit(2)
-    payload = f"{prefix}-{i}".encode()
+    # every 3rd commit re-registers a SHARED constant payload: when the
+    # object already exists in the CAS (left unreferenced by another
+    # writer's superseded commit), the put is a write-once SKIP and the
+    # commit is a pure root-reference to an existing object — the
+    # dedup'd-reference path a sweeping gc must not delete from under
+    # us (closed by the sweep gate; ADVICE r9 finding 1)
+    payload = (b"shared-dedup-target" if i %% 3 == 2
+               else f"{prefix}-{i}".encode())
     h = "obj" + hashlib.sha256(payload).hexdigest()[:24]
     with eng.objects.lease():                     # Engine.save_table shape
         staging = os.path.join(wh, "staging", uuid.uuid4().hex)
