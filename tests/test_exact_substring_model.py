@@ -1,0 +1,174 @@
+"""ExactSubstr vs an independent pure-Python model on PLANTED data.
+
+The oracle-parity checks verify the family against DuckDB on the
+synthetic corpus, but both engines could in principle agree on a
+mis-specification. Here the ground truth is constructed: documents
+with deliberately planted shared runs (exactly-L, L-1, overlapping,
+adjacent, within-doc-only, cross-trio, short docs) plus a seeded
+random low-alphabet corpus, and the expected spans come from a naive
+O(n²) dictionary model that shares no code or formulation with the
+queries (no hashing, no windows, no islands SQL).
+"""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict
+
+import pytest
+
+from messdb_spark.queries.linkage import _XS_L
+
+
+def _model_spans(docs: dict[int, str], L: int = _XS_L):
+    """Naive reference: maximal merged coverage of cross-doc L-grams.
+    Returns {doc_id: [(start_1based, end_exclusive_1based), ...]}."""
+    gram_docs = defaultdict(set)
+    for d, t in docs.items():
+        for i in range(len(t) - L + 1):
+            gram_docs[t[i:i + L]].add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    spans = {}
+    for d, t in docs.items():
+        pos = [i for i in range(len(t) - L + 1) if t[i:i + L] in dup]
+        out = []
+        for i in pos:
+            if out and i <= out[-1][1]:      # overlap/adjacent: extend
+                out[-1][1] = max(out[-1][1], i + L)
+            else:
+                out.append([i, i + L])
+        if out:
+            spans[d] = [(s + 1, e + 1) for s, e in out]   # 1-based
+    return spans
+
+
+def _write_docs(spark, tmp_path, docs: dict[int, str]) -> str:
+    d = tmp_path / "model_sf"
+    df = spark.createDataFrame(sorted(docs.items()),
+                               "doc_id bigint, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _planted_docs() -> dict[int, str]:
+    run40 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789abcd"          # 40
+    run_exact = "x" * 10 + "SHAREDRUNEXACTLYTHIRTYCHAR!" + "qq"  # unused tail
+    exact30 = "SHARED-RUN-OF-EXACTLY-30-CHARS"                   # 30
+    assert len(run40) == 40 and len(exact30) == 30
+    short29 = exact30[:-1]                                        # 29
+    filler = "".join(chr(ord("f") + (i % 5)) + str(i % 7) for i in range(40))
+    within = "WITHIN-DOC-REPEATED-RUN-30-CH." * 2                 # same doc 2x
+    assert len(within) == 60
+    return {
+        1: "lead-" + run40 + "-mid-" + exact30 + "-tail",
+        2: "other" + run40 + "zzzzz" + short29 + "-end-",
+        3: exact30 + filler[:35],
+        # "_" separator: short29 + "-" would recreate a full 30-gram
+        # shared with doc 2 (whose run is also followed by "-"); and
+        # doc 4 needs its OWN filler — reusing doc 3's would plant an
+        # accidental shared 30-gram (both bugs caught by the model)
+        4: short29 + "_no-match-here-" + "".join(
+            f"u{i % 9}" for i in range(15)),
+        5: within + "-unique-suffix-material-here",
+        6: "tiny doc",                                            # < L
+        7: "pad00" + run40[:35] + "pad11",   # 35-char prefix of run40
+        8: run_exact,                         # no partner: clean
+    }
+
+
+def test_spans_match_planted_model(spark, tmp_path):
+    docs = _planted_docs()
+    sf = _write_docs(spark, tmp_path, docs)
+    from messdb_spark.queries import QUERIES
+
+    got = defaultdict(list)
+    for r in QUERIES["exact_substring_spans"].fn(spark, sf).collect():
+        got[r["doc_id"]].append((r["span_start"], r["span_end"]))
+    got = {d: sorted(v) for d, v in got.items()}
+    want = _model_spans(docs)
+    assert got == want
+    # sanity on the plant itself: run40 links docs 1/2/7, exact30
+    # links 1/3; the 29-char run (docs 2/4), the within-doc repeat
+    # (doc 5) and the partnerless doc 8 are NOT detected
+    assert set(want) == {1, 2, 3, 7}
+
+
+def test_dedup_stats_match_planted_model(spark, tmp_path):
+    docs = _planted_docs()
+    sf = _write_docs(spark, tmp_path, docs)
+    from messdb_spark.queries import QUERIES
+
+    want = _model_spans(docs)
+    rows = {r["doc_id"]: r for r in
+            QUERIES["exact_substring_dedup"].fn(spark, sf).collect()}
+    assert set(rows) == set(docs)
+    for d, t in docs.items():
+        spans = want.get(d, [])
+        dup_chars = sum(e - s for s, e in spans)
+        r = rows[d]
+        assert r["doc_len"] == len(t)
+        assert r["dup_spans"] == len(spans), d
+        assert r["dup_chars"] == dup_chars, d
+        assert r["clean_chars"] == len(t) - dup_chars, d
+
+
+def test_clean_matches_python_excision(spark, tmp_path):
+    import hashlib
+
+    docs = _planted_docs()
+    sf = _write_docs(spark, tmp_path, docs)
+    from messdb_spark.queries import QUERIES
+
+    want = _model_spans(docs)
+    rows = {r["doc_id"]: r for r in
+            QUERIES["exact_substring_clean"].fn(spark, sf).collect()}
+    for d, t in docs.items():
+        kept = "".join(ch for i, ch in enumerate(t, start=1)
+                       if not any(s <= i < e for s, e in want.get(d, [])))
+        assert rows[d]["clean_len"] == len(kept), d
+        assert rows[d]["clean_md5"] == \
+            hashlib.md5(kept.encode()).hexdigest(), d
+
+
+def test_random_low_alphabet_corpus_matches_model(spark, tmp_path):
+    """Seeded random corpus over a 3-letter alphabet: repeats arise
+    naturally (not planted), stressing overlap merging and multi-doc
+    sharing in ways hand-built cases miss."""
+    rng = random.Random(20260815)
+    docs = {i: "".join(rng.choice("abc") for _ in range(rng.randint(10, 220)))
+            for i in range(1, 25)}
+    sf = _write_docs(spark, tmp_path, docs)
+    from messdb_spark.queries import QUERIES
+
+    got = defaultdict(list)
+    for r in QUERIES["exact_substring_spans"].fn(spark, sf).collect():
+        got[r["doc_id"]].append((r["span_start"], r["span_end"]))
+    got = {d: sorted(v) for d, v in got.items()}
+    assert got == _model_spans(docs)
+
+
+def test_anchor_detection_is_sound_subset(spark, tmp_path):
+    """Anchor sampling may miss runs (recall < 1) but must never
+    invent one: every detected span must lie INSIDE a model span, and
+    detected_chars <= model dup_chars per doc."""
+    rng = random.Random(777)
+    shared = "".join(rng.choice("abcdefgh") for _ in range(70))
+    docs = {}
+    for i in range(1, 20):
+        t = "".join(rng.choice("abcdefgh")
+                    for _ in range(rng.randint(31, 200)))
+        if i <= 6:          # plant the shared 70-char run in six docs
+            cut = rng.randint(0, len(t))
+            t = t[:cut] + shared + t[cut:]
+        docs[i] = t
+    sf = _write_docs(spark, tmp_path, docs)
+    from messdb_spark.queries import QUERIES
+
+    want = _model_spans(docs)
+    rows = QUERIES["anchor_sampled_substrings"].fn(spark, sf).collect()
+    for r in rows:
+        spans = want.get(r["doc_id"], [])
+        dup_chars = sum(e - s for s, e in spans)
+        assert r["detected_chars"] <= dup_chars, r
+    # and on this repeat-heavy corpus it actually detects something
+    assert any(r["detected_chars"] > 0 for r in rows)
