@@ -13,6 +13,8 @@ directory plays the role of the reference's single sqlite file
     python -m messdb_spark.cli --warehouse WH export-csv -t name outdir
     python -m messdb_spark.cli --warehouse WH export-json -t name outdir
     python -m messdb_spark.cli --warehouse WH gc --keep-versions 3
+    python -m messdb_spark.cli --warehouse WH dedup-substrings -t docs \\
+        --out docs_clean --spans-table docs_spans --min-len 30
 
 Query results print as JSON lines (``messdb-tool.hs:195``).
 """
@@ -127,6 +129,21 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("name")
     mg.add_argument("--policy", choices=["fail", "ours", "theirs"],
                     default="fail")
+
+    ds = sub.add_parser(
+        "dedup-substrings",
+        help="ExactSubstr cleaning (Lee et al. 2022): cut character "
+             "runs shared verbatim across rows from a text table, "
+             "saving the cleaned table (and optionally the span "
+             "manifest) to the catalog")
+    ds.add_argument("-t", "--table", required=True,
+                    help="source table (single-column key)")
+    ds.add_argument("--text-col", default="text")
+    ds.add_argument("--out", required=True, help="cleaned table name")
+    ds.add_argument("--spans-table", default=None,
+                    help="also save the span manifest under this name")
+    ds.add_argument("--min-len", type=int, default=30,
+                    help="minimum shared run length in chars")
 
     g = sub.add_parser("gc", help="mark-and-sweep unreferenced CAS objects")
     g.add_argument("--keep-versions", type=int, default=None,
@@ -284,6 +301,45 @@ def main(argv: list[str] | None = None) -> int:
         h = eng.save_table(a.table, merged)
         print(json.dumps({"ok": True, "table": a.table, "table_hash": h,
                           "rows": merged.df.count()}))
+    elif a.cmd == "dedup-substrings":
+        from pyspark.sql import functions as F
+        from .operators.core import KeyedTable
+        from .queries.linkage import (exact_substring_clean_for,
+                                      exact_substring_spans_for)
+        t = eng.load_table(a.table)
+        if len(t.key_cols) != 1:
+            print(json.dumps({"ok": False,
+                              "error": "dedup-substrings needs a "
+                                       "single-column key table"}))
+            return 1
+        key = t.key_cols[0]
+        if a.text_col not in t.df.columns:
+            print(json.dumps({"ok": False,
+                              "error": f"no column {a.text_col!r} in "
+                                       f"{a.table}"}))
+            return 1
+        cleaned, pinned = exact_substring_clean_for(
+            t.df, key, a.text_col, a.min_len)
+        out_df = (t.df.drop(a.text_col)
+                   .join(cleaned.withColumnRenamed("doc_id", key)
+                                .withColumnRenamed("clean_text", a.text_col),
+                         key, "left"))
+        h = eng.save_table(a.out, KeyedTable(out_df, (key,)))
+        stats = {"ok": True, "table": a.out, "table_hash": h,
+                 "rows": out_df.count()}
+        if a.spans_table:
+            spans, pinned2 = exact_substring_spans_for(
+                t.df, key, a.text_col, a.min_len)
+            spans = spans.withColumnRenamed("doc_id", key)
+            eng.save_table(a.spans_table,
+                           KeyedTable(spans, (key, "span_start")))
+            stats["spans_table"] = a.spans_table
+            stats["spans"] = spans.count()
+            stats["dup_chars"] = (spans.agg(F.sum("span_len")).collect()
+                                  [0][0] or 0)
+            pinned2.unpersist()
+        pinned.unpersist()
+        print(json.dumps(stats))
     elif a.cmd == "export-csv":
         export_csv(eng.load_table(a.table), a.path)
         print(json.dumps({"ok": True, "path": a.path}))

@@ -370,23 +370,27 @@ _XS_SPANS_SQL = f"""
 """
 
 
-def _exact_substring_spans(spark: SparkSession, sf_dir: str):
-    """Maximal cross-doc shared-run spans (see block comment above).
-    Returns ``(spans_df, pinned)``: (doc_id, span_start, span_end,
-    span_len) with 1-based start, exclusive end, char units (Spark
-    substring and DuckDB substring are both character-addressed, so
-    the oracle matches on any charset); ``pinned`` is the checkpointed
-    candidate frame the caller must hand to ``pin_result`` so its
-    storage is released after the result pins."""
-    (doc,) = load(spark, sf_dir, "documents")
-    d = (doc.filter(F.length("text") >= _XS_L)
-            .select("doc_id", "text"))
+def exact_substring_spans_for(doc: DataFrame, key_col: str = "doc_id",
+                              text_col: str = "text",
+                              min_len: int = _XS_L):
+    """Generalized ExactSubstr span detection over ANY (key, text)
+    table — the engine surface behind both the driver queries (over
+    ``documents``) and the ``dedup-substrings`` CLI verb (over any
+    catalog table). Returns ``(spans_df, pinned)``: (doc_id,
+    span_start, span_end, span_len) with 1-based start, exclusive
+    end, char units; ``pinned`` is the persisted candidate frame the
+    caller must hand to ``pin_result`` (or unpersist) so its storage
+    is released after the result pins."""
+    L = int(min_len)
+    d = (doc.select(F.col(key_col).alias("doc_id"),
+                    F.col(text_col).alias("text"))
+            .filter(F.length("text") >= L))
     pos = (d.select(
         "doc_id", "text",
         F.explode(F.expr(
-            f"sequence(1, length(text) - {_XS_L - 1})")).alias("i"))
+            f"sequence(1, length(text) - {L - 1})")).alias("i"))
         .select("doc_id", "i",
-                F.xxhash64(F.expr(f"substring(text, i, {_XS_L})"))
+                F.xxhash64(F.expr(f"substring(text, i, {L})"))
                  .alias("h")))
     # cross-doc candidate hashes: min!=max is a 2-value partial agg
     # (map-side combine), vs count_distinct's per-group set state
@@ -398,7 +402,7 @@ def _exact_substring_spans(spark: SparkSession, sf_dir: str):
     # bounded verify on true bytes (collision-proof): candidates only
     verified = (cand.join(d, "doc_id")
                     .select("doc_id", "i",
-                            F.expr(f"substring(text, i, {_XS_L})")
+                            F.expr(f"substring(text, i, {L})")
                              .alias("gram")))
     # pin the candidate set: it feeds BOTH the gram-verify agg and the
     # position join below — without the pin each consumer re-runs the
@@ -426,7 +430,7 @@ def _exact_substring_spans(spark: SparkSession, sf_dir: str):
     w_run = (W.partitionBy("doc_id").orderBy("i")
               .rowsBetween(W.unboundedPreceding, W.currentRow))
     m = p.withColumn("prev_end",
-                     F.max(F.col("i") + F.lit(_XS_L)).over(w_prev))
+                     F.max(F.col("i") + F.lit(L)).over(w_prev))
     isl = m.withColumn(
         "island",
         F.sum(F.when(F.col("prev_end").isNull()
@@ -434,13 +438,56 @@ def _exact_substring_spans(spark: SparkSession, sf_dir: str):
                .otherwise(0)).over(w_run))
     spans = (isl.groupBy("doc_id", "island")
                 .agg(F.min("i").cast("bigint").alias("span_start"),
-                     (F.max("i") + F.lit(_XS_L)).cast("bigint")
+                     (F.max("i") + F.lit(L)).cast("bigint")
                       .alias("span_end"))
                 .withColumn("span_len",
                             (F.col("span_end") - F.col("span_start"))
                              .cast("bigint"))
                 .select("doc_id", "span_start", "span_end", "span_len"))
     return spans, verified
+
+
+def exact_substring_clean_for(doc: DataFrame, key_col: str = "doc_id",
+                              text_col: str = "text",
+                              min_len: int = _XS_L):
+    """Generalized CUT step: returns ``(cleaned_df, pinned)`` where
+    ``cleaned_df`` is (doc_id, clean_text) over EVERY input row
+    (docs with no spans keep their text verbatim; NULL text becomes
+    ''). Span excision is a single JVM-side ``aggregate`` over the
+    per-doc sorted span list — substring stitching within the row,
+    no corpus-to-characters explode."""
+    spans, pinned = exact_substring_spans_for(doc, key_col, text_col,
+                                              min_len)
+    per_doc = (spans.groupBy("doc_id")
+                    .agg(F.array_sort(F.collect_list(
+                        F.struct("span_start", "span_end"))).alias("sp")))
+    j = (doc.select(F.col(key_col).alias("doc_id"),
+                    F.col(text_col).alias("text"))
+            .join(per_doc, "doc_id", "left"))
+    # fold the span list into (cursor, rebuilt-text); spans are
+    # disjoint and sorted, so each step copies the gap before the span
+    # and advances the cursor past it; the finisher copies the tail
+    clean = F.when(F.col("sp").isNull(),
+                   F.coalesce(F.col("text"), F.lit(""))) \
+             .otherwise(F.expr(
+                 "aggregate(sp, "
+                 "named_struct('p', CAST(1 AS BIGINT), 't', ''), "
+                 "(acc, s) -> named_struct("
+                 "'p', s.span_end, "
+                 "'t', concat(acc.t, substring(text, acc.p, "
+                 "            s.span_start - acc.p))), "
+                 "acc -> concat(acc.t, substring(text, acc.p, "
+                 "              length(text) - acc.p + 1)))"))
+    return j.select("doc_id", clean.alias("clean_text")), pinned
+
+
+def _exact_substring_spans(spark: SparkSession, sf_dir: str):
+    """Driver-query binding of :func:`exact_substring_spans_for` to
+    the ``documents`` table (char units: Spark substring and DuckDB
+    substring are both character-addressed, so the oracle matches on
+    any charset)."""
+    (doc,) = load(spark, sf_dir, "documents")
+    return exact_substring_spans_for(doc)
 
 
 @query("exact_substring_spans", oracle=_XS_SPANS_SQL)
@@ -534,30 +581,12 @@ def exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the sorted span list — substring stitching per doc, no
     explode of the corpus into characters (the oracle does that; the
     engine must not). Text moves only within its own row."""
-    spans, pinned = _exact_substring_spans(spark, sf_dir)
-    per_doc = (spans.groupBy("doc_id")
-                    .agg(F.array_sort(F.collect_list(
-                        F.struct("span_start", "span_end"))).alias("sp")))
     (doc,) = load(spark, sf_dir, "documents")
-    j = doc.select("doc_id", "text").join(per_doc, "doc_id", "left")
-    # fold the span list into (cursor, rebuilt-text); spans are
-    # disjoint and sorted, so each step copies the gap before the span
-    # and advances the cursor past it; the finisher copies the tail
-    clean = F.when(F.col("sp").isNull(), F.coalesce(F.col("text"), F.lit(""))) \
-             .otherwise(F.expr(
-                 "aggregate(sp, "
-                 "named_struct('p', CAST(1 AS BIGINT), 't', ''), "
-                 "(acc, s) -> named_struct("
-                 "'p', s.span_end, "
-                 "'t', concat(acc.t, substring(text, acc.p, "
-                 "            s.span_start - acc.p))), "
-                 "acc -> concat(acc.t, substring(text, acc.p, "
-                 "              length(text) - acc.p + 1)))"))
-    out = (j.select("doc_id", clean.alias("clean_text"))
-            .select("doc_id",
-                    F.length("clean_text").cast("bigint").alias("clean_len"),
-                    F.md5(F.col("clean_text").cast("binary"))
-                     .alias("clean_md5")))
+    cleaned, pinned = exact_substring_clean_for(doc)
+    out = cleaned.select(
+        "doc_id",
+        F.length("clean_text").cast("bigint").alias("clean_len"),
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"))
     return pin_result(out, pinned)
 
 

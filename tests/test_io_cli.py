@@ -506,3 +506,44 @@ def test_cli_explain_prints_physical_plan(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Physical Plan" in out
     assert "Scan parquet" in out or "Scan " in out
+
+
+def test_cli_dedup_substrings_verb(spark, tmp_path, capsys):
+    """The ExactSubstr CLI verb end to end: a catalog text table with
+    a planted cross-row run gets a cleaned table (run excised from
+    every row that shared it) and a span manifest; rows without
+    cross-row runs pass through verbatim."""
+    from messdb_spark.cli import main
+    from messdb_spark.engine import Engine
+    from messdb_spark.operators.core import KeyedTable
+
+    wh = str(tmp_path / "wh")
+    shared = "THE-PLANTED-SHARED-RUN-IS-40-CHARS-LONG!"
+    assert len(shared) == 40
+    rows = [(1, "alpha<" + shared + ">omega", "s1"),
+            (2, "begin_" + shared + "_finish", "s2"),
+            (3, "no duplicated material in this one at all", "s3")]
+    eng = Engine(spark, wh)
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows, "doc_id bigint, body string, src string"),
+        ("doc_id",)))
+
+    assert main(["-w", wh, "dedup-substrings", "-t", "docs",
+                 "--text-col", "body", "--out", "docs_clean",
+                 "--spans-table", "docs_spans", "--min-len", "30"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["ok"] and stats["rows"] == 3
+    assert stats["spans"] == 2 and stats["dup_chars"] == 80
+
+    eng2 = Engine(spark, wh)
+    got = {r["doc_id"]: (r["body"], r["src"])
+           for r in eng2.load_table("docs_clean").df.collect()}
+    assert got == {1: ("alpha<>omega", "s1"),
+                   2: ("begin__finish", "s2"),
+                   3: ("no duplicated material in this one at all", "s3")}
+    spans = {(r["doc_id"], r["span_start"], r["span_end"])
+             for r in eng2.load_table("docs_spans").df.collect()}
+    assert spans == {(1, 7, 47), (2, 7, 47)}
+    # wrong column / composite-key guards
+    assert main(["-w", wh, "dedup-substrings", "-t", "docs",
+                 "--text-col", "nope", "--out", "x"]) == 1
