@@ -420,3 +420,36 @@ def test_gc_lowers_gate_on_all_paths(spark, tmp_path):
         with _pytest.raises(GcBusyError):
             eng.gc()
     assert not eng.objects.sweep_gate_active()
+
+
+def test_put_blocks_on_sweep_gate_then_commits(spark, tmp_path):
+    """Production write path × gate integration: a real ObjectStore.put
+    issued while a FRESH sweep gate is up must wait (not write), then
+    complete correctly once the gate drops."""
+    import threading
+    import time
+
+    from messdb_spark.hashing import table_content_hash
+    from messdb_spark.store import ObjectStore
+
+    store = ObjectStore(str(tmp_path / "wh"))
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(50)],
+                               "k long, v string")
+    store.raise_sweep_gate()
+    done = threading.Event()
+    result = {}
+
+    def _writer():
+        result["h"] = store.put(df, table_content_hash)
+        done.set()
+
+    t = threading.Thread(target=_writer, daemon=True)
+    t.start()
+    assert not done.wait(1.0), "put proceeded through a fresh sweep gate"
+    assert store.saves == 0                      # nothing written yet
+    store.lower_sweep_gate()
+    assert done.wait(60), "put never completed after gate lowered"
+    t.join(10)
+    assert store.exists(result["h"]) and store.saves == 1
+    assert table_content_hash(
+        spark.read.parquet(store.path(result["h"]))) == result["h"]

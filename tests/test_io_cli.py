@@ -547,3 +547,41 @@ def test_cli_dedup_substrings_verb(spark, tmp_path, capsys):
     # wrong column / composite-key guards
     assert main(["-w", wh, "dedup-substrings", "-t", "docs",
                  "--text-col", "nope", "--out", "x"]) == 1
+
+
+def test_cli_dedup_substrings_subprocess(spark, warehouse, tmp_path):
+    """dedup-substrings through a REAL subprocess invocation (fresh
+    interpreter, fresh Spark session — catches import/sys.path issues
+    the in-process test cannot)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "messdb_spark.cli", "-w", warehouse,
+             *args],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout
+
+    run("sql", "-c", "CREATE TABLE d (k BIGINT PRIMARY KEY, txt VARCHAR)")
+    shared = "S" * 15 + "HARED-RUN-THIRTYPLUS-CHARS" + "!" * 5
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(
+        _json.dumps(r) for r in [
+            {"k": 1, "txt": "aa<" + shared + ">bb"},
+            {"k": 2, "txt": "cc{" + shared + "}dd"},
+            {"k": 3, "txt": "nothing shared in here at all, truly"},
+        ]) + "\n")
+    run("import-json", "-t", "d", str(p))
+    stats = _json.loads(run(
+        "dedup-substrings", "-t", "d", "--text-col", "txt",
+        "--out", "d_clean", "--spans-table", "d_spans",
+        "--min-len", "30").splitlines()[-1])
+    assert stats["ok"] and stats["rows"] == 3 and stats["spans"] == 2
+    rows = [_json.loads(ln) for ln in run(
+        "sql", "-c", "SELECT k, txt FROM d_clean").splitlines()]
+    got = {r["k"]: r["txt"] for r in rows}
+    assert got[1] == "aa<>bb" and got[2] == "cc{}dd"
+    assert got[3] == "nothing shared in here at all, truly"
