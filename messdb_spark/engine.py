@@ -1139,9 +1139,30 @@ class Engine:
         # lock-then-validate against it (see ``ObjectStore.lease``) —
         # so any writer either holds a lease the re-check sees (gc
         # aborts busy) or observes the gate and waits out the sweep.
-        # A finished writer moved the version (→ re-mark); the gate is
-        # touched per swept entry so it stays fresh through long
-        # sweeps, and writers ignore a stale gate (crashed gc).
+        # A finished writer moved the version (→ re-mark); a finished
+        # MEMO-ONLY writer (Materializer) moves no version, so memo
+        # targets are re-read behind the gate too. A heartbeat thread
+        # keeps the gate fresh through long sweeps (per-entry touches
+        # stall inside one huge rmtree), and writers ignore a stale
+        # gate (crashed gc).
+        def _memo_targets_now() -> set[str]:
+            refresh = getattr(self.memo, "refresh", None)
+            if refresh is not None:
+                refresh()             # fold in other processes' entries
+            cache = getattr(self.memo, "_cache", None)
+            return (set(cache.values()) if cache is not None
+                    else self._memo_targets())
+
+        def _close_over_manifests(live: set[str], seed) -> None:
+            # close over manifest → bucket edges (any manifest flavor)
+            frontier = list(seed)
+            while frontier:
+                children = manifest_children(self.objects, frontier.pop())
+                for h in children or ():
+                    if h not in live:
+                        live.add(h)
+                        frontier.append(h)
+
         gated = False
         try:
             for _attempt in range(8):
@@ -1154,19 +1175,10 @@ class Engine:
                     live |= {e["table_hash"] for e in root.values()}
                 live |= {e["table_hash"]
                          for e in self.catalog._load_root(None).values()}
+                mark_memo = _memo_targets_now()
                 if not collect_memoized:
-                    cache = getattr(self.memo, "_cache", None)
-                    live |= (set(cache.values()) if cache is not None
-                             else self._memo_targets())
-                # close over manifest → bucket edges (any manifest flavor)
-                frontier = list(live)
-                while frontier:
-                    children = manifest_children(self.objects,
-                                                 frontier.pop())
-                    for h in children or ():
-                        if h not in live:
-                            live.add(h)
-                            frontier.append(h)
+                    live |= mark_memo
+                _close_over_manifests(live, live)
                 snapshot = (sorted(os.listdir(self.objects.objects_dir))
                             if os.path.isdir(self.objects.objects_dir)
                             else [])
@@ -1181,7 +1193,29 @@ class Engine:
                         "in-flight commit could lose its object; retry "
                         "when writes settle, or gc(force=True)")
                 if self.catalog.current_version() == cur:
-                    break   # quiescent window: snapshot is sweep-safe
+                    # quiescent window for CATALOG commits — but a
+                    # Materializer.materialize commits via memo.put
+                    # WITHOUT bumping the catalog version, so one that
+                    # ran entirely inside the mark→gate window (lease
+                    # acquired and released before the re-check above)
+                    # and dedup'd onto an existing unreferenced object
+                    # would be invisible here: the sweep would delete
+                    # its object and the prune its fresh memo entry
+                    # (ADVICE r10 medium). Re-read memo targets behind
+                    # the gate — no new memo commit can start now — and
+                    # union the late arrivals into live. Under
+                    # collect_memoized only entries that appeared SINCE
+                    # the mark are protected (evicting the standing
+                    # compute cache is the caller's intent; losing an
+                    # in-flight writer's commit never is).
+                    late = _memo_targets_now()
+                    if collect_memoized:
+                        late -= mark_memo
+                    new = late - live
+                    if new:
+                        live |= new
+                        _close_over_manifests(live, new)
+                    break   # snapshot is sweep-safe
                 self.objects.lower_sweep_gate()
                 gated = False
             else:
@@ -1190,15 +1224,21 @@ class Engine:
                     "too busy to gc; retry when writes settle, or "
                     "gc(force=True)")
 
+            # heartbeat the gate for the whole sweep: per-entry touches
+            # go stale during ONE long rmtree of a multi-GiB object,
+            # letting writers judge the gc crashed mid-sweep (ADVICE r10)
+            import contextlib
+            hb = (self.objects.sweep_gate_heartbeat() if gated
+                  else contextlib.nullcontext())
             swept: list[str] = []
-            for entry in snapshot:
-                if entry not in live:
-                    swept.append(entry)
-                    if not dry_run:
-                        self.objects.touch_sweep_gate()
-                        shutil.rmtree(os.path.join(
-                            self.objects.objects_dir, entry),
-                            ignore_errors=True)
+            with hb:
+                for entry in snapshot:
+                    if entry not in live:
+                        swept.append(entry)
+                        if not dry_run:
+                            shutil.rmtree(os.path.join(
+                                self.objects.objects_dir, entry),
+                                ignore_errors=True)
             # orphaned staging dirs: a kill-9'd writer never reaches
             # its finally-cleanup, leaking its stage-write forever
             # (GiB-scale at 100 TB). Age-gate: only reap entries older

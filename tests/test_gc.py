@@ -453,3 +453,143 @@ def test_put_blocks_on_sweep_gate_then_commits(spark, tmp_path):
     assert store.exists(result["h"]) and store.saves == 1
     assert table_content_hash(
         spark.read.parquet(store.path(result["h"]))) == result["h"]
+
+
+@pytest.mark.parametrize("backend", ["json", "sqlite"])
+def test_gc_protects_memo_commit_in_mark_gate_window(spark, warehouse,
+                                                     backend):
+    """ADVICE r10 (medium): a Materializer that completes ENTIRELY
+    inside gc's mark→gate window commits via memo.put without bumping
+    the catalog version — and if it dedup'd (write-once skip) onto an
+    existing UNREFERENCED object, the version re-check alone would let
+    the sweep delete that object and the prune drop the fresh memo
+    entry. The post-gate memo re-read must catch it. Simulated
+    deterministically: the racing commit fires from the raise_sweep_gate
+    hook (= after the mark, before the gate checks), through a SECOND
+    store handle standing in for another process."""
+    eng = Engine(spark, warehouse + backend, manifest_backend=backend)
+    eng.save_table("t", KeyedTable(
+        spark.createDataFrame([(1, "a")], "k long, v string"), ("k",)))
+    # an existing unreferenced object — the dedup target
+    from messdb_spark.hashing import table_content_hash
+    orphan = eng.objects.put(
+        spark.createDataFrame([(9, "z")], "k long, v string"),
+        table_content_hash)
+    assert eng.objects.exists(orphan)
+
+    if backend == "sqlite":
+        other_memo = eng.memo        # sqlite reads are live cross-handle
+    else:
+        from messdb_spark.store import MemoStore
+        other_memo = MemoStore(eng.objects.warehouse)  # "other process"
+
+    real_raise = eng.objects.raise_sweep_gate
+    fired = {}
+
+    def _racing_raise():
+        if not fired:
+            fired["digest"] = "racing-op-digest"
+            other_memo.put(fired["digest"], orphan)    # memo-only commit
+        real_raise()
+
+    eng.objects.raise_sweep_gate = _racing_raise
+    stats = eng.gc()
+    assert orphan not in stats["swept"], \
+        "sweep deleted an object a mark-window memo commit references"
+    assert eng.objects.exists(orphan)
+    assert stats["pruned_memo"] == 0
+    # the entry itself survived the prune (re-read through a fresh view)
+    if backend == "sqlite":
+        assert eng.memo.get("racing-op-digest") == orphan
+    else:
+        from messdb_spark.store import MemoStore
+        assert MemoStore(eng.objects.warehouse).get(
+            "racing-op-digest") == orphan
+
+
+def test_gc_collect_memoized_protects_only_late_commits(spark, warehouse):
+    """Under collect_memoized=True the standing compute cache IS the
+    eviction target — but a memo commit landing in the mark→gate window
+    is an in-flight writer, not standing cache, and must survive."""
+    from messdb_spark.hashing import table_content_hash
+    from messdb_spark.store import MemoStore
+
+    eng = Engine(spark, warehouse)
+    eng.save_table("t", KeyedTable(
+        spark.createDataFrame([(1, "a")], "k long, v string"), ("k",)))
+    old_target = eng.objects.put(
+        spark.createDataFrame([(2, "old")], "k long, v string"),
+        table_content_hash)
+    eng.memo.put("standing-entry", old_target)      # pre-existing cache
+    late_target = eng.objects.put(
+        spark.createDataFrame([(3, "new")], "k long, v string"),
+        table_content_hash)
+
+    real_raise = eng.objects.raise_sweep_gate
+    fired = {}
+
+    def _racing_raise():
+        if not fired:
+            fired["x"] = True
+            MemoStore(eng.objects.warehouse).put("late-entry", late_target)
+        real_raise()
+
+    eng.objects.raise_sweep_gate = _racing_raise
+    stats = eng.gc(collect_memoized=True)
+    assert old_target in stats["swept"] and not eng.objects.exists(old_target)
+    assert eng.objects.exists(late_target), \
+        "late memo commit's object evicted with the standing cache"
+    fresh = MemoStore(eng.objects.warehouse)
+    assert fresh.get("standing-entry") is None      # evicted + pruned
+    assert fresh.get("late-entry") == late_target   # protected
+
+
+def test_sweep_gate_heartbeat_outlives_one_long_delete(tmp_path):
+    """ADVICE r10 (low): gate freshness must not depend on per-entry
+    touches — one rmtree longer than SWEEP_GATE_STALE would let writers
+    judge the gc crashed mid-sweep. The heartbeat thread keeps the gate
+    fresh across any single long operation."""
+    import time
+
+    from messdb_spark.store import ObjectStore
+
+    store = ObjectStore(str(tmp_path / "wh"))
+    store.SWEEP_HEARTBEAT = 0.05
+    store.raise_sweep_gate()
+    with store.sweep_gate_heartbeat():
+        # simulate "mid-rmtree": age the gate past staleness, then wait
+        # one heartbeat period — the thread must re-freshen it
+        old = time.time() - store.SWEEP_GATE_STALE - 10
+        os.utime(store._sweep_gate_path(), (old, old))
+        deadline = time.time() + 5
+        while not store.sweep_gate_active() and time.time() < deadline:
+            time.sleep(0.02)
+        assert store.sweep_gate_active(), \
+            "heartbeat did not refresh a staled gate"
+    store.lower_sweep_gate()
+
+
+def test_lease_wait_emits_observability_line(tmp_path, capsys):
+    """A writer parked on the sweep gate longer than LEASE_WAIT_WARN
+    prints ONE diagnostic line (stuck-warehouse triage, VERDICT r9
+    stretch #7) and still acquires once the gate drops."""
+    import threading
+
+    from messdb_spark.store import ObjectStore
+
+    store = ObjectStore(str(tmp_path / "wh"))
+    store.LEASE_WAIT_WARN = 0.2
+    store.raise_sweep_gate()
+    got = threading.Event()
+
+    def _writer():
+        with store.lease():
+            got.set()
+
+    t = threading.Thread(target=_writer, daemon=True)
+    t.start()
+    assert not got.wait(0.6)            # parked past the warn threshold
+    store.lower_sweep_gate()
+    assert got.wait(10)
+    t.join(5)
+    assert "waiting" in capsys.readouterr().err
