@@ -300,3 +300,113 @@ def test_chunk_frames_bound_per_row_state(spark, tmp_path):
     # anchor path: per-row hs is bounded by chunk+W-1 (the filter input
     # array), asserted via the same chunk geometry it is built from
     assert C + _XS_W - 1 < n_grams                # doc >> one chunk
+
+
+# -- r10: clean-idempotence property -----------------------------------
+#
+# VERDICT r9 task #5. Excision is SIMULTANEOUS across all docs, so an
+# originally-shared run cannot survive the cut: any L-gram of a cleaned
+# doc whose chars were contiguous in the original is an original gram,
+# and if such junction-free occurrences existed in TWO docs the gram
+# was cross-doc shared originally, hence covered by a pass-1 span and
+# excised — contradiction. What CAN appear in a second pass are
+# coincidental JUNCTION matches: excision splices previously-distant
+# text, and two docs may synthesize the same new 30-gram across their
+# splice points (the documented caveat). The precise invariant is
+# therefore: every pass-2 shared gram has a junction-CROSSING
+# occurrence in all but at most one of its docs.
+
+
+def _excise(t: str, spans) -> str:
+    return "".join(ch for i, ch in enumerate(t, start=1)
+                   if not any(s <= i < e for s, e in spans))
+
+
+def _junctions(t: str, spans) -> list[int]:
+    """Cleaned-coordinate boundaries where adjacency broke: position b
+    (1-based) such that cleaned chars b-1 and b were NOT adjacent in
+    the original (one per excised span that has kept text on both
+    sides)."""
+    out, pos, cur = [], 1, 1
+    for s, e in sorted(spans):
+        pos += s - cur          # kept chars before this span
+        cur = e
+        if pos > 1:
+            out.append(pos)     # next kept char starts a new segment
+    return [b for b in out if b <= len(_excise(t, spans))]
+
+
+def _run_clean_idempotence(spark, tmp_path, docs, tag):
+    from messdb_spark.queries.linkage import _XS_L
+
+    spans1 = _model_spans(docs)
+    cleaned = {d: _excise(t, spans1.get(d, [])) for d, t in docs.items()}
+    juncs = {d: set(_junctions(t, spans1.get(d, [])))
+             for d, t in docs.items()}
+    # pass 2 through the ENGINE on the cleaned corpus
+    sf2 = _write_docs(spark, tmp_path / tag, cleaned)
+    got2 = defaultdict(list)
+    from messdb_spark.queries import QUERIES
+    for r in QUERIES["exact_substring_spans"].fn(spark, str(
+            tmp_path / tag / "model_sf")).collect():
+        got2[r["doc_id"]].append((r["span_start"], r["span_end"]))
+    got2 = {d: sorted(v) for d, v in got2.items()}
+    assert got2 == _model_spans(cleaned), tag   # engine == model, pass 2
+    # the precise invariant, gram-level over the cleaned corpus
+    gram_occ = defaultdict(lambda: defaultdict(list))
+    for d, t in cleaned.items():
+        for i in range(1, len(t) - _XS_L + 2):
+            gram_occ[t[i - 1:i - 1 + _XS_L]][d].append(i)
+    n_shared = 0
+    for g, occ in gram_occ.items():
+        if len(occ) < 2:
+            continue
+        n_shared += 1
+        junction_free_docs = [
+            d for d, positions in occ.items()
+            if any(not any(i < b <= i + _XS_L - 1 for b in juncs[d])
+                   for i in positions)]
+        assert len(junction_free_docs) <= 1, \
+            (tag, g, junction_free_docs,
+             "an originally-shared run survived the cut")
+    return n_shared
+
+
+def test_clean_idempotence_planted_and_random(spark, tmp_path):
+    """On the planted corpus and a seeded random one, a second
+    detection pass finds nothing at all (no junction coincidences) —
+    and the invariant holds vacuously-or-not as the corpora dictate."""
+    assert _run_clean_idempotence(spark, tmp_path, _planted_docs(),
+                                  "planted") == 0
+    rng = random.Random(20260815)
+    docs = {i: "".join(rng.choice("abc")
+                       for _ in range(rng.randint(10, 220)))
+            for i in range(1, 25)}
+    _run_clean_idempotence(spark, tmp_path, docs, "rand3")
+
+
+def test_clean_idempotence_junction_collision(spark, tmp_path):
+    """The caveat made real: docs 1 and 2 each carry a DIFFERENT run
+    (S1 shared with doc 3, S2 with doc 4 — so T and U, identical in
+    docs 1/2 but sitting next to different runs, are NOT absorbed into
+    the pass-1 spans; identical context adjacent to the SAME run would
+    be, via boundary-straddling grams). Excision then splices T+U (30
+    chars) in both docs 1 and 2 — a brand-new cross-doc duplicate that
+    pass 2 detects legitimately, and the invariant classifies every
+    occurrence as junction-crossing."""
+    S1 = "SHARED-RUN-ONE-THAT-PASS1-CUTS-123456"      # 37 >= L
+    S2 = "DIFFERENT-RUN-TWO-ALSO-CUT-BY-PASS-18"      # 37 >= L
+    T, U = "common-suffix-T", "common-prefix-U"       # 15 + 15 = 30
+    docs = {
+        1: "alpha-filler-one-" + T + S1 + U + "-omega-one",
+        2: "beta-text-two---" + T + S2 + U + "-omega-two2",
+        3: "x3" + S1 + "y3-filler-material",
+        4: "x4" + S2 + "y4-other-material9",
+    }
+    # sanity on the plant: pass 1 cuts exactly S1/S2 (T and U survive)
+    want1 = _model_spans(docs)
+    assert set(want1) == {1, 2, 3, 4}
+    assert all(len(v) == 1 and v[0][1] - v[0][0] == 37
+               for v in want1.values())
+    n_shared = _run_clean_idempotence(spark, tmp_path, docs, "junction")
+    assert n_shared >= 1        # the junction match exists in pass 2
