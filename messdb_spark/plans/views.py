@@ -67,6 +67,27 @@ def sql_view(query: str, inputs: dict[str, dict]) -> dict:
             "inputs": {k: inputs[k] for k in sorted(inputs)}}
 
 
+def xs_spans(input_ir: dict, key_col: str = "doc_id",
+             text_col: str = "text", min_len: int = 30) -> dict:
+    """ExactSubstr span detection as a memoizable view node (VERDICT
+    r9 #2): digest = op + L + column bindings + input node, so the
+    expensive detection materializes ONCE per (corpus version, L) and
+    every family member — stats, clean, the CLI verb — reuses the
+    cached manifest."""
+    return {"op": "xs_spans", "L": int(min_len), "key_col": key_col,
+            "text_col": text_col, "input": input_ir}
+
+
+def xs_clean(input_ir: dict, key_col: str = "doc_id",
+             text_col: str = "text", min_len: int = 30) -> dict:
+    """ExactSubstr CUT step as a view node. Its evaluation first
+    materializes the ``xs_spans`` node over the same input (recursive
+    per-node memo — a prior spans/clean/CLI run makes detection a
+    hit), then applies the span excision only."""
+    return {"op": "xs_clean", "L": int(min_len), "key_col": key_col,
+            "text_col": text_col, "input": input_ir}
+
+
 class Materializer:
     """Evaluates view IR with memoization (recursive, like the
     reference's per-node memoize — every sub-view digest is its own
@@ -100,6 +121,24 @@ class Materializer:
             for name, sub in ir["inputs"].items():
                 self._materialize_node(sub).df.createOrReplaceTempView(name)
             return KeyedTable(self.spark.sql(ir["query"]), ())
+        if op == "xs_spans":
+            from ..queries.linkage import exact_substring_spans_for
+            t = self._materialize_node(ir["input"])
+            spans, pinned = exact_substring_spans_for(
+                t.df, ir["key_col"], ir["text_col"], ir["L"])
+            spans.__xs_pinned__ = pinned   # released after the CAS put
+            return KeyedTable(spans, ("doc_id", "span_start"))
+        if op == "xs_clean":
+            from ..queries.linkage import exact_substring_clean_from_spans
+            spans_h = self.materialize(
+                {"op": "xs_spans", "L": ir["L"], "key_col": ir["key_col"],
+                 "text_col": ir["text_col"], "input": ir["input"]})
+            spans = self.objects.load(self.spark, spans_h)
+            doc = self._materialize_node(ir["input"]).df
+            return KeyedTable(
+                exact_substring_clean_from_spans(
+                    doc, spans, ir["key_col"], ir["text_col"]),
+                ("doc_id",))
         raise ValueError(f"unknown op {op!r}")
 
     def _materialize_node(self, ir: dict) -> KeyedTable:
@@ -121,6 +160,10 @@ class Materializer:
             return self._key_cols_of(ir["input"])
         if op == "sql":
             return ()
+        if op == "xs_spans":
+            return ("doc_id", "span_start")
+        if op == "xs_clean":
+            return ("doc_id",)
         raise ValueError(op)
 
     def materialize(self, ir: dict) -> str:
@@ -142,6 +185,9 @@ class Materializer:
             h = self.objects.put(table.df, self.content_hash_fn,
                                  key_cols=tuple(table.key_cols))
             self.memo.put(digest, h)
+        pinned = getattr(table.df, "__xs_pinned__", None)
+        if pinned is not None:
+            pinned.unpersist()     # detection candidates: job is done
         return h
 
     def dataframe(self, ir: dict) -> DataFrame:

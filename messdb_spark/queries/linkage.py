@@ -537,18 +537,17 @@ def exact_substring_spans_for(doc: DataFrame, key_col: str = "doc_id",
     return spans, verified
 
 
-def exact_substring_clean_for(doc: DataFrame, key_col: str = "doc_id",
-                              text_col: str = "text",
-                              min_len: int = _XS_L,
-                              chunk: int = _XS_CHUNK):
-    """Generalized CUT step: returns ``(cleaned_df, pinned)`` where
-    ``cleaned_df`` is (doc_id, clean_text) over EVERY input row
-    (docs with no spans keep their text verbatim; NULL text becomes
-    ''). Span excision is a single JVM-side ``aggregate`` over the
-    per-doc sorted span list — substring stitching within the row,
-    no corpus-to-characters explode."""
-    spans, pinned = exact_substring_spans_for(doc, key_col, text_col,
-                                              min_len, chunk)
+def exact_substring_clean_from_spans(doc: DataFrame, spans: DataFrame,
+                                     key_col: str = "doc_id",
+                                     text_col: str = "text") -> DataFrame:
+    """CUT step applied to an ALREADY-COMPUTED span manifest (the
+    factoring that lets the memo layer materialize detection once and
+    feed stats/clean/CLI from the cached object — VERDICT r9 #2).
+    Returns (doc_id, clean_text) over EVERY input row (docs with no
+    spans keep their text verbatim; NULL text becomes ''). Span
+    excision is a single JVM-side ``aggregate`` over the per-doc sorted
+    span list — substring stitching within the row, no
+    corpus-to-characters explode."""
     per_doc = (spans.groupBy("doc_id")
                     .agg(F.array_sort(F.collect_list(
                         F.struct("span_start", "span_end"))).alias("sp")))
@@ -569,7 +568,21 @@ def exact_substring_clean_for(doc: DataFrame, key_col: str = "doc_id",
                  "            s.span_start - acc.p))), "
                  "acc -> concat(acc.t, substring(text, acc.p, "
                  "              length(text) - acc.p + 1)))"))
-    return j.select("doc_id", clean.alias("clean_text")), pinned
+    return j.select("doc_id", clean.alias("clean_text"))
+
+
+def exact_substring_clean_for(doc: DataFrame, key_col: str = "doc_id",
+                              text_col: str = "text",
+                              min_len: int = _XS_L,
+                              chunk: int = _XS_CHUNK):
+    """Generalized CUT step: detection + excision in one plan. Returns
+    ``(cleaned_df, pinned)``; see :func:`exact_substring_clean_from_spans`
+    for the excision semantics and :func:`exact_substring_spans_for`
+    for the detection design."""
+    spans, pinned = exact_substring_spans_for(doc, key_col, text_col,
+                                              min_len, chunk)
+    return (exact_substring_clean_from_spans(doc, spans, key_col,
+                                             text_col), pinned)
 
 
 def _exact_substring_spans(spark: SparkSession, sf_dir: str):

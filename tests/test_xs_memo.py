@@ -1,0 +1,145 @@
+"""ExactSubstr through the memo/materializer (VERDICT r9 #2): span
+detection is a view-IR node (op + L + column bindings + input table
+hash), so the expensive detection materializes ONCE per corpus version
+and the whole family — stats, clean, the CLI verb, repeat runs —
+reuses the cached manifest. Counter-asserted, the reference's
+MemoStore contract (``MessDB/Store.hs:28-37``, ``Trie.hs:280-295``)
+carried by the newest operator."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from messdb_spark.engine import Engine
+from messdb_spark.operators.core import KeyedTable
+from messdb_spark.plans.views import xs_clean, xs_spans
+
+
+def _corpus(spark):
+    shared = "THE-PLANTED-SHARED-RUN-IS-40-CHARS-LONG!"
+    rows = [(1, "alpha<" + shared + ">omega-unique-one"),
+            (2, "begin_" + shared + "_finish-unique-two"),
+            (3, "plain row with nothing duplicated at all here"),
+            (4, None),
+            (5, "short")]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.mark.parametrize("backend", ["json", "sqlite"])
+def test_xs_family_materializes_detection_once(spark, warehouse, backend):
+    eng = Engine(spark, warehouse + backend, manifest_backend=backend)
+    df = _corpus(spark)
+    eng.save_table("docs", KeyedTable(df, ("doc_id",)))
+    ir_doc = eng.scan_ir("docs")
+    m = eng.materializer
+
+    # first member: spans node computes (1 op, 1 CAS write)
+    saves0 = eng.objects.saves
+    h_spans = m.materialize(xs_spans(ir_doc))
+    assert m.computed_ops == 1 and eng.objects.saves == saves0 + 1
+
+    # second member: clean HITS the spans node — detection does NOT
+    # re-run; only the excision node computes
+    hits0, saves1 = eng.memo.hits, eng.objects.saves
+    h_clean = m.materialize(xs_clean(ir_doc))
+    assert m.computed_ops == 2, "clean recomputed detection"
+    assert eng.memo.hits == hits0 + 1
+    assert eng.objects.saves == saves1 + 1      # the clean object only
+
+    # full re-run of BOTH: pure hits — zero compute, zero CAS writes
+    saves2 = eng.objects.saves
+    assert m.materialize(xs_spans(ir_doc)) == h_spans
+    assert m.materialize(xs_clean(ir_doc)) == h_clean
+    assert m.computed_ops == 2 and eng.objects.saves == saves2
+
+    # the memoized results equal the direct one-plan computations
+    from messdb_spark.queries.linkage import (exact_substring_clean_for,
+                                              exact_substring_spans_for)
+    want_spans, pinned = exact_substring_spans_for(df)
+    got_spans = eng.objects.load(spark, h_spans)
+    assert sorted(map(tuple, got_spans.collect())) \
+        == sorted(map(tuple, want_spans.collect()))
+    pinned.unpersist()
+    want_clean, pinned2 = exact_substring_clean_for(df)
+    got_clean = eng.objects.load(spark, h_clean)
+    assert sorted(map(tuple, got_clean.collect())) \
+        == sorted(map(tuple, want_clean.collect()))
+    pinned2.unpersist()
+
+
+def test_xs_digest_keyed_by_corpus_version_and_L(spark, warehouse):
+    """A new corpus version or a different L is a different digest —
+    no stale reuse; the OLD version's manifest stays cached."""
+    eng = Engine(spark, warehouse)
+    eng.save_table("docs", KeyedTable(_corpus(spark), ("doc_id",)))
+    m = eng.materializer
+    ir1 = eng.scan_ir("docs")
+    h1 = m.materialize(xs_spans(ir1))
+    assert m.computed_ops == 1
+    # L differs -> different DIGEST -> recomputes (the planted 40-char
+    # run yields the same maximal span at L=35, so the CONTENT hash
+    # dedups write-once — correct: op cache by digest, storage by value)
+    h35 = m.materialize(xs_spans(ir1, min_len=35))
+    assert m.computed_ops == 2
+    assert h35 == h1            # value-level dedup, not an op-cache hit
+    # upsert one row -> new table hash -> new digest, recomputes
+    eng.save_table("docs", KeyedTable(spark.createDataFrame(
+        [(6, "a brand new row of unshared text material")],
+        "doc_id bigint, text string"), ("doc_id",)))
+    ir2 = eng.scan_ir("docs")
+    assert ir2["table_hash"] != ir1["table_hash"]
+    m.materialize(xs_spans(ir2))
+    assert m.computed_ops == 3
+    # the original version's manifest still hits
+    assert m.materialize(xs_spans(ir1)) == h1
+    assert m.computed_ops == 3
+
+
+def test_cli_dedup_substrings_second_run_is_memo_hit(spark, tmp_path,
+                                                     capsys):
+    """ADVICE r9: the verb used to recompute detection for
+    --spans-table (two extra corpus scans); now the clean step, the
+    span save AND a repeat invocation share one materialized manifest."""
+    from messdb_spark.cli import main
+
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh)
+    eng.save_table("docs", KeyedTable(_corpus(spark), ("doc_id",)))
+
+    args = ["-w", wh, "dedup-substrings", "-t", "docs",
+            "--out", "docs_clean", "--spans-table", "docs_spans"]
+    assert main(args) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["ok"] and first["memo_hit"] is False
+    assert first["spans"] == 2 and first["dup_chars"] == 80
+
+    # second run, fresh Engine (fresh counters): detection must HIT
+    assert main(args) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["ok"] and second["memo_hit"] is True
+    assert second["spans"] == 2 and second["dup_chars"] == 80
+    assert second["table_hash"] == first["table_hash"]
+
+    eng2 = Engine(spark, wh)
+    got = {r["doc_id"]: r["text"]
+           for r in eng2.load_table("docs_clean").df.collect()}
+    assert got[1] == "alpha<>omega-unique-one"
+    assert got[2] == "begin__finish-unique-two"
+    assert got[4] == "" and got[5] == "short"
+
+
+def test_xs_spans_pinned_frame_released_after_materialize(spark,
+                                                          warehouse):
+    """The detection's persisted candidate frame must not leak into
+    executor storage after the manifest materializes (pin_result
+    discipline, applied to the memo path)."""
+    eng = Engine(spark, warehouse)
+    eng.save_table("docs", KeyedTable(_corpus(spark), ("doc_id",)))
+    sc = spark.sparkContext
+    before = {r.id for r in sc._jsc.sc().getRDDStorageInfo()}
+    eng.materializer.materialize(xs_spans(eng.scan_ir("docs")))
+    after = {r.id for r in sc._jsc.sc().getRDDStorageInfo()}
+    assert after <= before, "xs_spans leaked persisted candidate blocks"
