@@ -38,10 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # via tests/test_oracle_parity.py at sf0.001/sf0.01 (ledger-pinned).
 
 _ROTATION_FRONT = [
-    # round-9 edits whose driver rows predate the change
-    "string_funcs_part_brands",    # oracle literal encoder (ADVICE r8)
-    "ivf_store_pruned_search",     # load_many single-scan probe (r8 #3)
-    "incremental_ivf_refresh",     # load_many single-scan probe (r8 #3)
+    # round-10 edits whose driver rows predate the change: the whole
+    # ExactSubstr family was re-expressed over 64 Ki-gram chunks with
+    # the hybrid gram strategy (exact_substring_refresh is new and
+    # fronts automatically as never-checked)
+    "exact_substring_spans",
+    "exact_substring_dedup",
+    "exact_substring_clean",
+    "anchor_sampled_substrings",
 ]
 
 

@@ -894,3 +894,316 @@ def anchor_sampled_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.coalesce("detected_chars", F.lit(0)).cast("bigint")
                        .alias("detected_chars")))
     return pin_result(out, a)
+
+
+# -- incremental ExactSubstr (maintain-under-churn) --------------------
+#
+# VERDICT r9 next-round #3: the churn analysis (COVERAGE.md §Round-9)
+# correctly rules out gram-bucket object reuse — a changed doc's gram
+# hashes land in every bucket, so a gram-keyed postings table rewrites
+# wholesale on any delta. The real delta-proportional path is DOC-keyed:
+# persist the anchor index (doc_id, i, gram) and the span manifest,
+# both bucketed BY DOC; on a delta, re-run anchor selection on the
+# delta's new texts ONLY (the sole text scan), probe the persisted
+# index by gram for partner docs, and recompute spans for
+# (delta ∪ partners) against the updated index — every other doc's
+# anchors AND spans pass through as untouched bucket objects
+# (``Trie.hs:346-348``). The honest non-delta cost is two COLUMNAR
+# scans of the index's gram column (partner probe + cross-doc status),
+# ~corpus/W rows of 30-char grams — no position explosion, no text.
+
+
+def _islands_spans(p: DataFrame, L: int) -> DataFrame:
+    """Merge hit positions (doc_id, i) into maximal spans via per-doc
+    gaps-and-islands over intervals [i, i+L) — the same window shape
+    the one-shot queries use; state bounded per doc."""
+    w_prev = (W.partitionBy("doc_id").orderBy("i")
+               .rowsBetween(W.unboundedPreceding, -1))
+    w_run = (W.partitionBy("doc_id").orderBy("i")
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    isl = (p.withColumn("prev_end",
+                        F.max(F.col("i") + F.lit(L)).over(w_prev))
+            .withColumn("island",
+                        F.sum(F.when(F.col("prev_end").isNull()
+                                     | (F.col("i") > F.col("prev_end")), 1)
+                               .otherwise(0)).over(w_run)))
+    return (isl.groupBy("doc_id", "island")
+               .agg(F.min("i").cast("bigint").alias("span_start"),
+                    (F.max("i") + F.lit(L)).cast("bigint").alias("span_end"))
+               .select("doc_id", "span_start", "span_end"))
+
+
+def _xs_replace_docs(spark: SparkSession, store, ref, doc_ids,
+                     new_rows: DataFrame):
+    """Bucket-granular DOC replacement in a doc-keyed BucketedRef: drop
+    every row of ``doc_ids``, insert ``new_rows`` (docs ⊆ doc_ids), and
+    rewrite ONLY the buckets those docs hash to — all other bucket
+    objects pass through by reference. Returns (new_ref, n_rewritten).
+
+    This is replace, not upsert: a doc's anchor/span SET shrinks as
+    well as grows, so stale rows must go — ``incremental_upsert``'s
+    key-wise last-wins cannot express that."""
+    from ..plans.incremental import (EMPTY, BucketedRef, _bucket_expr,
+                                     _write_buckets, read_bucketed)
+
+    ids = [int(d) for d in doc_ids]
+    if not ids:
+        return ref, 0
+    ids_df = spark.createDataFrame([(d,) for d in ids], "doc_id bigint")
+    tb = sorted(r["b"] for r in ids_df.select(
+        _bucket_expr(("doc_id",), ref.n_buckets).alias("b"))
+        .distinct().collect())
+    base = read_bucketed(spark, store, ref, buckets=tb).df
+    keep = base.filter(~F.col("doc_id").isin(ids))
+    merged = keep.unionByName(new_rows.select(*base.columns))
+    new_hashes = _write_buckets(store, merged, ("doc_id",), ref.n_buckets,
+                                bucket_whitelist=set(tb))
+    bh = list(ref.bucket_hashes)
+    for b in tb:
+        bh[b] = new_hashes.get(b, EMPTY)
+    return BucketedRef(key_cols=ref.key_cols, n_buckets=ref.n_buckets,
+                       bucket_hashes=tuple(bh),
+                       schema_json=ref.schema_json), len(tb)
+
+
+def exact_substring_anchor_state(spark: SparkSession, store,
+                                 doc: DataFrame,
+                                 key_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 min_len: int = _XS_L,
+                                 n_buckets: int = 16):
+    """Initial build of the refreshable anchor-ExactSubstr state: the
+    persisted anchor index and span manifest, both doc-bucketed.
+    Returns (anchors_ref, spans_ref)."""
+    from ..operators.core import KeyedTable
+    from ..plans.incremental import write_bucketed
+
+    a = anchor_positions_for(doc, key_col, text_col, min_len)
+    a = a.persist()
+    a.count()
+    anchors_ref = write_bucketed(store, KeyedTable(a, ("doc_id",)),
+                                 n_buckets=n_buckets)
+    hit = (a.groupBy("gram")
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .filter(F.col("lo") != F.col("hi")).select("gram"))
+    spans = _islands_spans(a.join(hit, "gram").select("doc_id", "i"),
+                           int(min_len))
+    spans_ref = write_bucketed(store, KeyedTable(spans, ("doc_id",)),
+                               n_buckets=n_buckets)
+    a.unpersist()
+    return anchors_ref, spans_ref
+
+
+def exact_substring_refresh_for(spark: SparkSession, store, anchors_ref,
+                                spans_ref, delta_docs: DataFrame,
+                                key_col: str = "doc_id",
+                                text_col: str = "text",
+                                min_len: int = _XS_L):
+    """Delta-proportional refresh of the anchor-ExactSubstr state.
+
+    ``delta_docs``: (key, text) — a NULL text deletes the doc; a new
+    key inserts one. The ONLY text ever scanned is the delta's own
+    (anchor selection over it); partner discovery and cross-doc status
+    are gram-column scans of the PERSISTED index; anchors and spans
+    rewrite only the buckets of (delta) and (delta ∪ partners)
+    respectively. Returns (anchors_ref', spans_ref', stats)."""
+    from ..plans.incremental import read_bucketed
+
+    L = int(min_len)
+    delta = (delta_docs.select(F.col(key_col).alias("doc_id"),
+                               F.col(text_col).alias("text"))
+             .localCheckpoint(eager=True))
+    delta_ids = [r["doc_id"] for r in
+                 delta.select("doc_id").distinct().collect()]
+    # 1. the ONLY text scan: anchor-select the delta's new texts
+    new_anchors = anchor_positions_for(
+        delta.filter(F.col("text").isNotNull()), "doc_id", "text", L)
+    new_anchors = new_anchors.localCheckpoint(eager=True)
+    # 2. the delta docs' OLD anchors: bucket-pruned index read
+    from ..plans.incremental import _bucket_expr
+    ids_df = spark.createDataFrame([(int(d),) for d in delta_ids],
+                                   "doc_id bigint")
+    tb = sorted(r["b"] for r in ids_df.select(
+        _bucket_expr(("doc_id",), anchors_ref.n_buckets).alias("b"))
+        .distinct().collect())
+    old_delta = (read_bucketed(spark, store, anchors_ref, buckets=tb).df
+                 .filter(F.col("doc_id").isin(delta_ids)))
+    # 3. partner probe: grams whose cross-doc status CAN change are
+    #    exactly those present in the delta's old or new anchors; one
+    #    columnar scan of the index joins them out
+    probe = (old_delta.select("gram")
+             .unionByName(new_anchors.select("gram")).distinct())
+    idx_all = read_bucketed(spark, store, anchors_ref).df
+    partners = sorted(
+        r["doc_id"] for r in
+        idx_all.join(F.broadcast(probe), "gram")
+               .select("doc_id").distinct().collect())
+    affected = sorted(set(delta_ids) | set(partners))
+    # 4. replace the delta docs' anchors (bucket-granular)
+    anchors_ref2, idx_rewritten = _xs_replace_docs(
+        spark, store, anchors_ref, delta_ids, new_anchors)
+    # 5. recompute spans for the affected docs against the UPDATED
+    #    index: their anchors come from pruned buckets; cross-doc
+    #    status is the second gram-column scan, restricted to the
+    #    affected docs' grams
+    aff_df = spark.createDataFrame([(int(d),) for d in affected],
+                                   "doc_id bigint")
+    ab = sorted(r["b"] for r in aff_df.select(
+        _bucket_expr(("doc_id",), anchors_ref2.n_buckets).alias("b"))
+        .distinct().collect())
+    A = (read_bucketed(spark, store, anchors_ref2, buckets=ab).df
+         .filter(F.col("doc_id").isin(affected)))
+    A = A.persist()
+    A.count()
+    idx2 = read_bucketed(spark, store, anchors_ref2).df
+    cross = (idx2.join(A.select("gram").distinct(), "gram")
+                 .groupBy("gram")
+                 .agg(F.min("doc_id").alias("lo"),
+                      F.max("doc_id").alias("hi"))
+                 .filter(F.col("lo") != F.col("hi")).select("gram"))
+    new_spans = _islands_spans(
+        A.join(cross, "gram").select("doc_id", "i"), L)
+    spans_ref2, spans_rewritten = _xs_replace_docs(
+        spark, store, spans_ref, affected, new_spans)
+    A.unpersist()
+    stats = {"delta_docs": len(delta_ids),
+             "text_docs_scanned": delta.filter(
+                 F.col("text").isNotNull()).count(),
+             "partners": len(set(partners) - set(delta_ids)),
+             "affected_docs": len(affected),
+             "index_buckets_rewritten": idx_rewritten,
+             "spans_buckets_rewritten": spans_rewritten}
+    return anchors_ref2, spans_ref2, stats
+
+
+# the shared run the refresh demo plants into the two edited docs —
+# one literal, used verbatim by BOTH engines
+_XS_R_RUN = "##REFRESH-PLANTED-RUN-SHARED-BY-EDITED-DOCS-7-AND-11--64-CHARS##"
+assert len(_XS_R_RUN) == 64
+
+_XS_R_ALL_DOCS = f"""
+      SELECT doc_id, text FROM documents WHERE doc_id NOT IN (7, 11, 13)
+      UNION ALL
+      SELECT doc_id, text || '{_XS_R_RUN}' AS text
+      FROM documents WHERE doc_id IN (7, 11)
+      UNION ALL
+      SELECT CAST(900001 AS BIGINT) AS doc_id, text
+      FROM documents WHERE doc_id = 5
+"""
+
+
+@query(
+    "exact_substring_refresh",
+    oracle=f"""
+    WITH all_docs AS ({_XS_R_ALL_DOCS}),
+    d AS (
+      SELECT doc_id, text FROM all_docs WHERE length(text) >= {_XS_L}
+    ),
+    g AS (
+      SELECT doc_id, i, substring(text, i, {_XS_L}) AS gram,
+             md5(substring(text, i, {_XS_L})) AS h
+      FROM d, LATERAL unnest(generate_series(1, length(text) - {_XS_L - 1}))
+           AS t(i)
+    ),
+    a AS (
+      SELECT doc_id, i, gram FROM (
+        SELECT doc_id, i, gram, h,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN {_XS_W - 1} PRECEDING AND CURRENT ROW) AS mn
+        FROM g) WHERE h = mn
+    ),
+    hit AS (
+      SELECT gram FROM a GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+    ),
+    p AS (SELECT doc_id, i FROM a JOIN hit USING (gram)),
+    m AS (
+      SELECT doc_id, i,
+             max(i + {_XS_L}) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM p
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN prev_end IS NULL OR i > prev_end
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM m
+    )
+    SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+           CAST(max(i) + {_XS_L} AS BIGINT) AS span_end
+    FROM isl GROUP BY doc_id, island
+    """)
+def exact_substring_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr MAINTAINED UNDER CHURN (the last operator family
+    lacking an incremental path — VERDICT r9 #3): build the persisted
+    anchor index + span manifest, apply a fixed 4-doc delta (docs 7 and
+    11 edited to share a planted run, doc 13 deleted, doc 900001 added
+    as a copy of doc 5), refresh, and return the refreshed span
+    manifest — which the oracle recomputes FROM SCRATCH over the
+    post-delta corpus.
+
+    In-body asserts (they run at sf0.1 in the bench too, where no
+    oracle checks): the only text scanned is the delta's (3 docs),
+    anchor-index rewrites are bounded by the DELTA's buckets, span
+    rewrites by the AFFECTED docs' buckets, the affected set stays a
+    small fraction of the corpus, and the refreshed state equals a
+    full from-scratch rebuild bucket by bucket (manifest hashes —
+    untouched buckets shared by reference, touched ones content-equal).
+
+    Scale: refresh cost = anchor-select the delta + two columnar scans
+    of the index's GRAM column (~corpus/{W} 30-char rows — no text, no
+    position explosion) + rewrite of the touched doc-buckets. A 100 TB
+    corpus with a 0.1% daily delta re-reads its compact index, never
+    its text."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..store import ObjectStore
+
+    (docs,) = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    n_docs = base.count()
+    delta = (base.filter(F.col("doc_id").isin(7, 11))
+             .select("doc_id", F.concat(F.col("text"),
+                                        F.lit(_XS_R_RUN)).alias("text"))
+             .unionByName(spark.createDataFrame(
+                 [(13, None)], "doc_id bigint, text string"))
+             .unionByName(base.filter(F.col("doc_id") == 5)
+                          .select(F.lit(900001).cast("bigint")
+                                   .alias("doc_id"), "text")))
+    tmp = tempfile.mkdtemp(prefix="messdb_xsrefresh_")
+    try:
+        store = ObjectStore(os.path.join(tmp, "wh"))
+        a_ref, s_ref, = exact_substring_anchor_state(spark, store, base)
+        a_ref2, s_ref2, st = exact_substring_refresh_for(
+            spark, store, a_ref, s_ref, delta)
+        if st["text_docs_scanned"] != 3 or st["delta_docs"] != 4:
+            raise AssertionError(f"delta shape: {st}")
+        if st["index_buckets_rewritten"] > min(4, a_ref.n_buckets):
+            raise AssertionError(
+                f"index rewrite not delta-bounded: {st}")
+        if st["affected_docs"] > max(8, n_docs // 5):
+            raise AssertionError(
+                f"affected set not sparse: {st} over {n_docs} docs")
+        if st["spans_buckets_rewritten"] > min(st["affected_docs"],
+                                               s_ref.n_buckets):
+            raise AssertionError(
+                f"span rewrite not affected-bounded: {st}")
+        # gold check, engine-side (runs at EVERY sf incl. bench): the
+        # refreshed state must equal a full from-scratch rebuild over
+        # the post-delta corpus — compared by bucket content hashes
+        post = (base.filter(~F.col("doc_id").isin(7, 11, 13))
+                .unionByName(delta.filter(F.col("text").isNotNull())))
+        a_full, s_full = exact_substring_anchor_state(spark, store, post)
+        if a_full.bucket_hashes != a_ref2.bucket_hashes \
+                or s_full.bucket_hashes != s_ref2.bucket_hashes:
+            raise AssertionError("refresh != full rebuild")
+        from ..plans.incremental import read_bucketed
+        out = (read_bucketed(spark, store, s_ref2).df
+               .select("doc_id", "span_start", "span_end")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

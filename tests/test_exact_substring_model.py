@@ -410,3 +410,88 @@ def test_clean_idempotence_junction_collision(spark, tmp_path):
                for v in want1.values())
     n_shared = _run_clean_idempotence(spark, tmp_path, docs, "junction")
     assert n_shared >= 1        # the junction match exists in pass 2
+
+
+# -- r10: incremental refresh (maintain-under-churn) -------------------
+
+
+def test_refresh_matches_rebuild_on_planted_churn(spark, tmp_path):
+    """exact_substring_refresh_for vs a from-scratch rebuild, on a
+    delta engineered to flip PARTNER status both ways: doc 1 (which
+    linked docs 2/7 via run40 and doc 3 via exact30) is rewritten to
+    unique text and doc 2 is deleted — so doc 7, itself UNTOUCHED,
+    loses its last partner and its spans must vanish; doc 50 arrives
+    as a verbatim copy of doc 3, so doc 3 (also untouched) gains spans.
+    The refresh must propagate both flips while rewriting only the
+    affected docs' buckets, and the final manifests must equal a full
+    rebuild hash for hash."""
+    from messdb_spark.queries.linkage import (
+        exact_substring_anchor_state, exact_substring_refresh_for)
+    from messdb_spark.plans.incremental import read_bucketed
+    from messdb_spark.store import ObjectStore
+
+    docs = _planted_docs()
+    base = spark.createDataFrame(sorted(docs.items()),
+                                 "doc_id bigint, text string")
+    store = ObjectStore(str(tmp_path / "wh"))
+    a_ref, s_ref = exact_substring_anchor_state(spark, store, base)
+    # doc 7 starts WITH spans (run40 shared with docs 1/2)
+    spans0 = read_bucketed(spark, store, s_ref).df
+    assert spans0.filter("doc_id = 7").count() > 0
+
+    doc3_text = docs[3]
+    delta = spark.createDataFrame(
+        [(1, "totally new unique content with nothing shared at all-1"),
+         (2, None),
+         (50, doc3_text),
+         (51, "another brand new row of entirely unshared material xx")],
+        "doc_id bigint, text string")
+    a2, s2, st = exact_substring_refresh_for(spark, store, a_ref, s_ref,
+                                             delta)
+    assert st["delta_docs"] == 4 and st["text_docs_scanned"] == 3
+    # the affected set must include the UNTOUCHED docs whose partner
+    # status flips (3 gains a partner, 7 loses its last one)
+    assert st["affected_docs"] >= 6    # 4 delta docs + docs 3 and 7
+
+    post = {d: t for d, t in {**docs,
+                              1: "totally new unique content with "
+                                 "nothing shared at all-1",
+                              50: doc3_text,
+                              51: "another brand new row of entirely "
+                                  "unshared material xx"}.items()
+            if d != 2}
+    full_a, full_s = exact_substring_anchor_state(
+        spark, store, spark.createDataFrame(sorted(post.items()),
+                                            "doc_id bigint, text string"))
+    assert a2.bucket_hashes == full_a.bucket_hashes
+    assert s2.bucket_hashes == full_s.bucket_hashes
+
+    spans2 = read_bucketed(spark, store, s2).df
+    assert spans2.filter("doc_id = 7").count() == 0   # lost last partner
+    got3 = {(r["span_start"], r["span_end"])
+            for r in spans2.filter("doc_id = 3").collect()}
+    got50 = {(r["span_start"], r["span_end"])
+             for r in spans2.filter("doc_id = 50").collect()}
+    assert got3 and got3 == got50                     # identical copies
+
+
+def test_refresh_noop_delta_rewrites_nothing_new(spark, tmp_path):
+    """Re-upserting a doc with UNCHANGED text: the rewritten buckets
+    are content-equal (CAS dedups the writes), spans identical, and
+    the manifests hash-equal to the originals."""
+    from messdb_spark.queries.linkage import (
+        exact_substring_anchor_state, exact_substring_refresh_for)
+    from messdb_spark.store import ObjectStore
+
+    docs = _planted_docs()
+    base = spark.createDataFrame(sorted(docs.items()),
+                                 "doc_id bigint, text string")
+    store = ObjectStore(str(tmp_path / "wh"))
+    a_ref, s_ref = exact_substring_anchor_state(spark, store, base)
+    delta = spark.createDataFrame([(1, docs[1])],
+                                  "doc_id bigint, text string")
+    a2, s2, st = exact_substring_refresh_for(spark, store, a_ref, s_ref,
+                                             delta)
+    assert a2.bucket_hashes == a_ref.bucket_hashes
+    assert s2.bucket_hashes == s_ref.bucket_hashes
+    assert st["index_buckets_rewritten"] <= 1
