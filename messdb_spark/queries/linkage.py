@@ -1207,3 +1207,105 @@ def exact_substring_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# -- long-document fixture (bench-scale memory-bound exercise) ---------
+#
+# VERDICT r9 stretch #8: the chunking memory bound must be exercised at
+# every closing bench, not only in pytest. Four ~500 KB documents (8
+# chunks each at the 64 Ki constant) are SYNTHESIZED DETERMINISTICALLY
+# as md5-hex chains — both engines can generate byte-identical docs,
+# and the high-entropy filler makes the planted shared runs the exact,
+# provable ground truth: run S1 (160 chars) STRADDLES the first chunk
+# boundary at char 65536; run S2 (96 chars) sits deep in chunk 5. The
+# oracle is therefore the LITERAL expected span set (the planted-model
+# discipline of tests/test_exact_substring_model.py, driver-visible).
+
+_XS_LD = {"a": 2047, "s1": 5, "b": 8000, "s2": 3, "c": 6000}
+# doc-unique sentinels bracket each shared run WITH THE DOC DIGIT AS
+# THE CHAR TOUCHING THE RUN: md5-hex filler alone leaves a 1-in-16
+# chance per boundary char that two docs' adjacent chars coincide and
+# stretch a span by one, and any fixed sentinel char touching the run
+# is itself shared (both observed on earlier plants) — with the digit
+# adjacent, every gram crossing a run boundary is doc-unique, so the
+# planted intervals are exact with probability 1
+_XS_LD_S1 = (_XS_LD["a"] * 32 + 3, _XS_LD["a"] * 32 + 3
+             + _XS_LD["s1"] * 32)
+_XS_LD_S2 = (_XS_LD_S1[1] + 2 + _XS_LD["b"] * 32 + 2,
+             _XS_LD_S1[1] + 2 + _XS_LD["b"] * 32 + 2
+             + _XS_LD["s2"] * 32)
+_XS_LD_LEN = sum(_XS_LD.values()) * 32 + 8
+
+
+def _xs_chain(tag_expr: str, n: int) -> str:
+    """Spark expr: n-term md5-hex chain seeded by ``tag_expr``."""
+    return (f"array_join(transform(sequence(1, {n}), "
+            f"k -> md5(CAST(concat({tag_expr}, ':', CAST(k AS STRING)) "
+            f"AS BINARY))), '')")
+
+
+def _xs_long_docs(spark: SparkSession) -> DataFrame:
+    before = "concat('{}', CAST(doc_id AS STRING))"   # digit TOUCHES run
+    after = "concat(CAST(doc_id AS STRING), '{}')"
+    text = "concat(" + ", ".join([
+        _xs_chain("concat('d', CAST(doc_id AS STRING), 'a')", _XS_LD["a"]),
+        before.format("u"),
+        _xs_chain("'shared-one'", _XS_LD["s1"]),
+        after.format("v"),
+        _xs_chain("concat('d', CAST(doc_id AS STRING), 'b')", _XS_LD["b"]),
+        before.format("w"),
+        _xs_chain("'shared-two'", _XS_LD["s2"]),
+        after.format("z"),
+        _xs_chain("concat('d', CAST(doc_id AS STRING), 'c')", _XS_LD["c"]),
+    ]) + ")"
+    return (spark.range(1, 5).select(F.col("id").alias("doc_id"))
+            .select("doc_id", F.expr(text).alias("text")))
+
+
+@query(
+    "exact_substring_long_docs",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(s AS BIGINT) AS span_start, CAST(e AS BIGINT) AS span_end
+    FROM (VALUES {", ".join(
+        f"({d}, {s}, {e})" for d in (1, 2, 3, 4)
+        for s, e in (_XS_LD_S1, _XS_LD_S2))}) t(doc_id, s, e)
+    """)
+def exact_substring_long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr on MULTI-CHUNK documents at bench scale: 4 docs of
+    {LEN} chars (8 chunks each), two planted cross-doc runs — one
+    straddling the 64 Ki chunk boundary — over collision-free md5-chain
+    filler. Detection must return exactly the 8 planted spans (the
+    oracle is the literal plant; the filler's entropy makes any other
+    span a detection bug), and the anchor variant must find a sound
+    subset with at least one hit per doc — both paths exercising the
+    bounded per-chunk state on documents ~1000x longer than the
+    corpus tables', at every closing bench (sf-independent fixture)."""
+    docs = _xs_long_docs(spark).localCheckpoint(eager=True)
+    spans, pinned = exact_substring_spans_for(docs)
+    out = spans.select("doc_id", "span_start", "span_end") \
+               .localCheckpoint(eager=True)
+    pinned.unpersist()
+    want = {(d, s, e) for d in (1, 2, 3, 4)
+            for s, e in (_XS_LD_S1, _XS_LD_S2)}
+    got = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in out.collect()}
+    if got != want:
+        raise AssertionError(
+            f"long-doc spans drifted from the plant: {sorted(got)[:6]}")
+    # anchor path on the same frame: sound subset, nonzero recall
+    a = anchor_positions_for(docs).persist()
+    hit = (a.groupBy("gram")
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .filter(F.col("lo") != F.col("hi")).select("gram"))
+    aspans = _islands_spans(a.join(hit, "gram").select("doc_id", "i"),
+                            _XS_L).collect()
+    a.unpersist()
+    docs.unpersist()
+    if not aspans:
+        raise AssertionError("anchor path found nothing in planted runs")
+    for r in aspans:
+        if not any(r["doc_id"] == d and s <= r["span_start"]
+                   and r["span_end"] <= e for d, s, e in want):
+            raise AssertionError(f"anchor span outside the plant: {r}")
+    return out
