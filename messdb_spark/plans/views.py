@@ -187,7 +187,9 @@ class Materializer:
             self.memo.put(digest, h)
         pinned = getattr(table.df, "__xs_pinned__", None)
         if pinned is not None:
-            pinned.unpersist()     # detection candidates: job is done
+            # blocking: callers (and the release test) must observe the
+            # candidate blocks gone the moment materialize returns
+            pinned.unpersist(blocking=True)
         return h
 
     def dataframe(self, ir: dict) -> DataFrame:
