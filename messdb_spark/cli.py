@@ -15,6 +15,9 @@ directory plays the role of the reference's single sqlite file
     python -m messdb_spark.cli --warehouse WH gc --keep-versions 3
     python -m messdb_spark.cli --warehouse WH dedup-substrings -t docs \\
         --out docs_clean --spans-table docs_spans --min-len 30
+    python -m messdb_spark.cli --warehouse WH dedup-substrings -t docs \\
+        --out docs_clean --incremental   # maintained anchor-mode state;
+                                         # delta derived by content diff
 
 Query results print as JSON lines (``messdb-tool.hs:195``).
 """
@@ -144,6 +147,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="also save the span manifest under this name")
     ds.add_argument("--min-len", type=int, default=30,
                     help="minimum shared run length in chars")
+    ds.add_argument("--incremental", action="store_true",
+                    help="maintain persisted anchor-mode state "
+                         "(<out>__xs_anchors/__xs_spans/__xs_meta) and "
+                         "refresh it delta-proportionally — the delta "
+                         "is derived automatically by diffing the "
+                         "current table against the content snapshot "
+                         "the state was built from (anchor detector: "
+                         "sampled recall, exact precision)")
 
     g = sub.add_parser("gc", help="mark-and-sweep unreferenced CAS objects")
     g.add_argument("--keep-versions", type=int, default=None,
@@ -301,6 +312,17 @@ def main(argv: list[str] | None = None) -> int:
         h = eng.save_table(a.table, merged)
         print(json.dumps({"ok": True, "table": a.table, "table_hash": h,
                           "rows": merged.df.count()}))
+    elif a.cmd == "dedup-substrings" and a.incremental:
+        from .queries.linkage import dedup_substrings_incremental
+        try:
+            stats = dedup_substrings_incremental(
+                eng, a.table, a.out, text_col=a.text_col,
+                min_len=a.min_len, spans_table=a.spans_table)
+        except (KeyError, ValueError) as e:
+            print(json.dumps({"ok": False, "error": str(
+                e.args[0] if e.args else e)}))
+            return 1
+        print(json.dumps(stats))
     elif a.cmd == "dedup-substrings":
         from pyspark.sql import functions as F
         from .operators.core import KeyedTable

@@ -933,6 +933,20 @@ def _islands_spans(p: DataFrame, L: int) -> DataFrame:
                .select("doc_id", "span_start", "span_end"))
 
 
+def _xs_ids_df(spark: SparkSession, ref, ids) -> DataFrame:
+    """One-column (doc_id) frame in the ref's OWN key type — bucket
+    ids come from xxhash64 over the typed column, so a bigint/string
+    mismatch would hash to the wrong buckets."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(_json.loads(ref.schema_json))
+    return spark.createDataFrame(
+        [(d,) for d in ids],
+        T.StructType([T.StructField("doc_id", schema["doc_id"].dataType)]))
+
+
 def _xs_replace_docs(spark: SparkSession, store, ref, doc_ids,
                      new_rows: DataFrame):
     """Bucket-granular DOC replacement in a doc-keyed BucketedRef: drop
@@ -946,10 +960,10 @@ def _xs_replace_docs(spark: SparkSession, store, ref, doc_ids,
     from ..plans.incremental import (EMPTY, BucketedRef, _bucket_expr,
                                      _write_buckets, read_bucketed)
 
-    ids = [int(d) for d in doc_ids]
+    ids = list(doc_ids)
     if not ids:
         return ref, 0
-    ids_df = spark.createDataFrame([(d,) for d in ids], "doc_id bigint")
+    ids_df = _xs_ids_df(spark, ref, ids)
     tb = sorted(r["b"] for r in ids_df.select(
         _bucket_expr(("doc_id",), ref.n_buckets).alias("b"))
         .distinct().collect())
@@ -1021,8 +1035,7 @@ def exact_substring_refresh_for(spark: SparkSession, store, anchors_ref,
     new_anchors = new_anchors.localCheckpoint(eager=True)
     # 2. the delta docs' OLD anchors: bucket-pruned index read
     from ..plans.incremental import _bucket_expr
-    ids_df = spark.createDataFrame([(int(d),) for d in delta_ids],
-                                   "doc_id bigint")
+    ids_df = _xs_ids_df(spark, anchors_ref, delta_ids)
     tb = sorted(r["b"] for r in ids_df.select(
         _bucket_expr(("doc_id",), anchors_ref.n_buckets).alias("b"))
         .distinct().collect())
@@ -1046,8 +1059,7 @@ def exact_substring_refresh_for(spark: SparkSession, store, anchors_ref,
     #    index: their anchors come from pruned buckets; cross-doc
     #    status is the second gram-column scan, restricted to the
     #    affected docs' grams
-    aff_df = spark.createDataFrame([(int(d),) for d in affected],
-                                   "doc_id bigint")
+    aff_df = _xs_ids_df(spark, anchors_ref2, affected)
     ab = sorted(r["b"] for r in aff_df.select(
         _bucket_expr(("doc_id",), anchors_ref2.n_buckets).alias("b"))
         .distinct().collect())
@@ -1309,3 +1321,118 @@ def exact_substring_long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    and r["span_end"] <= e for d, s, e in want):
             raise AssertionError(f"anchor span outside the plant: {r}")
     return out
+
+
+def _load_object_df(eng, table_hash: str) -> DataFrame:
+    """A CAS object as a DataFrame, whatever its layout (plain parquet
+    or bucketed manifest) — for reading the PREVIOUS source snapshot."""
+    from ..plans.incremental import load_manifest, read_bucketed
+
+    ref = load_manifest(eng.objects, table_hash)
+    if ref is not None:
+        return read_bucketed(eng.spark, eng.objects, ref).df
+    return eng.objects.load(eng.spark, table_hash)
+
+
+def dedup_substrings_incremental(eng, table: str, out: str,
+                                 text_col: str = "text",
+                                 min_len: int = _XS_L,
+                                 spans_table: str | None = None) -> dict:
+    """User-reachable maintain-under-churn ExactSubstr: the CLI's
+    ``dedup-substrings --incremental`` body.
+
+    Anchor-mode detection (the scale knob — sampled recall, exact
+    precision) with PERSISTED state in the catalog, committed
+    atomically with the cleaned output in one root swap:
+
+      <out>__xs_anchors — doc-bucketed anchor index manifest
+      <out>__xs_spans   — doc-bucketed span manifest
+      <out>__xs_meta    — (source_hash, min_len, text_col) provenance
+
+    First run builds the state (full anchor detection). Every later
+    run derives the delta ITSELF: the meta row pins the content hash
+    of the source snapshot the state matches; the immutable CAS still
+    holds that snapshot, so ``diff_tables(old, new)`` yields exactly
+    the changed/added/removed rows and
+    :func:`exact_substring_refresh_for` does delta-proportional work —
+    no user-supplied change feed needed (the content-addressed-
+    everything design paying off as a feature). If the old snapshot
+    was GC'd, or min_len/text_col changed, the state rebuilds (mode
+    reported). An unchanged source is a no-op (mode "noop")."""
+    from ..operators.core import KeyedTable, diff_tables
+    from ..plans.incremental import load_manifest, read_bucketed
+
+    spark = eng.spark
+    t = eng.load_table(table)
+    if len(t.key_cols) != 1:
+        raise ValueError("dedup-substrings needs a single-column key")
+    key = t.key_cols[0]
+    if text_col not in t.df.columns:
+        raise ValueError(f"no column {text_col!r} in {table}")
+    cur_hash = eng.table_hash(table)
+    src = t.df.select(key, text_col)
+    meta_name, anch_name, spans_name = (f"{out}__xs_meta",
+                                        f"{out}__xs_anchors",
+                                        f"{out}__xs_spans")
+    a_ref = s_ref = old_hash = None
+    meta_e = eng.catalog.get(meta_name)
+    if meta_e is not None:
+        meta = eng.objects.load(spark, meta_e.table_hash).collect()[0]
+        if (meta["min_len"] == int(min_len)
+                and meta["text_col"] == text_col
+                and eng.objects.exists(meta["source_hash"])):
+            a_e = eng.catalog.get(anch_name)
+            s_e = eng.catalog.get(spans_name)
+            if a_e is not None and s_e is not None:
+                a_ref = load_manifest(eng.objects, a_e.table_hash)
+                s_ref = load_manifest(eng.objects, s_e.table_hash)
+                old_hash = meta["source_hash"]
+    stats: dict = {"ok": True, "detector": "anchor", "table": out}
+    with eng.transaction():
+        if a_ref is None or s_ref is None:
+            stats["mode"] = "build"
+            a2, s2 = exact_substring_anchor_state(
+                spark, eng.objects, src, key, text_col, min_len)
+        elif old_hash == cur_hash:
+            stats["mode"] = "noop"
+            a2, s2 = a_ref, s_ref
+        else:
+            stats["mode"] = "refresh"
+            old = _load_object_df(eng, old_hash).select(key, text_col)
+            d = diff_tables(KeyedTable(old, (key,)),
+                            KeyedTable(src, (key,)))
+            delta = d.select(
+                F.col(key),
+                F.when(F.col("change") == "removed", F.lit(None))
+                 .otherwise(F.col(f"new_{text_col}")).alias(text_col))
+            a2, s2, rst = exact_substring_refresh_for(
+                spark, eng.objects, a_ref, s_ref, delta,
+                key_col=key, text_col=text_col, min_len=min_len)
+            stats.update(rst)
+        eng.save_bucketed_table(anch_name, a2)
+        eng.save_bucketed_table(spans_name, s2)
+        eng.save_table(meta_name, KeyedTable(
+            spark.createDataFrame(
+                [(cur_hash, int(min_len), text_col)],
+                "source_hash string, min_len bigint, text_col string"),
+            ("source_hash",)))
+        spans = read_bucketed(spark, eng.objects, s2).df
+        cleaned = exact_substring_clean_from_spans(
+            src, spans.select("doc_id", "span_start", "span_end"),
+            key, text_col)
+        out_df = (t.df.drop(text_col)
+                  .join(cleaned.withColumnRenamed("doc_id", key)
+                               .withColumnRenamed("clean_text", text_col),
+                        key, "left"))
+        stats["table_hash"] = eng.save_table(out, KeyedTable(out_df,
+                                                             (key,)))
+        if spans_table:
+            sp = (spans.withColumnRenamed("doc_id", key)
+                  .withColumn("span_len",
+                              (F.col("span_end") - F.col("span_start"))
+                              .cast("bigint")))
+            eng.save_table(spans_table, KeyedTable(sp, (key, "span_start")))
+            stats["spans_table"] = spans_table
+        stats["rows"] = out_df.count()
+        stats["spans"] = spans.count()
+    return stats

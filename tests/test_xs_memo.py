@@ -143,3 +143,135 @@ def test_xs_spans_pinned_frame_released_after_materialize(spark,
     eng.materializer.materialize(xs_spans(eng.scan_ir("docs")))
     after = {r.id for r in sc._jsc.sc().getRDDStorageInfo()}
     assert after <= before, "xs_spans leaked persisted candidate blocks"
+
+
+# -- r10: dedup-substrings --incremental (maintained state) ------------
+
+
+def _anchor_clean_reference(spark, df, key, text_col, min_len=30):
+    """From-scratch anchor-mode clean of (key, text) — the ground truth
+    an incremental run must converge to."""
+    from messdb_spark.queries.linkage import (
+        _islands_spans, anchor_positions_for,
+        exact_substring_clean_from_spans)
+
+    a = anchor_positions_for(df.select(key, text_col), key, text_col,
+                             min_len)
+    hit = (a.groupBy("gram")
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .filter(F.col("lo") != F.col("hi")).select("gram"))
+    spans = _islands_spans(a.join(hit, "gram").select("doc_id", "i"),
+                           min_len)
+    cleaned = exact_substring_clean_from_spans(
+        df.select(key, text_col), spans, key, text_col)
+    return {r["doc_id"]: r["clean_text"] for r in cleaned.collect()}
+
+
+def test_cli_dedup_substrings_incremental_lifecycle(spark, tmp_path,
+                                                    capsys):
+    """build → noop → refresh through the CLI flag: the second run on
+    an unchanged table does nothing; after an upsert the delta is
+    DERIVED from the content diff against the snapshot the state was
+    built from, the refresh scans only the changed docs' text, and the
+    cleaned output equals a from-scratch anchor-mode clean."""
+    import json as _json
+
+    from messdb_spark.cli import main
+
+    shared = "THE-PLANTED-SHARED-RUN-IS-40-CHARS-LONG!"
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh)
+    rows = [(1, "alpha<" + shared + ">omega-one", "s1"),
+            (2, "begin_" + shared + "_finish-two", "s2"),
+            (3, "nothing duplicated in this row at all, no sir", "s3")]
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows, "doc_id bigint, body string, src string"),
+        ("doc_id",)))
+    args = ["-w", wh, "dedup-substrings", "-t", "docs", "--text-col",
+            "body", "--out", "docs_clean", "--spans-table", "docs_spans",
+            "--incremental"]
+
+    assert main(args) == 0
+    st1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st1["ok"] and st1["mode"] == "build" and st1["rows"] == 3
+    assert st1["detector"] == "anchor" and st1["spans"] >= 2
+
+    # unchanged source → noop
+    assert main(args) == 0
+    st2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st2["mode"] == "noop" and st2["table_hash"] == st1["table_hash"]
+
+    # churn: doc 2 rewritten to unique text (doc 1 loses its partner),
+    # doc 4 added sharing a NEW run with doc 3's replacement... keep it
+    # simple: 2 edited, 4 added as a copy of 3
+    eng2 = Engine(spark, wh)
+    d3_text = rows[2][1]
+    upd = spark.createDataFrame(
+        [(2, "completely fresh unique body text now!!", "s2"),
+         (4, d3_text, "s4")],
+        "doc_id bigint, body string, src string")
+    from messdb_spark.operators.core import canonicalize_input, merge_tables
+    merged = merge_tables([eng2.load_table("docs"),
+                           canonicalize_input(upd, ("doc_id",))])
+    eng2.save_table("docs", merged)
+
+    assert main(args) == 0
+    st3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st3["mode"] == "refresh"
+    assert st3["delta_docs"] == 2            # derived, not user-supplied
+    assert st3["text_docs_scanned"] == 2
+    assert st3["affected_docs"] >= 3         # 2, 4, plus partners 1/3
+
+    eng3 = Engine(spark, wh)
+    got = {r["doc_id"]: r["body"]
+           for r in eng3.load_table("docs_clean").df.collect()}
+    src_now = eng3.load_table("docs").df \
+        .withColumnRenamed("body", "body")
+    want = _anchor_clean_reference(
+        spark, src_now.withColumnRenamed("doc_id", "doc_id")
+        .selectExpr("doc_id", "body"), "doc_id", "body")
+    assert got == want
+    # docs 3 and 4 are verbatim copies: identical cleaned text
+    assert got[3] == got[4]
+    # doc 1 lost its only partner: cleaned text == full original
+    assert got[1] == rows[0][1]
+    # spans manifest matches the refreshed state
+    spans = {(r["doc_id"], r["span_start"], r["span_end"])
+             for r in eng3.load_table("docs_spans").df.collect()}
+    assert spans and all(d in (3, 4) for d, _, _ in spans)
+
+
+def test_incremental_state_rebuilds_on_min_len_change(spark, tmp_path):
+    """A different --min-len is a different operator: the state must
+    rebuild, not silently reuse mismatched manifests."""
+    from messdb_spark.queries.linkage import dedup_substrings_incremental
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    shared = "THE-PLANTED-SHARED-RUN-IS-40-CHARS-LONG!"
+    eng.save_table("d", KeyedTable(spark.createDataFrame(
+        [(1, "xx<" + shared + ">yy"), (2, "aa{" + shared + "}bb")],
+        "doc_id bigint, text string"), ("doc_id",)))
+    st1 = dedup_substrings_incremental(eng, "d", "d_clean")
+    assert st1["mode"] == "build"
+    st2 = dedup_substrings_incremental(eng, "d", "d_clean", min_len=35)
+    assert st2["mode"] == "build"            # rebuilt, not reused
+    st3 = dedup_substrings_incremental(eng, "d", "d_clean", min_len=35)
+    assert st3["mode"] == "noop"
+
+
+def test_incremental_commit_is_atomic(spark, tmp_path):
+    """State manifests, meta, cleaned output and span table land in ONE
+    catalog version — a reader never sees state ahead of output."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    shared = "THE-PLANTED-SHARED-RUN-IS-40-CHARS-LONG!"
+    eng.save_table("d", KeyedTable(spark.createDataFrame(
+        [(1, "xx<" + shared + ">yy"), (2, "aa{" + shared + "}bb")],
+        "doc_id bigint, text string"), ("doc_id",)))
+    from messdb_spark.queries.linkage import dedup_substrings_incremental
+    v0 = eng.catalog.current_version()
+    dedup_substrings_incremental(eng, "d", "d_clean",
+                                 spans_table="d_spans")
+    assert eng.catalog.current_version() == v0 + 1
+    names = set(eng.catalog.names())
+    assert {"d_clean", "d_spans", "d_clean__xs_anchors",
+            "d_clean__xs_spans", "d_clean__xs_meta"} <= names
