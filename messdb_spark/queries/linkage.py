@@ -1104,10 +1104,11 @@ _XS_R_ALL_DOCS = f"""
 """
 
 
-@query(
-    "exact_substring_refresh",
-    oracle=f"""
-    WITH all_docs AS ({_XS_R_ALL_DOCS}),
+def _xs_anchor_spans_sql(docs_sql: str) -> str:
+    """DuckDB anchor-spans pipeline over an arbitrary (doc_id, text)
+    source — shared by the refresh and streaming-ingest oracles."""
+    return f"""
+    WITH all_docs AS ({docs_sql}),
     d AS (
       SELECT doc_id, text FROM all_docs WHERE length(text) >= {_XS_L}
     ),
@@ -1145,7 +1146,11 @@ _XS_R_ALL_DOCS = f"""
     SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
            CAST(max(i) + {_XS_L} AS BIGINT) AS span_end
     FROM isl GROUP BY doc_id, island
-    """)
+    """
+
+
+@query("exact_substring_refresh",
+       oracle=_xs_anchor_spans_sql(_XS_R_ALL_DOCS))
 def exact_substring_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr MAINTAINED UNDER CHURN (the last operator family
     lacking an incremental path — VERDICT r9 #3): build the persisted
@@ -1436,3 +1441,115 @@ def dedup_substrings_incremental(eng, table: str, out: str,
         stats["rows"] = out_df.count()
         stats["spans"] = spans.count()
     return stats
+
+
+@query("stream_xs_ingest_replay",
+       oracle=_xs_anchor_spans_sql(
+           "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0"))
+def stream_xs_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr family DRIVEN BY A STREAM — the operational
+    crawl loop for substring dedup: documents arrive over 3
+    micro-batches; each batch refreshes the persisted anchor index +
+    span manifest via :func:`exact_substring_refresh_for` and commits
+    BOTH to the catalog in one transaction per batch (the pattern
+    ``stream_minhash_ingest_replay`` established, now carrying the
+    newest operator family). In-body asserts: 3 batch commits, one
+    root swap each, and — the incrementality contract — each refresh
+    anchor-scans exactly its OWN batch's text, never the accumulated
+    corpus. The final span manifest hash-checks against DuckDB
+    computing anchor spans over the whole corpus from scratch.
+
+    Scale: per micro-batch cost is (batch anchor-select) + two
+    columnar gram scans of the index + (touched doc-buckets
+    rewritten) + one root swap — arrival-rate-bounded text work; the
+    index re-scan is the documented compact probe cost."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+    from ..plans.incremental import load_manifest, read_bucketed
+    from .engine_ops import _replay_shuffle_partitions
+
+    (d,) = load(spark, sf_dir, "documents")
+    # a uniform quarter of the corpus: the replay pays 3x (batch anchor
+    # select + index maintenance + txn commit) — the mechanism is what
+    # this query checks, and the 1/4 slice bounds its bench cost while
+    # keeping the oracle a genuine cross-doc-duplication workload
+    docs = d.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="messdb_xsstream_")
+    try:
+        src_dir = os.path.join(tmp, "src")
+        (docs.withColumn("__sp", F.pmod(F.col("doc_id"), F.lit(3))
+                         .cast("int"))
+             .repartition(3, "__sp")
+             .write.partitionBy("__sp").mode("overwrite").parquet(src_dir))
+        eng = Engine(spark, os.path.join(tmp, "wh"))
+        batches = []
+
+        def sink(batch_df, epoch_id):
+            pinned = (batch_df.select("doc_id", "text")
+                      .localCheckpoint(eager=True))
+            n_batch = pinned.count()
+            with eng.transaction():
+                a_e = eng.catalog.get("xs_anchors")
+                if a_e is None:
+                    a2, s2 = exact_substring_anchor_state(
+                        spark, eng.objects, pinned, n_buckets=8)
+                    scanned = n_batch
+                else:
+                    a_ref = load_manifest(eng.objects, a_e.table_hash)
+                    s_ref = load_manifest(
+                        eng.objects,
+                        eng.catalog.get("xs_spans").table_hash)
+                    a2, s2, st = exact_substring_refresh_for(
+                        spark, eng.objects, a_ref, s_ref, pinned)
+                    scanned = st["text_docs_scanned"]
+                eng.save_bucketed_table("xs_anchors", a2)
+                eng.save_bucketed_table("xs_spans", s2)
+                batches.append(
+                    (eng.catalog.current_version() + 1, n_batch, scanned))
+            pinned.unpersist()
+
+        stream = (spark.readStream
+                  .schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("recursiveFileLookup", "true")
+                  .parquet(src_dir))
+        with _replay_shuffle_partitions(spark):
+            q = (stream.writeStream.foreachBatch(sink)
+                 .outputMode("update")
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        if len(batches) != 3:
+            raise AssertionError(
+                f"expected 3 micro-batches, got {len(batches)}")
+        versions = [b[0] for b in batches]
+        if versions != sorted(set(versions)) or \
+                versions[-1] - versions[0] != 2:
+            raise AssertionError(
+                f"each batch must commit index+spans in ONE root swap: "
+                f"{versions}")
+        total = 0
+        for v, n_batch, scanned in batches:
+            total += n_batch
+            if scanned != n_batch:
+                raise AssertionError(
+                    f"batch at v{v} anchor-scanned {scanned} docs, "
+                    f"batch held {n_batch} — refresh touched text "
+                    f"beyond its delta")
+        if total != docs.count():
+            raise AssertionError("batches did not cover the corpus")
+        out = (read_bucketed(
+            spark, eng.objects,
+            load_manifest(eng.objects,
+                          eng.catalog.get("xs_spans").table_hash)).df
+            .select("doc_id", "span_start", "span_end")
+            .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
