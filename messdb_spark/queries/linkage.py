@@ -1020,7 +1020,9 @@ def exact_substring_refresh_for(spark: SparkSession, store, anchors_ref,
     (anchor selection over it); partner discovery and cross-doc status
     are gram-column scans of the PERSISTED index; anchors and spans
     rewrite only the buckets of (delta) and (delta ∪ partners)
-    respectively. Returns (anchors_ref', spans_ref', stats)."""
+    respectively, where partners are MINIMAL: only docs holding a gram
+    whose cross-doc status actually flips. Returns
+    (anchors_ref', spans_ref', stats)."""
     from ..plans.incremental import read_bucketed
 
     L = int(min_len)
@@ -1042,22 +1044,50 @@ def exact_substring_refresh_for(spark: SparkSession, store, anchors_ref,
     old_delta = (read_bucketed(spark, store, anchors_ref, buckets=tb).df
                  .filter(F.col("doc_id").isin(delta_ids)))
     # 3. partner probe: grams whose cross-doc status CAN change are
-    #    exactly those present in the delta's old or new anchors; one
-    #    columnar scan of the index joins them out
+    #    exactly those present in the delta's old or new anchors. A doc
+    #    OUTSIDE the delta needs its spans recomputed only if some gram
+    #    it holds FLIPS status (1 <-> >=2 distinct docs): a boilerplate
+    #    gram held by thousands of docs that merely gains or loses one
+    #    occurrence flips nothing, and those docs stay untouched —
+    #    without this, one common gram in the delta would drag the
+    #    whole corpus into the rewrite. A flipped gram's holder set is
+    #    tiny on its single side (old or new distinct-doc count <= 1),
+    #    so the lone non-delta partner IS that side's lo(==hi)
+    #    aggregate — no third index scan needed for partner ids.
     probe = (old_delta.select("gram")
-             .unionByName(new_anchors.select("gram")).distinct())
+             .unionByName(new_anchors.select("gram")).distinct()
+             .localCheckpoint(eager=True))
     idx_all = read_bucketed(spark, store, anchors_ref).df
-    partners = sorted(
-        r["doc_id"] for r in
-        idx_all.join(F.broadcast(probe), "gram")
-               .select("doc_id").distinct().collect())
-    affected = sorted(set(delta_ids) | set(partners))
-    # 4. replace the delta docs' anchors (bucket-granular)
+    old_stat = (idx_all.join(F.broadcast(probe), "gram")
+                .groupBy("gram")
+                .agg(F.min("doc_id").alias("olo"),
+                     F.max("doc_id").alias("ohi")))
+    # 4. replace the delta docs' anchors (bucket-granular), then the
+    #    probe grams' NEW status from one scan of the replaced index
     anchors_ref2, idx_rewritten = _xs_replace_docs(
         spark, store, anchors_ref, delta_ids, new_anchors)
+    idx2 = read_bucketed(spark, store, anchors_ref2).df
+    new_stat = (idx2.join(F.broadcast(probe), "gram")
+                .groupBy("gram")
+                .agg(F.min("doc_id").alias("nlo"),
+                     F.max("doc_id").alias("nhi")))
+    was = F.coalesce(F.col("olo") != F.col("ohi"), F.lit(False))
+    now = F.coalesce(F.col("nlo") != F.col("nhi"), F.lit(False))
+    partner_c = (F.when(now, F.when(F.col("olo") == F.col("ohi"),
+                                    F.col("olo")))     # single -> cross
+                 .otherwise(F.when(F.col("nlo") == F.col("nhi"),
+                                   F.col("nlo"))))     # cross -> single
+    partners = sorted(
+        r["doc_id"] for r in
+        old_stat.join(new_stat, "gram", "full_outer")
+                .filter(was != now)
+                .select(partner_c.alias("doc_id"))
+                .filter(F.col("doc_id").isNotNull())
+                .distinct().collect())
+    affected = sorted(set(delta_ids) | set(partners))
     # 5. recompute spans for the affected docs against the UPDATED
     #    index: their anchors come from pruned buckets; cross-doc
-    #    status is the second gram-column scan, restricted to the
+    #    status is a third gram-column scan, restricted to the
     #    affected docs' grams
     aff_df = _xs_ids_df(spark, anchors_ref2, affected)
     ab = sorted(r["b"] for r in aff_df.select(
@@ -1067,7 +1097,6 @@ def exact_substring_refresh_for(spark: SparkSession, store, anchors_ref,
          .filter(F.col("doc_id").isin(affected)))
     A = A.persist()
     A.count()
-    idx2 = read_bucketed(spark, store, anchors_ref2).df
     cross = (idx2.join(A.select("gram").distinct(), "gram")
                  .groupBy("gram")
                  .agg(F.min("doc_id").alias("lo"),
@@ -1168,9 +1197,11 @@ def exact_substring_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     full from-scratch rebuild bucket by bucket (manifest hashes —
     untouched buckets shared by reference, touched ones content-equal).
 
-    Scale: refresh cost = anchor-select the delta + two columnar scans
-    of the index's GRAM column (~corpus/{W} 30-char rows — no text, no
-    position explosion) + rewrite of the touched doc-buckets. A 100 TB
+    Scale: refresh cost = anchor-select the delta + three columnar
+    scans of the index's GRAM column (~corpus/{W} 30-char rows — no
+    text, no position explosion) + rewrite of the touched doc-buckets.
+    Partners are STATUS-FLIP minimal, so a boilerplate gram shared by
+    thousands of docs cannot drag them into the rewrite. A 100 TB
     corpus with a 0.1% daily delta re-reads its compact index, never
     its text."""
     import os
@@ -1459,7 +1490,7 @@ def stream_xs_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. The final span manifest hash-checks against DuckDB
     computing anchor spans over the whole corpus from scratch.
 
-    Scale: per micro-batch cost is (batch anchor-select) + two
+    Scale: per micro-batch cost is (batch anchor-select) + three
     columnar gram scans of the index + (touched doc-buckets
     rewritten) + one root swap — arrival-rate-bounded text work; the
     index re-scan is the documented compact probe cost."""

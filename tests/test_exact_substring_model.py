@@ -495,3 +495,47 @@ def test_refresh_noop_delta_rewrites_nothing_new(spark, tmp_path):
     assert a2.bucket_hashes == a_ref.bucket_hashes
     assert s2.bucket_hashes == s_ref.bucket_hashes
     assert st["index_buckets_rewritten"] <= 1
+
+
+def test_refresh_partners_are_status_flip_minimal(spark, tmp_path):
+    """A BOILERPLATE gram shared by the whole corpus must not drag its
+    holders into a refresh: 60 docs all carry the same 90-char
+    boilerplate run; the delta edits one of them (keeping the
+    boilerplate) and adds a new doc that also carries it. Every
+    boilerplate gram stays cross-doc (status never flips), so the
+    affected set is EXACTLY the delta — without flip-minimal partners
+    this delta would rewrite all 61 docs. The refreshed state must
+    still equal a full rebuild hash for hash (untouched docs keep
+    their spans by reference, not by recompute)."""
+    from messdb_spark.queries.linkage import (
+        exact_substring_anchor_state, exact_substring_refresh_for)
+    from messdb_spark.store import ObjectStore
+
+    # fixed-width ids everywhere: variable-width ones plant accidental
+    # cross-doc junction grams ("-tail1" is a PREFIX of "-tail10", so
+    # doc 10 contains doc 1's final 30-gram — a real flip, observed)
+    boiler = "".join(f"B{i % 10}" for i in range(45))      # 90 chars
+    docs = {d: f"doc{d:03d}-" + "".join(f"u{d:03d}x{i}" for i in range(8))
+            + boiler + f"-tail{d:03d}e" for d in range(1, 61)}
+    base = spark.createDataFrame(sorted(docs.items()),
+                                 "doc_id bigint, text string")
+    store = ObjectStore(str(tmp_path / "wh"))
+    a_ref, s_ref = exact_substring_anchor_state(spark, store, base)
+
+    doc1b = ("doc001-EDITED-" + "".join(f"w{i}q" for i in range(9))
+             + boiler + "-tail901e")
+    doc100 = "doc100-fresh-" + boiler + "-tail100e"
+    delta = spark.createDataFrame(
+        [(1, doc1b), (100, doc100)],
+        "doc_id bigint, text string")
+    a2, s2, st = exact_substring_refresh_for(spark, store, a_ref, s_ref,
+                                             delta)
+    assert st["partners"] == 0, st
+    assert st["affected_docs"] == 2, st
+
+    post = {**docs, 1: doc1b, 100: doc100}
+    full_a, full_s = exact_substring_anchor_state(
+        spark, store, spark.createDataFrame(sorted(post.items()),
+                                            "doc_id bigint, text string"))
+    assert a2.bucket_hashes == full_a.bucket_hashes
+    assert s2.bucket_hashes == full_s.bucket_hashes
