@@ -933,26 +933,24 @@ def _islands_spans(p: DataFrame, L: int) -> DataFrame:
                .select("doc_id", "span_start", "span_end"))
 
 
-def _xs_ids_df(spark: SparkSession, ref, ids) -> DataFrame:
-    """One-column (doc_id) frame in the ref's OWN key type — bucket
-    ids come from xxhash64 over the typed column, so a bigint/string
-    mismatch would hash to the wrong buckets."""
-    import json as _json
-
-    from pyspark.sql import types as T
-
-    schema = T.StructType.fromJson(_json.loads(ref.schema_json))
-    return spark.createDataFrame(
-        [(d,) for d in ids],
-        T.StructType([T.StructField("doc_id", schema["doc_id"].dataType)]))
+_XS_BCAST_MAX = 1_000_000   # id/gram frames broadcast below this count
 
 
-def _xs_replace_docs(spark: SparkSession, store, ref, doc_ids,
-                     new_rows: DataFrame):
+def _xs_gate(df: DataFrame, n: int) -> DataFrame:
+    """Count-gated broadcast: delta-derived frames are usually tiny,
+    but a bulk re-ingest can make them arbitrarily large — past the
+    gate they join by shuffle instead of flooding every executor."""
+    return F.broadcast(df) if n <= _XS_BCAST_MAX else df
+
+
+def _xs_replace_docs(spark: SparkSession, store, ref, ids_df: DataFrame,
+                     n_ids: int, new_rows: DataFrame):
     """Bucket-granular DOC replacement in a doc-keyed BucketedRef: drop
-    every row of ``doc_ids``, insert ``new_rows`` (docs ⊆ doc_ids), and
-    rewrite ONLY the buckets those docs hash to — all other bucket
-    objects pass through by reference. Returns (new_ref, n_rewritten).
+    every row whose doc_id is in ``ids_df`` (a one-column frame in the
+    ref's own key type — ids never materialize on the driver), insert
+    ``new_rows`` (docs ⊆ ids), and rewrite ONLY the buckets those docs
+    hash to — all other bucket objects pass through by reference.
+    Returns (new_ref, n_rewritten).
 
     This is replace, not upsert: a doc's anchor/span SET shrinks as
     well as grows, so stale rows must go — ``incremental_upsert``'s
@@ -960,15 +958,14 @@ def _xs_replace_docs(spark: SparkSession, store, ref, doc_ids,
     from ..plans.incremental import (EMPTY, BucketedRef, _bucket_expr,
                                      _write_buckets, read_bucketed)
 
-    ids = list(doc_ids)
-    if not ids:
+    if not n_ids:
         return ref, 0
-    ids_df = _xs_ids_df(spark, ref, ids)
+    ids_df = ids_df.select(F.col(ids_df.columns[0]).alias("doc_id"))
     tb = sorted(r["b"] for r in ids_df.select(
         _bucket_expr(("doc_id",), ref.n_buckets).alias("b"))
         .distinct().collect())
     base = read_bucketed(spark, store, ref, buckets=tb).df
-    keep = base.filter(~F.col("doc_id").isin(ids))
+    keep = base.join(_xs_gate(ids_df, n_ids), "doc_id", "left_anti")
     merged = keep.unionByName(new_rows.select(*base.columns))
     new_hashes = _write_buckets(store, merged, ("doc_id",), ref.n_buckets,
                                 bucket_whitelist=set(tb))
@@ -1029,20 +1026,25 @@ def exact_substring_refresh_for(spark: SparkSession, store, anchors_ref,
     delta = (delta_docs.select(F.col(key_col).alias("doc_id"),
                                F.col(text_col).alias("text"))
              .localCheckpoint(eager=True))
-    delta_ids = [r["doc_id"] for r in
-                 delta.select("doc_id").distinct().collect()]
+    # ids stay DataFrames end to end — only their COUNTS (for stats
+    # and broadcast gating) and bucket ids (<= n_buckets values) ever
+    # reach the driver, so a bulk re-ingest delta cannot OOM it or
+    # explode a plan with giant isin literals
+    delta_ids = (delta.select("doc_id").distinct()
+                 .localCheckpoint(eager=True))
+    n_delta = delta_ids.count()
     # 1. the ONLY text scan: anchor-select the delta's new texts
     new_anchors = anchor_positions_for(
         delta.filter(F.col("text").isNotNull()), "doc_id", "text", L)
     new_anchors = new_anchors.localCheckpoint(eager=True)
     # 2. the delta docs' OLD anchors: bucket-pruned index read
     from ..plans.incremental import _bucket_expr
-    ids_df = _xs_ids_df(spark, anchors_ref, delta_ids)
-    tb = sorted(r["b"] for r in ids_df.select(
+    tb = sorted(r["b"] for r in delta_ids.select(
         _bucket_expr(("doc_id",), anchors_ref.n_buckets).alias("b"))
         .distinct().collect())
     old_delta = (read_bucketed(spark, store, anchors_ref, buckets=tb).df
-                 .filter(F.col("doc_id").isin(delta_ids)))
+                 .join(_xs_gate(delta_ids, n_delta), "doc_id",
+                       "left_semi"))
     # 3. partner probe: grams whose cross-doc status CAN change are
     #    exactly those present in the delta's old or new anchors. A doc
     #    OUTSIDE the delta needs its spans recomputed only if some gram
@@ -1057,17 +1059,18 @@ def exact_substring_refresh_for(spark: SparkSession, store, anchors_ref,
     probe = (old_delta.select("gram")
              .unionByName(new_anchors.select("gram")).distinct()
              .localCheckpoint(eager=True))
+    n_probe = probe.count()
     idx_all = read_bucketed(spark, store, anchors_ref).df
-    old_stat = (idx_all.join(F.broadcast(probe), "gram")
+    old_stat = (idx_all.join(_xs_gate(probe, n_probe), "gram")
                 .groupBy("gram")
                 .agg(F.min("doc_id").alias("olo"),
                      F.max("doc_id").alias("ohi")))
     # 4. replace the delta docs' anchors (bucket-granular), then the
     #    probe grams' NEW status from one scan of the replaced index
     anchors_ref2, idx_rewritten = _xs_replace_docs(
-        spark, store, anchors_ref, delta_ids, new_anchors)
+        spark, store, anchors_ref, delta_ids, n_delta, new_anchors)
     idx2 = read_bucketed(spark, store, anchors_ref2).df
-    new_stat = (idx2.join(F.broadcast(probe), "gram")
+    new_stat = (idx2.join(_xs_gate(probe, n_probe), "gram")
                 .groupBy("gram")
                 .agg(F.min("doc_id").alias("nlo"),
                      F.max("doc_id").alias("nhi")))
@@ -1077,24 +1080,23 @@ def exact_substring_refresh_for(spark: SparkSession, store, anchors_ref,
                                     F.col("olo")))     # single -> cross
                  .otherwise(F.when(F.col("nlo") == F.col("nhi"),
                                    F.col("nlo"))))     # cross -> single
-    partners = sorted(
-        r["doc_id"] for r in
-        old_stat.join(new_stat, "gram", "full_outer")
+    partners = (old_stat.join(new_stat, "gram", "full_outer")
                 .filter(was != now)
                 .select(partner_c.alias("doc_id"))
                 .filter(F.col("doc_id").isNotNull())
-                .distinct().collect())
-    affected = sorted(set(delta_ids) | set(partners))
+                .distinct())
+    affected = (delta_ids.unionByName(partners).distinct()
+                .localCheckpoint(eager=True))
+    n_affected = affected.count()
     # 5. recompute spans for the affected docs against the UPDATED
     #    index: their anchors come from pruned buckets; cross-doc
     #    status is a third gram-column scan, restricted to the
     #    affected docs' grams
-    aff_df = _xs_ids_df(spark, anchors_ref2, affected)
-    ab = sorted(r["b"] for r in aff_df.select(
+    ab = sorted(r["b"] for r in affected.select(
         _bucket_expr(("doc_id",), anchors_ref2.n_buckets).alias("b"))
         .distinct().collect())
     A = (read_bucketed(spark, store, anchors_ref2, buckets=ab).df
-         .filter(F.col("doc_id").isin(affected)))
+         .join(_xs_gate(affected, n_affected), "doc_id", "left_semi"))
     A = A.persist()
     A.count()
     cross = (idx2.join(A.select("gram").distinct(), "gram")
@@ -1105,13 +1107,13 @@ def exact_substring_refresh_for(spark: SparkSession, store, anchors_ref,
     new_spans = _islands_spans(
         A.join(cross, "gram").select("doc_id", "i"), L)
     spans_ref2, spans_rewritten = _xs_replace_docs(
-        spark, store, spans_ref, affected, new_spans)
+        spark, store, spans_ref, affected, n_affected, new_spans)
     A.unpersist()
-    stats = {"delta_docs": len(delta_ids),
+    stats = {"delta_docs": n_delta,
              "text_docs_scanned": delta.filter(
                  F.col("text").isNotNull()).count(),
-             "partners": len(set(partners) - set(delta_ids)),
-             "affected_docs": len(affected),
+             "partners": n_affected - n_delta,
+             "affected_docs": n_affected,
              "index_buckets_rewritten": idx_rewritten,
              "spans_buckets_rewritten": spans_rewritten}
     return anchors_ref2, spans_ref2, stats
