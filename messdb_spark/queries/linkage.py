@@ -1396,7 +1396,11 @@ def dedup_substrings_incremental(eng, table: str, out: str,
     no user-supplied change feed needed (the content-addressed-
     everything design paying off as a feature). If the old snapshot
     was GC'd, or min_len/text_col changed, the state rebuilds (mode
-    reported). An unchanged source is a no-op (mode "noop")."""
+    reported). An unchanged source whose outputs are still in place is
+    a TRUE no-op (mode "noop"): the meta row pins the output hashes,
+    so the repeat run is catalog reads only — zero data jobs, no root
+    swap. A tampered output falls through to a recompute from the
+    cached state (detection still skipped)."""
     from ..operators.core import KeyedTable, diff_tables
     from ..plans.incremental import load_manifest, read_bucketed
 
@@ -1413,19 +1417,33 @@ def dedup_substrings_incremental(eng, table: str, out: str,
                                         f"{out}__xs_anchors",
                                         f"{out}__xs_spans")
     a_ref = s_ref = old_hash = None
+    md: dict = {}
     meta_e = eng.catalog.get(meta_name)
     if meta_e is not None:
-        meta = eng.objects.load(spark, meta_e.table_hash).collect()[0]
-        if (meta["min_len"] == int(min_len)
-                and meta["text_col"] == text_col
-                and eng.objects.exists(meta["source_hash"])):
+        md = eng.objects.load(spark, meta_e.table_hash) \
+            .collect()[0].asDict()
+        if (md["min_len"] == int(min_len)
+                and md["text_col"] == text_col
+                and eng.objects.exists(md["source_hash"])):
             a_e = eng.catalog.get(anch_name)
             s_e = eng.catalog.get(spans_name)
             if a_e is not None and s_e is not None:
                 a_ref = load_manifest(eng.objects, a_e.table_hash)
                 s_ref = load_manifest(eng.objects, s_e.table_hash)
-                old_hash = meta["source_hash"]
+                old_hash = md["source_hash"]
     stats: dict = {"ok": True, "detector": "anchor", "table": out}
+    if a_ref is not None and s_ref is not None and old_hash == cur_hash:
+        out_e = eng.catalog.get(out)
+        sp_e = eng.catalog.get(spans_table) if spans_table else None
+        if (out_e is not None and out_e.table_hash == md.get("out_hash")
+                and (spans_table is None
+                     or (sp_e is not None and sp_e.table_hash
+                         == md.get("spans_out_hash")))):
+            stats.update(mode="noop", table_hash=md["out_hash"],
+                         rows=md["rows"], spans=md["spans"])
+            if spans_table:
+                stats["spans_table"] = spans_table
+            return stats
     with eng.transaction():
         if a_ref is None or s_ref is None:
             stats["mode"] = "build"
@@ -1449,11 +1467,6 @@ def dedup_substrings_incremental(eng, table: str, out: str,
             stats.update(rst)
         eng.save_bucketed_table(anch_name, a2)
         eng.save_bucketed_table(spans_name, s2)
-        eng.save_table(meta_name, KeyedTable(
-            spark.createDataFrame(
-                [(cur_hash, int(min_len), text_col)],
-                "source_hash string, min_len bigint, text_col string"),
-            ("source_hash",)))
         spans = read_bucketed(spark, eng.objects, s2).df
         cleaned = exact_substring_clean_from_spans(
             src, spans.select("doc_id", "span_start", "span_end"),
@@ -1464,15 +1477,27 @@ def dedup_substrings_incremental(eng, table: str, out: str,
                         key, "left"))
         stats["table_hash"] = eng.save_table(out, KeyedTable(out_df,
                                                              (key,)))
+        sp_hash = None
         if spans_table:
             sp = (spans.withColumnRenamed("doc_id", key)
                   .withColumn("span_len",
                               (F.col("span_end") - F.col("span_start"))
                               .cast("bigint")))
-            eng.save_table(spans_table, KeyedTable(sp, (key, "span_start")))
+            sp_hash = eng.save_table(spans_table,
+                                     KeyedTable(sp, (key, "span_start")))
             stats["spans_table"] = spans_table
         stats["rows"] = out_df.count()
         stats["spans"] = spans.count()
+        # meta pins the OUTPUT hashes too, so the next unchanged-source
+        # run can no-op without recomputing the clean
+        eng.save_table(meta_name, KeyedTable(
+            spark.createDataFrame(
+                [(cur_hash, int(min_len), text_col, stats["table_hash"],
+                  sp_hash, stats["rows"], stats["spans"])],
+                "source_hash string, min_len bigint, text_col string, "
+                "out_hash string, spans_out_hash string, rows bigint, "
+                "spans bigint"),
+            ("source_hash",)))
     return stats
 
 

@@ -196,10 +196,26 @@ def test_cli_dedup_substrings_incremental_lifecycle(spark, tmp_path,
     assert st1["ok"] and st1["mode"] == "build" and st1["rows"] == 3
     assert st1["detector"] == "anchor" and st1["spans"] >= 2
 
-    # unchanged source → noop
+    # unchanged source → TRUE noop: no root swap, reported hashes and
+    # counts come from the pinned meta row
+    v1 = Engine(spark, wh).catalog.current_version()
     assert main(args) == 0
     st2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st2["mode"] == "noop" and st2["table_hash"] == st1["table_hash"]
+    assert st2["rows"] == st1["rows"] and st2["spans"] == st1["spans"]
+    assert Engine(spark, wh).catalog.current_version() == v1
+
+    # tampered output: the short-circuit must NOT trust it — the run
+    # falls through and restores the clean from the cached state
+    eng_t = Engine(spark, wh)
+    eng_t.save_table("docs_clean", KeyedTable(
+        spark.createDataFrame([(99, "junk", "s9")],
+                              "doc_id bigint, body string, src string"),
+        ("doc_id",)))
+    assert main(args) == 0
+    st2b = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st2b["mode"] == "noop" and st2b["table_hash"] == st1["table_hash"]
+    assert Engine(spark, wh).catalog.current_version() > v1
 
     # churn: doc 2 rewritten to unique text (doc 1 loses its partner),
     # doc 4 added sharing a NEW run with doc 3's replacement... keep it
