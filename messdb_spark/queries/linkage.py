@@ -977,18 +977,32 @@ def _xs_replace_docs(spark: SparkSession, store, ref, ids_df: DataFrame,
                        schema_json=ref.schema_json), len(tb)
 
 
+def _xs_auto_buckets(n_docs: int) -> int:
+    """Build-time bucket count for the anchor state: one bucket per
+    ~64k docs, pow2-ceiled, floor 16 (identical to the old fixed
+    default at test scales), cap 64k. Sized ONCE at build — refreshes
+    inherit n_buckets from the persisted ref, so a corpus that is 1000x
+    bigger gets proportionally more (and therefore refresh-prunable)
+    buckets instead of 16 giant ones."""
+    need = max(1, (n_docs + 65535) // 65536)
+    return min(65536, max(16, 1 << (need - 1).bit_length()))
+
+
 def exact_substring_anchor_state(spark: SparkSession, store,
                                  doc: DataFrame,
                                  key_col: str = "doc_id",
                                  text_col: str = "text",
                                  min_len: int = _XS_L,
-                                 n_buckets: int = 16):
+                                 n_buckets: int | None = None):
     """Initial build of the refreshable anchor-ExactSubstr state: the
     persisted anchor index and span manifest, both doc-bucketed.
-    Returns (anchors_ref, spans_ref)."""
+    ``n_buckets`` defaults to corpus-size-proportional (one count job;
+    see :func:`_xs_auto_buckets`). Returns (anchors_ref, spans_ref)."""
     from ..operators.core import KeyedTable
     from ..plans.incremental import write_bucketed
 
+    if n_buckets is None:
+        n_buckets = _xs_auto_buckets(doc.count())
     a = anchor_positions_for(doc, key_col, text_col, min_len)
     a = a.persist()
     a.count()

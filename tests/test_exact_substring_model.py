@@ -539,3 +539,16 @@ def test_refresh_partners_are_status_flip_minimal(spark, tmp_path):
                                             "doc_id bigint, text string"))
     assert a2.bucket_hashes == full_a.bucket_hashes
     assert s2.bucket_hashes == full_s.bucket_hashes
+
+
+def test_auto_bucket_sizing():
+    """Build-time bucket count scales with the corpus and keeps the
+    historical default at test scales."""
+    from messdb_spark.queries.linkage import _xs_auto_buckets
+
+    assert _xs_auto_buckets(0) == 16
+    assert _xs_auto_buckets(60_000) == 16          # sf0.1 == old default
+    assert _xs_auto_buckets(65536 * 16) == 16
+    assert _xs_auto_buckets(65536 * 16 + 1) == 32
+    assert _xs_auto_buckets(1_000_000_000) == 16384
+    assert _xs_auto_buckets(10**13) == 65536       # capped

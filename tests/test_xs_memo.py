@@ -139,10 +139,15 @@ def test_xs_spans_pinned_frame_released_after_materialize(spark,
     eng = Engine(spark, warehouse)
     eng.save_table("docs", KeyedTable(_corpus(spark), ("doc_id",)))
     sc = spark.sparkContext
-    before = {r.id for r in sc._jsc.sc().getRDDStorageInfo()}
+    # r.id() — the call, not the JavaMember: a set of method proxies
+    # compares by object identity and can never overlap (caught when a
+    # preceding test's lingering checkpoint blocks made the sets
+    # non-empty and this assert failed spuriously)
+    before = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
     eng.materializer.materialize(xs_spans(eng.scan_ir("docs")))
-    after = {r.id for r in sc._jsc.sc().getRDDStorageInfo()}
-    assert after <= before, "xs_spans leaked persisted candidate blocks"
+    after = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+    assert after <= before, \
+        f"xs_spans leaked persisted candidate blocks: {after - before}"
 
 
 # -- r10: dedup-substrings --incremental (maintained state) ------------
