@@ -552,3 +552,54 @@ def test_auto_bucket_sizing():
     assert _xs_auto_buckets(65536 * 16 + 1) == 32
     assert _xs_auto_buckets(1_000_000_000) == 16384
     assert _xs_auto_buckets(10**13) == 65536       # capped
+
+
+def test_refresh_converges_over_random_delta_sequence(spark, tmp_path):
+    """Incremental state must not DRIFT across sequential refreshes:
+    apply four seeded random deltas (mixed edits, deletes, inserts
+    over a repeat-heavy low-alphabet corpus) and after EVERY refresh
+    assert the maintained state hash-equals a from-scratch rebuild of
+    the post-delta corpus — bucket by bucket, anchors and spans both.
+    One-delta tests can hide errors that only compound (a stale row
+    surviving a replace, a partner missed on the second hop)."""
+    from messdb_spark.queries.linkage import (
+        exact_substring_anchor_state, exact_substring_refresh_for)
+    from messdb_spark.store import ObjectStore
+
+    rng = random.Random(101010)
+
+    def _text():
+        return "".join(rng.choice("abc") for _ in range(rng.randint(20, 160)))
+
+    docs = {i: _text() for i in range(1, 31)}
+    store = ObjectStore(str(tmp_path / "wh"))
+    a_ref, s_ref = exact_substring_anchor_state(
+        spark, store,
+        spark.createDataFrame(sorted(docs.items()),
+                              "doc_id bigint, text string"))
+    next_id = 31
+    for step in range(4):
+        delta = {}
+        for d in rng.sample(sorted(docs), 3):          # edits
+            delta[d] = _text()
+        gone = rng.choice(sorted(set(docs) - set(delta)))
+        delta[gone] = None                             # delete
+        delta[next_id] = _text()                       # insert
+        dup_of = rng.choice(sorted(set(docs) - {gone} - set(delta)))
+        delta[next_id + 1] = docs[dup_of]              # verbatim copy
+        next_id += 2
+        a_ref, s_ref, st = exact_substring_refresh_for(
+            spark, store, a_ref, s_ref,
+            spark.createDataFrame(sorted(delta.items()),
+                                  "doc_id bigint, text string"))
+        for d, t in delta.items():
+            if t is None:
+                docs.pop(d, None)
+            else:
+                docs[d] = t
+        full_a, full_s = exact_substring_anchor_state(
+            spark, store,
+            spark.createDataFrame(sorted(docs.items()),
+                                  "doc_id bigint, text string"))
+        assert a_ref.bucket_hashes == full_a.bucket_hashes, f"step {step}"
+        assert s_ref.bucket_hashes == full_s.bucket_hashes, f"step {step}"
