@@ -1248,9 +1248,17 @@ def exact_substring_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         if st["index_buckets_rewritten"] > min(4, a_ref.n_buckets):
             raise AssertionError(
                 f"index rewrite not delta-bounded: {st}")
-        if st["affected_docs"] > max(8, n_docs // 5):
+        # flip-minimal partners bound this delta's affected set by the
+        # delta itself plus AT MOST doc 5 (whose lone-held grams flip
+        # single→cross when its verbatim copy arrives — at sf0.001 it
+        # holds none alone, partners=0; at sf0.01/0.1 partners=1). The
+        # planted run in 7/11 flips 0→cross (no third holder ⇒ no
+        # partner). An over-broad partner rule (any gram shared with
+        # the delta) would drag in hundreds of docs and fail loudly.
+        if st["partners"] > 1 or \
+                st["affected_docs"] != st["delta_docs"] + st["partners"]:
             raise AssertionError(
-                f"affected set not sparse: {st} over {n_docs} docs")
+                f"affected set not flip-minimal: {st} over {n_docs} docs")
         if st["spans_buckets_rewritten"] > min(st["affected_docs"],
                                                s_ref.n_buckets):
             raise AssertionError(
