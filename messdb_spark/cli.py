@@ -18,6 +18,8 @@ directory plays the role of the reference's single sqlite file
     python -m messdb_spark.cli --warehouse WH dedup-substrings -t docs \\
         --out docs_clean --incremental   # maintained anchor-mode state;
                                          # delta derived by content diff
+    python -m messdb_spark.cli --warehouse WH dedup-near -t docs \\
+        --out docs_dedup --clusters-table docs_clusters
 
 Query results print as JSON lines (``messdb-tool.hs:195``).
 """
@@ -155,6 +157,23 @@ def main(argv: list[str] | None = None) -> int:
                          "current table against the content snapshot "
                          "the state was built from (anchor detector: "
                          "sampled recall, exact precision)")
+
+    dn = sub.add_parser(
+        "dedup-near",
+        help="near-duplicate dedup (MinHash-LSH + transitive "
+             "clustering): keep the min-key survivor of every "
+             "near-dup cluster, saving the deduped table (and "
+             "optionally the cluster assignment) to the catalog")
+    dn.add_argument("-t", "--table", required=True,
+                    help="source table (single-column key)")
+    dn.add_argument("--text-col", default="text")
+    dn.add_argument("--out", required=True, help="deduped table name")
+    dn.add_argument("--clusters-table", default=None,
+                    help="also save (key, cluster_id, cluster_size) "
+                         "for every clustered row under this name")
+    dn.add_argument("--shingle-k", type=int, default=8,
+                    help="character shingle length for the MinHash "
+                         "signatures")
 
     g = sub.add_parser("gc", help="mark-and-sweep unreferenced CAS objects")
     g.add_argument("--keep-versions", type=int, default=None,
@@ -312,6 +331,17 @@ def main(argv: list[str] | None = None) -> int:
         h = eng.save_table(a.table, merged)
         print(json.dumps({"ok": True, "table": a.table, "table_hash": h,
                           "rows": merged.df.count()}))
+    elif a.cmd == "dedup-near":
+        from .queries.graph import dedup_near
+        try:
+            stats = dedup_near(eng, a.table, a.out, text_col=a.text_col,
+                               clusters_table=a.clusters_table,
+                               shingle_k=a.shingle_k)
+        except (KeyError, ValueError) as e:
+            print(json.dumps({"ok": False, "error": str(
+                e.args[0] if e.args else e)}))
+            return 1
+        print(json.dumps(stats))
     elif a.cmd == "dedup-substrings" and a.incremental:
         from .queries.linkage import dedup_substrings_incremental
         try:

@@ -82,6 +82,113 @@ FROM assign
 _CC_LABEL_CACHE: dict = {}
 
 
+def minhash_band_edges_for(df: DataFrame, key_col: str = "doc_id",
+                           text_col: str = "text",
+                           shingle_k: int = _SHINGLE_K):
+    """MinHash-LSH star edges over ANY (key, text) table — the
+    generalized surface behind ``cc_cluster_labels`` and the CLI's
+    ``dedup-near`` verb. Returns (sig, edges), BOTH persisted (the
+    caller unpersists): sig = (doc_id, h0..h7) signatures; edges =
+    bidirectional doc↔bucket-hub star edges, repartitioned by the
+    per-round join key so the iterative closure never re-shuffles
+    them. Same signature family and edge definition as ``_CC_CTES``."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    docs = (df.select(F.col(key_col).alias("doc_id"),
+                      F.col(text_col).alias("text"))
+              .filter(F.length("text") >= shingle_k).repartition(par))
+    shingle_hashes = (
+        f"transform(sequence(1, length(text) - {shingle_k - 1}), "
+        f"i -> CAST(conv(substring(md5(substring(text, i, {shingle_k})), "
+        f"1, 15), 16, 10) AS BIGINT))")
+    # persist the signatures: bands feeds BOTH the hub agg and the star
+    # join, and without pinning, each subtree re-runs the
+    # md5-per-shingle scan (the most expensive stage — one hash per
+    # character of corpus). The signature frame is (doc_id, 8 x bigint)
+    # — tiny relative to text, and exactly what a production pipeline
+    # materializes anyway.
+    sig = (docs.withColumn("hs", F.expr(shingle_hashes))
+               .select("doc_id", *[
+                   F.expr(f"array_min(transform(hs, h -> h ^ CAST({s} AS BIGINT)))")
+                    .alias(f"h{j}")
+                   for j, s in enumerate(_MH_SEEDS)])
+               .persist())
+    band_exprs = ", ".join(f"{b}, h{2*b}, h{2*b+1}" for b in range(_N_BANDS))
+    bands = sig.selectExpr(
+        "doc_id", f"stack({_N_BANDS}, {band_exprs}) AS (band_id, bx, by)")
+
+    keys = ["band_id", "bx", "by"]
+    hubs = bands.groupBy(*keys).agg(F.min("doc_id").alias("hub"))
+    star = (bands.join(hubs, keys)
+                 .filter(F.col("doc_id") != F.col("hub"))
+                 .select(F.col("doc_id").alias("src"),
+                         F.col("hub").alias("dst"))
+                 .distinct())
+    # partition the STATIC edge relation once by the per-round join key
+    # (dst): every iteration then shuffles only the shrinking label
+    # frame, never the edges — the graph-loop move that matters when
+    # the edge set is billions of rows
+    edges = (star.union(star.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+                 .repartition(F.col("dst"))
+                 .persist())
+    return sig, edges
+
+
+def cc_labels_from_edges(edges: DataFrame,
+                         numeric_key: bool = True) -> DataFrame:
+    """Iterative min-label connected components over a persisted
+    bidirectional (src, dst) edge frame → (doc_id, comp) labels.
+    Labels only decrease, so with a NUMERIC key the global label sum
+    is a monotone convergence witness (one cheap agg per round); a
+    non-numeric key (string doc ids through ``dedup-near``) falls back
+    to a changed-rows check — one extra tiny join per round over the
+    label frame, never the edges."""
+    # seed labels with the best DIRECT neighbor (min over own id and
+    # neighbor ids) — starts the propagation one round ahead
+    labels = (edges.groupBy(F.col("src").alias("doc_id"))
+                   .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
+                   .localCheckpoint(eager=False))
+    prev_sum = (labels.agg(F.sum("comp")).first()[0]
+                if numeric_key else None)
+    prev = labels
+    while True:
+        nbr_min = (edges.join(labels, edges["dst"] == labels["doc_id"])
+                        .groupBy("src").agg(F.min("comp").alias("nbr_comp")))
+        stepped = (labels.join(nbr_min, labels["doc_id"] == nbr_min["src"],
+                               "left")
+                         .select(labels["doc_id"],
+                                 F.least("comp", "nbr_comp").alias("comp")))
+        # pointer jumping: also adopt the label OF the current label
+        # (comp -> comp's comp), squaring path lengths per round —
+        # hub→hub chains otherwise cost one round per hop (measured 9
+        # rounds at sf0.1; ~4 with the jump). The jump join is over the
+        # label frame only (graph nodes, not the corpus).
+        hop = stepped.select(F.col("doc_id").alias("h_id"),
+                             F.col("comp").alias("h_comp"))
+        # lazy localCheckpoint: the convergence probe below is the
+        # single action per round — it materializes the new labels AND
+        # tests the fixpoint
+        labels = (stepped.join(hop, stepped["comp"] == hop["h_id"], "left")
+                         .select(stepped["doc_id"],
+                                 F.least("comp", "h_comp").alias("comp"))
+                         .localCheckpoint(eager=False))
+        if numeric_key:
+            cur_sum = labels.agg(F.sum("comp")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            changed = (labels.withColumnRenamed("comp", "nc")
+                             .join(prev, "doc_id")
+                             .filter(F.col("nc") != F.col("comp"))
+                             .limit(1).count())
+            if changed == 0:
+                break
+            prev = labels
+    return labels
+
+
 def cc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component labels (doc_id, comp) over the MinHash-LSH
     candidate graph — the engine side of ``_CC_CTES``; only docs that
@@ -106,72 +213,8 @@ def cc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cache_key is not None and cache_key in _CC_LABEL_CACHE:
         return _CC_LABEL_CACHE[cache_key]
     (d,) = load(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    docs = d.filter(F.length("text") >= _SHINGLE_K).repartition(par)
-    shingle_hashes = (
-        f"transform(sequence(1, length(text) - {_SHINGLE_K - 1}), "
-        f"i -> CAST(conv(substring(md5(substring(text, i, {_SHINGLE_K})), 1, 15), 16, 10) AS BIGINT))")
-    # persist the signatures: bands feeds BOTH the hub agg and the star
-    # join, and without pinning, each subtree re-runs the md5-per-shingle
-    # scan (the most expensive stage — one hash per character of corpus).
-    # The signature frame is (doc_id, 12 x bigint) — tiny relative to
-    # text, and exactly what a production pipeline materializes anyway.
-    sig = (docs.withColumn("hs", F.expr(shingle_hashes))
-               .select("doc_id", *[
-                   F.expr(f"array_min(transform(hs, h -> h ^ CAST({s} AS BIGINT)))")
-                    .alias(f"h{j}")
-                   for j, s in enumerate(_MH_SEEDS)])
-               .persist())
-    band_exprs = ", ".join(f"{b}, h{2*b}, h{2*b+1}" for b in range(_N_BANDS))
-    bands = sig.selectExpr(
-        "doc_id", f"stack({_N_BANDS}, {band_exprs}) AS (band_id, bx, by)")
-
-    keys = ["band_id", "bx", "by"]
-    hubs = bands.groupBy(*keys).agg(F.min("doc_id").alias("hub"))
-    star = (bands.join(hubs, keys)
-                 .filter(F.col("doc_id") != F.col("hub"))
-                 .select(F.col("doc_id").alias("src"), F.col("hub").alias("dst"))
-                 .distinct())
-    # partition the STATIC edge relation once by the per-round join key
-    # (dst): every iteration then shuffles only the shrinking label
-    # frame, never the edges — the graph-loop move that matters when
-    # the edge set is billions of rows
-    edges = (star.union(star.select(F.col("dst").alias("src"),
-                                    F.col("src").alias("dst")))
-                 .repartition(F.col("dst"))
-                 .persist())
-    # seed labels with the best DIRECT neighbor (min over own id and
-    # neighbor ids) — starts the propagation one round ahead
-    labels = (edges.groupBy(F.col("src").alias("doc_id"))
-                   .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
-                   .localCheckpoint(eager=False))
-
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
-    while True:
-        nbr_min = (edges.join(labels, edges["dst"] == labels["doc_id"])
-                        .groupBy("src").agg(F.min("comp").alias("nbr_comp")))
-        stepped = (labels.join(nbr_min, labels["doc_id"] == nbr_min["src"],
-                               "left")
-                         .select(labels["doc_id"],
-                                 F.least("comp", "nbr_comp").alias("comp")))
-        # pointer jumping: also adopt the label OF the current label
-        # (comp -> comp's comp), squaring path lengths per round —
-        # hub→hub chains otherwise cost one round per hop (measured 9
-        # rounds at sf0.1; ~4 with the jump). The jump join is over the
-        # label frame only (graph nodes, not the corpus).
-        hop = stepped.select(F.col("doc_id").alias("h_id"),
-                             F.col("comp").alias("h_comp"))
-        # lazy localCheckpoint: the sum below is the single action per
-        # round — it materializes the new labels AND tests convergence
-        # (labels only decrease, so a stable sum == fixpoint)
-        labels = (stepped.join(hop, stepped["comp"] == hop["h_id"], "left")
-                         .select(stepped["doc_id"],
-                                 F.least("comp", "h_comp").alias("comp"))
-                         .localCheckpoint(eager=False))
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    sig, edges = minhash_band_edges_for(d)
+    labels = cc_labels_from_edges(edges)
     edges.unpersist()
     sig.unpersist()
     if cache_key is not None:
@@ -210,6 +253,63 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = W.partitionBy("cluster_id")
     return (labels.select("doc_id", F.col("comp").alias("cluster_id"))
                   .withColumn("cluster_size", F.count(F.lit(1)).over(wc)))
+
+
+_NUMERIC_KEYS = ("tinyint", "smallint", "int", "bigint")
+
+
+def dedup_near(eng, table: str, out: str, text_col: str = "text",
+               clusters_table: str | None = None,
+               shingle_k: int = _SHINGLE_K) -> dict:
+    """User-reachable near-dup dedup: the CLI's ``dedup-near`` body —
+    the `dedup-substrings` companion for the MinHash family.
+
+    MinHash-LSH candidates over any catalog (key, text) table → star
+    edges → min-label connected components → keep the min-key SURVIVOR
+    of each cluster, drop the rest. Writes ``out`` (all source
+    columns, survivors only) and optionally ``clusters_table``
+    (key, cluster_id, cluster_size — survivors have key ==
+    cluster_id), both in ONE atomic root swap. Detector contract: same
+    signature family / band scheme as ``minhash_lsh_candidates``
+    (candidate recall is probabilistic by design; clustering of
+    detected candidates is exact and transitive). String keys work —
+    the closure falls back to the changed-rows convergence witness."""
+    from ..operators.core import KeyedTable
+
+    t = eng.load_table(table)
+    if len(t.key_cols) != 1:
+        raise ValueError("dedup-near needs a single-column key")
+    key = t.key_cols[0]
+    if text_col not in t.df.columns:
+        raise ValueError(f"no column {text_col!r} in {table}")
+    numeric = dict(t.df.dtypes)[key] in _NUMERIC_KEYS
+    sig, edges = minhash_band_edges_for(t.df, key, text_col,
+                                        int(shingle_k))
+    labels = cc_labels_from_edges(edges, numeric_key=numeric)
+    # every clustered non-representative is a drop; docs with no edges
+    # never enter `labels` and survive untouched
+    drop = (labels.filter(F.col("doc_id") != F.col("comp"))
+                  .select(F.col("doc_id").alias(key)))
+    stats: dict = {"ok": True, "detector": "minhash-lsh", "table": out}
+    with eng.transaction():
+        out_df = t.df.join(drop, key, "left_anti")
+        stats["table_hash"] = eng.save_table(out, KeyedTable(out_df,
+                                                             (key,)))
+        if clusters_table:
+            wc = W.partitionBy("cluster_id")
+            cl = (labels.select(F.col("doc_id").alias(key),
+                                F.col("comp").alias("cluster_id"))
+                        .withColumn("cluster_size",
+                                    F.count(F.lit(1)).over(wc)))
+            eng.save_table(clusters_table, KeyedTable(cl, (key,)))
+            stats["clusters_table"] = clusters_table
+        stats["rows_in"] = t.df.count()
+        stats["rows_out"] = out_df.count()
+        stats["dups_removed"] = stats["rows_in"] - stats["rows_out"]
+        stats["clusters"] = (labels.select("comp").distinct().count())
+    edges.unpersist()
+    sig.unpersist()
+    return stats
 
 
 # ---------------------------------------------------------------------------
