@@ -95,3 +95,38 @@ def test_dedup_near_rejects_bad_inputs(spark, tmp_path):
         raise AssertionError("expected ValueError for missing text col")
     except ValueError:
         pass
+
+
+def test_cli_dedup_near_subprocess(warehouse, tmp_path):
+    """dedup-near through a REAL subprocess invocation (fresh
+    interpreter, fresh Spark session — catches import/sys.path issues
+    the in-process test cannot)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "messdb_spark.cli", "-w", warehouse,
+             *args],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout
+
+    run("sql", "-c", "CREATE TABLE d (k BIGINT PRIMARY KEY, txt VARCHAR)")
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(
+        _json.dumps(r) for r in [
+            {"k": 1, "txt": _A}, {"k": 2, "txt": _A},
+            {"k": 3, "txt": _B}, {"k": 4, "txt": _A},
+        ]) + "\n")
+    run("import-json", "-t", "d", str(p))
+    stats = _json.loads(run(
+        "dedup-near", "-t", "d", "--text-col", "txt",
+        "--out", "d_dedup", "--clusters-table", "d_cl")
+        .splitlines()[-1])
+    assert stats["ok"] and stats["rows_out"] == 2
+    assert stats["dups_removed"] == 2 and stats["clusters"] == 1
+    rows = [_json.loads(ln) for ln in run(
+        "sql", "-c", "SELECT k FROM d_dedup").splitlines()]
+    assert sorted(r["k"] for r in rows) == [1, 3]
