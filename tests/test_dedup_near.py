@@ -130,3 +130,20 @@ def test_cli_dedup_near_subprocess(warehouse, tmp_path):
     rows = [_json.loads(ln) for ln in run(
         "sql", "-c", "SELECT k FROM d_dedup").splitlines()]
     assert sorted(r["k"] for r in rows) == [1, 3]
+
+
+def test_dedup_near_no_duplicates_is_identity(spark, tmp_path):
+    """All-unique corpus: empty candidate graph, empty label frame
+    through the closure loop, output == source, zero clusters."""
+    from messdb_spark.queries.graph import dedup_near
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    rows = [(1, _A), (2, _B),
+            (3, "third completely unrelated body of text right here")]
+    eng.save_table("d", KeyedTable(
+        spark.createDataFrame(rows, "doc_id bigint, text string"),
+        ("doc_id",)))
+    st = dedup_near(eng, "d", "d_dedup", clusters_table="d_cl")
+    assert st["rows_in"] == 3 and st["rows_out"] == 3
+    assert st["dups_removed"] == 0 and st["clusters"] == 0
+    assert eng.load_table("d_cl").df.count() == 0
