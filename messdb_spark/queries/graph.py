@@ -149,8 +149,12 @@ def cc_labels_from_edges(edges: DataFrame,
     labels = (edges.groupBy(F.col("src").alias("doc_id"))
                    .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
                    .localCheckpoint(eager=False))
-    prev_sum = (labels.agg(F.sum("comp")).first()[0]
-                if numeric_key else None)
+    # the witness sum is DECIMAL(38,0): a bigint sum of ~1e10 labels
+    # up to 2^63 wraps int64 silently (non-ANSI), and a wrapped sum
+    # that happens to equal the previous round's is a FALSE fixpoint —
+    # decimal keeps the monotone witness exact to ~1e38
+    wsum = F.sum(F.col("comp").cast("decimal(38,0)"))
+    prev_sum = labels.agg(wsum).first()[0] if numeric_key else None
     prev = labels
     while True:
         nbr_min = (edges.join(labels, edges["dst"] == labels["doc_id"])
@@ -174,7 +178,7 @@ def cc_labels_from_edges(edges: DataFrame,
                                  F.least("comp", "h_comp").alias("comp"))
                          .localCheckpoint(eager=False))
         if numeric_key:
-            cur_sum = labels.agg(F.sum("comp")).first()[0]
+            cur_sum = labels.agg(wsum).first()[0]
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
