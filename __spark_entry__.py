@@ -46,6 +46,10 @@ _ROTATION_FRONT = [
     "exact_substring_dedup",
     "exact_substring_clean",
     "anchor_sampled_substrings",
+    # session 2: the CC closure was refactored behind these two
+    # (minhash_band_edges_for / cc_labels_from_edges, decimal witness)
+    "dedup_cluster_components",
+    "corpus_prep_near_dedup",
 ]
 
 
