@@ -37,19 +37,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Local re-verification of EVERY query still happens each pytest run
 # via tests/test_oracle_parity.py at sf0.001/sf0.01 (ledger-pinned).
 
-_ROTATION_FRONT = [
-    # round-10 edits whose driver rows predate the change: the whole
-    # ExactSubstr family was re-expressed over 64 Ki-gram chunks with
-    # the hybrid gram strategy (exact_substring_refresh is new and
-    # fronts automatically as never-checked)
-    "exact_substring_spans",
-    "exact_substring_dedup",
-    "exact_substring_clean",
-    "anchor_sampled_substrings",
-    # session 2: the CC closure was refactored behind these two
-    # (minhash_band_edges_for / cc_labels_from_edges, decimal witness)
+_ROTATION_FRONT: list[str] = [
+    # round-11 edits whose driver rows predate the change: the CC
+    # closure gained a bounded-rounds guard + full-action convergence
+    # probe (cc_labels_from_edges) consumed by the first two; the
+    # ExactSubstr refresh row's gold rebuild moved behind
+    # SPARK_GRAFT_XS_GOLD and long_docs dropped a no-op unpersist
+    # (stream_near_dedup_replay is new and fronts as never-checked)
     "dedup_cluster_components",
     "corpus_prep_near_dedup",
+    "exact_substring_refresh",
+    "exact_substring_long_docs",
 ]
 
 

@@ -205,6 +205,30 @@ def bench_incremental_scaling(spark, sf_dir: str,
     _bench_incremental_at(spark, sf_dir, "", timings)
 
 
+def bench_xs_gold(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    """The ExactSubstr family's strongest invariant — refreshed state
+    == full from-scratch rebuild, bucket hash by bucket hash — executed
+    at EVERY closing bench but OUTSIDE the timed query row (r10 verdict
+    #5: the ``exact_substring_refresh`` row now times the maintained
+    operation; this deliberate second full build is recorded separately
+    so its cost is visible, not hidden in the operator's number)."""
+    prev = os.environ.get("SPARK_GRAFT_XS_GOLD")
+    os.environ["SPARK_GRAFT_XS_GOLD"] = "1"
+    try:
+        t0 = time.perf_counter()
+        QUERIES["exact_substring_refresh"].fn(spark, sf_dir).count()
+        timings["exact_substring_refresh_gold"] = \
+            round(time.perf_counter() - t0, 3)
+        print(f"# xs gold check (refresh == full rebuild): "
+              f"{timings['exact_substring_refresh_gold']}s",
+              file=sys.stderr)
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_XS_GOLD", None)
+        else:
+            os.environ["SPARK_GRAFT_XS_GOLD"] = prev
+
+
 def write_staleness_report(repo_dir: str) -> dict:
     """Coverage-age audit: for every registered query, the most recent
     round with a driver CORRECTNESS row (None = never driver-checked).
@@ -318,6 +342,11 @@ def main() -> None:
         errors["incremental_scaling"] = str(e).split("\n", 1)[0][:300]
         print(f"# ERROR incremental_scaling: "
               f"{errors['incremental_scaling']}", file=sys.stderr)
+    try:
+        bench_xs_gold(spark, sf_dir, timings)
+    except Exception as e:  # noqa: BLE001
+        errors["xs_gold"] = str(e).split("\n", 1)[0][:300]
+        print(f"# ERROR xs_gold: {errors['xs_gold']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -174,6 +174,15 @@ def main(argv: list[str] | None = None) -> int:
     dn.add_argument("--shingle-k", type=int, default=8,
                     help="character shingle length for the MinHash "
                          "signatures")
+    dn.add_argument("--incremental", action="store_true",
+                    help="maintain persisted per-bucket MinHash "
+                         "signature state (<out>__mh_docs/__mh_sig/"
+                         "__mh_meta) and refresh it delta-"
+                         "proportionally — the delta is derived "
+                         "automatically by diffing the current table "
+                         "against the content snapshot the state was "
+                         "built from (re-clustering stays full: "
+                         "cluster merges are not delta-local)")
 
     g = sub.add_parser("gc", help="mark-and-sweep unreferenced CAS objects")
     g.add_argument("--keep-versions", type=int, default=None,
@@ -332,11 +341,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"ok": True, "table": a.table, "table_hash": h,
                           "rows": merged.df.count()}))
     elif a.cmd == "dedup-near":
-        from .queries.graph import dedup_near
+        from .queries.graph import dedup_near, dedup_near_incremental
+        body = dedup_near_incremental if a.incremental else dedup_near
         try:
-            stats = dedup_near(eng, a.table, a.out, text_col=a.text_col,
-                               clusters_table=a.clusters_table,
-                               shingle_k=a.shingle_k)
+            stats = body(eng, a.table, a.out, text_col=a.text_col,
+                         clusters_table=a.clusters_table,
+                         shingle_k=a.shingle_k)
         except (KeyError, ValueError) as e:
             print(json.dumps({"ok": False, "error": str(
                 e.args[0] if e.args else e)}))

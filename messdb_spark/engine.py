@@ -406,6 +406,11 @@ class Engine:
         return KeyedTable(df, tuple(e.key_cols))
 
     def table_hash(self, name: str) -> str:
+        if self._txn_entries is not None and name in self._txn_entries:
+            # read-your-writes inside a transaction (same contract as
+            # load_table): the CAS object exists the moment save_table
+            # returns — only its catalog registration is buffered
+            return self._txn_entries[name].table_hash
         e = self.catalog.get(name)
         if e is None:
             raise KeyError(name)

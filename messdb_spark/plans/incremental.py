@@ -206,13 +206,19 @@ def read_bucketed(spark: SparkSession, store: ObjectStore,
 
 
 def incremental_upsert(spark: SparkSession, store: ObjectStore,
-                       ref: BucketedRef, delta: DataFrame) -> BucketedRef:
+                       ref: BucketedRef, delta: DataFrame,
+                       deletes: DataFrame | None = None) -> BucketedRef:
     """Last-wins upsert of a delta, touching only the delta's buckets.
 
     Untouched buckets pass through by reference (``Trie.hs:346-348``);
     touched buckets re-merge via the anti-join strategy and get new
     content addresses. Total cost: one pass over the (small) delta +
     one pass over the touched buckets only.
+
+    ``deletes``: optional key-only frame of rows to REMOVE — the churn
+    analog (docs leaving a crawl). Delete keys' buckets are rewritten
+    without those rows; a delete of an absent key rewrites identical
+    content, which the CAS dedups back to the same bucket hash.
     """
     keys = ref.key_cols
     # fold within-delta duplicate keys first (last delta row wins) —
@@ -220,8 +226,13 @@ def incremental_upsert(spark: SparkSession, store: ObjectStore,
     from ..operators.core import canonicalize_input
     delta = canonicalize_input(delta, keys).df
     delta_b = delta.withColumn(_BUCKET, _bucket_expr(keys, ref.n_buckets))
-    touched = sorted(r["b"] for r in
-                     delta_b.select(F.col(_BUCKET).alias("b")).distinct().collect())
+    touched_df = delta_b.select(F.col(_BUCKET).alias("b"))
+    del_keys = None
+    if deletes is not None:
+        del_keys = deletes.select(*keys).distinct()
+        touched_df = touched_df.union(
+            del_keys.select(_bucket_expr(keys, ref.n_buckets).alias("b")))
+    touched = sorted(r["b"] for r in touched_df.distinct().collect())
     if not touched:
         return ref
     base_touched = read_bucketed(spark, store, ref, buckets=touched).df
@@ -229,6 +240,8 @@ def incremental_upsert(spark: SparkSession, store: ObjectStore,
         if base_touched.columns else delta
     # anti-join merge (operators.core strategy): delta wins on key collision
     keep = base_touched.join(delta_rows.select(*keys), on=list(keys), how="left_anti")
+    if del_keys is not None:
+        keep = keep.join(del_keys, on=list(keys), how="left_anti")
     merged = keep.unionByName(delta_rows)
     new_hashes = _write_buckets(store, merged, keys, ref.n_buckets,
                                 bucket_whitelist=set(touched))

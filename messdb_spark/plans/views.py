@@ -181,15 +181,18 @@ class Materializer:
         # Lease spans put AND memo.put: between CAS commit and memo
         # record the output is referenced by nothing, and a concurrent
         # gc would sweep it, leaving the memo to record a dangling hash
-        with self.objects.lease():
-            h = self.objects.put(table.df, self.content_hash_fn,
-                                 key_cols=tuple(table.key_cols))
-            self.memo.put(digest, h)
         pinned = getattr(table.df, "__xs_pinned__", None)
-        if pinned is not None:
-            # blocking: callers (and the release test) must observe the
-            # candidate blocks gone the moment materialize returns
-            pinned.unpersist(blocking=True)
+        try:
+            with self.objects.lease():
+                h = self.objects.put(table.df, self.content_hash_fn,
+                                     key_cols=tuple(table.key_cols))
+                self.memo.put(digest, h)
+        finally:
+            if pinned is not None:
+                # blocking, and on the ERROR path too: a failed put must
+                # not leak the candidate blocks into executor storage
+                # (the r4 storage-leak class the pin discipline targets)
+                pinned.unpersist(blocking=True)
         return h
 
     def dataframe(self, ir: dict) -> DataFrame:

@@ -1208,10 +1208,17 @@ def exact_substring_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     In-body asserts (they run at sf0.1 in the bench too, where no
     oracle checks): the only text scanned is the delta's (3 docs),
     anchor-index rewrites are bounded by the DELTA's buckets, span
-    rewrites by the AFFECTED docs' buckets, the affected set stays a
-    small fraction of the corpus, and the refreshed state equals a
-    full from-scratch rebuild bucket by bucket (manifest hashes —
-    untouched buckets shared by reference, touched ones content-equal).
+    rewrites by the AFFECTED docs' buckets, and the affected set stays
+    a small fraction of the corpus. The GOLD check — refreshed state
+    equals a full from-scratch rebuild bucket by bucket (manifest
+    hashes: untouched buckets shared by reference, touched ones
+    content-equal) — runs when ``SPARK_GRAFT_XS_GOLD=1`` (r10 verdict
+    #5: the timed bench row should reflect the maintained operation,
+    not a deliberate second full build; bench.py re-invokes this query
+    WITH the flag after the timed loop and records it separately as
+    ``exact_substring_refresh_gold``, so the strongest family
+    invariant still executes at every closing bench, and
+    ``tests/test_exact_substring_model.py`` asserts it in CI).
 
     Scale: refresh cost = anchor-select the delta + three columnar
     scans of the index's GRAM column (~corpus/{W} 30-char rows — no
@@ -1263,15 +1270,17 @@ def exact_substring_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                s_ref.n_buckets):
             raise AssertionError(
                 f"span rewrite not affected-bounded: {st}")
-        # gold check, engine-side (runs at EVERY sf incl. bench): the
+        # gold check, engine-side, env-gated (see docstring): the
         # refreshed state must equal a full from-scratch rebuild over
         # the post-delta corpus — compared by bucket content hashes
-        post = (base.filter(~F.col("doc_id").isin(7, 11, 13))
-                .unionByName(delta.filter(F.col("text").isNotNull())))
-        a_full, s_full = exact_substring_anchor_state(spark, store, post)
-        if a_full.bucket_hashes != a_ref2.bucket_hashes \
-                or s_full.bucket_hashes != s_ref2.bucket_hashes:
-            raise AssertionError("refresh != full rebuild")
+        if os.environ.get("SPARK_GRAFT_XS_GOLD", "0") == "1":
+            post = (base.filter(~F.col("doc_id").isin(7, 11, 13))
+                    .unionByName(delta.filter(F.col("text").isNotNull())))
+            a_full, s_full = exact_substring_anchor_state(spark, store,
+                                                          post)
+            if a_full.bucket_hashes != a_ref2.bucket_hashes \
+                    or s_full.bucket_hashes != s_ref2.bucket_hashes:
+                raise AssertionError("refresh != full rebuild")
         from ..plans.incremental import read_bucketed
         out = (read_bucketed(spark, store, s_ref2).df
                .select("doc_id", "span_start", "span_end")
@@ -1373,7 +1382,8 @@ def exact_substring_long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aspans = _islands_spans(a.join(hit, "gram").select("doc_id", "i"),
                             _XS_L).collect()
     a.unpersist()
-    docs.unpersist()
+    # NOTE: `docs` is localCheckpoint'd — unpersist is a CacheManager
+    # no-op on checkpointed frames (r4 note); its blocks free at RDD GC
     if not aspans:
         raise AssertionError("anchor path found nothing in planted runs")
     for r in aspans:
@@ -1422,7 +1432,8 @@ def dedup_substrings_incremental(eng, table: str, out: str,
     a TRUE no-op (mode "noop"): the meta row pins the output hashes,
     so the repeat run is catalog reads only — zero data jobs, no root
     swap. A tampered output falls through to a recompute from the
-    cached state (detection still skipped)."""
+    cached state (detection still skipped; mode "restore" — distinct
+    from the zero-job "noop")."""
     from ..operators.core import KeyedTable, diff_tables
     from ..plans.incremental import load_manifest, read_bucketed
 
@@ -1472,7 +1483,11 @@ def dedup_substrings_incremental(eng, table: str, out: str,
             a2, s2 = exact_substring_anchor_state(
                 spark, eng.objects, src, key, text_col, min_len)
         elif old_hash == cur_hash:
-            stats["mode"] = "noop"
+            # source unchanged but an output hash check failed above:
+            # outputs are rewritten from the cached state (detection
+            # skipped) — report a mode DISTINCT from the zero-job noop
+            # so operators can tell a repair from a true no-op
+            stats["mode"] = "restore"
             a2, s2 = a_ref, s_ref
         else:
             stats["mode"] = "refresh"

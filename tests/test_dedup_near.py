@@ -132,6 +132,184 @@ def test_cli_dedup_near_subprocess(warehouse, tmp_path):
     assert sorted(r["k"] for r in rows) == [1, 3]
 
 
+# -- r11: dedup-near --incremental (maintained signature state) --------
+
+
+def test_dedup_near_incremental_lifecycle(spark, tmp_path, capsys):
+    """build → noop → restore → refresh through the CLI flag: an
+    unchanged table is a true no-op (no root swap); a tampered output
+    restores from the maintained state with ZERO signing; after churn
+    (edit + add + delete) the delta is DERIVED from the content diff,
+    the signature view recomputes only the delta's buckets
+    (counter-reported, in-body asserted), and the output is
+    byte-identical — same CAS content hash — to a from-scratch
+    ``dedup-near`` on the same table."""
+    from messdb_spark.cli import main
+
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, wh)
+    schema = "doc_id bigint, body string, src string"
+    rows = [(1, _A, "s1"), (2, _A, "s2"), (3, _B, "s3"),
+            (4, _A, "s4"), (5, "tiny but unique text here", "s5")]
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows, schema), ("doc_id",)))
+    args = ["-w", wh, "dedup-near", "-t", "docs", "--text-col", "body",
+            "--out", "docs_dedup", "--clusters-table", "docs_clusters",
+            "--incremental"]
+
+    assert main(args) == 0
+    st1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st1["ok"] and st1["mode"] == "build"
+    assert st1["rows_in"] == 5 and st1["rows_out"] == 3
+    assert st1["dups_removed"] == 2 and st1["clusters"] == 1
+    assert sorted(r["doc_id"] for r in
+                  Engine(spark, wh).load_table("docs_dedup").df
+                  .collect()) == [1, 3, 5]
+
+    # unchanged source → TRUE noop: no root swap, stats from meta
+    v1 = Engine(spark, wh).catalog.current_version()
+    assert main(args) == 0
+    st2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st2["mode"] == "noop"
+    assert st2["table_hash"] == st1["table_hash"]
+    assert st2["rows_out"] == 3 and st2["clusters"] == 1
+    assert Engine(spark, wh).catalog.current_version() == v1
+
+    # tampered output → restore from maintained state, zero signing
+    Engine(spark, wh).save_table("docs_dedup", KeyedTable(
+        spark.createDataFrame([(99, "junk", "s9")], schema),
+        ("doc_id",)))
+    assert main(args) == 0
+    st3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st3["mode"] == "restore"
+    assert st3["table_hash"] == st1["table_hash"]
+    assert sorted(r["doc_id"] for r in
+                  Engine(spark, wh).load_table("docs_dedup").df
+                  .collect()) == [1, 3, 5]
+
+    # churn: doc 5 rewritten (still unique), doc 6 added as a copy of
+    # _B (a NEW cluster with 3), doc 4 deleted (shrinks cluster {1,2,4})
+    rows2 = [(1, _A, "s1"), (2, _A, "s2"), (3, _B, "s3"),
+             (5, "zzzz qqqq wwww eeee rrrr tttt yyyy uuuu iiii "
+                 "oooo pppp fully disjoint prose", "s5"),
+             (6, _B, "s6")]
+    Engine(spark, wh).save_table("docs", KeyedTable(
+        spark.createDataFrame(rows2, schema), ("doc_id",)))
+    assert main(args) == 0
+    st4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st4["mode"] == "refresh"
+    assert st4["delta_docs"] == 3            # derived, not user-supplied
+    # the incrementality contract, surfaced: signature recompute is
+    # bounded by the buckets the upsert+delete touched, which is a
+    # strict subset of the bucket space
+    assert st4["sig_buckets_recomputed"] <= st4["docs_buckets_touched"]
+    assert st4["docs_buckets_touched"] < st4["n_buckets"]
+    assert st4["rows_in"] == 5 and st4["rows_out"] == 3
+    assert st4["dups_removed"] == 2 and st4["clusters"] == 2
+    got = sorted(r["doc_id"] for r in
+                 Engine(spark, wh).load_table("docs_dedup").df.collect())
+    assert got == [1, 3, 5]
+
+    # equivalence: a from-scratch dedup-near on the same table yields
+    # the SAME content hash (CAS addresses are content-addressed)
+    from messdb_spark.queries.graph import dedup_near
+    st_full = dedup_near(Engine(spark, wh), "docs", "docs_dedup_full",
+                         text_col="body",
+                         clusters_table="docs_clusters_full")
+    assert st_full["table_hash"] == st4["table_hash"]
+    cl = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in
+          Engine(spark, wh).load_table("docs_clusters").df.collect()}
+    assert cl == {1: (1, 2), 2: (1, 2), 3: (3, 2), 6: (3, 2)}
+
+
+def test_dedup_near_incremental_rebuilds_on_param_change(spark, tmp_path):
+    """A different --shingle-k is a different detector: the state must
+    rebuild (the memo digests carry the FuncKey, so k=8 signatures can
+    never leak into a k=12 run)."""
+    from messdb_spark.queries.graph import dedup_near_incremental
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.save_table("d", KeyedTable(
+        spark.createDataFrame([(1, _A), (2, _A), (3, _B)],
+                              "doc_id bigint, text string"),
+        ("doc_id",)))
+    st1 = dedup_near_incremental(eng, "d", "d_dedup")
+    assert st1["mode"] == "build" and st1["rows_out"] == 2
+    st2 = dedup_near_incremental(eng, "d", "d_dedup", shingle_k=12)
+    assert st2["mode"] == "build"            # rebuilt, not reused
+    st3 = dedup_near_incremental(eng, "d", "d_dedup", shingle_k=12)
+    assert st3["mode"] == "noop"
+
+
+def test_dedup_near_incremental_commit_is_atomic(spark, tmp_path):
+    """State manifests, meta, deduped output and cluster table land in
+    ONE catalog version — a reader never sees state ahead of output."""
+    from messdb_spark.queries.graph import dedup_near_incremental
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.save_table("d", KeyedTable(
+        spark.createDataFrame([(1, _A), (2, _A), (3, _B)],
+                              "doc_id bigint, text string"),
+        ("doc_id",)))
+    v0 = eng.catalog.current_version()
+    dedup_near_incremental(eng, "d", "d_dedup", clusters_table="d_cl")
+    assert eng.catalog.current_version() == v0 + 1
+    names = set(eng.catalog.names())
+    assert {"d_dedup", "d_cl", "d_dedup__mh_docs", "d_dedup__mh_sig",
+            "d_dedup__mh_meta"} <= names
+
+
+def test_dedup_near_incremental_string_keys(spark, tmp_path):
+    """String keys through the maintained path: NULL-signature rows
+    (too short to sign) stay out of the edge set, the closure uses the
+    changed-rows witness, lexicographic min survives."""
+    from messdb_spark.queries.graph import dedup_near_incremental
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    rows = [("w-bravo", _A), ("w-alpha", _A), ("w-delta", _B),
+            ("w-echo", _A), ("w-zulu", "short")]
+    eng.save_table("d", KeyedTable(
+        spark.createDataFrame(rows, "k string, text string"), ("k",)))
+    st = dedup_near_incremental(eng, "d", "d_dedup",
+                                clusters_table="d_cl")
+    assert st["mode"] == "build"
+    assert st["rows_out"] == 3 and st["clusters"] == 1
+    got = sorted(r["k"] for r in eng.load_table("d_dedup").df.collect())
+    assert got == ["w-alpha", "w-delta", "w-zulu"]
+
+
+def test_cli_dedup_near_incremental_subprocess(warehouse, tmp_path):
+    """--incremental through a REAL subprocess: build then noop across
+    fresh interpreters (the state and meta live in the catalog, not
+    the session)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "messdb_spark.cli", "-w", warehouse,
+             *args],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout
+
+    run("sql", "-c", "CREATE TABLE d (k BIGINT PRIMARY KEY, txt VARCHAR)")
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(
+        _json.dumps(r) for r in [
+            {"k": 1, "txt": _A}, {"k": 2, "txt": _A},
+            {"k": 3, "txt": _B}, {"k": 4, "txt": _A},
+        ]) + "\n")
+    run("import-json", "-t", "d", str(p))
+    verb = ("dedup-near", "-t", "d", "--text-col", "txt",
+            "--out", "d_dedup", "--incremental")
+    st1 = _json.loads(run(*verb).splitlines()[-1])
+    assert st1["ok"] and st1["mode"] == "build" and st1["rows_out"] == 2
+    st2 = _json.loads(run(*verb).splitlines()[-1])
+    assert st2["mode"] == "noop" and st2["table_hash"] == st1["table_hash"]
+
+
 def test_dedup_near_no_duplicates_is_identity(spark, tmp_path):
     """All-unique corpus: empty candidate graph, empty label frame
     through the closure loop, output == source, zero clusters."""

@@ -603,3 +603,19 @@ def test_refresh_converges_over_random_delta_sequence(spark, tmp_path):
                                   "doc_id bigint, text string"))
         assert a_ref.bucket_hashes == full_a.bucket_hashes, f"step {step}"
         assert s_ref.bucket_hashes == full_s.bucket_hashes, f"step {step}"
+
+
+def test_refresh_driver_row_gold_check_env_gated(spark, monkeypatch):
+    """r11: the exact_substring_refresh driver row's gold rebuild
+    (refresh == full from-scratch rebuild, bucket hash by bucket hash)
+    is gated behind SPARK_GRAFT_XS_GOLD so the bench row times the
+    maintained operation — this test keeps the gate WIRED: with the
+    flag set, the full body (build → refresh → bounded asserts → gold
+    rebuild compare) must run and pass at sf0.001 in every CI run
+    (bench.py re-invokes it the same way after its timed loop)."""
+    from messdb_spark.queries import QUERIES
+
+    monkeypatch.setenv("SPARK_GRAFT_XS_GOLD", "1")
+    out = QUERIES["exact_substring_refresh"].fn(
+        spark, "/root/testdata/sf0.001")
+    assert out.count() > 0

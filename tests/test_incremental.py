@@ -57,6 +57,53 @@ def test_incremental_upsert_matches_full_recompute(spark, warehouse):
     assert ref3.table_hash == ref2.table_hash
 
 
+def test_incremental_upsert_deletes(spark, warehouse):
+    """r11: the ``deletes`` churn path — removed keys leave their
+    buckets, only touched buckets rewrite, untouched buckets pass
+    through by reference, and combined upsert+delete in one call is
+    consistent with a full recompute."""
+    store = ObjectStore(warehouse)
+    t = _base(spark)
+    ref = write_bucketed(store, t, n_buckets=16)
+
+    dels = spark.createDataFrame([(10,), (11,), (4999,)], "k bigint")
+    ups = spark.createDataFrame([(11, "RESURRECTED", -2.0),
+                                 (6000, "NEW", -3.0)],
+                                "k bigint, v string, x double")
+    # upsert wins over a simultaneous delete of the same key (the
+    # delta's row is the latest state; deletes target rows that are
+    # GONE from the new snapshot, and diff_tables never emits both)
+    ref2 = incremental_upsert(spark, store, ref, ups, deletes=dels)
+    got = {(r["k"], r["v"]) for r in
+           read_bucketed(spark, store, ref2).df.collect()}
+    expect = {(i, f"v{i}") for i in range(5000) if i not in (10, 11, 4999)}
+    expect |= {(11, "RESURRECTED"), (6000, "NEW")}
+    assert got == expect
+
+    # passthrough: only the buckets of {10, 11, 4999, 6000} rewrote
+    touched = {i for i, (a, b) in
+               enumerate(zip(ref.bucket_hashes, ref2.bucket_hashes))
+               if a != b}
+    want_buckets = {r["b"] for r in spark.createDataFrame(
+        [(10,), (11,), (4999,), (6000,)], "k bigint")
+        .select(F.pmod(F.xxhash64("k"), F.lit(16)).alias("b")).collect()}
+    assert touched <= want_buckets
+    # delete-only call: no upsert rows at all
+    ref3 = incremental_upsert(
+        spark, store, ref2,
+        spark.createDataFrame([], "k bigint, v string, x double"),
+        deletes=spark.createDataFrame([(6000,)], "k bigint"))
+    got3 = {r["k"] for r in read_bucketed(spark, store, ref3).df.collect()}
+    assert 6000 not in got3 and len(got3) == len(expect) - 1
+    # deleting an absent key is a no-op manifest-wise (CAS dedups the
+    # identical rewritten bucket back to the same hash)
+    ref4 = incremental_upsert(
+        spark, store, ref3,
+        spark.createDataFrame([], "k bigint, v string, x double"),
+        deletes=spark.createDataFrame([(424242,)], "k bigint"))
+    assert ref4.table_hash == ref3.table_hash
+
+
 def test_noop_upsert_reuses_everything(spark, warehouse):
     """Re-upserting identical rows produces identical bucket content →
     content addresses dedup in the store (write-once)."""

@@ -150,6 +150,25 @@ def test_xs_spans_pinned_frame_released_after_materialize(spark,
         f"xs_spans leaked persisted candidate blocks: {after - before}"
 
 
+def test_xs_pinned_released_when_put_fails(spark, warehouse):
+    """ADVICE r10: a CAS put that RAISES must still release the pinned
+    candidate frame (try/finally in Materializer.materialize), or the
+    error path leaks executor storage."""
+    eng = Engine(spark, warehouse)
+    eng.save_table("docs", KeyedTable(_corpus(spark), ("doc_id",)))
+    sc = spark.sparkContext
+    before = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated disk-full during CAS put")
+    eng.objects.put = boom          # instance-attr shadow, this store only
+    with pytest.raises(RuntimeError, match="disk-full"):
+        eng.materializer.materialize(xs_spans(eng.scan_ir("docs")))
+    after = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+    assert after <= before, \
+        f"failed put leaked pinned candidate blocks: {after - before}"
+
+
 # -- r10: dedup-substrings --incremental (maintained state) ------------
 
 
@@ -211,7 +230,9 @@ def test_cli_dedup_substrings_incremental_lifecycle(spark, tmp_path,
     assert Engine(spark, wh).catalog.current_version() == v1
 
     # tampered output: the short-circuit must NOT trust it — the run
-    # falls through and restores the clean from the cached state
+    # falls through and restores the clean from the cached state, and
+    # reports mode "restore" (NOT "noop": it rewrites outputs and
+    # performs a root swap; VERDICT r10 what's-wrong #2)
     eng_t = Engine(spark, wh)
     eng_t.save_table("docs_clean", KeyedTable(
         spark.createDataFrame([(99, "junk", "s9")],
@@ -219,7 +240,8 @@ def test_cli_dedup_substrings_incremental_lifecycle(spark, tmp_path,
         ("doc_id",)))
     assert main(args) == 0
     st2b = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert st2b["mode"] == "noop" and st2b["table_hash"] == st1["table_hash"]
+    assert st2b["mode"] == "restore"
+    assert st2b["table_hash"] == st1["table_hash"]
     assert Engine(spark, wh).catalog.current_version() > v1
 
     # churn: doc 2 rewritten to unique text (doc 1 loses its partner),
