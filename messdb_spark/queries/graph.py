@@ -233,9 +233,138 @@ def cc_labels_from_edges(edges: DataFrame,
             f"connected-components did not converge within {max_rounds} "
             f"rounds — with pointer jumping that implies diameter "
             f"~2^{max_rounds} or a convergence-witness bug; for "
-            f"adversarial graphs use a large-star/small-star CC "
-            f"(Kiveris et al. 2014) instead of min-label propagation")
+            f"adversarial graphs use cc_labels_large_small_star "
+            f"(alternating large-star/small-star, Kiveris et al. 2014, "
+            f"O(log² n) rounds for ANY graph) instead of min-label "
+            f"propagation")
     return labels
+
+
+def cc_labels_large_small_star(edges: DataFrame,
+                               numeric_key: bool = True,
+                               max_rounds: int = _CC_MAX_ROUNDS) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    edge rewriting (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014) — the adversarial-graph alternative the
+    ``cc_labels_from_edges`` round-ceiling error names. Min-label
+    propagation needs ~log2(diameter) rounds WITH pointer jumping,
+    which is fine for shallow LSH star graphs but a public building
+    block (``dedup-near``) can be handed any graph; large/small-star
+    converges in O(log² n) rounds for EVERY graph shape because each
+    round halves tree heights globally rather than walking them.
+
+    Same contract as ``cc_labels_from_edges``: input is a
+    bidirectional (src, dst) edge frame; output is (doc_id, comp) with
+    comp = component minimum, one row per node that appears in an
+    edge.
+
+    Mechanics (edges kept canonical as (hi, lo), hi > lo — both steps
+    provably preserve that orientation, so no re-canonicalization):
+
+    - LARGE-STAR: from the full adjacency, every strictly LARGER
+      neighbor of u links to min(Γ(u) ∪ {u}). Each undirected edge is
+      processed from its smaller endpoint exactly once, so the rewrite
+      is one groupBy(min) + one equi-join over (key, key) rows.
+    - SMALL-STAR: grouping the canonical edges by their larger
+      endpoint u (all its lo-neighbors are < u), every member of that
+      smaller-neighborhood ∪ {u} links to its minimum.
+
+    Convergence witness: both steps map each edge elementwise
+    NON-INCREASING (large-star lowers lo toward the neighborhood min;
+    small-star lowers hi onto a smaller neighbor) and distinct() only
+    removes rows, so the triple (count, Σhi, Σlo) — sums in
+    decimal(38,0), same wrap-safety as the min-label witness — is
+    monotone and stalls exactly at the fixpoint (a star forest: every
+    edge is (node, component-min)). Non-numeric keys fall back to a
+    two-sided anti-join changed-edge count. One lazy localCheckpoint
+    per round keeps lineage O(1); the witness aggregate is the single
+    full action that materializes it."""
+    e = (edges.filter(F.col("src") != F.col("dst"))
+              .select(F.greatest("src", "dst").alias("hi"),
+                      F.least("src", "dst").alias("lo"))
+              .distinct()
+              .localCheckpoint(eager=False))
+
+    def witness(df: DataFrame):
+        return df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("hi").cast("decimal(38,0)")),
+            F.sum(F.col("lo").cast("decimal(38,0)"))).first()
+
+    prev_w = witness(e) if numeric_key else None
+    for _round in range(max_rounds):
+        # large-star: adjacency from both directions; each undirected
+        # edge survives as exactly one (v > u) row, rewritten to
+        # (v, min of u's closed neighborhood)
+        nbrs = (e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+                 .union(e.select(F.col("lo").alias("u"),
+                                 F.col("hi").alias("v"))))
+        mins = (nbrs.groupBy("u")
+                    .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        eL = (nbrs.filter(F.col("v") > F.col("u"))
+                  .join(mins, "u")
+                  .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+                  .distinct())
+        # small-star: canonical edges grouped by hi already hold the
+        # smaller-neighborhood; min is a neighbor (all lo < hi)
+        mins2 = eL.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = eL.join(mins2, "hi")
+        e2 = (joined.filter(F.col("lo") != F.col("m"))
+                    .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+                    .union(joined.select("hi", F.col("m").alias("lo")))
+                    .distinct()
+                    .localCheckpoint(eager=False))
+        if numeric_key:
+            w = witness(e2)     # single full action: materialize + probe
+            stalled = w == prev_w
+            prev_w = w
+        else:
+            # FULL actions over the edge frame (same rationale as the
+            # min-label fallback: a limit() would leave partitions
+            # unmaterialized under the lazy checkpoint)
+            stalled = (e2.join(e, ["hi", "lo"], "left_anti").count() == 0
+                       and e.join(e2, ["hi", "lo"], "left_anti")
+                            .count() == 0)
+        e = e2
+        if stalled:
+            break
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge within "
+            f"{max_rounds} rounds — impossible for any graph with "
+            f"fewer than ~2^{max_rounds // 2} nodes (O(log² n) bound); "
+            f"this indicates a convergence-witness bug")
+    # fixpoint is a star forest: every non-root points at its
+    # component min; roots (pure lo values) label themselves
+    roots = e.select(F.col("lo").alias("doc_id")).distinct()
+    return (e.select(F.col("hi").alias("doc_id"), F.col("lo").alias("comp"))
+             .union(roots.select("doc_id",
+                                 F.col("doc_id").alias("comp")))
+             .distinct())
+
+
+@query("cc_largestar_components", oracle=_CC_ORACLE)
+def cc_largestar_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``dedup_cluster_components`` clusters computed by the
+    ALTERNATE algorithm — alternating large-star/small-star (Kiveris
+    et al. 2014) instead of min-label propagation — over the identical
+    MinHash-LSH star-edge graph, against the identical recursive-CTE
+    oracle. Two independently-formulated closures agreeing with the
+    oracle (and so with each other) pins the clustering semantics the
+    same way the engine/oracle split pins each alone.
+
+    Scale: this is the path the min-label round-ceiling error routes
+    adversarial graphs to — rounds are O(log² n) REGARDLESS of
+    diameter (each round halves tree heights globally), every step an
+    equi-join/groupBy over canonical (key, key) edges; text never
+    enters the graph."""
+    (d,) = load(spark, sf_dir, "documents")
+    sig, edges = minhash_band_edges_for(d)
+    labels = cc_labels_large_small_star(edges)
+    wc = W.partitionBy("cluster_id")
+    out = (labels.select("doc_id", F.col("comp").alias("cluster_id"))
+                 .withColumn("cluster_size", F.count(F.lit(1)).over(wc)))
+    return pin_result(out, sig, edges)
 
 
 def cc_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:

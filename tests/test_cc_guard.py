@@ -68,6 +68,86 @@ def test_cc_string_key_path_converges_with_full_action_probe(spark):
     edges.unpersist()
 
 
+# -- large-star/small-star: the adversarial-graph alternative ----------
+
+
+def test_largestar_path_graph_in_logsq_rounds(spark):
+    """The 256-node path that needs ~9 min-label rounds (and FAILS
+    under a ceiling of 2) converges under large-star/small-star well
+    inside its O(log² n) bound — the exact routing the min-label
+    ceiling error advertises."""
+    from messdb_spark.queries.graph import cc_labels_large_small_star
+
+    n = 256
+    edges = _path_edges(spark, n)
+    labels = cc_labels_large_small_star(edges, max_rounds=16)
+    got = {r["doc_id"]: r["comp"] for r in labels.collect()}
+    assert set(got) == set(range(1, n + 1))
+    assert set(got.values()) == {1}
+    edges.unpersist()
+
+
+def test_largestar_matches_minlabel_on_random_graph(spark):
+    """Two independently-formulated closures must agree label-for-label
+    on a seeded random multi-component graph (self-loops, duplicate and
+    reversed edges included — the canonicalization path)."""
+    import random
+
+    from messdb_spark.queries.graph import (cc_labels_from_edges,
+                                            cc_labels_large_small_star)
+
+    rng = random.Random(11)
+    raw = [(rng.randrange(400), rng.randrange(400)) for _ in range(300)]
+    raw += [(i, i) for i in range(0, 40, 7)]          # self-loops
+    raw += [(b, a) for a, b in raw[:50]]              # reversed dups
+    star = spark.createDataFrame(raw, "src bigint, dst bigint")
+    edges = (star.union(star.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+                 .repartition(F.col("dst")).persist())
+    a = {r["doc_id"]: r["comp"]
+         for r in cc_labels_from_edges(edges).collect()}
+    b = {r["doc_id"]: r["comp"]
+         for r in cc_labels_large_small_star(edges).collect()}
+    # min-label includes self-loop-only nodes (they appear in the edge
+    # frame); large/small-star drops self-loops up front — compare on
+    # the common (real-edge) node set, where labels must be identical
+    real = {k for k, v in b.items()}
+    assert real <= set(a)
+    assert {k: a[k] for k in real} == b
+    for k in set(a) - real:
+        assert a[k] == k      # self-loop-only nodes label themselves
+    edges.unpersist()
+
+
+def test_largestar_string_keys_and_empty(spark):
+    from messdb_spark.queries.graph import cc_labels_large_small_star
+
+    n = 64
+    star = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(1, n)],
+        "src string, dst string")
+    edges = (star.union(star.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+                 .repartition(F.col("dst")).persist())
+    got = {r["doc_id"]: r["comp"]
+           for r in cc_labels_large_small_star(
+               edges, numeric_key=False).collect()}
+    assert set(got.values()) == {"n001"} and len(got) == n
+    edges.unpersist()
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    assert cc_labels_large_small_star(empty).count() == 0
+
+
+def test_largestar_too_small_ceiling_fails_loud(spark):
+    from messdb_spark.queries.graph import cc_labels_large_small_star
+
+    edges = _path_edges(spark, 256)
+    with pytest.raises(RuntimeError, match="convergence-witness bug"):
+        cc_labels_large_small_star(edges, max_rounds=1)
+    edges.unpersist()
+
+
 def test_cc_label_cache_is_session_scoped(spark, tmp_path):
     """The cache key uses spark.sparkContext.applicationId — an entry
     left by a DEAD session (whose id(spark) address could be recycled)

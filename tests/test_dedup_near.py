@@ -310,6 +310,74 @@ def test_cli_dedup_near_incremental_subprocess(warehouse, tmp_path):
     assert st2["mode"] == "noop" and st2["table_hash"] == st1["table_hash"]
 
 
+def test_dedup_near_incremental_random_churn_model(spark, tmp_path):
+    """Model check over a SEQUENCE of random churn steps (seeded): at
+    every step the maintained path's deduped output and cluster table
+    must content-hash-equal a from-scratch ``dedup-near`` on the same
+    corpus — the lattice-style equivalence the merge model pins for
+    O1, applied to the verb's maintained state. Each refresh must also
+    derive exactly the step's delta and keep signature recompute
+    bucket-bounded (the MemoStore contract under arbitrary churn, not
+    just the single handcrafted edit of the lifecycle test)."""
+    import random
+
+    from messdb_spark.queries.graph import (dedup_near,
+                                            dedup_near_incremental)
+
+    rng = random.Random(1107)
+    # text pool: 4 duplicate families + unique filler — enough overlap
+    # that churn steps merge and split clusters
+    fam = [f"family {i} shared prose body with plenty of shingles to "
+           f"hash and cluster on reliably {i}" for i in range(4)]
+
+    def fresh_text(k):
+        return (f"unique doc {k} " + " ".join(
+            f"tok{rng.randrange(10_000)}" for _ in range(12)))
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    docs = {i: rng.choice(fam) if rng.random() < 0.5 else fresh_text(i)
+            for i in range(1, 13)}
+
+    def save(tbl="docs"):
+        eng.save_table(tbl, KeyedTable(
+            spark.createDataFrame(sorted(docs.items()),
+                                  "doc_id bigint, text string"),
+            ("doc_id",)))
+
+    save()
+    st = dedup_near_incremental(eng, "docs", "dd", clusters_table="dd_cl")
+    assert st["mode"] == "build"
+    next_id = 13
+    for step in range(3):
+        # random churn: ~2 edits, ~2 adds, ~1 delete per step
+        for _ in range(2):
+            k = rng.choice(sorted(docs))
+            docs[k] = rng.choice(fam) if rng.random() < 0.6 \
+                else fresh_text(k * 100 + step)
+        for _ in range(2):
+            docs[next_id] = rng.choice(fam) if rng.random() < 0.6 \
+                else fresh_text(next_id)
+            next_id += 1
+        del docs[rng.choice(sorted(docs))]
+        save()
+        st = dedup_near_incremental(eng, "docs", "dd",
+                                    clusters_table="dd_cl")
+        assert st["mode"] == "refresh", f"step {step}: {st['mode']}"
+        # ≤5 churned keys (an edit that rewrites identical text still
+        # counts in the diff only if content changed; delete always does)
+        assert 1 <= st["delta_docs"] <= 5, (step, st["delta_docs"])
+        assert st["sig_buckets_recomputed"] <= st["docs_buckets_touched"]
+        # gold: from-scratch dedup-near on the same corpus — identical
+        # CAS content hashes for BOTH outputs
+        full = dedup_near(eng, "docs", "dd_full",
+                          clusters_table="dd_cl_full")
+        assert st["table_hash"] == full["table_hash"], f"step {step}"
+        assert eng.table_hash("dd_cl") == eng.table_hash("dd_cl_full"), \
+            f"step {step}: cluster tables diverge"
+        assert (st["rows_in"], st["rows_out"], st["clusters"]) == \
+            (full["rows_in"], full["rows_out"], full["clusters"])
+
+
 def test_dedup_near_no_duplicates_is_identity(spark, tmp_path):
     """All-unique corpus: empty candidate graph, empty label frame
     through the closure loop, output == source, zero clusters."""
