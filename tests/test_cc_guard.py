@@ -119,6 +119,50 @@ def test_largestar_matches_minlabel_on_random_graph(spark):
     edges.unpersist()
 
 
+def test_cc_both_algorithms_match_union_find(spark):
+    """Ground truth from a trivially-correct pure-Python union-find:
+    BOTH distributed closures (min-label + pointer jumping, and
+    large-star/small-star) must produce comp == component minimum for
+    every edge-touched node, across several seeded random graphs —
+    guards against a shared bug the two-implementation cross-check
+    cannot see."""
+    import random
+
+    from messdb_spark.queries.graph import (cc_labels_from_edges,
+                                            cc_labels_large_small_star)
+
+    for seed in (3, 7, 42):
+        rng = random.Random(seed)
+        n_nodes, n_edges = 120, 150
+        raw = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+               for _ in range(n_edges)]
+        raw = [(a, b) for a, b in raw if a != b]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in raw:
+            parent[find(a)] = find(b)
+        comp_min: dict[int, int] = {}
+        for x in {v for e in raw for v in e}:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        truth = {x: comp_min[find(x)] for x in {v for e in raw for v in e}}
+
+        star = spark.createDataFrame(raw, "src bigint, dst bigint")
+        edges = (star.union(star.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")))
+                     .repartition(F.col("dst")).persist())
+        for fn in (cc_labels_from_edges, cc_labels_large_small_star):
+            got = {r["doc_id"]: r["comp"] for r in fn(edges).collect()}
+            assert got == truth, f"seed {seed}, {fn.__name__}"
+        edges.unpersist()
+
+
 def test_largestar_string_keys_and_empty(spark):
     from messdb_spark.queries.graph import cc_labels_large_small_star
 
