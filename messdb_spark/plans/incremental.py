@@ -320,6 +320,47 @@ def incremental_agg_view(spark: SparkSession, store: ObjectStore, memo,
     return KeyedTable(combined, tuple(group_cols))
 
 
+def _map_bucket_digest(transform_key: str, in_hash: str) -> str:
+    """The per-bucket memo key of ``incremental_map_view`` — factored
+    out so ``seed_map_view_memo`` provably writes the same digests the
+    view reads."""
+    return hashlib.sha256(
+        f"OP_MAP_BUCKET|{transform_key}|{in_hash}".encode()).hexdigest()
+
+
+def seed_map_view_memo(memo, src_ref: BucketedRef, view_ref: BucketedRef,
+                       transform_key: str) -> int:
+    """Rehydrate per-bucket memo records from a persisted
+    (source, view) manifest PAIR whose maintained invariant is
+    view bucket b == transform(source bucket b).
+
+    Memo records are STORE-LOCAL provenance: ``Engine.sync_table``
+    ships objects and catalog entries to another warehouse, but not
+    the memo, so the first refresh there would re-sign every untouched
+    bucket — and trip the verbs' delta-bound asserts — even though
+    both manifests and all their bucket objects arrived intact. The
+    manifest pair itself carries everything the memo recorded (input
+    hash → output hash under a named transform), so seeding is pure
+    bookkeeping: zero data jobs, one batched memo write of at most
+    n_buckets records; existing records are left untouched (the memo
+    is advisory — a live record may already point at a newer
+    equivalent object). Returns the number of records written."""
+    if src_ref.n_buckets != view_ref.n_buckets:
+        raise ValueError(
+            f"manifest pair disagrees on n_buckets: "
+            f"{src_ref.n_buckets} vs {view_ref.n_buckets}")
+    fresh: dict[str, str] = {}
+    for in_h, out_h in zip(src_ref.bucket_hashes, view_ref.bucket_hashes):
+        if in_h == EMPTY:
+            continue              # map_view never consults EMPTY inputs
+        d = _map_bucket_digest(transform_key, in_h)
+        if memo.get(d) is None:   # EMPTY outputs memoize too (ADVICE r5)
+            fresh[d] = out_h
+    if fresh:
+        memo.put_many(fresh)
+    return len(fresh)
+
+
 def incremental_map_view(spark: SparkSession, store: ObjectStore, memo,
                          ref: BucketedRef, transform_key: str) -> BucketedRef:
     """Incrementally-maintained materialized view over a bucketed table
@@ -347,8 +388,7 @@ def incremental_map_view(spark: SparkSession, store: ObjectStore, memo,
         raise ValueError("incremental_map_view needs a key-preserving transform")
 
     def bucket_digest(in_hash: str) -> str:
-        return hashlib.sha256(
-            f"OP_MAP_BUCKET|{transform_key}|{in_hash}".encode()).hexdigest()
+        return _map_bucket_digest(transform_key, in_hash)
 
     out_hashes: list[str] = [EMPTY] * ref.n_buckets
     missed: list[int] = []

@@ -571,7 +571,8 @@ def dedup_near_incremental(eng, table: str, out: str,
     from ..operators.core import KeyedTable, canonicalize_input, diff_tables
     from ..plans.incremental import (incremental_map_view,
                                      incremental_upsert, load_manifest,
-                                     read_bucketed, write_bucketed)
+                                     read_bucketed, seed_map_view_memo,
+                                     write_bucketed)
     from .linkage import _load_object_df, _xs_auto_buckets
 
     spark = eng.spark
@@ -637,6 +638,16 @@ def dedup_near_incremental(eng, table: str, out: str,
             d2, s2 = d_ref, s_ref
         else:
             stats["mode"] = "refresh"
+            # rehydrate memo records the state manifests already prove
+            # (view bucket b == fkey(docs bucket b)) — a warehouse that
+            # received the state via sync_table has the objects and the
+            # catalog entries but NOT the store-local memo, and without
+            # this its first refresh re-signs every untouched bucket
+            # (and trips the delta-bound assert below). Zero data jobs;
+            # a same-warehouse refresh seeds nothing (records exist).
+            seeded = seed_map_view_memo(eng.memo, d_ref, s_ref, fkey)
+            if seeded:
+                stats["memo_records_rehydrated"] = seeded
             old = (_load_object_df(eng, old_hash)
                    .select(F.col(key).alias("doc_id"),
                            F.col(text_col).alias("text")))

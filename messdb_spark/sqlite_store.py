@@ -98,6 +98,17 @@ class SqliteMemoStore:
             (op_digest, table_hash))
         self._con.commit()
 
+    def put_many(self, records: dict[str, str]) -> None:
+        """Batch put in ONE transaction (same advisory INSERT OR
+        REPLACE semantics as ``put``; see
+        ``plans.incremental.seed_map_view_memo``)."""
+        if not records:
+            return
+        self._con.executemany(
+            "INSERT OR REPLACE INTO memo_store(key, value) VALUES (?, ?)",
+            list(records.items()))
+        self._con.commit()
+
     def prune(self, is_live) -> int:
         """Drop entries whose target hash fails ``is_live`` (GC support;
         same contract as ``store.MemoStore.prune``)."""

@@ -456,6 +456,16 @@ class MemoStore:
         self._cache[op_digest] = table_hash
         _atomic_write_json(self.path, self._cache)
 
+    def put_many(self, records: dict[str, str]) -> None:
+        """Batch put with ONE disk write — memo rehydration
+        (``plans.incremental.seed_map_view_memo``) writes up to
+        n_buckets records at once; per-record ``put`` would rewrite
+        the whole JSON n_buckets times."""
+        if not records:
+            return
+        self._cache.update(records)
+        _atomic_write_json(self.path, self._cache)
+
     def refresh(self) -> None:
         """Fold entries OTHER processes wrote into the in-process view
         (``_cache`` is loaded once at construction; every ``put`` goes

@@ -378,6 +378,59 @@ def test_dedup_near_incremental_random_churn_model(spark, tmp_path):
             (full["rows_in"], full["rows_out"], full["clusters"])
 
 
+def test_dedup_near_state_syncs_to_another_warehouse(spark, tmp_path):
+    """The maintained-state composition across warehouses: sync the
+    corpus + outputs + the three state tables (bucketed manifests —
+    ``sync_table`` walks ``manifest_children``, so bucket objects ship
+    too) into a SECOND warehouse; an unchanged source there is a true
+    no-op, and churn resumes delta-proportional refresh against the
+    synced state — the reference's push-a-trie-and-keep-working sync
+    story (``Trie.hs:256-260``) applied to verb state."""
+    from messdb_spark.queries.graph import dedup_near_incremental
+
+    eng = Engine(spark, str(tmp_path / "src"))
+    schema = "doc_id bigint, text string"
+    rows = [(1, _A), (2, _A), (3, _B), (4, _A)]
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows, schema), ("doc_id",)))
+    st0 = dedup_near_incremental(eng, "docs", "dd", clusters_table="dd_cl")
+    assert st0["mode"] == "build"
+
+    dst = Engine(spark, str(tmp_path / "dst"))
+    copied = 0
+    for t in ("docs", "dd", "dd_cl",
+              "dd__mh_docs", "dd__mh_sig", "dd__mh_meta"):
+        r = eng.sync_table(t, dst)
+        copied += r["copied"]
+    assert copied > 0
+
+    # destination sees the state as current: true no-op, zero rebuilds
+    dst2 = Engine(spark, str(tmp_path / "dst"))
+    st1 = dedup_near_incremental(dst2, "docs", "dd",
+                                 clusters_table="dd_cl")
+    assert st1["mode"] == "noop"
+    assert st1["table_hash"] == st0["table_hash"]
+
+    # churn IN THE DESTINATION: refresh resumes from the synced state
+    # (the delta is derived against the synced CAS snapshot)
+    rows2 = rows + [(5, _B)]
+    dst2.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows2, schema), ("doc_id",)))
+    st2 = dedup_near_incremental(dst2, "docs", "dd",
+                                 clusters_table="dd_cl")
+    assert st2["mode"] == "refresh"
+    assert st2["delta_docs"] == 1
+    # the destination's memo was EMPTY (memo records are store-local;
+    # sync ships objects + catalog, not provenance) — the refresh must
+    # rehydrate it from the manifest pair instead of re-signing every
+    # untouched bucket
+    assert st2.get("memo_records_rehydrated", 0) > 0
+    assert st2["sig_buckets_recomputed"] <= st2["docs_buckets_touched"]
+    assert st2["rows_out"] == 2 and st2["clusters"] == 2
+    # the source warehouse is untouched by the destination's churn
+    assert eng.table_hash("dd") == st0["table_hash"]
+
+
 def test_dedup_near_no_duplicates_is_identity(spark, tmp_path):
     """All-unique corpus: empty candidate graph, empty label frame
     through the closure loop, output == source, zero clusters."""

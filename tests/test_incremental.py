@@ -430,3 +430,43 @@ def test_incremental_ivf_refresh_counters(spark):
     assert set(per_q) <= set(range(_N_QUERIES))
     for q, rks in per_q.items():
         assert sorted(rks) == list(range(1, len(rks) + 1)), f"rank gap for {q}"
+
+
+def test_seed_map_view_memo_both_backends(tmp_path):
+    """Memo rehydration from a (source, view) manifest pair writes
+    exactly the absent records — same digests incremental_map_view
+    reads — in ONE batched write, on both memo backends; existing
+    records are left untouched (advisory-memo contract)."""
+    from messdb_spark.plans.incremental import (EMPTY, BucketedRef,
+                                                _map_bucket_digest,
+                                                seed_map_view_memo)
+    from messdb_spark.sqlite_store import SqliteMemoStore
+    from messdb_spark.store import MemoStore
+
+    src = BucketedRef(("k",), 4, ("in0", EMPTY, "in2", "in3"), "{}")
+    view = BucketedRef(("k",), 4, ("out0", EMPTY, EMPTY, "out3"), "{}")
+
+    for cls, sub in ((MemoStore, "j"), (SqliteMemoStore, "s")):
+        wh = str(tmp_path / sub)
+        import os
+        os.makedirs(wh, exist_ok=True)
+        memo = cls(wh)
+        # pre-existing record must survive (advisory: maybe newer)
+        memo.put(_map_bucket_digest("f", "in0"), "already")
+        n = seed_map_view_memo(memo, src, view, "f")
+        assert n == 2                       # in2 (EMPTY output!), in3
+        assert memo.get(_map_bucket_digest("f", "in0")) == "already"
+        assert memo.get(_map_bucket_digest("f", "in2")) == EMPTY
+        assert memo.get(_map_bucket_digest("f", "in3")) == "out3"
+        # idempotent: a second seed writes nothing
+        assert seed_map_view_memo(memo, src, view, "f") == 0
+        # a fresh handle sees the records (they hit disk, not a cache)
+        memo2 = cls(wh)
+        assert memo2.get(_map_bucket_digest("f", "in3")) == "out3"
+        # transform-key isolation: k=12 state can never serve k=8
+        assert memo.get(_map_bucket_digest("g", "in3")) is None
+
+    import pytest
+    with pytest.raises(ValueError, match="n_buckets"):
+        seed_map_view_memo(MemoStore(str(tmp_path / "j")), src,
+                           BucketedRef(("k",), 8, ("x",) * 8, "{}"), "f")
