@@ -318,3 +318,49 @@ def test_incremental_commit_is_atomic(spark, tmp_path):
     names = set(eng.catalog.names())
     assert {"d_clean", "d_spans", "d_clean__xs_anchors",
             "d_clean__xs_spans", "d_clean__xs_meta"} <= names
+
+
+def test_xs_state_syncs_to_another_warehouse(spark, tmp_path):
+    """The ExactSubstr twin of the dedup-near cross-warehouse test:
+    sync corpus + cleaned output + the three state tables into a
+    second warehouse; an unchanged source there is a true no-op, and
+    churn resumes DELTA-PROPORTIONAL refresh against the synced state
+    (the xs refresh machinery is memo-free, so unlike the MinHash verb
+    no provenance rehydration is needed — this pins that)."""
+    from messdb_spark.queries.linkage import dedup_substrings_incremental
+
+    shared = "THE-PLANTED-SHARED-RUN-IS-40-CHARS-LONG!"
+    eng = Engine(spark, str(tmp_path / "src"))
+    schema = "doc_id bigint, body string"
+    rows = [(1, "alpha<" + shared + ">omega-one"),
+            (2, "begin_" + shared + "_finish-two"),
+            (3, "nothing duplicated in this row at all, no sir")]
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows, schema), ("doc_id",)))
+    st0 = dedup_substrings_incremental(eng, "docs", "clean",
+                                       text_col="body")
+    assert st0["mode"] == "build"
+
+    dst = Engine(spark, str(tmp_path / "dst"))
+    for t in ("docs", "clean",
+              "clean__xs_anchors", "clean__xs_spans", "clean__xs_meta"):
+        eng.sync_table(t, dst)
+
+    dst2 = Engine(spark, str(tmp_path / "dst"))
+    st1 = dedup_substrings_incremental(dst2, "docs", "clean",
+                                       text_col="body")
+    assert st1["mode"] == "noop"
+    assert st1["table_hash"] == st0["table_hash"]
+
+    # churn IN THE DESTINATION: add a verbatim copy of doc 3
+    from messdb_spark.operators.core import canonicalize_input, merge_tables
+    upd = spark.createDataFrame([(4, rows[2][1])], schema)
+    dst2.save_table("docs", merge_tables(
+        [dst2.load_table("docs"), canonicalize_input(upd, ("doc_id",))]))
+    st2 = dedup_substrings_incremental(dst2, "docs", "clean",
+                                       text_col="body")
+    assert st2["mode"] == "refresh"
+    assert st2["delta_docs"] == 1
+    assert st2["text_docs_scanned"] == 1    # only the arriving doc
+    # the source warehouse is untouched by the destination's churn
+    assert eng.table_hash("clean") == st0["table_hash"]
