@@ -431,6 +431,45 @@ def test_dedup_near_state_syncs_to_another_warehouse(spark, tmp_path):
     assert eng.table_hash("dd") == st0["table_hash"]
 
 
+def test_dedup_near_incremental_rebuilds_after_snapshot_gc(spark, tmp_path):
+    """The documented graceful-degradation path, actually exercised:
+    churn the source, then gc with keep_versions=1 so the CAS-pinned
+    PRIOR snapshot (reachable only through pruned catalog history) is
+    swept before the next verb run. The verb must detect the missing
+    snapshot (`objects.exists(source_hash)`), REBUILD instead of
+    diffing against a ghost, produce the correct output, and return to
+    noop/refresh behavior afterwards — never a crash, never a stale
+    answer."""
+    from messdb_spark.queries.graph import dedup_near_incremental
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    schema = "doc_id bigint, text string"
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame([(1, _A), (2, _A), (3, _B)], schema),
+        ("doc_id",)))
+    st0 = dedup_near_incremental(eng, "docs", "dd")
+    assert st0["mode"] == "build"
+    old_snapshot = eng.table_hash("docs")
+
+    # churn WITHOUT running the verb: the state still pins old_snapshot
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame([(1, _A), (2, _A), (3, _B), (4, _B)],
+                              schema), ("doc_id",)))
+    assert eng.objects.exists(old_snapshot)
+    swept = eng.gc(keep_versions=1)
+    assert not eng.objects.exists(old_snapshot), (
+        f"gc kept the history-only snapshot: {swept}")
+
+    st1 = dedup_near_incremental(eng, "docs", "dd")
+    assert st1["mode"] == "build"            # graceful rebuild, not diff
+    assert st1["rows_in"] == 4 and st1["rows_out"] == 2
+    assert st1["clusters"] == 2
+    # and the lifecycle resumes: unchanged source is a noop again
+    st2 = dedup_near_incremental(eng, "docs", "dd")
+    assert st2["mode"] == "noop"
+    assert st2["table_hash"] == st1["table_hash"]
+
+
 def test_dedup_near_no_duplicates_is_identity(spark, tmp_path):
     """All-unique corpus: empty candidate graph, empty label frame
     through the closure loop, output == source, zero clusters."""

@@ -364,3 +364,44 @@ def test_xs_state_syncs_to_another_warehouse(spark, tmp_path):
     assert st2["text_docs_scanned"] == 1    # only the arriving doc
     # the source warehouse is untouched by the destination's churn
     assert eng.table_hash("clean") == st0["table_hash"]
+
+
+def test_xs_incremental_rebuilds_after_snapshot_gc(spark, tmp_path):
+    """Twin of the dedup-near gc test: sweep the CAS-pinned prior
+    snapshot (churn, then gc keep_versions=1) and the next
+    ``dedup-substrings --incremental`` run must REBUILD gracefully —
+    correct output, lifecycle resumes with a true noop."""
+    from messdb_spark.queries.linkage import dedup_substrings_incremental
+
+    shared = "THE-PLANTED-SHARED-RUN-IS-40-CHARS-LONG!"
+    eng = Engine(spark, str(tmp_path / "wh"))
+    schema = "doc_id bigint, body string"
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(
+            [(1, "alpha<" + shared + ">omega-one"),
+             (2, "begin_" + shared + "_finish-two"),
+             (3, "nothing duplicated in this row at all, no sir")],
+            schema), ("doc_id",)))
+    st0 = dedup_substrings_incremental(eng, "docs", "clean",
+                                       text_col="body")
+    assert st0["mode"] == "build"
+    old_snapshot = eng.table_hash("docs")
+
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(
+            [(1, "alpha<" + shared + ">omega-one"),
+             (2, "begin_" + shared + "_finish-two"),
+             (3, "nothing duplicated in this row at all, no sir"),
+             (4, "nothing duplicated in this row at all, no sir")],
+            schema), ("doc_id",)))
+    eng.gc(keep_versions=1)
+    assert not eng.objects.exists(old_snapshot)
+
+    st1 = dedup_substrings_incremental(eng, "docs", "clean",
+                                       text_col="body")
+    assert st1["mode"] == "build"            # graceful rebuild
+    assert st1["rows"] == 4
+    st2 = dedup_substrings_incremental(eng, "docs", "clean",
+                                       text_col="body")
+    assert st2["mode"] == "noop"
+    assert st2["table_hash"] == st1["table_hash"]
