@@ -38,16 +38,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # via tests/test_oracle_parity.py at sf0.001/sf0.01 (ledger-pinned).
 
 _ROTATION_FRONT: list[str] = [
-    # round-11 edits whose driver rows predate the change: the CC
-    # closure gained a bounded-rounds guard + full-action convergence
-    # probe (cc_labels_from_edges) consumed by the first two; the
-    # ExactSubstr refresh row's gold rebuild moved behind
-    # SPARK_GRAFT_XS_GOLD and long_docs dropped a no-op unpersist
-    # (stream_near_dedup_replay is new and fronts as never-checked)
-    "dedup_cluster_components",
-    "corpus_prep_near_dedup",
-    "exact_substring_refresh",
-    "exact_substring_long_docs",
+    # round-12 edits whose driver rows predate the change: the replay
+    # now asserts each adds-only batch WARM-STARTS its closure from
+    # the persisted labels; cc_largestar_components gained an
+    # error-path pin release around the closure call (r11 cohort
+    # cleared per the derived-rotation policy)
+    "stream_near_dedup_replay",
+    "cc_largestar_components",
 ]
 
 

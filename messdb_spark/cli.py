@@ -174,6 +174,14 @@ def main(argv: list[str] | None = None) -> int:
     dn.add_argument("--shingle-k", type=int, default=8,
                     help="character shingle length for the MinHash "
                          "signatures")
+    dn.add_argument("--cc-algorithm", default="minlabel",
+                    choices=("minlabel", "largestar"),
+                    help="transitive-closure algorithm: minlabel "
+                         "(default; ~log2(diameter) rounds with "
+                         "pointer jumping) or largestar (alternating "
+                         "large-star/small-star, O(log^2 n) rounds "
+                         "for ANY graph shape — use when minlabel "
+                         "reports hitting its round ceiling)")
     dn.add_argument("--incremental", action="store_true",
                     help="maintain persisted per-bucket MinHash "
                          "signature state (<out>__mh_docs/__mh_sig/"
@@ -346,7 +354,8 @@ def main(argv: list[str] | None = None) -> int:
         try:
             stats = body(eng, a.table, a.out, text_col=a.text_col,
                          clusters_table=a.clusters_table,
-                         shingle_k=a.shingle_k)
+                         shingle_k=a.shingle_k,
+                         cc_algorithm=a.cc_algorithm)
         except (KeyError, ValueError) as e:
             print(json.dumps({"ok": False, "error": str(
                 e.args[0] if e.args else e)}))

@@ -349,6 +349,23 @@ def seed_map_view_memo(memo, src_ref: BucketedRef, view_ref: BucketedRef,
         raise ValueError(
             f"manifest pair disagrees on n_buckets: "
             f"{src_ref.n_buckets} vs {view_ref.n_buckets}")
+    # cheap mispairing rejection (ADVICE r11): the maintained invariant
+    # is caller-asserted, but an obviously mismatched pair — different
+    # key columns, or a transform that doesn't even produce the view's
+    # keys — would silently poison the memo with wrong output hashes
+    # that incremental_map_view then reuses (the objects exist, so the
+    # store.exists guard passes). Catalog-metadata checks only.
+    if src_ref.key_cols != view_ref.key_cols:
+        raise ValueError(
+            f"manifest pair disagrees on key_cols: "
+            f"{src_ref.key_cols} vs {view_ref.key_cols}")
+    from ..registry import REGISTRY
+    transform = REGISTRY.get_transform(transform_key)
+    if tuple(transform.new_key_cols) != tuple(view_ref.key_cols):
+        raise ValueError(
+            f"transform {transform_key!r} produces keys "
+            f"{tuple(transform.new_key_cols)} but the view manifest is "
+            f"keyed by {tuple(view_ref.key_cols)}")
     fresh: dict[str, str] = {}
     for in_h, out_h in zip(src_ref.bucket_hashes, view_ref.bucket_hashes):
         if in_h == EMPTY:

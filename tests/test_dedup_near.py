@@ -100,7 +100,9 @@ def test_dedup_near_rejects_bad_inputs(spark, tmp_path):
 def test_cli_dedup_near_subprocess(warehouse, tmp_path):
     """dedup-near through a REAL subprocess invocation (fresh
     interpreter, fresh Spark session — catches import/sys.path issues
-    the in-process test cannot)."""
+    the in-process test cannot). Runs with ``--cc-algorithm
+    largestar`` so the r12 flag is covered end-to-end too (the
+    incremental subprocess test keeps the default minlabel path)."""
     import json as _json
     import subprocess
     import sys
@@ -123,9 +125,11 @@ def test_cli_dedup_near_subprocess(warehouse, tmp_path):
     run("import-json", "-t", "d", str(p))
     stats = _json.loads(run(
         "dedup-near", "-t", "d", "--text-col", "txt",
-        "--out", "d_dedup", "--clusters-table", "d_cl")
+        "--out", "d_dedup", "--clusters-table", "d_cl",
+        "--cc-algorithm", "largestar")
         .splitlines()[-1])
     assert stats["ok"] and stats["rows_out"] == 2
+    assert stats["cc_algorithm"] == "largestar"
     assert stats["dups_removed"] == 2 and stats["clusters"] == 1
     rows = [_json.loads(ln) for ln in run(
         "sql", "-c", "SELECT k FROM d_dedup").splitlines()]
@@ -256,7 +260,7 @@ def test_dedup_near_incremental_commit_is_atomic(spark, tmp_path):
     assert eng.catalog.current_version() == v0 + 1
     names = set(eng.catalog.names())
     assert {"d_dedup", "d_cl", "d_dedup__mh_docs", "d_dedup__mh_sig",
-            "d_dedup__mh_meta"} <= names
+            "d_dedup__mh_labels", "d_dedup__mh_meta"} <= names
 
 
 def test_dedup_near_incremental_string_keys(spark, tmp_path):
@@ -367,6 +371,9 @@ def test_dedup_near_incremental_random_churn_model(spark, tmp_path):
         # counts in the diff only if content changed; delete always does)
         assert 1 <= st["delta_docs"] <= 5, (step, st["delta_docs"])
         assert st["sig_buckets_recomputed"] <= st["docs_buckets_touched"]
+        # every churn step above deletes a key → components can split →
+        # the closure must have re-clustered COLD (r12 warm-start gate)
+        assert st["cc_mode"] == "cold", f"step {step}: {st['cc_mode']}"
         # gold: from-scratch dedup-near on the same corpus — identical
         # CAS content hashes for BOTH outputs
         full = dedup_near(eng, "docs", "dd_full",
@@ -376,6 +383,25 @@ def test_dedup_near_incremental_random_churn_model(spark, tmp_path):
             f"step {step}: cluster tables diverge"
         assert (st["rows_in"], st["rows_out"], st["clusters"]) == \
             (full["rows_in"], full["rows_out"], full["clusters"])
+
+    # r12: a final ADDS-ONLY step — the closure must WARM-START from
+    # the persisted labels (provably fixpoint-preserving: new edges
+    # only merge components), spend no more rounds than the cold
+    # from-scratch run, and still content-hash-match it exactly
+    for _ in range(2):
+        docs[next_id] = rng.choice(fam)
+        next_id += 1
+    docs[next_id] = fresh_text(next_id)
+    next_id += 1
+    save()
+    st = dedup_near_incremental(eng, "docs", "dd", clusters_table="dd_cl")
+    assert st["mode"] == "refresh" and st["delta_docs"] == 3
+    assert st["cc_mode"] == "warm", st
+    full = dedup_near(eng, "docs", "dd_full", clusters_table="dd_cl_full")
+    assert st["cc_rounds"] <= full["cc_rounds"], \
+        (st["cc_rounds"], full["cc_rounds"])
+    assert st["table_hash"] == full["table_hash"]
+    assert eng.table_hash("dd_cl") == eng.table_hash("dd_cl_full")
 
 
 def test_dedup_near_state_syncs_to_another_warehouse(spark, tmp_path):
@@ -399,7 +425,7 @@ def test_dedup_near_state_syncs_to_another_warehouse(spark, tmp_path):
     dst = Engine(spark, str(tmp_path / "dst"))
     copied = 0
     for t in ("docs", "dd", "dd_cl",
-              "dd__mh_docs", "dd__mh_sig", "dd__mh_meta"):
+              "dd__mh_docs", "dd__mh_sig", "dd__mh_labels", "dd__mh_meta"):
         r = eng.sync_table(t, dst)
         copied += r["copied"]
     assert copied > 0
@@ -420,6 +446,9 @@ def test_dedup_near_state_syncs_to_another_warehouse(spark, tmp_path):
                                  clusters_table="dd_cl")
     assert st2["mode"] == "refresh"
     assert st2["delta_docs"] == 1
+    # the labels table synced too and the delta is adds-only, so the
+    # destination's first refresh warm-starts its closure (r12)
+    assert st2["cc_mode"] == "warm"
     # the destination's memo was EMPTY (memo records are store-local;
     # sync ships objects + catalog, not provenance) — the refresh must
     # rehydrate it from the manifest pair instead of re-signing every
@@ -485,3 +514,194 @@ def test_dedup_near_no_duplicates_is_identity(spark, tmp_path):
     assert st["rows_in"] == 3 and st["rows_out"] == 3
     assert st["dups_removed"] == 0 and st["clusters"] == 0
     assert eng.load_table("d_cl").df.count() == 0
+
+
+# -- r12: --cc-algorithm, warm-start safety, pin release ---------------
+
+
+def test_dedup_near_largestar_matches_minlabel(spark, tmp_path):
+    """Both closure algorithms through the full verb reach the
+    identical fixpoint: content-hash-equal survivor and cluster
+    tables. Bad algorithm names fail loud."""
+    import pytest
+
+    from messdb_spark.queries.graph import dedup_near
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    rows = [(1, _A), (2, _A), (3, _B), (4, _A), (5, _B)]
+    eng.save_table("d", KeyedTable(
+        spark.createDataFrame(rows, "doc_id bigint, text string"),
+        ("doc_id",)))
+    st_ml = dedup_near(eng, "d", "o_ml", clusters_table="c_ml")
+    st_ls = dedup_near(eng, "d", "o_ls", clusters_table="c_ls",
+                       cc_algorithm="largestar")
+    assert st_ml["cc_algorithm"] == "minlabel"
+    assert st_ls["cc_algorithm"] == "largestar"
+    assert st_ls["table_hash"] == st_ml["table_hash"]
+    assert eng.table_hash("c_ls") == eng.table_hash("c_ml")
+    assert (st_ls["rows_out"], st_ls["clusters"]) == \
+        (st_ml["rows_out"], st_ml["clusters"]) == (2, 2)
+    with pytest.raises(ValueError, match="cc_algorithm"):
+        dedup_near(eng, "d", "o_x", cc_algorithm="bogus")
+
+
+def test_dedup_near_incremental_largestar_lifecycle(spark, tmp_path):
+    """--cc-algorithm is detector state: build → noop under largestar;
+    adds-only churn refreshes COLD (largestar has no label seed) yet
+    stays content-hash-equal to from-scratch; switching the algorithm
+    REBUILDS the state exactly like a shingle_k change."""
+    from messdb_spark.queries.graph import dedup_near, dedup_near_incremental
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    schema = "doc_id bigint, text string"
+    rows = [(1, _A), (2, _A), (3, _B)]
+    eng.save_table("d", KeyedTable(
+        spark.createDataFrame(rows, schema), ("doc_id",)))
+    st1 = dedup_near_incremental(eng, "d", "dd", clusters_table="dd_cl",
+                                 cc_algorithm="largestar")
+    assert st1["mode"] == "build" and st1["cc_algorithm"] == "largestar"
+    st2 = dedup_near_incremental(eng, "d", "dd", clusters_table="dd_cl",
+                                 cc_algorithm="largestar")
+    assert st2["mode"] == "noop"
+
+    eng.save_table("d", KeyedTable(
+        spark.createDataFrame(rows + [(4, _B)], schema), ("doc_id",)))
+    st3 = dedup_near_incremental(eng, "d", "dd", clusters_table="dd_cl",
+                                 cc_algorithm="largestar")
+    assert st3["mode"] == "refresh" and st3["delta_docs"] == 1
+    assert st3["cc_mode"] == "cold"          # largestar never seeds
+    full = dedup_near(eng, "d", "dd_f", clusters_table="dd_cl_f",
+                      cc_algorithm="largestar")
+    assert st3["table_hash"] == full["table_hash"]
+    assert eng.table_hash("dd_cl") == eng.table_hash("dd_cl_f")
+
+    # algorithm switch = param change: rebuild, not reuse — and the
+    # minlabel fixpoint is the same content hash
+    st4 = dedup_near_incremental(eng, "d", "dd", clusters_table="dd_cl")
+    assert st4["mode"] == "build" and st4["cc_algorithm"] == "minlabel"
+    assert st4["table_hash"] == st3["table_hash"]
+
+
+def test_dedup_near_tampered_labels_fall_back_cold(spark, tmp_path):
+    """The warm seed is an input to a provably-correct shortcut, not
+    advisory metadata: a labels table that no longer matches the hash
+    pinned in meta must be IGNORED (cold start), because a corrupt
+    seed could merge unrelated components. Output stays correct."""
+    from messdb_spark.queries.graph import dedup_near_incremental
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    schema = "doc_id bigint, text string"
+    rows = [(1, _A), (2, _A), (3, _B)]
+    eng.save_table("d", KeyedTable(
+        spark.createDataFrame(rows, schema), ("doc_id",)))
+    st1 = dedup_near_incremental(eng, "d", "dd")
+    assert st1["mode"] == "build"
+    # tamper: point every doc at doc 3's "cluster" — a seed that would
+    # wrongly merge the _A and _B families if trusted
+    eng.save_table("dd__mh_labels", KeyedTable(
+        spark.createDataFrame([(1, 3), (2, 3), (3, 3)],
+                              "doc_id bigint, comp bigint"),
+        ("doc_id",)))
+    eng.save_table("d", KeyedTable(
+        spark.createDataFrame(rows + [(4, _B)], schema), ("doc_id",)))
+    st2 = dedup_near_incremental(eng, "d", "dd")
+    assert st2["mode"] == "refresh"
+    assert st2["cc_mode"] == "cold", "tampered labels must not seed"
+    assert st2["rows_out"] == 2 and st2["clusters"] == 2
+
+
+def test_dedup_near_releases_pins_on_cc_failure(spark, sf_dir, tmp_path,
+                                                monkeypatch):
+    """VERDICT r11 what's-wrong #1: a closure that raises (the round
+    ceiling, a failed save) must not strand the persisted
+    signature/edge frames in executor storage — try/finally in both
+    verb bodies and the largestar query (the Materializer
+    try/finally pattern from r11)."""
+    import pytest
+
+    from messdb_spark.queries import graph as G
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.save_table("d", KeyedTable(
+        spark.createDataFrame([(1, _A), (2, _A), (3, _B)],
+                              "doc_id bigint, text string"),
+        ("doc_id",)))
+    sc = spark.sparkContext
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated round-ceiling failure")
+
+    before = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+    monkeypatch.setattr(G, "cc_labels_from_edges", boom)
+    with pytest.raises(RuntimeError, match="round-ceiling"):
+        G.dedup_near(eng, "d", "o1")
+    with pytest.raises(RuntimeError, match="round-ceiling"):
+        G.dedup_near_incremental(eng, "d", "o2")
+    monkeypatch.setattr(G, "cc_labels_large_small_star", boom)
+    with pytest.raises(RuntimeError, match="round-ceiling"):
+        G.cc_largestar_components(spark, sf_dir)
+    after = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+    assert after <= before, \
+        f"failed closure leaked pinned blocks: {after - before}"
+
+
+def test_edges_from_sig_null_rows_match_fresh_signing(spark):
+    """VERDICT r11 stretch #8: the one maintained-vs-fresh asymmetry
+    candidate. The fresh path FILTERS docs shorter than the shingle
+    before signing; the maintained state keeps them as NULL-signature
+    rows (key-complete view) and ``edges_from_sig`` excludes them at
+    edge time. Property: over corpora dense in boundary-length docs
+    (len ∈ 0..k+6, tiny alphabet → heavy shingle collisions), the two
+    paths produce EXACTLY the same edge set."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from messdb_spark.queries.graph import (_mh_sig_transform_key,
+                                            edges_from_sig,
+                                            minhash_band_edges_for)
+    from messdb_spark.registry import REGISTRY
+
+    fkey = _mh_sig_transform_key(8)
+    transform = REGISTRY.get_transform(fkey)
+
+    @given(texts=st.lists(st.text(alphabet="ab", min_size=0, max_size=14),
+                          min_size=2, max_size=8))
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts, 1)],
+            "doc_id bigint, text string")
+        sig_f, edges_f = minhash_band_edges_for(df)
+        try:
+            fresh = {(r["src"], r["dst"]) for r in edges_f.collect()}
+        finally:
+            edges_f.unpersist()
+            sig_f.unpersist()
+        sig_m = (transform.fn(df.withColumn("__messdb_ord", F.lit(0)))
+                 .drop("__messdb_ord"))
+        maintained = {(r["src"], r["dst"])
+                      for r in edges_from_sig(sig_m).collect()}
+        assert fresh == maintained
+
+    check()
+    # deterministic boundary pin: lengths k-1 and k, duplicated — the
+    # exact row classes the two paths treat differently
+    for texts in ([("x" * 7), ("x" * 7), ("x" * 8), ("x" * 8), ""],
+                  [("ab" * 4), ("ab" * 4), "abababa", "abababa"]):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts, 1)],
+            "doc_id bigint, text string")
+        sig_f, edges_f = minhash_band_edges_for(df)
+        try:
+            fresh = {(r["src"], r["dst"]) for r in edges_f.collect()}
+        finally:
+            edges_f.unpersist()
+            sig_f.unpersist()
+        from pyspark.sql import functions as F2
+        sig_m = (transform.fn(df.withColumn("__messdb_ord", F2.lit(0)))
+                 .drop("__messdb_ord"))
+        maintained = {(r["src"], r["dst"])
+                      for r in edges_from_sig(sig_m).collect()}
+        assert fresh == maintained, texts

@@ -443,8 +443,16 @@ def test_seed_map_view_memo_both_backends(tmp_path):
     from messdb_spark.sqlite_store import SqliteMemoStore
     from messdb_spark.store import MemoStore
 
+    from messdb_spark.registry import REGISTRY
+
     src = BucketedRef(("k",), 4, ("in0", EMPTY, "in2", "in3"), "{}")
     view = BucketedRef(("k",), 4, ("out0", EMPTY, EMPTY, "out3"), "{}")
+
+    # r12: seeding sanity-checks the transform against the registry
+    # (mispaired-manifest rejection, ADVICE r11) — register the named
+    # transform the manifests claim, as every production caller has
+    if "f" not in REGISTRY.transforms:
+        REGISTRY.transform("f", new_key_cols=("k",))(lambda df: df)
 
     for cls, sub in ((MemoStore, "j"), (SqliteMemoStore, "s")):
         wh = str(tmp_path / sub)
@@ -470,3 +478,15 @@ def test_seed_map_view_memo_both_backends(tmp_path):
     with pytest.raises(ValueError, match="n_buckets"):
         seed_map_view_memo(MemoStore(str(tmp_path / "j")), src,
                            BucketedRef(("k",), 8, ("x",) * 8, "{}"), "f")
+    # r12 mispairing rejections (ADVICE r11): a view manifest with
+    # different key columns, or a transform whose registered output
+    # keys don't match the view's, must be refused before any memo
+    # write — a poisoned record would be silently reused downstream
+    with pytest.raises(ValueError, match="key_cols"):
+        seed_map_view_memo(MemoStore(str(tmp_path / "j")), src,
+                           BucketedRef(("q",), 4, ("x",) * 4, "{}"), "f")
+    if "f_rekey" not in REGISTRY.transforms:
+        REGISTRY.transform("f_rekey", new_key_cols=("other",))(lambda df: df)
+    with pytest.raises(ValueError, match="produces keys"):
+        seed_map_view_memo(MemoStore(str(tmp_path / "j")), src, view,
+                           "f_rekey")
