@@ -146,6 +146,32 @@ class Engine:
                 key_cols=list(ref.key_cols)))
         return h
 
+    def relink_table(self, name: str, table_hash: str,
+                     key_cols: tuple[str, ...]) -> str:
+        """Re-register an EXISTING CAS object under a catalog name —
+        the O(1) repair/restore primitive. The content is already
+        stored, hashed and immutable, so pointing the catalog at it is
+        pure bookkeeping: zero data jobs (schema comes from the
+        object's parquet footer), one catalog entry in the current
+        transaction or root swap. This is what makes a verb's
+        ``restore`` mode affordable at scale — re-deriving a 100 TB
+        output to fix a mispointed catalog entry is an hours-long job;
+        the relink is seconds. Raises KeyError if the object is absent
+        (gc-swept) — callers fall back to re-deriving from maintained
+        state. The lease spans the existence check and the
+        registration (same gc-race guard as ``save_table``: an object
+        reachable only through pruned history could be swept between
+        the two)."""
+        with self.objects.lease():
+            if not self.objects.exists(table_hash):
+                raise KeyError(f"object {table_hash} not in store")
+            schema_json = self.objects.load(self.spark,
+                                            table_hash).schema.json()
+            self._register(name, CatalogEntry(
+                table_hash=table_hash, schema_json=schema_json,
+                key_cols=list(key_cols)))
+        return table_hash
+
     def _register(self, name: str, entry: CatalogEntry) -> int:
         """Catalog put + active-branch head advance (every write path
         funnels here so a checked-out branch tracks its commits).

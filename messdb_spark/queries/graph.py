@@ -686,8 +686,11 @@ def dedup_near_incremental(eng, table: str, out: str,
     signature view recomputes only those buckets (counter-asserted
     in-body). An unchanged source whose outputs are in place is a TRUE
     no-op — catalog reads only, zero data jobs, no root swap; a
-    tampered output restores from the maintained state (mode
-    "restore", zero signing). Re-CLUSTERING stays full by design —
+    tampered output restores in O(1) by RELINKING the catalog at the
+    meta-pinned output hashes still in the immutable CAS (mode
+    "restore"/"relink", zero data jobs), falling back to a re-derive
+    from the maintained state — zero signing either way — when those
+    objects were gc-swept. Re-CLUSTERING stays full by design —
     cluster merges are not delta-local (a new doc can bridge two old
     clusters), and the closure runs over (key, key) edges, never text;
     the no-``--incremental``-for-clusters rationale from COVERAGE
@@ -757,6 +760,34 @@ def dedup_near_incremental(eng, table: str, out: str,
             if clusters_table:
                 stats["clusters_table"] = clusters_table
             return stats
+    if d_ref is not None and s_ref is not None and old_hash == cur_hash:
+        # outputs tampered, source unchanged (the noop check above
+        # did not return): prefer the O(1) RELINK restore — the meta
+        # row pins the exact output hashes and the immutable CAS
+        # usually still holds the objects, so the repair is catalog
+        # bookkeeping, not a re-derivation (at 100 TB, re-clustering
+        # to fix a mispointed catalog entry is an hours-long job; a
+        # relink is seconds, zero data jobs). Swept objects — or
+        # pre-r12 meta without a labels pin — fall through to the
+        # re-derive restore below (warm-seeded, still cheap).
+        hashes = [md.get("out_hash"), md.get("labels_hash")]
+        if clusters_table:
+            hashes.append(md.get("clusters_out_hash"))
+        if all(h and eng.objects.exists(h) for h in hashes):
+            stats.update(mode="restore", restore_path="relink",
+                         table_hash=md["out_hash"],
+                         rows_in=md["rows_in"], rows_out=md["rows_out"],
+                         dups_removed=md["rows_in"] - md["rows_out"],
+                         clusters=md["clusters"])
+            with eng.transaction():   # one root swap, like every path
+                eng.relink_table(out, md["out_hash"], (key,))
+                eng.relink_table(labels_name, md["labels_hash"],
+                                 ("doc_id",))
+                if clusters_table:
+                    eng.relink_table(clusters_table,
+                                     md["clusters_out_hash"], (key,))
+                    stats["clusters_table"] = clusters_table
+            return stats
     fkey = _mh_sig_transform_key(int(shingle_k))
     numeric = dict(t.df.dtypes)[key] in _NUMERIC_KEYS
     # the one corpus-scale stats job, OUTSIDE the root-swap critical
@@ -772,11 +803,13 @@ def dedup_near_incremental(eng, table: str, out: str,
             s2 = incremental_map_view(spark, eng.objects, eng.memo,
                                       d2, fkey)
         elif old_hash == cur_hash:
-            # outputs tampered, source unchanged: restore from the
+            # outputs tampered, source unchanged, and the relink path
+            # above found an output object swept: re-derive from the
             # maintained state — zero signing work; the prior labels
-            # ARE this graph's fixpoint, so the seeded closure
-            # re-derives them in one verification round
+            # (if intact) ARE this graph's fixpoint, so the seeded
+            # closure re-derives them in one verification round
             stats["mode"] = "restore"
+            stats["restore_path"] = "rederive"
             d2, s2 = d_ref, s_ref
             seed = _prior_labels(eng, labels_name, md)
         else:

@@ -186,6 +186,10 @@ def test_dedup_near_incremental_lifecycle(spark, tmp_path, capsys):
     assert main(args) == 0
     st3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st3["mode"] == "restore"
+    # r12: the CAS still holds the pinned outputs, so the repair is an
+    # O(1) catalog relink — no re-cluster ran (no cc stats)
+    assert st3["restore_path"] == "relink"
+    assert "cc_rounds" not in st3
     assert st3["table_hash"] == st1["table_hash"]
     assert sorted(r["doc_id"] for r in
                   Engine(spark, wh).load_table("docs_dedup").df
@@ -705,3 +709,43 @@ def test_edges_from_sig_null_rows_match_fresh_signing(spark):
         maintained = {(r["src"], r["dst"])
                       for r in edges_from_sig(sig_m).collect()}
         assert fresh == maintained, texts
+
+
+def test_dedup_near_restore_rederives_when_outputs_swept(spark, tmp_path):
+    """r12 relink-restore fallback: tamper the output, then gc away the
+    catalog history so the meta-pinned output object is swept. The verb
+    must detect the missing object, fall back to RE-DERIVING from the
+    maintained state (warm-seeded — the labels survived as a current
+    entry), reproduce the identical content hash, and resume noop."""
+    import pytest
+
+    from messdb_spark.queries.graph import dedup_near_incremental
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    schema = "doc_id bigint, text string"
+    rows = [(1, _A), (2, _A), (3, _B), (4, _B)]
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows, schema), ("doc_id",)))
+    st0 = dedup_near_incremental(eng, "docs", "dd", clusters_table="dd_cl")
+    assert st0["mode"] == "build"
+
+    # tamper the deduped output, then prune the history that was the
+    # only reference to the original output object
+    eng.save_table("dd", KeyedTable(
+        spark.createDataFrame([(99, "junk")], schema), ("doc_id",)))
+    eng.gc(keep_versions=1)
+    assert not eng.objects.exists(st0["table_hash"])
+
+    st1 = dedup_near_incremental(eng, "docs", "dd", clusters_table="dd_cl")
+    assert st1["mode"] == "restore"
+    assert st1["restore_path"] == "rederive"
+    assert st1["cc_mode"] == "warm"          # labels entry survived
+    assert st1["table_hash"] == st0["table_hash"]
+    assert sorted(r["doc_id"] for r in
+                  eng.load_table("dd").df.collect()) == [1, 3]
+    st2 = dedup_near_incremental(eng, "docs", "dd", clusters_table="dd_cl")
+    assert st2["mode"] == "noop"
+
+    # the relink primitive itself refuses absent objects
+    with pytest.raises(KeyError):
+        eng.relink_table("dd", "0" * 64, ("doc_id",))
