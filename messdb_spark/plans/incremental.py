@@ -360,6 +360,12 @@ def seed_map_view_memo(memo, src_ref: BucketedRef, view_ref: BucketedRef,
             f"manifest pair disagrees on key_cols: "
             f"{src_ref.key_cols} vs {view_ref.key_cols}")
     from ..registry import REGISTRY
+    if transform_key not in REGISTRY.transforms:
+        raise ValueError(
+            f"unknown transform {transform_key!r} — register it before "
+            f"seeding (the memo digests embed the FuncKey, so records "
+            f"seeded under an unregistered name could never be "
+            f"validated against the transform they claim)")
     transform = REGISTRY.get_transform(transform_key)
     if tuple(transform.new_key_cols) != tuple(view_ref.key_cols):
         raise ValueError(

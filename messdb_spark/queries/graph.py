@@ -169,7 +169,8 @@ LAST_CC_ROUNDS: int = 0
 def cc_labels_from_edges(edges: DataFrame,
                          numeric_key: bool = True,
                          max_rounds: int = _CC_MAX_ROUNDS,
-                         seed: DataFrame | None = None) -> DataFrame:
+                         seed: DataFrame | None = None,
+                         rounds_out: dict | None = None) -> DataFrame:
     """Iterative min-label connected components over a persisted
     bidirectional (src, dst) edge frame → (doc_id, comp) labels.
     Labels only decrease, so with a NUMERIC key the global label sum
@@ -199,7 +200,11 @@ def cc_labels_from_edges(edges: DataFrame,
     hitting it means pathological input or a convergence-witness bug,
     and the loud error names the Kiveris et al. large-star/small-star
     alternative rather than silently spinning (this function is a
-    public building block via the ``dedup-near`` verb)."""
+    public building block via the ``dedup-near`` verb).
+
+    ``rounds_out``: optional dict that receives ``{"rounds": n}`` —
+    the per-call channel concurrent callers should use; the module
+    mirror ``LAST_CC_ROUNDS`` is a single-threaded convenience."""
     global LAST_CC_ROUNDS
     # seed labels with the best DIRECT neighbor (min over own id and
     # neighbor ids) — starts the propagation one round ahead
@@ -271,12 +276,15 @@ def cc_labels_from_edges(edges: DataFrame,
             f"O(log² n) rounds for ANY graph) instead of min-label "
             f"propagation")
     LAST_CC_ROUNDS = _round + 1
+    if rounds_out is not None:
+        rounds_out["rounds"] = _round + 1
     return labels
 
 
 def cc_labels_large_small_star(edges: DataFrame,
                                numeric_key: bool = True,
-                               max_rounds: int = _CC_MAX_ROUNDS) -> DataFrame:
+                               max_rounds: int = _CC_MAX_ROUNDS,
+                               rounds_out: dict | None = None) -> DataFrame:
     """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
     edge rewriting (Kiveris et al., "Connected Components in MapReduce
     and Beyond", SoCC 2014) — the adversarial-graph alternative the
@@ -377,6 +385,8 @@ def cc_labels_large_small_star(edges: DataFrame,
             f"fewer than ~2^{max_rounds // 2} nodes (O(log² n) bound); "
             f"this indicates a convergence-witness bug")
     LAST_CC_ROUNDS = _round + 1
+    if rounds_out is not None:
+        rounds_out["rounds"] = _round + 1
     # fixpoint is a star forest: every non-root points at its
     # component min; roots (pure lo values) label themselves
     roots = e.select(F.col("lo").alias("doc_id")).distinct()
@@ -585,10 +595,11 @@ def dedup_near(eng, table: str, out: str, text_col: str = "text",
     sig, edges = minhash_band_edges_for(t.df, key, text_col,
                                         int(shingle_k))
     try:     # error paths (round ceiling, failed save) must release
-        labels = cc_fn(edges, numeric_key=numeric)   # the pinned frames
+        cc_stats: dict = {}                          # the pinned frames
+        labels = cc_fn(edges, numeric_key=numeric, rounds_out=cc_stats)
         stats: dict = {"ok": True, "detector": "minhash-lsh",
                        "table": out, "cc_algorithm": cc_algorithm,
-                       "cc_rounds": LAST_CC_ROUNDS}
+                       "cc_rounds": cc_stats["rounds"]}
         # stats jobs run OUTSIDE the root-swap critical section (VERDICT
         # r10 what's-wrong #4): rows_in is the one corpus-scale count;
         # dups/clusters come from ONE tiny agg over the checkpointed
@@ -705,7 +716,11 @@ def dedup_near_incremental(eng, table: str, out: str,
     hash is pinned in meta, so a tampered seed also falls back cold.
     ``cc_algorithm`` is a detector-state parameter like ``shingle_k``:
     changing it rebuilds (``largestar`` never seeds — the rewriting
-    has no label-frame analog)."""
+    has no label-frame analog). Rebuild-on-any-param-change is
+    deliberate over a per-param reuse matrix: signatures are in fact
+    closure-independent and COULD survive an algorithm switch, but one
+    invariant — meta mismatch ⇒ rebuild — is auditable at a glance,
+    and an algorithm switch is a rare operator action, not a loop."""
     from ..operators.core import KeyedTable, canonicalize_input, diff_tables
     from ..plans.incremental import (incremental_map_view,
                                      incremental_upsert, load_manifest,
@@ -749,7 +764,16 @@ def dedup_near_incremental(eng, table: str, out: str,
     if d_ref is not None and s_ref is not None and old_hash == cur_hash:
         out_e = eng.catalog.get(out)
         cl_e = eng.catalog.get(clusters_table) if clusters_table else None
-        if (out_e is not None and out_e.table_hash == md.get("out_hash")
+        lab_e = eng.catalog.get(labels_name)
+        # a noop also requires the pinned LABELS state intact (when the
+        # meta pins one): a tampered labels table with intact outputs
+        # would otherwise silently cost every future adds-only refresh
+        # its warm start — route it through the relink repair instead
+        labels_ok = (md.get("labels_hash") is None
+                     or (lab_e is not None
+                         and lab_e.table_hash == md["labels_hash"]))
+        if (labels_ok and out_e is not None
+                and out_e.table_hash == md.get("out_hash")
                 and (clusters_table is None
                      or (cl_e is not None and cl_e.table_hash
                          == md.get("clusters_out_hash")))):
@@ -774,20 +798,30 @@ def dedup_near_incremental(eng, table: str, out: str,
         if clusters_table:
             hashes.append(md.get("clusters_out_hash"))
         if all(h and eng.objects.exists(h) for h in hashes):
-            stats.update(mode="restore", restore_path="relink",
-                         table_hash=md["out_hash"],
-                         rows_in=md["rows_in"], rows_out=md["rows_out"],
-                         dups_removed=md["rows_in"] - md["rows_out"],
-                         clusters=md["clusters"])
-            with eng.transaction():   # one root swap, like every path
-                eng.relink_table(out, md["out_hash"], (key,))
-                eng.relink_table(labels_name, md["labels_hash"],
-                                 ("doc_id",))
+            try:
+                with eng.transaction():  # one root swap, like every path
+                    eng.relink_table(out, md["out_hash"], (key,))
+                    eng.relink_table(labels_name, md["labels_hash"],
+                                     ("doc_id",))
+                    if clusters_table:
+                        eng.relink_table(clusters_table,
+                                         md["clusters_out_hash"], (key,))
+            except KeyError:
+                # a concurrent gc swept an object between the pre-check
+                # above and relink_table's leased re-check: the
+                # transaction rolled back — honor the documented
+                # fallback and re-derive from maintained state below
+                pass
+            else:
+                stats.update(mode="restore", restore_path="relink",
+                             table_hash=md["out_hash"],
+                             rows_in=md["rows_in"],
+                             rows_out=md["rows_out"],
+                             dups_removed=md["rows_in"] - md["rows_out"],
+                             clusters=md["clusters"])
                 if clusters_table:
-                    eng.relink_table(clusters_table,
-                                     md["clusters_out_hash"], (key,))
                     stats["clusters_table"] = clusters_table
-            return stats
+                return stats
     fkey = _mh_sig_transform_key(int(shingle_k))
     numeric = dict(t.df.dtypes)[key] in _NUMERIC_KEYS
     # the one corpus-scale stats job, OUTSIDE the root-swap critical
@@ -866,13 +900,16 @@ def dedup_near_incremental(eng, table: str, out: str,
         sig = read_bucketed(spark, eng.objects, s2).df
         edges = edges_from_sig(sig).persist()
         try:     # round-ceiling/save failures must release the pin
+            cc_stats: dict = {}
             if cc_algorithm == "minlabel":
-                labels = cc_fn(edges, numeric_key=numeric, seed=seed)
+                labels = cc_fn(edges, numeric_key=numeric, seed=seed,
+                               rounds_out=cc_stats)
             else:
                 seed = None      # largestar has no label-frame seed
-                labels = cc_fn(edges, numeric_key=numeric)
+                labels = cc_fn(edges, numeric_key=numeric,
+                               rounds_out=cc_stats)
             stats["cc_mode"] = "warm" if seed is not None else "cold"
-            stats["cc_rounds"] = LAST_CC_ROUNDS
+            stats["cc_rounds"] = cc_stats["rounds"]
             dups, clusters = _label_stats(labels)
             stats["rows_in"] = rows_in
             stats["dups_removed"] = dups

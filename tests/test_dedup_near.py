@@ -749,3 +749,64 @@ def test_dedup_near_restore_rederives_when_outputs_swept(spark, tmp_path):
     # the relink primitive itself refuses absent objects
     with pytest.raises(KeyError):
         eng.relink_table("dd", "0" * 64, ("doc_id",))
+
+
+def test_dedup_near_tampered_labels_repaired_via_relink(spark, tmp_path):
+    """r12 review fix: a tampered labels table with INTACT outputs must
+    not return noop and silently cost every future adds-only refresh
+    its warm start — the run routes through the relink repair, after
+    which warm-starting works again."""
+    from messdb_spark.queries.graph import dedup_near_incremental
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    schema = "doc_id bigint, text string"
+    rows = [(1, _A), (2, _A), (3, _B)]
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows, schema), ("doc_id",)))
+    st0 = dedup_near_incremental(eng, "docs", "dd")
+    assert st0["mode"] == "build"
+    # tamper ONLY the labels state
+    eng.save_table("dd__mh_labels", KeyedTable(
+        spark.createDataFrame([(1, 999)], "doc_id bigint, comp bigint"),
+        ("doc_id",)))
+    st1 = dedup_near_incremental(eng, "docs", "dd")
+    assert st1["mode"] == "restore" and st1["restore_path"] == "relink"
+    st2 = dedup_near_incremental(eng, "docs", "dd")
+    assert st2["mode"] == "noop"
+    # warm start works again after the repair
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows + [(4, _B)], schema), ("doc_id",)))
+    st3 = dedup_near_incremental(eng, "docs", "dd")
+    assert st3["mode"] == "refresh" and st3["cc_mode"] == "warm"
+
+
+def test_dedup_near_relink_gc_race_falls_back_to_rederive(spark, tmp_path,
+                                                          monkeypatch):
+    """r12 review fix: a gc sweep BETWEEN the relink pre-check and the
+    leased re-check (relink_table raising KeyError) must roll back and
+    fall through to the re-derive restore, not escape the verb."""
+    from messdb_spark.queries.graph import dedup_near_incremental
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    schema = "doc_id bigint, text string"
+    rows = [(1, _A), (2, _A), (3, _B)]
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows, schema), ("doc_id",)))
+    st0 = dedup_near_incremental(eng, "docs", "dd")
+    assert st0["mode"] == "build"
+    eng.save_table("dd", KeyedTable(          # tamper the output
+        spark.createDataFrame([(9, "junk")], schema), ("doc_id",)))
+    v0 = eng.catalog.current_version()
+
+    def swept(name, table_hash, key_cols):
+        raise KeyError(f"object {table_hash} not in store")
+    monkeypatch.setattr(eng, "relink_table", swept)
+    st1 = dedup_near_incremental(eng, "docs", "dd")
+    assert st1["mode"] == "restore"
+    assert st1["restore_path"] == "rederive"
+    assert st1["table_hash"] == st0["table_hash"]
+    # the aborted relink transaction left no version behind; the
+    # re-derive committed exactly one root swap
+    assert eng.catalog.current_version() == v0 + 1
+    assert sorted(r["doc_id"] for r in
+                  eng.load_table("dd").df.collect()) == [1, 3]

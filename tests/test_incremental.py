@@ -490,3 +490,6 @@ def test_seed_map_view_memo_both_backends(tmp_path):
     with pytest.raises(ValueError, match="produces keys"):
         seed_map_view_memo(MemoStore(str(tmp_path / "j")), src, view,
                            "f_rekey")
+    with pytest.raises(ValueError, match="unknown transform"):
+        seed_map_view_memo(MemoStore(str(tmp_path / "j")), src, view,
+                           "never_registered_anywhere")
