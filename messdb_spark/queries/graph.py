@@ -126,6 +126,22 @@ def minhash_band_edges_for(df: DataFrame, key_col: str = "doc_id",
     return sig, edges
 
 
+_BAND_KEYS = ("band_id", "bx", "by")
+
+
+def _bands_of(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, bx, by) LSH band-bucket membership rows of a
+    signature frame — the shared first stage of ``edges_from_sig`` and
+    the delta-local bucket/frontier derivation. Map-only (a ``stack``
+    per row); NULL-signature rows (docs too short to sign) are
+    excluded, same as the fresh-signing path's length filter."""
+    band_exprs = ", ".join(f"{b}, h{2*b}, h{2*b+1}" for b in range(_N_BANDS))
+    return (sig.filter(F.col("h0").isNotNull())
+               .selectExpr("doc_id",
+                           f"stack({_N_BANDS}, {band_exprs}) "
+                           f"AS (band_id, bx, by)"))
+
+
 def edges_from_sig(sig: DataFrame) -> DataFrame:
     """Band → bucket-hub star edges from a (doc_id, h0..h{2B-1})
     signature frame — the clustering stage decoupled from the signing
@@ -139,12 +155,8 @@ def edges_from_sig(sig: DataFrame) -> DataFrame:
     shrinking label frame, never the edges — the graph-loop move that
     matters when the edge set is billions of rows. UNPERSISTED: the
     caller pins it for the iterative loop."""
-    band_exprs = ", ".join(f"{b}, h{2*b}, h{2*b+1}" for b in range(_N_BANDS))
-    bands = (sig.filter(F.col("h0").isNotNull())
-                .selectExpr("doc_id",
-                            f"stack({_N_BANDS}, {band_exprs}) "
-                            f"AS (band_id, bx, by)"))
-    keys = ["band_id", "bx", "by"]
+    bands = _bands_of(sig)
+    keys = list(_BAND_KEYS)
     hubs = bands.groupBy(*keys).agg(F.min("doc_id").alias("hub"))
     star = (bands.join(hubs, keys)
                  .filter(F.col("doc_id") != F.col("hub"))
@@ -650,6 +662,109 @@ def _mh_sig_transform_key(shingle_k: int) -> str:
     return fkey
 
 
+# broadcast ceiling for the delta-local helper frames (touched bucket
+# keys, frontier docs, affected comps/docs). Above it the joins fall
+# back to shuffles — still one pass each, never per-round.
+_DELTA_BCAST_MAX = 2_000_000
+
+
+def _maybe_bcast(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= _DELTA_BCAST_MAX else df
+
+
+def delta_local_labels(sig: DataFrame, new_ids: DataFrame,
+                       prior: DataFrame, n_new: int,
+                       numeric_key: bool = True,
+                       rounds_out: dict | None = None,
+                       stats: dict | None = None,
+                       pinned: list | None = None) -> DataFrame:
+    """DELTA-LOCAL re-clustering for an ADDS-ONLY refresh (VERDICT r12
+    next-round #1): run the min-label closure only on the components a
+    new document can possibly touch, and pass every other component's
+    labels through unchanged — converting ``dedup-near --incremental``'s
+    last O(corpus-edges × rounds)-per-refresh term to
+    O(delta-neighborhood), the same delta-proportionality contract the
+    maintained-signature stage already meets (``MessDB/Store/Memo.hs``
+    discipline applied to the closure).
+
+    Why it is exact (same fixpoint as the full closure):
+
+    - Every LSH band bucket lies entirely within ONE component — any
+      two co-bucketed docs share a hub edge by construction — so
+      bucket membership never straddles a component boundary.
+    - Adds-only ⇒ a bucket's membership either is unchanged or gained
+      a new doc ("touched"). Edges change ONLY in touched buckets
+      (a smaller new member can re-seat the hub, but connectivity
+      within the bucket is preserved either way), so components only
+      MERGE, never split.
+    - Therefore a component with no member in any touched bucket is a
+      component of the new graph too, with the same minimum: its old
+      labels are final (the anti-join pass-through).
+    - The affected subgraph is closed: an edge incident to an affected
+      doc lives in a bucket whose full membership is affected (touched
+      bucket ⇒ all members are frontier; untouched bucket ⇒ all
+      members share one old component, affected together). So the
+      sub-closure over ``sig ⋉ affected_docs`` sees every edge of
+      every affected component — including the first edges of a
+      previously-isolated doc that a new doc just bucketed with (the
+      frontier includes it even though it has no prior label).
+
+    Corpus-scale cost per refresh: TWO map-only passes over the
+    signature frame (frontier derivation + affected-doc restriction,
+    both broadcast-gated semi-joins) and two passes over the label
+    frame — no full-bands shuffle, no per-round full-edge join. The
+    touched-bucket keys are ∝ delta × bands; frontier/affected frames
+    are delta-neighborhood-sized and eagerly checkpointed (each feeds
+    two consumers and gates its own broadcast by count).
+
+    ``prior`` must be the hash-verified labels of the previous run
+    (``_prior_labels``); the seed handed to the sub-closure is its
+    restriction to affected components, which satisfies
+    ``cc_labels_from_edges``'s same-component seed contract. Emits
+    ``touched_buckets / frontier_docs / cc_affected_comps /
+    cc_input_docs / cc_edges / labels_passthrough`` into ``stats`` —
+    the counters the replay and churn tests assert the bound with."""
+    keys = list(_BAND_KEYS)
+    new_sig = sig.join(_maybe_bcast(new_ids.select("doc_id"), n_new),
+                       "doc_id", "semi")
+    touched = (_bands_of(new_sig).select(*keys).distinct()
+               .localCheckpoint(eager=True))
+    n_touched = touched.count()
+    frontier = (_bands_of(sig)
+                .join(_maybe_bcast(touched, n_touched), keys, "semi")
+                .select("doc_id").distinct()
+                .localCheckpoint(eager=True))
+    n_frontier = frontier.count()
+    affected_comps = (prior.join(_maybe_bcast(frontier, n_frontier),
+                                 "doc_id", "semi")
+                      .select("comp").distinct()
+                      .localCheckpoint(eager=True))
+    n_comps = affected_comps.count()
+    bc_comps = _maybe_bcast(affected_comps, n_comps)
+    affected_labeled = (prior.join(bc_comps, "comp", "semi")
+                        .select("doc_id", "comp")
+                        .localCheckpoint(eager=True))
+    affected_docs = (affected_labeled.select("doc_id").union(frontier)
+                     .distinct().localCheckpoint(eager=True))
+    n_docs = affected_docs.count()
+    sub_sig = sig.join(_maybe_bcast(affected_docs, n_docs), "doc_id", "semi")
+    edges = edges_from_sig(sub_sig).persist()
+    if pinned is not None:
+        pinned.append(edges)
+    if stats is not None:
+        stats.update(touched_buckets=n_touched, frontier_docs=n_frontier,
+                     cc_affected_comps=n_comps, cc_input_docs=n_docs,
+                     cc_edges=edges.count())
+    labels_sub = cc_labels_from_edges(edges, numeric_key=numeric_key,
+                                      seed=affected_labeled,
+                                      rounds_out=rounds_out)
+    passthrough = (prior.join(bc_comps, "comp", "left_anti")
+                   .select("doc_id", "comp"))
+    if stats is not None:
+        stats["labels_passthrough"] = passthrough.count()
+    return labels_sub.select("doc_id", "comp").union(passthrough)
+
+
 def _prior_labels(eng, labels_name: str, md: dict) -> DataFrame | None:
     """Hash-guarded prior (doc_id, comp) cluster labels for
     warm-starting the min-label closure. Trusted ONLY when the catalog
@@ -701,19 +816,23 @@ def dedup_near_incremental(eng, table: str, out: str,
     meta-pinned output hashes still in the immutable CAS (mode
     "restore"/"relink", zero data jobs), falling back to a re-derive
     from the maintained state — zero signing either way — when those
-    objects were gc-swept. Re-CLUSTERING stays full by design —
-    cluster merges are not delta-local (a new doc can bridge two old
-    clusters), and the closure runs over (key, key) edges, never text;
-    the no-``--incremental``-for-clusters rationale from COVERAGE
-    §Round-10 holds unchanged. But the closure WARM-STARTS (VERDICT
-    r11 next round #1): on an adds-only delta — or a restore — the
-    min-label loop is seeded with the previous run's labels, which is
-    provably fixpoint-preserving (new edges only merge components, so
-    every old label is still the id of a node in the same, possibly
-    larger, component) and converges in rounds ≈ log2(merge-boundary
-    distance) instead of log2(diameter). Deletes or edits invalidate
-    old labels (components can split) → cold start; the label table's
-    hash is pinned in meta, so a tampered seed also falls back cold.
+    objects were gc-swept. Re-CLUSTERING is DELTA-LOCAL on adds-only
+    deltas (r13, VERDICT r12 next-round #1): a new doc can bridge old
+    clusters, but only components with a member in a bucket the delta
+    touched can change — so the min-label closure runs ONLY over the
+    affected components' sub-signature (seeded with their prior
+    labels) while every untouched component's labels pass through via
+    one anti-join; :func:`delta_local_labels` carries the exactness
+    argument and the counters (`cc_input_docs`, `labels_passthrough`,
+    `cc_edges`) that the replay/churn tests assert the bound with.
+    This converts the verb's last O(corpus-edges × rounds) refresh
+    term to O(delta-neighborhood). Deletes or edits invalidate old
+    labels (components can split) → full cold closure; the label
+    table's hash is pinned in meta, so a tampered seed also falls back
+    to a full cold run (`cc_scope` reports "delta" or "full"). A
+    restore re-derives with the full closure seeded by the prior
+    labels — they ARE the fixpoint, so it converges in one
+    verification round.
     ``cc_algorithm`` is a detector-state parameter like ``shingle_k``:
     changing it rebuilds (``largestar`` never seeds — the rewriting
     has no label-frame analog). Rebuild-on-any-param-change is
@@ -800,17 +919,31 @@ def dedup_near_incremental(eng, table: str, out: str,
         if all(h and eng.objects.exists(h) for h in hashes):
             try:
                 with eng.transaction():  # one root swap, like every path
-                    eng.relink_table(out, md["out_hash"], (key,))
-                    eng.relink_table(labels_name, md["labels_hash"],
-                                     ("doc_id",))
-                    if clusters_table:
-                        eng.relink_table(clusters_table,
-                                         md["clusters_out_hash"], (key,))
+                    # ONE lease spans the re-check of ALL pinned objects
+                    # AND the relinks (ADVICE r12 #1): gc cannot sweep
+                    # under a held lease, so either the re-check raises
+                    # BEFORE any entry is buffered, or every relink
+                    # succeeds — no partial relink can leak through an
+                    # OUTER transaction this verb may be running inside
+                    # (eng.transaction() joins it, so a later raise
+                    # would NOT roll back earlier buffered entries)
+                    with eng.objects.lease():
+                        if not all(eng.objects.exists(h) for h in hashes):
+                            raise KeyError(
+                                "pinned output object swept between "
+                                "pre-check and relink")
+                        eng.relink_table(out, md["out_hash"], (key,))
+                        eng.relink_table(labels_name, md["labels_hash"],
+                                         ("doc_id",))
+                        if clusters_table:
+                            eng.relink_table(clusters_table,
+                                             md["clusters_out_hash"],
+                                             (key,))
             except KeyError:
-                # a concurrent gc swept an object between the pre-check
-                # above and relink_table's leased re-check: the
-                # transaction rolled back — honor the documented
-                # fallback and re-derive from maintained state below
+                # a concurrent gc swept an object between the unleased
+                # pre-check above and the leased re-check: nothing was
+                # buffered yet — honor the documented fallback and
+                # re-derive from maintained state below
                 pass
             else:
                 stats.update(mode="restore", restore_path="relink",
@@ -828,6 +961,7 @@ def dedup_near_incremental(eng, table: str, out: str,
     # section; in-transaction counts below are label-frame-scale only
     rows_in = t.df.count()
     seed = None    # warm-start labels for the closure (minlabel only)
+    new_ids = None  # adds-only delta keys → delta-local re-clustering
     with eng.transaction():
         if d_ref is None or s_ref is None:
             stats["mode"] = "build"
@@ -871,8 +1005,13 @@ def dedup_near_incremental(eng, table: str, out: str,
             stats["delta_docs"] = sum(by_change.values())
             if set(by_change) <= {"added"}:
                 # adds-only delta: old components only merge, so the
-                # previous labels satisfy the seed contract
+                # previous labels satisfy the seed contract — and the
+                # re-cluster can run DELTA-LOCAL (affected components
+                # only; minlabel path below)
                 seed = _prior_labels(eng, labels_name, md)
+                if seed is not None:
+                    new_ids = (d.filter(F.col("change") == "added")
+                                .select("doc_id"))
             ups = (d.filter(F.col("change") != "removed")
                     .select("doc_id", F.col("new_text").alias("text")))
             dels = (d.filter(F.col("change") == "removed")
@@ -895,19 +1034,32 @@ def dedup_near_incremental(eng, table: str, out: str,
         eng.save_bucketed_table(docs_name, d2)
         eng.save_bucketed_table(sig_name, s2)
         stats["n_buckets"] = d2.n_buckets
-        # full re-cluster over the MAINTAINED signatures (by design),
-        # warm-seeded with the prior labels when the delta allows it
+        # re-cluster over the MAINTAINED signatures: DELTA-LOCAL when
+        # the delta is adds-only and trusted prior labels exist
+        # (affected components + pass-through, r13 — see
+        # delta_local_labels for the exactness argument); otherwise the
+        # full closure, warm-seeded when the delta allows it
         sig = read_bucketed(spark, eng.objects, s2).df
-        edges = edges_from_sig(sig).persist()
-        try:     # round-ceiling/save failures must release the pin
+        pinned: list = []
+        try:     # round-ceiling/save failures must release the pins
             cc_stats: dict = {}
-            if cc_algorithm == "minlabel":
-                labels = cc_fn(edges, numeric_key=numeric, seed=seed,
-                               rounds_out=cc_stats)
+            if new_ids is not None and cc_algorithm == "minlabel":
+                labels = delta_local_labels(
+                    sig, new_ids, seed, by_change.get("added", 0),
+                    numeric_key=numeric, rounds_out=cc_stats,
+                    stats=stats, pinned=pinned)
+                stats["cc_scope"] = "delta"
             else:
-                seed = None      # largestar has no label-frame seed
-                labels = cc_fn(edges, numeric_key=numeric,
-                               rounds_out=cc_stats)
+                edges = edges_from_sig(sig).persist()
+                pinned.append(edges)
+                if cc_algorithm == "minlabel":
+                    labels = cc_fn(edges, numeric_key=numeric, seed=seed,
+                                   rounds_out=cc_stats)
+                else:
+                    seed = None      # largestar has no label-frame seed
+                    labels = cc_fn(edges, numeric_key=numeric,
+                                   rounds_out=cc_stats)
+                stats["cc_scope"] = "full"
             stats["cc_mode"] = "warm" if seed is not None else "cold"
             stats["cc_rounds"] = cc_stats["rounds"]
             dups, clusters = _label_stats(labels)
@@ -935,7 +1087,8 @@ def dedup_near_incremental(eng, table: str, out: str,
                     "rows_out bigint, clusters bigint"),
                 ("source_hash",)))
         finally:
-            edges.unpersist()
+            for p in pinned:
+                p.unpersist()
     return stats
 
 
@@ -964,16 +1117,22 @@ def stream_near_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     it); each refresh recomputes no more signature buckets than its
     delta touched, AND — streaming ingest being adds-only — each
     refresh's closure must WARM-START from the previous batch's
-    persisted labels (r12: rounds ≈ log2 of the merge-boundary
-    distance, not of the whole graph's diameter). The final cluster
+    persisted labels and run DELTA-LOCAL (r13: `cc_scope == "delta"`,
+    closure input a strict subset of the corpus, at least one
+    untouched component passing through by anti-join — see
+    :func:`delta_local_labels`). After the stream drains, a
+    from-scratch FULL re-cluster of the final corpus must be
+    content-hash-identical to the incrementally-maintained outputs
+    (optimization, never a semantic fork), and the final cluster
     assignment hash-checks against DuckDB computing the MinHash-LSH
     closure over the whole slice from scratch.
 
     Scale: per micro-batch text work is (batch signing + batch-bucket
-    state rewrite); the re-cluster runs over (key, key) edges from the
-    maintained signatures — corpus text is never re-signed after its
-    arrival batch, which is exactly the contract that makes near-dedup
-    affordable inside a 100 TB crawl loop."""
+    state rewrite); the re-cluster touches only the components the
+    batch's buckets reach — corpus text is never re-signed after its
+    arrival batch and untouched components are never re-joined, which
+    is exactly the contract that makes near-dedup affordable inside a
+    100 TB crawl loop."""
     import os
     import shutil
     import tempfile
@@ -1061,8 +1220,38 @@ def stream_near_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise AssertionError(
                     f"batch at v{v} re-clustered cold — an adds-only "
                     f"ingest must warm-start from the persisted labels")
+            if st.get("cc_scope") != "delta":
+                raise AssertionError(
+                    f"batch at v{v} re-clustered {st.get('cc_scope')} — "
+                    f"an adds-only ingest must re-cluster DELTA-LOCAL "
+                    f"(affected components only, r13)")
+            if st["cc_input_docs"] >= st["rows_in"]:
+                raise AssertionError(
+                    f"batch at v{v}: delta-local closure ingested "
+                    f"{st['cc_input_docs']} docs of {st['rows_in']} — "
+                    f"not a strict subset; affected-component "
+                    f"derivation broken")
+            if st["labels_passthrough"] <= 0:
+                raise AssertionError(
+                    f"batch at v{v}: zero labels passed through — every "
+                    f"component counted as affected; delta-local "
+                    f"re-clustering is degenerate")
         if total != docs.count():
             raise AssertionError("batches did not cover the corpus")
+        # gold: a from-scratch full re-cluster of the final corpus must
+        # produce CONTENT-HASH-IDENTICAL outputs — the delta-local
+        # closure is an optimization, never a semantic fork
+        gold = dedup_near(eng, "docs", "docs_dedup_gold",
+                          clusters_table="docs_clusters_gold")
+        if gold["table_hash"] != batches[-1][2]["table_hash"]:
+            raise AssertionError(
+                "delta-local incremental output diverged from the "
+                "from-scratch full re-cluster")
+        if eng.table_hash("docs_clusters_gold") != \
+                eng.table_hash("docs_clusters"):
+            raise AssertionError(
+                "delta-local cluster table diverged from the "
+                "from-scratch full re-cluster")
         out = (eng.load_table("docs_clusters").df
                .select("doc_id", "cluster_id", "cluster_size")
                .localCheckpoint(eager=True))

@@ -390,8 +390,10 @@ def test_dedup_near_incremental_random_churn_model(spark, tmp_path):
 
     # r12: a final ADDS-ONLY step — the closure must WARM-START from
     # the persisted labels (provably fixpoint-preserving: new edges
-    # only merge components), spend no more rounds than the cold
-    # from-scratch run, and still content-hash-match it exactly
+    # only merge components), run DELTA-LOCAL (r13: affected
+    # components only, untouched labels passed through), spend no more
+    # rounds than the cold from-scratch run, and still
+    # content-hash-match it exactly
     for _ in range(2):
         docs[next_id] = rng.choice(fam)
         next_id += 1
@@ -401,11 +403,85 @@ def test_dedup_near_incremental_random_churn_model(spark, tmp_path):
     st = dedup_near_incremental(eng, "docs", "dd", clusters_table="dd_cl")
     assert st["mode"] == "refresh" and st["delta_docs"] == 3
     assert st["cc_mode"] == "warm", st
+    assert st["cc_scope"] == "delta", st
+    # the closure ingested only the delta's neighborhood, and the
+    # pass-through plus sub-closure nodes are disjoint by construction
+    assert st["cc_input_docs"] < st["rows_in"], st
+    assert st["labels_passthrough"] >= 0
     full = dedup_near(eng, "docs", "dd_full", clusters_table="dd_cl_full")
     assert st["cc_rounds"] <= full["cc_rounds"], \
         (st["cc_rounds"], full["cc_rounds"])
     assert st["table_hash"] == full["table_hash"]
     assert eng.table_hash("dd_cl") == eng.table_hash("dd_cl_full")
+
+
+def test_dedup_near_delta_local_recluster_bound(spark, tmp_path):
+    """r13 (VERDICT r12 next-round #1), deterministic bound: an
+    adds-only refresh re-clusters ONLY the components the delta's
+    buckets reach. Two planted far-apart duplicate families; adding a
+    copy of family A must (a) run the closure over exactly family A's
+    docs plus the new doc, (b) pass family B's labels through
+    untouched, and (c) content-hash-match a from-scratch full
+    re-cluster. A second step adds the FIRST duplicate of a
+    previously-isolated doc — the frontier must pick the old doc up
+    even though it has no prior label, and every existing label passes
+    through."""
+    from messdb_spark.queries.graph import dedup_near, dedup_near_incremental
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    schema = "doc_id bigint, text string"
+    u5 = ("fifth document standing entirely on its own with prose that "
+          "collides with neither family at any shingle")
+    rows = [(1, _A), (2, _A), (3, _B), (4, _B), (5, u5)]
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows, schema), ("doc_id",)))
+    st0 = dedup_near_incremental(eng, "docs", "dd", clusters_table="dd_cl")
+    assert st0["mode"] == "build" and st0["clusters"] == 2
+
+    # step 1: one new copy of family A — affected = comp(A) only
+    rows.append((6, _A))
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows, schema), ("doc_id",)))
+    st1 = dedup_near_incremental(eng, "docs", "dd", clusters_table="dd_cl")
+    assert st1["mode"] == "refresh" and st1["cc_scope"] == "delta"
+    assert st1["cc_mode"] == "warm"
+    assert st1["cc_affected_comps"] == 1          # family A's component
+    assert st1["cc_input_docs"] == 3              # {1, 2} ∪ {new 6}
+    assert st1["labels_passthrough"] == 2         # family B: docs 3, 4
+    assert st1["clusters"] == 2 and st1["rows_out"] == 3
+    full = dedup_near(eng, "docs", "dd_f", clusters_table="dd_cl_f")
+    assert st1["table_hash"] == full["table_hash"]
+    assert eng.table_hash("dd_cl") == eng.table_hash("dd_cl_f")
+
+    # step 2: first duplicate of the isolated doc 5 — no prior label,
+    # so the FRONTIER (touched-bucket membership) must include it
+    rows.append((7, u5))
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows, schema), ("doc_id",)))
+    st2 = dedup_near_incremental(eng, "docs", "dd", clusters_table="dd_cl")
+    assert st2["mode"] == "refresh" and st2["cc_scope"] == "delta"
+    assert st2["cc_affected_comps"] == 0          # 5 was never labeled
+    assert st2["cc_input_docs"] == 2              # {5, 7}
+    assert st2["labels_passthrough"] == 5         # {1,2,6} ∪ {3,4}
+    assert st2["clusters"] == 3 and st2["rows_out"] == 3
+    full = dedup_near(eng, "docs", "dd_f", clusters_table="dd_cl_f")
+    assert st2["table_hash"] == full["table_hash"]
+    assert eng.table_hash("dd_cl") == eng.table_hash("dd_cl_f")
+
+    # step 3: an all-unique add touches nothing — empty affected set,
+    # every label passes through, output still exact
+    rows.append((8, "entirely novel eighth document with wholly "
+                    "disjoint prose tokens throughout"))
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows, schema), ("doc_id",)))
+    st3 = dedup_near_incremental(eng, "docs", "dd", clusters_table="dd_cl")
+    assert st3["mode"] == "refresh" and st3["cc_scope"] == "delta"
+    assert st3["cc_affected_comps"] == 0
+    assert st3["labels_passthrough"] == 7         # {1,2,6} ∪ {3,4} ∪ {5,7}
+    assert st3["clusters"] == 3 and st3["rows_out"] == 4
+    full = dedup_near(eng, "docs", "dd_f", clusters_table="dd_cl_f")
+    assert st3["table_hash"] == full["table_hash"]
+    assert eng.table_hash("dd_cl") == eng.table_hash("dd_cl_f")
 
 
 def test_dedup_near_state_syncs_to_another_warehouse(spark, tmp_path):
