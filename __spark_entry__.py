@@ -38,13 +38,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # via tests/test_oracle_parity.py at sf0.001/sf0.01 (ledger-pinned).
 
 _ROTATION_FRONT: list[str] = [
-    # round-12 edits whose driver rows predate the change: the replay
-    # now asserts each adds-only batch WARM-STARTS its closure from
-    # the persisted labels; cc_largestar_components gained an
-    # error-path pin release around the closure call (r11 cohort
-    # cleared per the derived-rotation policy)
+    # round-13 edits whose driver rows predate the change: the replay
+    # now asserts DELTA-LOCAL re-clustering per adds-only batch plus a
+    # from-scratch gold-hash check; the ANN family moved from
+    # first-N-vectors codebooks to k-means-TRAINED codebooks (bodies +
+    # oracles), with a cell-balance gate in ivf_topk_search and a
+    # tightened recall-collapse gate in ann_recall_eval
     "stream_near_dedup_replay",
-    "cc_largestar_components",
+    "ivf_topk_search",
+    "ivf_store_pruned_search",
+    "incremental_ivf_refresh",
+    "pq_topk_search",
+    "semantic_dedup_survivors",
+    "semdedup_prune",
+    "ann_recall_eval",
 ]
 
 

@@ -181,7 +181,12 @@ def main(argv: list[str] | None = None) -> int:
                          "pointer jumping) or largestar (alternating "
                          "large-star/small-star, O(log^2 n) rounds "
                          "for ANY graph shape — use when minlabel "
-                         "reports hitting its round ceiling)")
+                         "reports hitting its round ceiling; note "
+                         "largestar always re-clusters cold/full "
+                         "under --incremental: its edge rewriting "
+                         "has no label-frame seed, and a graph "
+                         "pathological enough to need it makes a "
+                         "seed moot)")
     dn.add_argument("--incremental", action="store_true",
                     help="maintain persisted per-bucket MinHash "
                          "signature state (<out>__mh_docs/__mh_sig/"

@@ -344,7 +344,14 @@ def seed_map_view_memo(memo, src_ref: BucketedRef, view_ref: BucketedRef,
     bookkeeping: zero data jobs, one batched memo write of at most
     n_buckets records; existing records are left untouched (the memo
     is advisory — a live record may already point at a newer
-    equivalent object). Returns the number of records written."""
+    equivalent object). Returns the number of records written.
+
+    Seeding is defined ONLY for key-preserving map views — the same
+    contract as ``incremental_map_view``, the sole consumer of the
+    seeded records (ADVICE r12 #2: the src==view key_cols check below
+    deliberately rejects re-keying transforms, not just mispaired
+    manifests; a re-keying view is maintained by different machinery
+    and its records would never be read back under these digests)."""
     if src_ref.n_buckets != view_ref.n_buckets:
         raise ValueError(
             f"manifest pair disagrees on n_buckets: "

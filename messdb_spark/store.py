@@ -669,3 +669,60 @@ class Catalog:
                 os.remove(os.path.join(self.roots_dir, f))
                 n += 1
         return n
+
+
+class MemoryCatalog(Catalog):
+    """In-memory root pointer + versioned entry roots — the S8
+    ``MemoryRepo`` analog (``messdb-repo/src/MessDB/Repo/Memory.hs:11-18``:
+    an IORef holding the repo root), closing SURVEY §2.3's last
+    implementable row. Same observable contract as the JSON/sqlite
+    backends — 1-based consecutive versions, atomic multi-table swaps,
+    time travel via ``names(version=)``/``restore_version`` — with a
+    dict of archived roots replacing the ``roots/`` directory, so every
+    inherited read/mutate path (``put``/``put_many``/``drop``/
+    ``restore_version``) runs unchanged on top of the four overridden
+    storage primitives. Process-local like the reference's IORef;
+    thread-safe via a lock around the version-claim CAS (the retry loop
+    in the inherited ``_commit_mutation`` handles claim conflicts
+    exactly as it does EEXIST on the file backend)."""
+
+    def __init__(self) -> None:
+        import threading
+        self._roots: dict[int, dict] = {}
+        self._lock = threading.Lock()
+
+    def _load_root(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.current_version()
+        return dict(self._roots.get(version, {}))
+
+    def current_version(self) -> int:
+        return max(self._roots, default=0)
+
+    def _has_version(self, v: int) -> bool:
+        return v in self._roots
+
+    def _claim_version(self, v: int, root: dict) -> bool:
+        with self._lock:
+            if v in self._roots:
+                return False
+            self._roots[v] = root
+            return True
+
+    def _commit_mutation(self, mutate) -> int:
+        # the parent's loop, minus the root.json/hint convenience files
+        # (nothing to snapshot — reads come straight from the dict)
+        for _ in range(256):
+            v = self.current_version()
+            root = mutate(self._load_root(v))
+            if self._claim_version(v + 1, root):
+                return v + 1
+        raise RuntimeError(
+            "catalog root CAS failed 256 times — livelocked catalog?")
+
+    def prune_roots(self, min_version: int) -> int:
+        with self._lock:
+            old = [v for v in self._roots if v < min_version]
+            for v in old:
+                del self._roots[v]
+            return len(old)

@@ -159,6 +159,69 @@ def test_memory_store_contract(spark):
     assert [tuple(r) for r in st.load(spark, h).collect()] == [(1, "a")]
 
 
+def test_memory_catalog_contract():
+    """S8 MemoryRepo analog (``Repo/Memory.hs:11-18``): the in-memory
+    catalog honors the same observable contract the JSON/sqlite
+    backends are contract-tested for — missing root = empty catalog,
+    1-based consecutive versions, atomic multi-table swaps, time
+    travel, restore-as-new-version, root pruning — plus no lost
+    updates under a threaded writer race (the process-local analog of
+    test_root_swap_race; the reference's MemoryRepo is an IORef, so
+    process-local is the contract)."""
+    import threading
+
+    from messdb_spark.store import CatalogEntry, MemoryCatalog
+
+    cat = MemoryCatalog()
+    assert cat.current_version() == 0 and cat.names() == []
+    assert cat.get("absent") is None
+
+    assert cat.put("t1", CatalogEntry("h1", "{}", ["k"])) == 1
+    assert cat.put("t2", CatalogEntry("h2", "{}", ["k"])) == 2
+    assert cat.get("t1").table_hash == "h1"
+    assert cat.get("t1").key_cols == ["k"]
+    assert cat.names() == ["t1", "t2"]
+
+    # multi-table atomic swap: ONE version for the whole batch
+    v = cat.put_many({f"b{j}": CatalogEntry(f"hb{j}", "{}", ["k"])
+                      for j in range(3)})
+    assert v == 3 and len(cat.names()) == 5
+
+    # time travel + restore-as-new-version + drop
+    assert cat.names(version=1) == ["t1"]
+    assert cat.names(version=2) == ["t1", "t2"]
+    assert cat.drop("t2") == 4 and "t2" not in cat.names()
+    assert cat.restore_version(2) == 5
+    assert cat.names() == ["t1", "t2"]
+
+    # prune bounds the time-travel horizon, current stays readable
+    assert cat.prune_roots(4) == 3
+    assert cat.names(version=2) == []            # pruned root reads empty
+    assert cat.names() == ["t1", "t2"]
+
+    # threaded writer race: every commit lands, versions consecutive
+    cat2 = MemoryCatalog()
+    n, prefixes = 20, ("alpha", "beta", "gamma")
+
+    def writer(prefix):
+        for i in range(n):
+            cat2.put(f"{prefix}_{i}", CatalogEntry(f"h_{prefix}_{i}",
+                                                   "{}", ["k"]))
+
+    threads = [threading.Thread(target=writer, args=(p,))
+               for p in prefixes]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert cat2.current_version() == len(prefixes) * n
+    assert set(cat2.names()) == {f"{p}_{i}" for p in prefixes
+                                 for i in range(n)}
+    # every version's root holds exactly v names (each put adds one)
+    for v in (1, n, len(prefixes) * n):
+        assert len(cat2.names(version=v)) == v
+
+
 def test_debug_store_logs(spark, warehouse):
     from messdb_spark.store import DebugStore, ObjectStore
     lines = []
