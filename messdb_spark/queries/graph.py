@@ -961,7 +961,9 @@ def dedup_near_incremental(eng, table: str, out: str,
     # section; in-transaction counts below are label-frame-scale only
     rows_in = t.df.count()
     seed = None    # warm-start labels for the closure (minlabel only)
-    new_ids = None  # adds-only delta keys → delta-local re-clustering
+    # adds-only delta keys (+count) → delta-local re-clustering; an
+    # empty frame = the restore path's pure-passthrough re-derive
+    new_ids, n_new_ids = None, 0
     with eng.transaction():
         if d_ref is None or s_ref is None:
             stats["mode"] = "build"
@@ -974,12 +976,19 @@ def dedup_near_incremental(eng, table: str, out: str,
             # outputs tampered, source unchanged, and the relink path
             # above found an output object swept: re-derive from the
             # maintained state — zero signing work; the prior labels
-            # (if intact) ARE this graph's fixpoint, so the seeded
-            # closure re-derives them in one verification round
+            # (if intact) ARE this graph's fixpoint. r13: route the
+            # re-cluster through the DELTA-LOCAL path with an EMPTY
+            # delta — no touched buckets, so every label passes
+            # through by one anti-join and the closure sees zero
+            # edges (the hash pin on the labels is the trust
+            # boundary, exactly as in the relink restore). Swept
+            # labels fall back to the full cold closure.
             stats["mode"] = "restore"
             stats["restore_path"] = "rederive"
             d2, s2 = d_ref, s_ref
             seed = _prior_labels(eng, labels_name, md)
+            if seed is not None:
+                new_ids, n_new_ids = src.select("doc_id").limit(0), 0
         else:
             stats["mode"] = "refresh"
             # rehydrate memo records the state manifests already prove
@@ -1012,6 +1021,7 @@ def dedup_near_incremental(eng, table: str, out: str,
                 if seed is not None:
                     new_ids = (d.filter(F.col("change") == "added")
                                 .select("doc_id"))
+                    n_new_ids = by_change.get("added", 0)
             ups = (d.filter(F.col("change") != "removed")
                     .select("doc_id", F.col("new_text").alias("text")))
             dels = (d.filter(F.col("change") == "removed")
@@ -1045,7 +1055,7 @@ def dedup_near_incremental(eng, table: str, out: str,
             cc_stats: dict = {}
             if new_ids is not None and cc_algorithm == "minlabel":
                 labels = delta_local_labels(
-                    sig, new_ids, seed, by_change.get("added", 0),
+                    sig, new_ids, seed, n_new_ids,
                     numeric_key=numeric, rounds_out=cc_stats,
                     stats=stats, pinned=pinned)
                 stats["cc_scope"] = "delta"

@@ -816,6 +816,13 @@ def test_dedup_near_restore_rederives_when_outputs_swept(spark, tmp_path):
     assert st1["mode"] == "restore"
     assert st1["restore_path"] == "rederive"
     assert st1["cc_mode"] == "warm"          # labels entry survived
+    # r13: an intact-labels re-derive routes through the delta-local
+    # path with an EMPTY delta — all labels pass through, the closure
+    # sees zero buckets and zero edges
+    assert st1["cc_scope"] == "delta"
+    assert st1["touched_buckets"] == 0 and st1["cc_edges"] == 0
+    assert st1["cc_input_docs"] == 0
+    assert st1["labels_passthrough"] > 0
     assert st1["table_hash"] == st0["table_hash"]
     assert sorted(r["doc_id"] for r in
                   eng.load_table("dd").df.collect()) == [1, 3]
