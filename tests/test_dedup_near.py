@@ -377,7 +377,11 @@ def test_dedup_near_incremental_random_churn_model(spark, tmp_path):
         assert st["sig_buckets_recomputed"] <= st["docs_buckets_touched"]
         # every churn step above deletes a key → components can split →
         # the closure must have re-clustered COLD (r12 warm-start gate)
+        # — but still DELTA-LOCAL (r13: splits are confined to the
+        # removed/edited docs' own components)
         assert st["cc_mode"] == "cold", f"step {step}: {st['cc_mode']}"
+        assert st["cc_scope"] == "delta", f"step {step}: {st}"
+        assert st["cc_input_docs"] <= st["rows_in"] + 5, st
         # gold: from-scratch dedup-near on the same corpus — identical
         # CAS content hashes for BOTH outputs
         full = dedup_near(eng, "docs", "dd_full",
@@ -482,6 +486,44 @@ def test_dedup_near_delta_local_recluster_bound(spark, tmp_path):
     full = dedup_near(eng, "docs", "dd_f", clusters_table="dd_cl_f")
     assert st3["table_hash"] == full["table_hash"]
     assert eng.table_hash("dd_cl") == eng.table_hash("dd_cl_f")
+
+    # step 4 (r13, general churn): DELETE a family-A member — only A's
+    # component re-clusters (cold: deletes can split), B and {5,7}
+    # pass through untouched
+    rows = [r for r in rows if r[0] != 2]
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows, schema), ("doc_id",)))
+    st4 = dedup_near_incremental(eng, "docs", "dd", clusters_table="dd_cl")
+    assert st4["mode"] == "refresh" and st4["cc_scope"] == "delta"
+    assert st4["cc_mode"] == "cold"
+    assert st4["touched_buckets"] == 0            # no upserted signatures
+    assert st4["cc_affected_comps"] == 1          # A's component only
+    assert st4["cc_input_docs"] == 3              # {1, 2(ghost), 6}
+    assert st4["labels_passthrough"] == 4         # {3,4} ∪ {5,7}
+    assert st4["clusters"] == 3 and st4["rows_out"] == 4
+    full = dedup_near(eng, "docs", "dd_f", clusters_table="dd_cl_f")
+    assert st4["table_hash"] == full["table_hash"]
+    assert eng.table_hash("dd_cl") == eng.table_hash("dd_cl_f")
+
+    # step 5 (r13): EDIT doc 4 from family B to family A — BOTH old
+    # components are affected (B may split, A's buckets are touched by
+    # the new signature); B's survivor 3 loses its last partner and
+    # correctly drops out of the label frame; {5,7} pass through
+    rows = [(r[0], _A) if r[0] == 4 else r for r in rows]
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows, schema), ("doc_id",)))
+    st5 = dedup_near_incremental(eng, "docs", "dd", clusters_table="dd_cl")
+    assert st5["mode"] == "refresh" and st5["cc_scope"] == "delta"
+    assert st5["cc_mode"] == "cold"
+    assert st5["cc_affected_comps"] == 2          # A's and B's
+    assert st5["cc_input_docs"] == 4              # {1, 6, 3, 4}
+    assert st5["labels_passthrough"] == 2         # {5, 7}
+    assert st5["clusters"] == 2 and st5["rows_out"] == 4
+    full = dedup_near(eng, "docs", "dd_f", clusters_table="dd_cl_f")
+    assert st5["table_hash"] == full["table_hash"]
+    assert eng.table_hash("dd_cl") == eng.table_hash("dd_cl_f")
+    got = sorted(r["doc_id"] for r in eng.load_table("dd").df.collect())
+    assert got == [1, 3, 5, 8]
 
 
 def test_dedup_near_state_syncs_to_another_warehouse(spark, tmp_path):
