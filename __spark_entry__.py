@@ -38,12 +38,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # via tests/test_oracle_parity.py at sf0.001/sf0.01 (ledger-pinned).
 
 _ROTATION_FRONT: list[str] = [
-    # round-13 edits whose driver rows predate the change: the replay
-    # now asserts DELTA-LOCAL re-clustering per adds-only batch plus a
-    # from-scratch gold-hash check; the ANN family moved from
-    # first-N-vectors codebooks to k-means-TRAINED codebooks (bodies +
-    # oracles), with a cell-balance gate in ivf_topk_search and a
-    # tightened recall-collapse gate in ann_recall_eval
+    # round-14 edits whose driver rows predate the change: the replay
+    # dropped its bundled gold rebuild (now the separate
+    # stream_near_dedup_gold entry, which leads as never-checked along
+    # with dedup_near_churn_replay) and gained the edge-level
+    # delta-locality assert (cc_input_edges ≤ cc_edge_bound); the
+    # ANN/codebook family gained the sample-with-sufficiency-floor
+    # training predicate in BOTH bodies and oracles (_km_src), and
+    # ivf_topk_search's cell-balance gate was re-keyed to the codebook
+    # cache identity.
     "stream_near_dedup_replay",
     "ivf_topk_search",
     "ivf_store_pruned_search",

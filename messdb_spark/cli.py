@@ -182,11 +182,10 @@ def main(argv: list[str] | None = None) -> int:
                          "large-star/small-star, O(log^2 n) rounds "
                          "for ANY graph shape — use when minlabel "
                          "reports hitting its round ceiling; note "
-                         "largestar always re-clusters cold/full "
-                         "under --incremental: its edge rewriting "
-                         "has no label-frame seed, and a graph "
-                         "pathological enough to need it makes a "
-                         "seed moot)")
+                         "largestar re-clusters DELTA-LOCAL under "
+                         "--incremental like minlabel (affected "
+                         "components only) but always COLD: its "
+                         "edge rewriting has no label-frame seed)")
     dn.add_argument("--incremental", action="store_true",
                     help="maintain persisted per-bucket MinHash "
                          "signature state (<out>__mh_docs/__mh_sig/"

@@ -155,7 +155,16 @@ def edges_from_sig(sig: DataFrame) -> DataFrame:
     shrinking label frame, never the edges — the graph-loop move that
     matters when the edge set is billions of rows. UNPERSISTED: the
     caller pins it for the iterative loop."""
-    bands = _bands_of(sig)
+    return edges_from_bands(_bands_of(sig))
+
+
+def edges_from_bands(bands: DataFrame) -> DataFrame:
+    """``edges_from_sig``'s second half over an already-derived
+    (doc_id, band_id, bx, by) band frame — split out in r14 so
+    ``delta_local_labels`` can materialize the delta-sized sub-band
+    frame ONCE and feed the hub aggregation, the star join AND the
+    edge-bound witness from it, instead of re-deriving the
+    sub-signature three times per refresh."""
     keys = list(_BAND_KEYS)
     hubs = bands.groupBy(*keys).agg(F.min("doc_id").alias("hub"))
     star = (bands.join(hubs, keys)
@@ -679,7 +688,8 @@ def delta_local_labels(sig: DataFrame, new_ids: DataFrame,
                        stats: dict | None = None,
                        pinned: list | None = None,
                        extra_affected: DataFrame | None = None,
-                       warm: bool = True) -> DataFrame:
+                       warm: bool = True,
+                       cc_fn=None) -> DataFrame:
     """DELTA-LOCAL re-clustering (VERDICT r12 next-round #1,
     generalized to ARBITRARY churn in r13): run the min-label closure
     only on the components the delta can possibly touch, and pass
@@ -737,8 +747,11 @@ def delta_local_labels(sig: DataFrame, new_ids: DataFrame,
     two consumers and gates its own broadcast by count).
 
     Emits ``touched_buckets / frontier_docs / cc_affected_comps /
-    cc_input_docs / cc_edges / labels_passthrough`` into ``stats`` —
-    the counters the replay and churn tests assert the bound with."""
+    cc_input_docs / cc_edges / cc_input_edges / cc_edge_bound /
+    labels_passthrough`` into ``stats`` — the counters the replay and
+    churn tests assert the bound with (r14: the edge-level bound
+    ``cc_input_edges ≤ cc_edge_bound`` is additionally asserted
+    in-body — see the inline derivation)."""
     keys = list(_BAND_KEYS)
     new_sig = sig.join(_maybe_bcast(new_ids.select("doc_id"), n_new),
                        "doc_id", "semi")
@@ -752,10 +765,18 @@ def delta_local_labels(sig: DataFrame, new_ids: DataFrame,
     n_frontier = frontier.count()
     # seeds of the affected-component lookup: every doc on the frontier
     # plus (general churn) every removed/edited doc — their old
-    # components may split even though their new signature is gone
-    comp_seed = frontier if extra_affected is None else \
-        frontier.union(extra_affected.select("doc_id")).distinct()
-    affected_comps = (prior.join(_maybe_bcast(comp_seed, n_frontier + n_new),
+    # components may split even though their new signature is gone.
+    # The broadcast gate counts the SEED FRAME ITSELF (ADVICE r13 #3:
+    # n_frontier + n_new excludes removed keys by construction, so a
+    # delete-heavy delta could undercount and broadcast past the
+    # ceiling); the count is one job over a delta-sized frame.
+    if extra_affected is None:
+        comp_seed, n_seed = frontier, n_frontier
+    else:
+        comp_seed = (frontier.union(extra_affected.select("doc_id"))
+                     .distinct().localCheckpoint(eager=True))
+        n_seed = comp_seed.count()
+    affected_comps = (prior.join(_maybe_bcast(comp_seed, n_seed),
                                  "doc_id", "semi")
                       .select("comp").distinct()
                       .localCheckpoint(eager=True))
@@ -771,17 +792,57 @@ def delta_local_labels(sig: DataFrame, new_ids: DataFrame,
                      .distinct().localCheckpoint(eager=True))
     n_docs = affected_docs.count()
     sub_sig = sig.join(_maybe_bcast(affected_docs, n_docs), "doc_id", "semi")
-    edges = edges_from_sig(sub_sig).persist()
+    # materialize the delta-sized band frame ONCE — the hub agg, the
+    # star join and the edge-bound witness below all read it, and each
+    # would otherwise re-derive sub_sig (a semi-join over the full
+    # signature frame) from scratch
+    sub_bands = _bands_of(sub_sig).localCheckpoint(eager=True)
+    edges = edges_from_bands(sub_bands).persist()
     if pinned is not None:
         pinned.append(edges)
     if stats is not None:
+        # EDGE-level delta-locality witness (VERDICT r13 #6): the
+        # closure's edge set comes only from the affected docs' bucket
+        # memberships — ``edges_from_bands`` emits ≤ (n_b - 1) distinct
+        # star pairs per bucket, bidirectional ×2 — so
+        # cc_input_edges ≤ cc_edge_bound = 2·Σ_b(n_b − 1) over the
+        # sub-signature's band buckets, a bound ∝ the affected
+        # neighborhood, never the corpus. One agg over the
+        # checkpointed delta-sized band frame; asserted here
+        # (structural invariant) AND re-asserted by the replay/churn
+        # callers from the emitted counters.
+        n_edges = edges.count()
+        bound_row = (sub_bands.groupBy(*keys)
+                     .agg((F.count(F.lit(1)) - 1).alias("m"))
+                     .agg(F.coalesce(F.sum(F.greatest(F.col("m"),
+                                                      F.lit(0))),
+                                     F.lit(0)).alias("b"))
+                     .collect())
+        edge_bound = 2 * int(bound_row[0]["b"])
+        if n_edges > edge_bound:
+            raise AssertionError(
+                f"delta-local closure has {n_edges} edges > bucket "
+                f"pair bound {edge_bound} — edges leaked in from "
+                f"outside the affected neighborhood")
         stats.update(touched_buckets=n_touched, frontier_docs=n_frontier,
                      cc_affected_comps=n_comps, cc_input_docs=n_docs,
-                     cc_edges=edges.count())
-    labels_sub = cc_labels_from_edges(
-        edges, numeric_key=numeric_key,
-        seed=affected_labeled if warm else None,
-        rounds_out=rounds_out)
+                     cc_edges=n_edges, cc_input_edges=n_edges,
+                     cc_edge_bound=edge_bound)
+    # r14: the affected-subgraph derivation above is ALGORITHM-
+    # AGNOSTIC (it only needs `prior` to be constant per component and
+    # unique across components — true of both closures, which label by
+    # component minimum), so largestar refreshes route through the
+    # same sub-closure. Only the SEED is minlabel-specific: largestar's
+    # edge rewriting has no label-frame analog, so a non-default
+    # ``cc_fn`` always runs cold — still delta-scoped.
+    if cc_fn is None:
+        labels_sub = cc_labels_from_edges(
+            edges, numeric_key=numeric_key,
+            seed=affected_labeled if warm else None,
+            rounds_out=rounds_out)
+    else:
+        labels_sub = cc_fn(edges, numeric_key=numeric_key,
+                           rounds_out=rounds_out)
     passthrough = (prior.join(bc_comps, "comp", "left_anti")
                    .select("doc_id", "comp"))
     if stats is not None:
@@ -847,9 +908,11 @@ def dedup_near_incremental(eng, table: str, out: str,
     ONLY over the affected components' sub-signature while every
     untouched component's labels pass through via one anti-join. On
     adds-only deltas components can only merge, so the sub-closure
-    additionally WARM-SEEDS from the prior labels; deletes/edits can
-    split components, so those run the sub-closure cold (still
-    delta-scoped). :func:`delta_local_labels` carries the exactness
+    additionally WARM-SEEDS from the prior labels (minlabel only —
+    r14 routes ``largestar`` refreshes through the same delta-scoped
+    sub-closure, always cold: its rewriting has no label-frame seed);
+    deletes/edits can split components, so those run the sub-closure
+    cold too. :func:`delta_local_labels` carries the exactness
     argument and the counters (`cc_input_docs`, `labels_passthrough`,
     `cc_edges`) that the replay/churn tests assert the bound with.
     This converts the verb's last O(corpus-edges × rounds) refresh
@@ -1059,7 +1122,9 @@ def dedup_near_incremental(eng, table: str, out: str,
                 if not adds_only:
                     extra_affected = (d.filter(F.col("change") != "added")
                                        .select("doc_id"))
-                if adds_only:
+                if adds_only and cc_algorithm == "minlabel":
+                    # largestar's rewriting has no label-frame seed,
+                    # so it never warm-starts (cc_mode stays honest)
                     seed = prior
             ups = (d.filter(F.col("change") != "removed")
                     .select("doc_id", F.col("new_text").alias("text")))
@@ -1083,22 +1148,24 @@ def dedup_near_incremental(eng, table: str, out: str,
         eng.save_bucketed_table(docs_name, d2)
         eng.save_bucketed_table(sig_name, s2)
         stats["n_buckets"] = d2.n_buckets
-        # re-cluster over the MAINTAINED signatures: DELTA-LOCAL when
-        # the delta is adds-only and trusted prior labels exist
-        # (affected components + pass-through, r13 — see
-        # delta_local_labels for the exactness argument); otherwise the
-        # full closure, warm-seeded when the delta allows it
+        # re-cluster over the MAINTAINED signatures: DELTA-LOCAL
+        # whenever trusted prior labels exist (affected components +
+        # pass-through, r13; r14 extends the sub-closure to largestar —
+        # the affected-subgraph derivation is algorithm-agnostic, only
+        # the warm seed is minlabel-specific); otherwise the full
+        # closure, warm-seeded when algorithm and delta allow it
         sig = read_bucketed(spark, eng.objects, s2).df
         pinned: list = []
         try:     # round-ceiling/save failures must release the pins
             cc_stats: dict = {}
-            if new_ids is not None and cc_algorithm == "minlabel":
+            if new_ids is not None:
                 labels = delta_local_labels(
                     sig, new_ids, prior, n_new_ids,
                     numeric_key=numeric, rounds_out=cc_stats,
                     stats=stats, pinned=pinned,
                     extra_affected=extra_affected,
-                    warm=seed is not None)
+                    warm=seed is not None,
+                    cc_fn=None if cc_algorithm == "minlabel" else cc_fn)
                 stats["cc_scope"] = "delta"
             else:
                 edges = edges_from_sig(sig).persist()
@@ -1107,7 +1174,6 @@ def dedup_near_incremental(eng, table: str, out: str,
                     labels = cc_fn(edges, numeric_key=numeric, seed=seed,
                                    rounds_out=cc_stats)
                 else:
-                    seed = None      # largestar has no label-frame seed
                     labels = cc_fn(edges, numeric_key=numeric,
                                    rounds_out=cc_stats)
                 stats["cc_scope"] = "full"
@@ -1143,47 +1209,15 @@ def dedup_near_incremental(eng, table: str, out: str,
     return stats
 
 
-@query(
-    "stream_near_dedup_replay",
-    oracle=f"""
-    WITH RECURSIVE slice_docs AS (
-      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
-    ), {_cc_ctes_for("slice_docs")}
-    SELECT doc_id, cluster_id,
-           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-    FROM assign
-    """)
-def stream_near_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ``dedup-near`` verb DRIVEN BY A STREAM — the near-dup family
-    now has the same end-to-end operational loop as ExactSubstr
-    (``stream_xs_ingest_replay``): documents arrive over 3
-    micro-batches; each batch upserts the catalog corpus table and runs
-    :func:`dedup_near_incremental` INSIDE the same transaction, so
-    ingest, maintained-signature refresh, full re-cluster, deduped
-    output, cluster table, label state and meta all land in ONE root
-    swap per batch. In-body asserts: 3 single-root-swap commits; batch
-    1 builds, later batches refresh with a DERIVED delta equal to
-    their own batch (the verb diffs the catalog table against the CAS
-    snapshot its state was built from — no change feed is handed to
-    it); each refresh recomputes no more signature buckets than its
-    delta touched, AND — streaming ingest being adds-only — each
-    refresh's closure must WARM-START from the previous batch's
-    persisted labels and run DELTA-LOCAL (r13: `cc_scope == "delta"`,
-    closure input a strict subset of the corpus, at least one
-    untouched component passing through by anti-join — see
-    :func:`delta_local_labels`). After the stream drains, a
-    from-scratch FULL re-cluster of the final corpus must be
-    content-hash-identical to the incrementally-maintained outputs
-    (optimization, never a semantic fork), and the final cluster
-    assignment hash-checks against DuckDB computing the MinHash-LSH
-    closure over the whole slice from scratch.
-
-    Scale: per micro-batch text work is (batch signing + batch-bucket
-    state rewrite); the re-cluster touches only the components the
-    batch's buckets reach — corpus text is never re-signed after its
-    arrival batch and untouched components are never re-joined, which
-    is exactly the contract that makes near-dedup affordable inside a
-    100 TB crawl loop."""
+def _near_dedup_stream_core(spark: SparkSession, sf_dir: str,
+                            gold: bool) -> DataFrame:
+    """Shared body of ``stream_near_dedup_replay`` (the MAINTAINED
+    loop — the number that matters at 100 TB) and
+    ``stream_near_dedup_gold`` (the loop PLUS the from-scratch full
+    re-cluster and its hash-equality proof). Split in r14 (VERDICT r13
+    #1, the ``exact_substring_refresh_gold`` convention): bundled, a
+    regression in the maintained path could hide inside gold-rebuild
+    variance — each now carries its own bench pin."""
     import os
     import shutil
     import tempfile
@@ -1287,22 +1321,228 @@ def stream_near_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"batch at v{v}: zero labels passed through — every "
                     f"component counted as affected; delta-local "
                     f"re-clustering is degenerate")
+            if st["cc_input_edges"] > st["cc_edge_bound"]:
+                raise AssertionError(
+                    f"batch at v{v}: closure saw {st['cc_input_edges']} "
+                    f"edges > affected-bucket pair bound "
+                    f"{st['cc_edge_bound']} — edge-level delta-locality "
+                    f"broken (r14)")
         if total != docs.count():
             raise AssertionError("batches did not cover the corpus")
-        # gold: a from-scratch full re-cluster of the final corpus must
-        # produce CONTENT-HASH-IDENTICAL outputs — the delta-local
-        # closure is an optimization, never a semantic fork
-        gold = dedup_near(eng, "docs", "docs_dedup_gold",
-                          clusters_table="docs_clusters_gold")
-        if gold["table_hash"] != batches[-1][2]["table_hash"]:
+        if gold:
+            # gold: a from-scratch full re-cluster of the final corpus
+            # must produce CONTENT-HASH-IDENTICAL outputs — the
+            # delta-local closure is an optimization, never a semantic
+            # fork. Separately registered/pinned (VERDICT r13 #1) so
+            # this deliberate second full build never masks a
+            # maintained-loop regression.
+            g = dedup_near(eng, "docs", "docs_dedup_gold",
+                           clusters_table="docs_clusters_gold")
+            if g["table_hash"] != batches[-1][2]["table_hash"]:
+                raise AssertionError(
+                    "delta-local incremental output diverged from the "
+                    "from-scratch full re-cluster")
+            if eng.table_hash("docs_clusters_gold") != \
+                    eng.table_hash("docs_clusters"):
+                raise AssertionError(
+                    "delta-local cluster table diverged from the "
+                    "from-scratch full re-cluster")
+        out = (eng.load_table("docs_clusters").df
+               .select("doc_id", "cluster_id", "cluster_size")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_ND_STREAM_ORACLE = f"""
+    WITH RECURSIVE slice_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
+    ), {_cc_ctes_for("slice_docs")}
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM assign
+    """
+
+
+@query("stream_near_dedup_replay", oracle=_ND_STREAM_ORACLE)
+def stream_near_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``dedup-near`` verb DRIVEN BY A STREAM — the near-dup family
+    has the same end-to-end operational loop as ExactSubstr
+    (``stream_xs_ingest_replay``): documents arrive over 3
+    micro-batches; each batch upserts the catalog corpus table and runs
+    :func:`dedup_near_incremental` INSIDE the same transaction, so
+    ingest, maintained-signature refresh, delta-local re-cluster,
+    deduped output, cluster table, label state and meta all land in ONE
+    root swap per batch. In-body asserts: 3 single-root-swap commits;
+    batch 1 builds, later batches refresh with a DERIVED delta equal to
+    their own batch (the verb diffs the catalog table against the CAS
+    snapshot its state was built from — no change feed is handed to
+    it); each refresh recomputes no more signature buckets than its
+    delta touched, AND — streaming ingest being adds-only — each
+    refresh's closure must WARM-START from the previous batch's
+    persisted labels and run DELTA-LOCAL (`cc_scope == "delta"`,
+    closure input a strict subset of the corpus at BOTH doc and edge
+    granularity — r14 adds ``cc_input_edges ≤ cc_edge_bound``, the
+    affected buckets' pair bound — and at least one untouched component
+    passing through by anti-join; see :func:`delta_local_labels`). The
+    final cluster assignment hash-checks against DuckDB computing the
+    MinHash-LSH closure over the whole slice from scratch. The
+    refresh == from-scratch-rebuild hash-equality proof lives in the
+    separately-pinned ``stream_near_dedup_gold`` (r14, VERDICT r13 #1)
+    so THIS row times exactly the maintained loop.
+
+    Scale: per micro-batch text work is (batch signing + batch-bucket
+    state rewrite); the re-cluster touches only the components the
+    batch's buckets reach — corpus text is never re-signed after its
+    arrival batch and untouched components are never re-joined, which
+    is exactly the contract that makes near-dedup affordable inside a
+    100 TB crawl loop."""
+    return _near_dedup_stream_core(spark, sf_dir, gold=False)
+
+
+@query("stream_near_dedup_gold", oracle=_ND_STREAM_ORACLE)
+def stream_near_dedup_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_near_dedup_replay``'s INTEGRITY twin (r14, VERDICT r13
+    #1 — the ``exact_substring_refresh_gold`` convention): runs the
+    same 3-batch maintained ingest loop, then a deliberate from-scratch
+    FULL re-cluster of the final corpus and proves it CONTENT-HASH-
+    IDENTICAL to the incrementally-maintained dedup output AND cluster
+    table — delta-local maintenance is an optimization, never a
+    semantic fork. Registered and pinned separately so this second
+    full build's cost is visible on its own regression bar and can
+    never mask a regression in the maintained loop (the number that
+    matters at 100 TB). Returns the maintained cluster table — by the
+    in-body proof, byte-identical content to the gold rebuild's."""
+    return _near_dedup_stream_core(spark, sf_dir, gold=True)
+
+
+# deterministic churn spec for dedup_near_churn_replay — mirrored
+# bit-for-bit by its DuckDB oracle, so both engines sign the same
+# final corpus. Slice doc_id%8==3 (distinct from the stream replay's
+# %4==1 slice, and half its weight — the query pays a build + a churn
+# refresh + a gold rebuild); within it, doc_id%64==3 is EDITED
+# (suffix appended) and doc_id%64==19 is DELETED.
+_ND_CHURN_EDIT_SUFFIX = " r14-churn-edit"
+
+
+@query(
+    "dedup_near_churn_replay",
+    oracle=f"""
+    WITH RECURSIVE final_docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 64 = 3
+                  THEN text || '{_ND_CHURN_EDIT_SUFFIX}'
+                  ELSE text END AS text
+      FROM documents
+      WHERE doc_id % 8 = 3 AND doc_id % 64 != 19
+    ), {_cc_ctes_for("final_docs")}
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM assign
+    """)
+def dedup_near_churn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE/EDIT churn through ``dedup-near --incremental``'s
+    delta-local re-cluster, DRIVER-GATED (r14, VERDICT r13 #4: the
+    generalized churn path — ``extra_affected``, removed/edited docs'
+    prior components re-clustering cold but delta-scoped — was
+    pytest-proven in r13 while the only driver-checked exerciser was
+    adds-only). Run 1 builds state over the doc_id%8==3 slice; run 2
+    re-saves the corpus with doc_id%64==3 docs EDITED (deterministic
+    suffix) and doc_id%64==19 docs DELETED, then refreshes. The verb
+    derives the delta itself by diffing the catalog table against the
+    CAS snapshot its state pinned. In-body asserts: the derived delta
+    is exactly the changed+removed count; signature refresh recomputes
+    no more buckets than the delta touched; the re-cluster runs
+    ``cc_scope == "delta"`` and ``cc_mode == "cold"`` (deletes/edits
+    can split components, so no warm seed — the path adds-only ingest
+    never takes); closure input is a strict subset at doc AND edge
+    granularity (``cc_input_edges ≤ cc_edge_bound``, r14) with
+    untouched components passing through; and a from-scratch full
+    rebuild of the final corpus is CONTENT-HASH-IDENTICAL on both the
+    dedup output and the cluster table. The DuckDB oracle recomputes
+    the MinHash-LSH closure over the post-churn corpus from scratch.
+
+    Scale: the refresh signs only edited docs, rewrites only touched
+    buckets, and re-clusters only affected components — churn cost ∝
+    delta neighborhood, the property that makes maintained near-dedup
+    affordable under a 100 TB crawl's rolling updates."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..engine import Engine
+    from ..operators.core import canonicalize_input
+
+    (d,) = load(spark, sf_dir, "documents")
+    base = (d.filter(F.col("doc_id") % 8 == 3)
+             .select("doc_id", "text"))
+    edited = base.filter(F.col("doc_id") % 64 == 3)
+    removed = base.filter(F.col("doc_id") % 64 == 19)
+    n_edited, n_removed = edited.count(), removed.count()
+    final = (base.filter(F.col("doc_id") % 64 != 19)
+                 .select("doc_id",
+                         F.when(F.col("doc_id") % 64 == 3,
+                                F.concat(F.col("text"),
+                                         F.lit(_ND_CHURN_EDIT_SUFFIX)))
+                          .otherwise(F.col("text")).alias("text")))
+    tmp = tempfile.mkdtemp(prefix="messdb_ndchurn_")
+    try:
+        eng = Engine(spark, os.path.join(tmp, "wh"))
+        with eng.transaction():
+            eng.save_table("docs", canonicalize_input(base, ("doc_id",)))
+            st1 = dedup_near_incremental(eng, "docs", "docs_dedup",
+                                         clusters_table="docs_clusters")
+        if st1["mode"] != "build":
+            raise AssertionError(f"run 1 mode: {st1['mode']}")
+        with eng.transaction():
+            eng.save_table("docs", canonicalize_input(final, ("doc_id",)))
+            st2 = dedup_near_incremental(eng, "docs", "docs_dedup",
+                                         clusters_table="docs_clusters")
+        if st2["mode"] != "refresh":
+            raise AssertionError(f"run 2 mode: {st2['mode']}")
+        if st2["delta_docs"] != n_edited + n_removed:
             raise AssertionError(
-                "delta-local incremental output diverged from the "
-                "from-scratch full re-cluster")
+                f"derived delta {st2['delta_docs']} != churn "
+                f"{n_edited} edits + {n_removed} deletes — "
+                f"diff-vs-snapshot broken under deletes/edits")
+        if st2["sig_buckets_recomputed"] > st2["docs_buckets_touched"]:
+            raise AssertionError(
+                f"churn re-signed {st2['sig_buckets_recomputed']} "
+                f"buckets, delta touched {st2['docs_buckets_touched']}")
+        if st2.get("cc_scope") != "delta":
+            raise AssertionError(
+                f"churn re-clustered {st2.get('cc_scope')} — the "
+                f"delete/edit path must stay DELTA-LOCAL "
+                f"(extra_affected, r13)")
+        if st2["cc_mode"] != "cold":
+            raise AssertionError(
+                f"churn re-clustered {st2['cc_mode']} — deletes/edits "
+                f"can split components; the sub-closure must run cold")
+        if st2["cc_input_docs"] >= st2["rows_in"]:
+            raise AssertionError(
+                f"delta-local closure ingested {st2['cc_input_docs']} "
+                f"docs of {st2['rows_in']} — not a strict subset")
+        if st2["labels_passthrough"] <= 0:
+            raise AssertionError(
+                "zero labels passed through — every component counted "
+                "as affected; delta-local churn is degenerate")
+        if st2["cc_input_edges"] > st2["cc_edge_bound"]:
+            raise AssertionError(
+                f"closure saw {st2['cc_input_edges']} edges > "
+                f"affected-bucket pair bound {st2['cc_edge_bound']} "
+                f"(r14 edge-level delta-locality)")
+        g = dedup_near(eng, "docs", "docs_dedup_gold",
+                       clusters_table="docs_clusters_gold")
+        if g["table_hash"] != st2["table_hash"]:
+            raise AssertionError(
+                "churned delta-local output diverged from the "
+                "from-scratch rebuild of the final corpus")
         if eng.table_hash("docs_clusters_gold") != \
                 eng.table_hash("docs_clusters"):
             raise AssertionError(
-                "delta-local cluster table diverged from the "
-                "from-scratch full re-cluster")
+                "churned delta-local cluster table diverged from the "
+                "from-scratch rebuild")
         out = (eng.load_table("docs_clusters").df
                .select("doc_id", "cluster_id", "cluster_size")
                .localCheckpoint(eager=True))

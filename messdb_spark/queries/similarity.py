@@ -130,11 +130,47 @@ _KM_DIM = 64          # embedding dims (testdata contract, TESTDATA.md)
 # first-N-vectors codebook lacks — arbitrary-vector cells give skewed
 # cell sizes, so probe cost and recall degrade unevenly at 100×. With
 # k-means centroids the max cell must stay within a small factor of
-# the mean; the assert in ``ivf_topk_search`` pins it once per
-# (session, corpus) — the _BALANCE_CHECKED set mirrors the codebook
-# cache's lifetime.
+# the mean; the gate in ``ivf_topk_search`` pins it once per
+# (session, codebook identity) — keyed like _CODEBOOK_CACHE (path +
+# mtime + size, ADVICE r13 #2), so a corpus regenerated at the same
+# path retrains AND re-validates. The factor is overridable
+# (SPARK_GRAFT_IVF_BALANCE_C), and outside the synthetic-testdata
+# contract the gate degrades to a stderr warning instead of a hard
+# AssertionError (ADVICE r13 #4: real clustered corpora can
+# legitimately exceed 4x after k-means at k=16; a public building
+# block should degrade, not hard-fail, on data-dependent skew).
 _CELL_BALANCE_C = 4.0
 _BALANCE_CHECKED: set = set()
+
+
+def _check_cell_balance(assigned: DataFrame, bkey: tuple,
+                        corpus_path: str) -> None:
+    """Once-per-(session, codebook-identity) IVF cell-balance gate.
+    Hard-asserts under the /root/testdata synthetic contract (or when
+    SPARK_GRAFT_IVF_BALANCE=assert); warns otherwise."""
+    import os
+    import sys
+
+    if bkey in _BALANCE_CHECKED:
+        return
+    c = float(os.environ.get("SPARK_GRAFT_IVF_BALANCE_C",
+                             _CELL_BALANCE_C))
+    sizes = [r["n"] for r in assigned.groupBy("cid")
+             .agg(F.count(F.lit(1)).alias("n")).collect()]
+    mean = sum(sizes) / _N_CELLS
+    if max(sizes) > c * mean:
+        msg = (f"IVF cells skewed: max {max(sizes)} > {c}x mean "
+               f"{mean:.1f} — codebook no longer balances the corpus")
+        mode = os.environ.get("SPARK_GRAFT_IVF_BALANCE", "")
+        strict = (mode == "assert"
+                  or (mode != "warn"
+                      and corpus_path.startswith("/root/testdata/")))
+        if strict:
+            raise AssertionError(msg)
+        print(f"# WARN {msg}", file=sys.stderr)
+    while len(_BALANCE_CHECKED) >= 16:
+        _BALANCE_CHECKED.pop()
+    _BALANCE_CHECKED.add(bkey)
 
 
 def _km_chain(k: int, iters: int, scale: int, dim: int,
@@ -186,14 +222,48 @@ def _km_chain(k: int, iters: int, scale: int, dim: int,
     return ",".join(parts), prev
 
 
+# codebook TRAINING SAMPLE with a sufficiency floor (r14, VERDICT r13
+# stretch #7): Lloyd trains on the deterministic hash-sample
+# vec_id % MOD == 0 — but ONLY when that sample still holds at least
+# _KM_TRAIN_PER_CENTROID vectors per centroid (the classic IVF
+# training guidance; FAISS documents ~39·k as the minimum and 256·k
+# as comfortable). Below the floor the full corpus trains. Measured
+# rationale: unconditionally sampling halves of this repo's 500-2000
+# vector test corpora collapsed recall@5 (0.80→0.42 at sf0.01,
+# 0.92→0.64 at sf0.1 — 125-1000 vectors cannot spare half for k=16),
+# while a 100 TB corpus keeps millions per centroid at any MOD, which
+# is where sampling pays (training scans 1/MOD of the corpus per
+# Lloyd iteration). The floor is a PURE PREDICATE on the corpus
+# count, so the DuckDB oracle chains express the identical rule
+# (``_km_src``) and parity stays bit-exact; the cell-balance gate
+# always validates the FULL corpus assignment either way. The
+# sampled branch is below every test SF by design — it is exercised
+# by tests/test_codebook_sampling.py on a purpose-built corpus.
+_KM_SAMPLE_MOD = 4
+_KM_TRAIN_PER_CENTROID = 256
+
+
+def _km_src(k: int) -> str:
+    """The training relation the oracle chains read: the hash-sample
+    when it clears the per-centroid floor for this ``k``, else the
+    full corpus — one static SQL predicate, no branching."""
+    floor_rows = _KM_SAMPLE_MOD * _KM_TRAIN_PER_CENTROID * k
+    return (f"(SELECT vec_id, embedding FROM embeddings "
+            f"WHERE vec_id % {_KM_SAMPLE_MOD} = 0 "
+            f"OR (SELECT count(*) FROM embeddings) < {floor_rows})")
+
+
 def _trained_cents_sql(k: int = _N_CELLS) -> str:
     """CTE chain ending in the TRAINED coarse codebook ``cents``
     (cid, cemb: double list, cnrm) — k-means centroids instead of the
-    first-N-vectors placeholder (VERDICT r12 #2). cemb = cv / scale
-    and cnrm = sqrt(in-order Σ x²) mirror ``trained_codebook``'s
-    Python arithmetic term for term, so both engines embed identical
-    doubles."""
-    chain, final = _km_chain(k, _KM_ITERS, _KM_SCALE, _KM_DIM, pfx="km_")
+    first-N-vectors placeholder (VERDICT r12 #2); trained on the
+    deterministic ``vec_id % {_KM_SAMPLE_MOD} == 0`` sample when it
+    clears the per-centroid floor, else the full corpus (r14).
+    cemb = cv / scale and cnrm = sqrt(in-order Σ x²) mirror
+    ``trained_codebook``'s Python arithmetic term for term, so both
+    engines embed identical doubles."""
+    chain, final = _km_chain(k, _KM_ITERS, _KM_SCALE, _KM_DIM, pfx="km_",
+                             src=_km_src(k))
     return f"""{chain},
     cents AS (
       SELECT cid, cemb,
@@ -276,24 +346,21 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .drop("csims"))
 
     # trained-codebook balance gate: one ≤{_N_CELLS}-row aggregate,
-    # checked ONCE per (session, corpus) — the codebook it validates is
-    # itself session-cached, so re-asserting per call would only re-time
-    # the same assignment (ann_recall_eval alone calls this body twice
-    # per bench entry)
+    # checked ONCE per (session, codebook identity) — the codebook it
+    # validates is itself session-cached, so re-asserting per call
+    # would only re-time the same assignment (ann_recall_eval alone
+    # calls this body twice per bench entry). The gate key mirrors
+    # _CODEBOOK_CACHE's (path + mtime + size): a corpus regenerated at
+    # the same path retrains the codebook AND re-runs the gate.
     import os
-    bkey = (spark.sparkContext.applicationId,
-            os.path.join(sf_dir, "embeddings.parquet"))
-    if bkey not in _BALANCE_CHECKED:
-        sizes = [r["n"] for r in assigned.groupBy("cid")
-                 .agg(F.count(F.lit(1)).alias("n")).collect()]
-        if max(sizes) > _CELL_BALANCE_C * (sum(sizes) / _N_CELLS):
-            raise AssertionError(
-                f"IVF cells skewed: max {max(sizes)} > "
-                f"{_CELL_BALANCE_C}x mean {sum(sizes) / _N_CELLS:.1f} — "
-                f"codebook no longer balances the corpus")
-        while len(_BALANCE_CHECKED) >= 16:
-            _BALANCE_CHECKED.pop()
-        _BALANCE_CHECKED.add(bkey)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        bkey = (spark.sparkContext.applicationId, src,
+                st.st_mtime_ns, st.st_size)
+    except OSError:
+        bkey = (spark.sparkContext.applicationId, src)
+    _check_cell_balance(assigned, bkey, src)
 
     # probe list: per-query top-nprobe cells (queries are tiny — explode)
     qsims = (vecs.filter(F.col("vec_id") < _N_QUERIES)
@@ -473,9 +540,16 @@ def trained_codebook(spark: SparkSession, sf_dir: str, k: int,
     per-subspace codebooks. Session-cached on (app id, file identity,
     k, sub) like ``_CC_LABEL_CACHE``, so the six ANN-family queries
     sharing one coarse codebook train it ONCE per corpus per session.
-    Scale: each Lloyd iteration is one corpus scan + a k×d-row
-    aggregate (see ``kmeans_fit``); a 100 TB deployment trains on a
-    sample and broadcasts the same plan-literal codebook."""
+    Scale: training runs on the DETERMINISTIC HASH-SAMPLE
+    ``vec_id % _KM_SAMPLE_MOD == 0`` whenever that sample clears the
+    ``_KM_TRAIN_PER_CENTROID``-per-centroid floor (r14 — the 100 TB
+    posture made real: each Lloyd iteration then scans
+    1/{_KM_SAMPLE_MOD} of the corpus + a k×d-row aggregate; a
+    corpus too small to spare half its vectors trains full — see the
+    measured-rationale comment at ``_KM_SAMPLE_MOD``). The resulting
+    plan-literal codebook is always validated against the FULL
+    corpus by ``_check_cell_balance``; the oracles apply the
+    identical predicate via ``_km_src``, keeping parity bit-exact."""
     import math
     import os
 
@@ -491,6 +565,8 @@ def trained_codebook(spark: SparkSession, sf_dir: str, k: int,
         _CODEBOOK_CACHE[key] = book          # LRU move-to-end
         return book
     (emb,) = load(spark, sf_dir, "embeddings")
+    if emb.count() >= _KM_SAMPLE_MOD * _KM_TRAIN_PER_CENTROID * int(k):
+        emb = emb.filter(F.col("vec_id") % _KM_SAMPLE_MOD == 0)
     vexpr = ("transform(embedding, x -> CAST(x AS DOUBLE))" if sub is None
              else f"transform(slice(embedding, {sub[0]}, {sub[1]}), "
                   f"x -> CAST(x AS DOUBLE))")
@@ -656,9 +732,11 @@ def _pq_cents_sql() -> str:
     (VERDICT r12 #2 applied to PQ)."""
     chains, finals = [], []
     for j in range(_PQ_M):
+        floor_rows = _KM_SAMPLE_MOD * _KM_TRAIN_PER_CENTROID * _PQ_K
         src = (f"(SELECT vec_id, list_slice(embedding, "
                f"{j * _PQ_SUB + 1}, {(j + 1) * _PQ_SUB}) AS embedding "
-               f"FROM embeddings)")
+               f"FROM embeddings WHERE vec_id % {_KM_SAMPLE_MOD} = 0 "
+               f"OR (SELECT count(*) FROM embeddings) < {floor_rows})")
         chain, final = _km_chain(_PQ_K, _KM_ITERS, _KM_SCALE, _PQ_SUB,
                                  pfx=f"km{j}_", src=src)
         chains.append(chain)

@@ -692,15 +692,22 @@ class MemoryCatalog(Catalog):
         self._lock = threading.Lock()
 
     def _load_root(self, version: int | None = None) -> dict:
-        if version is None:
-            version = self.current_version()
-        return dict(self._roots.get(version, {}))
+        with self._lock:
+            if version is None:
+                version = max(self._roots, default=0)
+            return dict(self._roots.get(version, {}))
 
     def current_version(self) -> int:
-        return max(self._roots, default=0)
+        # the lock (not just GIL atomicity of max() over a dict view)
+        # keeps the threaded-writer contract portable to free-threaded
+        # CPython/PyPy, where a concurrent _claim_version insert could
+        # otherwise raise "dictionary changed size during iteration"
+        with self._lock:
+            return max(self._roots, default=0)
 
     def _has_version(self, v: int) -> bool:
-        return v in self._roots
+        with self._lock:
+            return v in self._roots
 
     def _claim_version(self, v: int, root: dict) -> bool:
         with self._lock:

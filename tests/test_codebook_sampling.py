@@ -1,0 +1,107 @@
+"""The r14 codebook-training sample floor (VERDICT r13 stretch #7).
+
+``trained_codebook`` trains on the deterministic hash-sample
+``vec_id % _KM_SAMPLE_MOD == 0`` ONLY when that sample keeps at least
+``_KM_TRAIN_PER_CENTROID`` vectors per centroid; smaller corpora train
+full (the measured-rationale comment at ``_KM_SAMPLE_MOD`` records the
+recall collapse that unconditional sampling caused on the 500-2000
+vector test corpora). Every test SF sits below the floor by design, so
+this file exercises the SAMPLED branch on a purpose-built corpus —
+including the DuckDB mirror of the one-predicate rule (``_km_src``),
+proving the sampled training stays bit-exact across engines exactly
+like the full-corpus parity suite does for the test SFs.
+"""
+import math
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from messdb_spark.queries.similarity import (_KM_ITERS, _KM_SAMPLE_MOD,
+                                             _KM_SCALE,
+                                             _KM_TRAIN_PER_CENTROID,
+                                             _km_chain, _km_src,
+                                             kmeans_fit, trained_codebook)
+
+_K = 2
+_DIM = 4
+_FLOOR = _KM_SAMPLE_MOD * _KM_TRAIN_PER_CENTROID * _K   # 2048 at MOD=4
+
+
+def _vec(i: int) -> list[float]:
+    # deterministic, irregular (no blob structure): full-corpus and
+    # sample-trained centroids must genuinely differ
+    return [((i * 2654435761 + j * 40503) % 997) / 997.0
+            for j in range(_DIM)]
+
+
+def _write_embeddings(spark, path: str, n: int) -> None:
+    rows = [(i, _vec(i)) for i in range(n)]
+    (spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+          .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def _ints_of(book: list[tuple[int, list[float], float]]) -> list[list[int]]:
+    # cemb = cv / _KM_SCALE exactly (one correctly-rounded divide per
+    # coord), so scaling back recovers the integer centroids bit-exactly
+    return [[round(x * _KM_SCALE) for x in cemb] for _cid, cemb, _n in book]
+
+
+def _fit_ints(df, k: int) -> list[list[int]]:
+    cents, _ = kmeans_fit(
+        df.select("vec_id",
+                  F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                   .alias("v")), k=k)
+    return cents
+
+
+@pytest.fixture()
+def big_corpus(spark, tmp_path):
+    p = str(tmp_path / "embeddings.parquet")
+    _write_embeddings(spark, p, _FLOOR + 32)      # clears the floor
+    return str(tmp_path), p
+
+
+def test_sampled_branch_trains_on_the_hash_sample(spark, big_corpus):
+    sf_dir, p = big_corpus
+    book = trained_codebook(spark, sf_dir, _K)
+    df = spark.read.parquet(p)
+    sampled = _fit_ints(df.filter(F.col("vec_id") % _KM_SAMPLE_MOD == 0), _K)
+    full = _fit_ints(df, _K)
+    assert _ints_of(book) == sampled, \
+        "above the floor, training must run on the vec_id-hash sample"
+    assert sampled != full, \
+        "test corpus degenerate: sample and full training coincide, " \
+        "so the branch is not witnessed — change _vec()"
+    for _cid, cemb, cnrm in book:
+        s = 0.0
+        for x in cemb:
+            s += x * x
+        assert cnrm == math.sqrt(s)
+
+
+def test_small_corpus_trains_full(spark, tmp_path):
+    p = str(tmp_path / "embeddings.parquet")
+    _write_embeddings(spark, p, 200)              # far below the floor
+    book = trained_codebook(spark, str(tmp_path), _K)
+    df = spark.read.parquet(p)
+    assert _ints_of(book) == _fit_ints(df, _K), \
+        "below the floor, the full corpus must train the codebook"
+
+
+def test_duckdb_mirror_of_the_sampling_predicate(spark, big_corpus):
+    """The oracle-side training relation (``_km_src``) applies the
+    identical sample-or-full predicate, so the unrolled Lloyd chain
+    lands on the same integer centroids as ``trained_codebook``."""
+    sf_dir, p = big_corpus
+    book = trained_codebook(spark, sf_dir, _K)
+    chain, final = _km_chain(_K, _KM_ITERS, _KM_SCALE, _DIM,
+                             pfx="t_", src=_km_src(_K))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT vec_id, embedding "
+                f"FROM read_parquet('{p}/*.parquet')")
+    got = con.execute(
+        f"WITH {chain} SELECT cl, cv FROM {final} ORDER BY cl").fetchall()
+    assert [list(cv) for _cl, cv in got] == _ints_of(book)

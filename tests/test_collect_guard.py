@@ -57,6 +57,9 @@ ALLOWED = {
         "one threshold row per priority (≤ distinct priorities)",
     "queries/graph.py::dedup_near_incremental":
         "1-row meta record + per-change-kind delta counts (≤3 rows)",
+    "queries/graph.py::delta_local_labels":
+        "1-row edge-bound aggregate (r14 edge-level delta-locality "
+        "witness)",
     "queries/linkage.py::_xs_replace_docs":
         "distinct touched bucket ids — delta-bounded",
     "queries/linkage.py::dedup_substrings_incremental":
@@ -73,8 +76,10 @@ ALLOWED = {
         "cell centroids + per-cell counters: n_cells literal constant",
     "queries/similarity.py::ivf_store_pruned_search":
         "probed cell ids + IO counters: ≤ n_cells rows",
-    "queries/similarity.py::ivf_topk_search":
-        "cell-balance gate: ≤ n_cells count rows (r13 trained codebook)",
+    "queries/similarity.py::_check_cell_balance":
+        "cell-balance gate: ≤ n_cells count rows (r13 trained "
+        "codebook; r14: factored out so the gate key matches the "
+        "codebook cache identity)",
     "queries/similarity.py::kmeans_fit":
         "k centroids per iteration, k a literal constant — the one "
         "training collect the whole trained-codebook family shares",

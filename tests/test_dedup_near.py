@@ -669,9 +669,12 @@ def test_dedup_near_largestar_matches_minlabel(spark, tmp_path):
 
 def test_dedup_near_incremental_largestar_lifecycle(spark, tmp_path):
     """--cc-algorithm is detector state: build → noop under largestar;
-    adds-only churn refreshes COLD (largestar has no label seed) yet
-    stays content-hash-equal to from-scratch; switching the algorithm
-    REBUILDS the state exactly like a shingle_k change."""
+    adds-only churn refreshes COLD (largestar has no label seed) but
+    DELTA-LOCAL (r14: the affected-subgraph derivation is algorithm-
+    agnostic, so largestar routes through the same sub-closure with
+    untouched components passing through) and stays content-hash-equal
+    to from-scratch; switching the algorithm REBUILDS the state
+    exactly like a shingle_k change."""
     from messdb_spark.queries.graph import dedup_near, dedup_near_incremental
 
     eng = Engine(spark, str(tmp_path / "wh"))
@@ -692,6 +695,11 @@ def test_dedup_near_incremental_largestar_lifecycle(spark, tmp_path):
                                  cc_algorithm="largestar")
     assert st3["mode"] == "refresh" and st3["delta_docs"] == 1
     assert st3["cc_mode"] == "cold"          # largestar never seeds
+    # r14: cold but DELTA-SCOPED — the _B component re-clusters (doc 4
+    # joins it), the untouched _A component passes through by anti-join
+    assert st3["cc_scope"] == "delta"
+    assert st3["labels_passthrough"] > 0
+    assert st3["cc_input_edges"] <= st3["cc_edge_bound"]
     full = dedup_near(eng, "d", "dd_f", clusters_table="dd_cl_f",
                       cc_algorithm="largestar")
     assert st3["table_hash"] == full["table_hash"]
