@@ -1077,10 +1077,14 @@ def dedup_near_incremental(eng, table: str, out: str,
             stats["mode"] = "restore"
             stats["restore_path"] = "rederive"
             d2, s2 = d_ref, s_ref
-            seed = _prior_labels(eng, labels_name, md)
-            if seed is not None:
-                prior = seed
+            prior = _prior_labels(eng, labels_name, md)
+            if prior is not None:
                 new_ids, n_new_ids = src.select("doc_id").limit(0), 0
+                if cc_algorithm == "minlabel":
+                    # largestar's sub-closure ignores any seed and runs
+                    # cold — leaving seed unset keeps cc_mode honest
+                    # (r14 review finding #1)
+                    seed = prior
         else:
             stats["mode"] = "refresh"
             # rehydrate memo records the state manifests already prove

@@ -151,7 +151,7 @@ def _check_cell_balance(assigned: DataFrame, bkey: tuple,
     import os
     import sys
 
-    if bkey in _BALANCE_CHECKED:
+    if bkey is not None and bkey in _BALANCE_CHECKED:
         return
     c = float(os.environ.get("SPARK_GRAFT_IVF_BALANCE_C",
                              _CELL_BALANCE_C))
@@ -168,6 +168,13 @@ def _check_cell_balance(assigned: DataFrame, bkey: tuple,
         if strict:
             raise AssertionError(msg)
         print(f"# WARN {msg}", file=sys.stderr)
+    if bkey is None:
+        # no file identity (os.stat failed): the codebook itself is
+        # retrained every call (trained_codebook key=None), so the
+        # gate must also re-run every call — caching a degraded key
+        # would let a regenerated corpus skip re-validation (r14
+        # review finding #2)
+        return
     while len(_BALANCE_CHECKED) >= 16:
         _BALANCE_CHECKED.pop()
     _BALANCE_CHECKED.add(bkey)
@@ -359,7 +366,7 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         bkey = (spark.sparkContext.applicationId, src,
                 st.st_mtime_ns, st.st_size)
     except OSError:
-        bkey = (spark.sparkContext.applicationId, src)
+        bkey = None          # no file identity → gate re-runs per call
     _check_cell_balance(assigned, bkey, src)
 
     # probe list: per-query top-nprobe cells (queries are tiny — explode)
@@ -521,6 +528,12 @@ def _km_dist_expr(cvec: list[int]) -> str:
 
 
 _CODEBOOK_CACHE: dict = {}
+# corpus row count for the sampling-floor test, keyed on the same
+# (appId, path, mtime_ns, size) file identity — pq_topk_search's four
+# per-subspace codebooks would otherwise each recount the identical
+# embeddings table on their first (cache-miss) training (r14 review
+# finding #4)
+_CORPUS_COUNT_CACHE: dict = {}
 
 
 def trained_codebook(spark: SparkSession, sf_dir: str, k: int,
@@ -565,7 +578,16 @@ def trained_codebook(spark: SparkSession, sf_dir: str, k: int,
         _CODEBOOK_CACHE[key] = book          # LRU move-to-end
         return book
     (emb,) = load(spark, sf_dir, "embeddings")
-    if emb.count() >= _KM_SAMPLE_MOD * _KM_TRAIN_PER_CENTROID * int(k):
+    n_key = key[:4] if key is not None else None
+    if n_key is not None and n_key in _CORPUS_COUNT_CACHE:
+        n_corpus = _CORPUS_COUNT_CACHE[n_key]
+    else:
+        n_corpus = emb.count()
+        if n_key is not None:
+            while len(_CORPUS_COUNT_CACHE) >= 16:
+                _CORPUS_COUNT_CACHE.pop(next(iter(_CORPUS_COUNT_CACHE)))
+            _CORPUS_COUNT_CACHE[n_key] = n_corpus
+    if n_corpus >= _KM_SAMPLE_MOD * _KM_TRAIN_PER_CENTROID * int(k):
         emb = emb.filter(F.col("vec_id") % _KM_SAMPLE_MOD == 0)
     vexpr = ("transform(embedding, x -> CAST(x AS DOUBLE))" if sub is None
              else f"transform(slice(embedding, {sub[0]}, {sub[1]}), "
@@ -732,11 +754,13 @@ def _pq_cents_sql() -> str:
     (VERDICT r12 #2 applied to PQ)."""
     chains, finals = [], []
     for j in range(_PQ_M):
-        floor_rows = _KM_SAMPLE_MOD * _KM_TRAIN_PER_CENTROID * _PQ_K
+        # slice over the SHARED training relation (_km_src) so the
+        # sample-or-floor predicate has exactly one definition (r14
+        # review finding #3 — a hand-synced copy here could silently
+        # diverge from the body's rule)
         src = (f"(SELECT vec_id, list_slice(embedding, "
                f"{j * _PQ_SUB + 1}, {(j + 1) * _PQ_SUB}) AS embedding "
-               f"FROM embeddings WHERE vec_id % {_KM_SAMPLE_MOD} = 0 "
-               f"OR (SELECT count(*) FROM embeddings) < {floor_rows})")
+               f"FROM {_km_src(_PQ_K)})")
         chain, final = _km_chain(_PQ_K, _KM_ITERS, _KM_SCALE, _PQ_SUB,
                                  pfx=f"km{j}_", src=src)
         chains.append(chain)

@@ -382,6 +382,9 @@ def test_dedup_near_incremental_random_churn_model(spark, tmp_path):
         assert st["cc_mode"] == "cold", f"step {step}: {st['cc_mode']}"
         assert st["cc_scope"] == "delta", f"step {step}: {st}"
         assert st["cc_input_docs"] <= st["rows_in"] + 5, st
+        # r14 edge-level witness: closure edges never exceed the
+        # affected buckets' pair bound
+        assert st["cc_input_edges"] <= st["cc_edge_bound"], st
         # gold: from-scratch dedup-near on the same corpus — identical
         # CAS content hashes for BOTH outputs
         full = dedup_near(eng, "docs", "dd_full",
@@ -411,6 +414,7 @@ def test_dedup_near_incremental_random_churn_model(spark, tmp_path):
     # the closure ingested only the delta's neighborhood, and the
     # pass-through plus sub-closure nodes are disjoint by construction
     assert st["cc_input_docs"] < st["rows_in"], st
+    assert st["cc_input_edges"] <= st["cc_edge_bound"], st
     assert st["labels_passthrough"] >= 0
     full = dedup_near(eng, "docs", "dd_full", clusters_table="dd_cl_full")
     assert st["cc_rounds"] <= full["cc_rounds"], \
@@ -451,6 +455,7 @@ def test_dedup_near_delta_local_recluster_bound(spark, tmp_path):
     assert st1["cc_mode"] == "warm"
     assert st1["cc_affected_comps"] == 1          # family A's component
     assert st1["cc_input_docs"] == 3              # {1, 2} ∪ {new 6}
+    assert 0 < st1["cc_input_edges"] <= st1["cc_edge_bound"]
     assert st1["labels_passthrough"] == 2         # family B: docs 3, 4
     assert st1["clusters"] == 2 and st1["rows_out"] == 3
     full = dedup_near(eng, "docs", "dd_f", clusters_table="dd_cl_f")
@@ -499,6 +504,7 @@ def test_dedup_near_delta_local_recluster_bound(spark, tmp_path):
     assert st4["touched_buckets"] == 0            # no upserted signatures
     assert st4["cc_affected_comps"] == 1          # A's component only
     assert st4["cc_input_docs"] == 3              # {1, 2(ghost), 6}
+    assert st4["cc_input_edges"] <= st4["cc_edge_bound"]
     assert st4["labels_passthrough"] == 4         # {3,4} ∪ {5,7}
     assert st4["clusters"] == 3 and st4["rows_out"] == 4
     full = dedup_near(eng, "docs", "dd_f", clusters_table="dd_cl_f")
@@ -882,6 +888,39 @@ def test_dedup_near_restore_rederives_when_outputs_swept(spark, tmp_path):
     # the relink primitive itself refuses absent objects
     with pytest.raises(KeyError):
         eng.relink_table("dd", "0" * 64, ("doc_id",))
+
+
+def test_dedup_near_largestar_rederive_reports_cold(spark, tmp_path):
+    """r14 review fix: the intact-labels rederive restore routes
+    through the delta-local path for largestar too, but the largestar
+    sub-closure can never seed — the verb must report cc_mode='cold'
+    (it previously claimed 'warm' on this one path), while the restore
+    still reproduces the identical content hash via passthrough."""
+    from messdb_spark.queries.graph import dedup_near_incremental
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    schema = "doc_id bigint, text string"
+    rows = [(1, _A), (2, _A), (3, _B), (4, _B)]
+    eng.save_table("docs", KeyedTable(
+        spark.createDataFrame(rows, schema), ("doc_id",)))
+    st0 = dedup_near_incremental(eng, "docs", "dd", clusters_table="dd_cl",
+                                 cc_algorithm="largestar")
+    assert st0["mode"] == "build"
+
+    eng.save_table("dd", KeyedTable(
+        spark.createDataFrame([(99, "junk")], schema), ("doc_id",)))
+    eng.gc(keep_versions=1)
+    assert not eng.objects.exists(st0["table_hash"])
+
+    st1 = dedup_near_incremental(eng, "docs", "dd", clusters_table="dd_cl",
+                                 cc_algorithm="largestar")
+    assert st1["mode"] == "restore"
+    assert st1["restore_path"] == "rederive"
+    assert st1["cc_mode"] == "cold"          # largestar never seeds
+    assert st1["cc_scope"] == "delta"
+    assert st1["touched_buckets"] == 0 and st1["cc_edges"] == 0
+    assert st1["labels_passthrough"] > 0
+    assert st1["table_hash"] == st0["table_hash"]
 
 
 def test_dedup_near_tampered_labels_repaired_via_relink(spark, tmp_path):
