@@ -753,15 +753,30 @@ def delta_local_labels(sig: DataFrame, new_ids: DataFrame,
     ``cc_input_edges ≤ cc_edge_bound`` is additionally asserted
     in-body — see the inline derivation)."""
     keys = list(_BAND_KEYS)
+    # pin the two frames every derivation below re-reads: the helper
+    # counts each trigger full scans of the signature view (CAS
+    # parquet + semi-joins) and the prior label table — 3-4 re-scans
+    # per refresh without the persist (r14 profile). Both are
+    # column-narrow (doc_id + 8 hashes / doc_id + comp); the caller's
+    # pinned-list unpersists them with the edge frame.
+    sig = sig.persist()
+    prior = prior.persist()
+    if pinned is not None:
+        pinned.extend([sig, prior])
     new_sig = sig.join(_maybe_bcast(new_ids.select("doc_id"), n_new),
                        "doc_id", "semi")
+    # every helper frame below uses a LAZY localCheckpoint whose own
+    # count() is the single materializing action (the closure-loop
+    # idiom, r14 profile: the eager variant paid a checkpoint job PLUS
+    # a count job per frame — ~2x the per-batch job count for frames
+    # that are all delta-sized)
     touched = (_bands_of(new_sig).select(*keys).distinct()
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
     n_touched = touched.count()
     frontier = (_bands_of(sig)
                 .join(_maybe_bcast(touched, n_touched), keys, "semi")
                 .select("doc_id").distinct()
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
     n_frontier = frontier.count()
     # seeds of the affected-component lookup: every doc on the frontier
     # plus (general churn) every removed/edited doc — their old
@@ -774,29 +789,29 @@ def delta_local_labels(sig: DataFrame, new_ids: DataFrame,
         comp_seed, n_seed = frontier, n_frontier
     else:
         comp_seed = (frontier.union(extra_affected.select("doc_id"))
-                     .distinct().localCheckpoint(eager=True))
+                     .distinct().localCheckpoint(eager=False))
         n_seed = comp_seed.count()
     affected_comps = (prior.join(_maybe_bcast(comp_seed, n_seed),
                                  "doc_id", "semi")
                       .select("comp").distinct()
-                      .localCheckpoint(eager=True))
+                      .localCheckpoint(eager=False))
     n_comps = affected_comps.count()
     bc_comps = _maybe_bcast(affected_comps, n_comps)
     affected_labeled = (prior.join(bc_comps, "comp", "semi")
                         .select("doc_id", "comp")
-                        .localCheckpoint(eager=True))
+                        .localCheckpoint(eager=False))
     # restrict to the CURRENT signature frame via the semi-join below:
     # removed docs appear in affected_labeled but not in sig, so they
     # contribute nothing to sub_sig and drop out of the new labels
     affected_docs = (affected_labeled.select("doc_id").union(frontier)
-                     .distinct().localCheckpoint(eager=True))
+                     .distinct().localCheckpoint(eager=False))
     n_docs = affected_docs.count()
     sub_sig = sig.join(_maybe_bcast(affected_docs, n_docs), "doc_id", "semi")
     # materialize the delta-sized band frame ONCE — the hub agg, the
     # star join and the edge-bound witness below all read it, and each
     # would otherwise re-derive sub_sig (a semi-join over the full
     # signature frame) from scratch
-    sub_bands = _bands_of(sub_sig).localCheckpoint(eager=True)
+    sub_bands = _bands_of(sub_sig).localCheckpoint(eager=False)
     edges = edges_from_bands(sub_bands).persist()
     if pinned is not None:
         pinned.append(edges)
