@@ -90,6 +90,68 @@ def test_small_corpus_trains_full(spark, tmp_path):
         "below the floor, the full corpus must train the codebook"
 
 
+def test_exact_floor_boundary_samples(spark, tmp_path):
+    """Corpus EXACTLY at the floor: Spark's ``count >= floor`` and the
+    oracle's ``count < floor ⇒ full`` must agree that the SAMPLE
+    trains — an off-by-one here would silently fork the two engines'
+    training relations at one corpus size."""
+    p = str(tmp_path / "embeddings.parquet")
+    _write_embeddings(spark, p, _FLOOR)
+    book = trained_codebook(spark, str(tmp_path), _K)
+    df = spark.read.parquet(p)
+    assert _ints_of(book) == _fit_ints(
+        df.filter(F.col("vec_id") % _KM_SAMPLE_MOD == 0), _K)
+    chain, final = _km_chain(_K, _KM_ITERS, _KM_SCALE, _DIM,
+                             pfx="b_", src=_km_src(_K))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT vec_id, embedding "
+                f"FROM read_parquet('{p}/*.parquet')")
+    got = con.execute(
+        f"WITH {chain} SELECT cl, cv FROM {final} ORDER BY cl").fetchall()
+    assert [list(cv) for _cl, cv in got] == _ints_of(book)
+
+
+def test_balance_gate_warn_and_assert_modes(spark, monkeypatch):
+    """ADVICE r13 #4: outside the synthetic-testdata contract the
+    cell-balance gate warns instead of hard-failing on data-dependent
+    skew; SPARK_GRAFT_IVF_BALANCE=assert restores the hard gate, and
+    a missing file identity (bkey=None) never caches — the gate
+    re-runs every call."""
+    from messdb_spark.queries.similarity import (_BALANCE_CHECKED,
+                                                 _check_cell_balance)
+
+    # all rows in one cell of 16 → max ≫ 4× mean
+    skewed = spark.createDataFrame([(i, 0) for i in range(32)],
+                                   "vec_id bigint, cid bigint")
+    monkeypatch.delenv("SPARK_GRAFT_IVF_BALANCE", raising=False)
+    before = set(_BALANCE_CHECKED)
+    # non-testdata corpus path → warn only, and bkey=None → no caching
+    _check_cell_balance(skewed, None, "/data/prod/embeddings.parquet")
+    assert set(_BALANCE_CHECKED) == before
+    # the synthetic-testdata contract keeps the hard assert
+    with pytest.raises(AssertionError, match="skewed"):
+        _check_cell_balance(skewed, None,
+                            "/root/testdata/sf9/embeddings.parquet")
+    # explicit assert mode hard-fails anywhere
+    monkeypatch.setenv("SPARK_GRAFT_IVF_BALANCE", "assert")
+    with pytest.raises(AssertionError, match="skewed"):
+        _check_cell_balance(skewed, None, "/data/prod/embeddings.parquet")
+    # explicit warn mode downgrades even under /root/testdata
+    monkeypatch.setenv("SPARK_GRAFT_IVF_BALANCE", "warn")
+    _check_cell_balance(skewed, None,
+                        "/root/testdata/sf9/embeddings.parquet")
+    # a real file-identity key IS cached (once per codebook identity)
+    monkeypatch.delenv("SPARK_GRAFT_IVF_BALANCE", raising=False)
+    balanced = spark.createDataFrame(
+        [(i, i % 16) for i in range(64)], "vec_id bigint, cid bigint")
+    key = ("test-app", "/x/embeddings.parquet", 1, 2)
+    _BALANCE_CHECKED.discard(key)
+    _check_cell_balance(balanced, key, "/x/embeddings.parquet")
+    assert key in _BALANCE_CHECKED
+    _BALANCE_CHECKED.discard(key)
+
+
 def test_duckdb_mirror_of_the_sampling_predicate(spark, big_corpus):
     """The oracle-side training relation (``_km_src``) applies the
     identical sample-or-full predicate, so the unrolled Lloyd chain
