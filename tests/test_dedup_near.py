@@ -982,3 +982,70 @@ def test_dedup_near_relink_gc_race_falls_back_to_rederive(spark, tmp_path,
     assert eng.catalog.current_version() == v0 + 1
     assert sorted(r["doc_id"] for r in
                   eng.load_table("dd").df.collect()) == [1, 3]
+
+
+def test_dedup_near_incremental_over_bucketed_source(spark, tmp_path):
+    """The END-TO-END delta-proportional loop including the USER
+    table's own commit (r14): the verb consumes a source table stored
+    as a BUCKETED catalog entry transparently (load_table reassembles
+    it; table_hash is the manifest hash; the meta-pinned old snapshot
+    reloads through the same manifest path), so a streaming ingest
+    that maintains its corpus with incremental_upsert pays
+    touched-buckets hashing per batch instead of a full-corpus
+    content hash — the piece the r14 replay profile showed dominating
+    the ingest leg. Asserts: the batch-2 upsert rewrites a strict
+    subset of buckets; the verb refresh over the bucketed source
+    derives the exact delta, stays delta-local, and content-hash-
+    matches a from-scratch rebuild of the final corpus."""
+    from pyspark.sql import functions as F
+
+    from messdb_spark.plans.incremental import (incremental_upsert,
+                                                write_bucketed)
+    from messdb_spark.queries.graph import dedup_near, dedup_near_incremental
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    schema = "doc_id bigint, text string"
+    batch1 = [(i, _A) if i % 3 == 0 else
+              (i, _B) if i % 3 == 1 else
+              (i, f"unique prose number {i} with enough length to sign "
+                  f"and a distinct tail segment {i * 37}")
+              for i in range(1, 25)]
+    ref = write_bucketed(eng.objects, KeyedTable(
+        spark.createDataFrame(batch1, schema), ("doc_id",)), n_buckets=8)
+    with eng.transaction():
+        eng.save_bucketed_table("docs", ref)
+        st1 = dedup_near_incremental(eng, "docs", "dd",
+                                     clusters_table="dd_cl")
+    assert st1["mode"] == "build" and st1["rows_in"] == 24
+
+    # batch 2: two new docs joining family A — the corpus commit must
+    # touch only their buckets, and the verb must refresh, not rebuild
+    delta = spark.createDataFrame([(100, _A), (101, _A)], schema)
+    ref2 = incremental_upsert(spark, eng.objects, ref, delta)
+    touched = sum(1 for a, b in zip(ref.bucket_hashes, ref2.bucket_hashes)
+                  if a != b)
+    assert 0 < touched <= 2, \
+        f"2-key ingest rewrote {touched}/8 buckets — corpus commit " \
+        f"is not delta-proportional"
+    with eng.transaction():
+        eng.save_bucketed_table("docs", ref2)
+        st2 = dedup_near_incremental(eng, "docs", "dd",
+                                     clusters_table="dd_cl")
+    assert st2["mode"] == "refresh", st2
+    assert st2["delta_docs"] == 2, st2
+    assert st2["cc_mode"] == "warm" and st2["cc_scope"] == "delta", st2
+    assert st2["labels_passthrough"] > 0
+    assert st2["cc_input_edges"] <= st2["cc_edge_bound"]
+    assert st2["rows_in"] == 26
+
+    # unchanged bucketed source → true no-op
+    st3 = dedup_near_incremental(eng, "docs", "dd", clusters_table="dd_cl")
+    assert st3["mode"] == "noop"
+
+    # gold: from-scratch over the same bucketed source
+    full = dedup_near(eng, "docs", "dd_f", clusters_table="dd_cl_f")
+    assert st2["table_hash"] == full["table_hash"]
+    assert eng.table_hash("dd_cl") == eng.table_hash("dd_cl_f")
+    # survivors readable through the transparent bucketed load path
+    assert (eng.load_table("dd").df.filter(F.col("doc_id") == 100)
+            .count() in (0, 1))
