@@ -38,16 +38,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # via tests/test_oracle_parity.py at sf0.001/sf0.01 (ledger-pinned).
 
 _ROTATION_FRONT: list[str] = [
-    # round-14 edits whose driver rows predate the change: the replay
-    # dropped its bundled gold rebuild (now the separate
-    # stream_near_dedup_gold entry, which leads as never-checked along
-    # with dedup_near_churn_replay) and gained the edge-level
-    # delta-locality assert (cc_input_edges ≤ cc_edge_bound); the
-    # ANN/codebook family gained the sample-with-sufficiency-floor
-    # training predicate in BOTH bodies and oracles (_km_src), and
-    # ivf_topk_search's cell-balance gate was re-keyed to the codebook
-    # cache identity.
-    "stream_near_dedup_replay",
+    # round-15 edits whose driver rows predate the change: the
+    # ANN/codebook family's training-sample gate moved from a raw
+    # vec_id stride to the house md5 portable hash, and the
+    # sufficiency floor now counts the SAMPLE itself (VERDICT r14 #4 +
+    # ADVICE #1) — predicate changed in BOTH bodies and oracles
+    # (_km_src), values unchanged at test SFs (all below the floor);
+    # the replay/churn family's delta-local closure gained the
+    # unconditional edge-bound assert + local unpersist (ADVICE #2/#3).
+    # Kept SMALL (VERDICT r14 #3) so the 50-budget clears the whole
+    # round-9 staleness cohort (30 rows) plus the oldest r10 rows.
     "ivf_topk_search",
     "ivf_store_pruned_search",
     "incremental_ivf_refresh",
@@ -55,6 +55,8 @@ _ROTATION_FRONT: list[str] = [
     "semantic_dedup_survivors",
     "semdedup_prune",
     "ann_recall_eval",
+    "stream_near_dedup_replay",
+    "dedup_near_churn_replay",
 ]
 
 

@@ -272,6 +272,23 @@ def write_staleness_report(repo_dir: str) -> dict:
     return out
 
 
+def should_record(sf: str, argv: list[str], env: dict) -> bool:
+    """The r15 recording guard (VERDICT r14 #2, un-parked after the
+    trap re-bit across three rounds): ``bench_last.json`` and
+    ``STALENESS.json`` are ROUND ARTIFACTS — the committed closing
+    numbers the judge diffs round-over-round. A mid-round iteration
+    run at sf0.01/sf0.001 silently overwrote them three rounds
+    running, forcing a git-checkout dance before every commit. Now
+    only a closing-style run records: the tracked scale (sf0.1 — the
+    driver's per-round run and the builder's closing bench), an
+    explicit ``--record`` flag, or SPARK_GRAFT_BENCH_RECORD=1. Every
+    other run still prints the full JSON line; it just doesn't
+    clobber the committed artifacts."""
+    return ("--record" in argv
+            or env.get("SPARK_GRAFT_BENCH_RECORD") == "1"
+            or sf == "0.1")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -364,22 +381,32 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    try:
-        rep = write_staleness_report(os.path.dirname(os.path.abspath(__file__)))
-        print(f"# staleness: {len(rep['never_checked'])} never-checked "
-              f"of {rep['n_queries']}", file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"# staleness report failed: {e}", file=sys.stderr)
+    record = should_record(sf, sys.argv[1:], os.environ)
+    if record:
+        try:
+            rep = write_staleness_report(
+                os.path.dirname(os.path.abspath(__file__)))
+            print(f"# staleness: {len(rep['never_checked'])} never-checked "
+                  f"of {rep['n_queries']}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# staleness report failed: {e}", file=sys.stderr)
     line = json.dumps(out, separators=(",", ":"))
     print(line)
     # the driver truncates long stdout tails; keep the full per-query
     # record on disk so round-over-round comparisons cover every query
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_last.json"), "w") as f:
-            f.write(line + "\n")
-    except OSError as e:
-        print(f"# bench_last.json write failed: {e}", file=sys.stderr)
+    # — closing-style runs only (see should_record)
+    if record:
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "bench_last.json"), "w") as f:
+                f.write(line + "\n")
+        except OSError as e:
+            print(f"# bench_last.json write failed: {e}", file=sys.stderr)
+    else:
+        print("# non-closing run (sf != 0.1, no --record): "
+              "bench_last.json / STALENESS.json left untouched",
+              file=sys.stderr)
 
     # regression gate vs the pinned per-query reference (sf0.1 only)
     rc = 1 if errors else 0

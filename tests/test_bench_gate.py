@@ -67,3 +67,18 @@ def test_baseline_pins_full_inventory():
 def test_allowed_regressions_all_have_reasons():
     for name, why in ALLOWED_REGRESSIONS.items():
         assert isinstance(why, str) and len(why) > 20, name
+
+
+def test_record_guard_blocks_non_closing_runs():
+    """The r15 recording guard (VERDICT r14 #2): a mid-round bench run
+    at a non-closing SF must NOT clobber the committed
+    bench_last.json / STALENESS.json artifacts; a closing-style run
+    (sf0.1, --record, or SPARK_GRAFT_BENCH_RECORD=1) records."""
+    from bench import should_record
+
+    assert should_record("0.1", [], {})
+    assert should_record("0.01", ["--record"], {})
+    assert should_record("0.001", [], {"SPARK_GRAFT_BENCH_RECORD": "1"})
+    assert not should_record("0.01", [], {})
+    assert not should_record("0.001", [], {})
+    assert not should_record("0.01", [], {"SPARK_GRAFT_BENCH_RECORD": "0"})

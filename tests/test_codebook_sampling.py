@@ -1,16 +1,20 @@
-"""The r14 codebook-training sample floor (VERDICT r13 stretch #7).
+"""The codebook-training sample floor (r14 stretch #7; r15 hash gate).
 
-``trained_codebook`` trains on the deterministic hash-sample
-``vec_id % _KM_SAMPLE_MOD == 0`` ONLY when that sample keeps at least
-``_KM_TRAIN_PER_CENTROID`` vectors per centroid; smaller corpora train
-full (the measured-rationale comment at ``_KM_SAMPLE_MOD`` records the
-recall collapse that unconditional sampling caused on the 500-2000
-vector test corpora). Every test SF sits below the floor by design, so
-this file exercises the SAMPLED branch on a purpose-built corpus —
-including the DuckDB mirror of the one-predicate rule (``_km_src``),
-proving the sampled training stays bit-exact across engines exactly
-like the full-corpus parity suite does for the test SFs.
+``trained_codebook`` trains on the deterministic md5-hash sample
+``md5(vec_id) % _KM_SAMPLE_MOD == 0`` ONLY when the SAMPLE ITSELF holds
+at least ``_KM_TRAIN_PER_CENTROID`` vectors per centroid (r15, ADVICE
+r14 #1 — the r14 floor counted the corpus and strided on raw vec_id,
+which biases on id-structured corpora and can starve the sample on
+sparse ids); thinner samples train full (the measured-rationale comment
+at ``_KM_SAMPLE_MOD`` records the recall collapse that unconditional
+sampling caused on the 500-2000 vector test corpora). Every test SF
+sits below the floor by design, so this file exercises the SAMPLED
+branch on a purpose-built corpus — including the DuckDB mirror of the
+one-predicate rule (``_km_src``), proving the sampled training stays
+bit-exact across engines exactly like the full-corpus parity suite
+does for the test SFs.
 """
+import hashlib
 import math
 
 import duckdb
@@ -19,14 +23,33 @@ import pytest
 from pyspark.sql import functions as F
 
 from messdb_spark.queries.similarity import (_KM_ITERS, _KM_SAMPLE_MOD,
+                                             _KM_SAMPLE_PRED_SPARK,
                                              _KM_SCALE,
                                              _KM_TRAIN_PER_CENTROID,
                                              _km_chain, _km_src,
                                              kmeans_fit, trained_codebook)
 
 _K = 2
+_FLOOR = _KM_TRAIN_PER_CENTROID * _K     # SAMPLE rows needed (512)
 _DIM = 4
-_FLOOR = _KM_SAMPLE_MOD * _KM_TRAIN_PER_CENTROID * _K   # 2048 at MOD=4
+
+
+def _in_sample(i: int) -> bool:
+    # the Python mirror of _KM_SAMPLE_PRED_SPARK/_DUCK: md5 of the
+    # decimal id string, first 15 hex chars as int, mod _KM_SAMPLE_MOD
+    h = hashlib.md5(str(i).encode()).hexdigest()[:15]
+    return int(h, 16) % _KM_SAMPLE_MOD == 0
+
+
+def _corpus_size_for(n_sampled: int) -> int:
+    """Smallest corpus [0, n) whose md5-sample holds exactly
+    ``n_sampled`` rows."""
+    seen, i = 0, 0
+    while seen < n_sampled:
+        if _in_sample(i):
+            seen += 1
+        i += 1
+    return i
 
 
 def _vec(i: int) -> list[float]:
@@ -56,21 +79,44 @@ def _fit_ints(df, k: int) -> list[list[int]]:
     return cents
 
 
+def _oracle_ints(parquet_path: str) -> list[list[int]]:
+    chain, final = _km_chain(_K, _KM_ITERS, _KM_SCALE, _DIM,
+                             pfx="t_", src=_km_src(_K))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT vec_id, embedding "
+                f"FROM read_parquet('{parquet_path}/*.parquet')")
+    got = con.execute(
+        f"WITH {chain} SELECT cl, cv FROM {final} ORDER BY cl").fetchall()
+    return [list(cv) for _cl, cv in got]
+
+
 @pytest.fixture()
 def big_corpus(spark, tmp_path):
     p = str(tmp_path / "embeddings.parquet")
-    _write_embeddings(spark, p, _FLOOR + 32)      # clears the floor
+    # clears the sample floor by 32 sampled rows
+    _write_embeddings(spark, p, _corpus_size_for(_FLOOR + 32))
     return str(tmp_path), p
+
+
+def test_python_mirror_matches_spark_predicate(spark):
+    """`_in_sample` (this file's hashlib mirror) is the same set as the
+    engine predicate — the boundary constructions below depend on it."""
+    ids = spark.range(0, 4096).select(F.col("id").alias("vec_id"))
+    got = {r["vec_id"]
+           for r in ids.filter(F.expr(_KM_SAMPLE_PRED_SPARK)).collect()}
+    want = {i for i in range(4096) if _in_sample(i)}
+    assert got == want
 
 
 def test_sampled_branch_trains_on_the_hash_sample(spark, big_corpus):
     sf_dir, p = big_corpus
     book = trained_codebook(spark, sf_dir, _K)
     df = spark.read.parquet(p)
-    sampled = _fit_ints(df.filter(F.col("vec_id") % _KM_SAMPLE_MOD == 0), _K)
+    sampled = _fit_ints(df.filter(F.expr(_KM_SAMPLE_PRED_SPARK)), _K)
     full = _fit_ints(df, _K)
     assert _ints_of(book) == sampled, \
-        "above the floor, training must run on the vec_id-hash sample"
+        "above the floor, training must run on the md5-hash sample"
     assert sampled != full, \
         "test corpus degenerate: sample and full training coincide, " \
         "so the branch is not witnessed — change _vec()"
@@ -83,7 +129,7 @@ def test_sampled_branch_trains_on_the_hash_sample(spark, big_corpus):
 
 def test_small_corpus_trains_full(spark, tmp_path):
     p = str(tmp_path / "embeddings.parquet")
-    _write_embeddings(spark, p, 200)              # far below the floor
+    _write_embeddings(spark, p, 200)              # sample far below floor
     book = trained_codebook(spark, str(tmp_path), _K)
     df = spark.read.parquet(p)
     assert _ints_of(book) == _fit_ints(df, _K), \
@@ -91,25 +137,36 @@ def test_small_corpus_trains_full(spark, tmp_path):
 
 
 def test_exact_floor_boundary_samples(spark, tmp_path):
-    """Corpus EXACTLY at the floor: Spark's ``count >= floor`` and the
-    oracle's ``count < floor ⇒ full`` must agree that the SAMPLE
-    trains — an off-by-one here would silently fork the two engines'
-    training relations at one corpus size."""
+    """SAMPLE cardinality EXACTLY at the floor: Spark's
+    ``n_sample >= floor`` and the oracle's ``sample_count < floor ⇒
+    full`` must agree that the SAMPLE trains — an off-by-one here would
+    silently fork the two engines' training relations at one corpus
+    size. The floor is on the sampled frame itself (ADVICE r14 #1),
+    so the corpus is sized to put exactly _FLOOR rows IN the sample."""
     p = str(tmp_path / "embeddings.parquet")
-    _write_embeddings(spark, p, _FLOOR)
-    book = trained_codebook(spark, str(tmp_path), _K)
+    n = _corpus_size_for(_FLOOR)
+    _write_embeddings(spark, p, n)
     df = spark.read.parquet(p)
+    assert df.filter(F.expr(_KM_SAMPLE_PRED_SPARK)).count() == _FLOOR
+    book = trained_codebook(spark, str(tmp_path), _K)
     assert _ints_of(book) == _fit_ints(
-        df.filter(F.col("vec_id") % _KM_SAMPLE_MOD == 0), _K)
-    chain, final = _km_chain(_K, _KM_ITERS, _KM_SCALE, _DIM,
-                             pfx="b_", src=_km_src(_K))
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW embeddings AS "
-                f"SELECT vec_id, embedding "
-                f"FROM read_parquet('{p}/*.parquet')")
-    got = con.execute(
-        f"WITH {chain} SELECT cl, cv FROM {final} ORDER BY cl").fetchall()
-    assert [list(cv) for _cl, cv in got] == _ints_of(book)
+        df.filter(F.expr(_KM_SAMPLE_PRED_SPARK)), _K)
+    assert _oracle_ints(p) == _ints_of(book)
+
+
+def test_one_below_floor_trains_full(spark, tmp_path):
+    """One fewer SAMPLED row (same-magnitude corpus — the r14
+    corpus-count floor could not distinguish these): both engines must
+    fall back to full-corpus training."""
+    p = str(tmp_path / "embeddings.parquet")
+    n = _corpus_size_for(_FLOOR) - 1     # drops exactly the last
+    assert _in_sample(n)                 # sampled id off the end
+    _write_embeddings(spark, p, n)
+    df = spark.read.parquet(p)
+    assert df.filter(F.expr(_KM_SAMPLE_PRED_SPARK)).count() == _FLOOR - 1
+    book = trained_codebook(spark, str(tmp_path), _K)
+    assert _ints_of(book) == _fit_ints(df, _K)
+    assert _oracle_ints(p) == _ints_of(book)
 
 
 def test_balance_gate_warn_and_assert_modes(spark, monkeypatch):
@@ -158,12 +215,4 @@ def test_duckdb_mirror_of_the_sampling_predicate(spark, big_corpus):
     lands on the same integer centroids as ``trained_codebook``."""
     sf_dir, p = big_corpus
     book = trained_codebook(spark, sf_dir, _K)
-    chain, final = _km_chain(_K, _KM_ITERS, _KM_SCALE, _DIM,
-                             pfx="t_", src=_km_src(_K))
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW embeddings AS "
-                f"SELECT vec_id, embedding "
-                f"FROM read_parquet('{p}/*.parquet')")
-    got = con.execute(
-        f"WITH {chain} SELECT cl, cv FROM {final} ORDER BY cl").fetchall()
-    assert [list(cv) for _cl, cv in got] == _ints_of(book)
+    assert _oracle_ints(p) == _ints_of(book)

@@ -57,9 +57,10 @@ ALLOWED = {
         "one threshold row per priority (≤ distinct priorities)",
     "queries/graph.py::dedup_near_incremental":
         "1-row meta record + per-change-kind delta counts (≤3 rows)",
-    "queries/graph.py::delta_local_labels":
+    "queries/graph.py::_delta_local_labels_body":
         "1-row edge-bound aggregate (r14 edge-level delta-locality "
-        "witness)",
+        "witness; r15: body split out so delta_local_labels can "
+        "unpersist locally when pinned=None)",
     "queries/linkage.py::_xs_replace_docs":
         "distinct touched bucket ids — delta-bounded",
     "queries/linkage.py::dedup_substrings_incremental":
