@@ -841,22 +841,29 @@ def _delta_local_labels_body(sig, new_ids, prior, n_new, numeric_key,
     # star pairs per bucket, bidirectional ×2 — so
     # cc_input_edges ≤ cc_edge_bound = 2·Σ_b(n_b − 1) over the
     # sub-signature's band buckets, a bound ∝ the affected
-    # neighborhood, never the corpus. One agg over the checkpointed
-    # delta-sized band frame; asserted UNCONDITIONALLY (ADVICE r14
-    # #3: the docstring sells this as an in-body structural
-    # invariant, so a stats-less caller must not silently skip it —
-    # every in-repo caller passes stats, so this adds no jobs there)
-    # AND re-asserted by the replay/churn callers from the emitted
-    # counters. The edges.count() doubles as the persist
-    # materialization the closure loop needs anyway.
-    n_edges = edges.count()
-    bound_row = (sub_bands.groupBy(*keys)
+    # neighborhood, never the corpus. Asserted UNCONDITIONALLY
+    # (ADVICE r14 #3) AND re-asserted by the replay/churn callers
+    # from the emitted counters. r15 (VERDICT r14 #5, guide §1.2):
+    # the edge count, the bucket-pair bound and the passthrough count
+    # — three independent single-row aggregates — run as ONE action
+    # (1-row cross joins), replacing three separate witness jobs per
+    # refresh; the edge-count aggregate scans every partition of the
+    # pinned edge frame, so it still doubles as the persist
+    # materialization the closure loop needs.
+    passthrough = (prior.join(bc_comps, "comp", "left_anti")
+                   .select("doc_id", "comp"))
+    bound_agg = (sub_bands.groupBy(*keys)
                  .agg((F.count(F.lit(1)) - 1).alias("m"))
                  .agg(F.coalesce(F.sum(F.greatest(F.col("m"),
                                                   F.lit(0))),
-                                 F.lit(0)).alias("b"))
-                 .collect())
-    edge_bound = 2 * int(bound_row[0]["b"])
+                                 F.lit(0)).alias("b")))
+    probe = (edges.agg(F.count(F.lit(1)).alias("n_edges"))
+             .crossJoin(bound_agg)
+             .crossJoin(passthrough.agg(
+                 F.count(F.lit(1)).alias("n_pass")))
+             .collect()[0])
+    n_edges = int(probe["n_edges"])
+    edge_bound = 2 * int(probe["b"])
     if n_edges > edge_bound:
         raise AssertionError(
             f"delta-local closure has {n_edges} edges > bucket "
@@ -866,7 +873,8 @@ def _delta_local_labels_body(sig, new_ids, prior, n_new, numeric_key,
         stats.update(touched_buckets=n_touched, frontier_docs=n_frontier,
                      cc_affected_comps=n_comps, cc_input_docs=n_docs,
                      cc_edges=n_edges, cc_input_edges=n_edges,
-                     cc_edge_bound=edge_bound)
+                     cc_edge_bound=edge_bound,
+                     labels_passthrough=int(probe["n_pass"]))
     # r14: the affected-subgraph derivation above is ALGORITHM-
     # AGNOSTIC (it only needs `prior` to be constant per component and
     # unique across components — true of both closures, which label by
@@ -882,10 +890,6 @@ def _delta_local_labels_body(sig, new_ids, prior, n_new, numeric_key,
     else:
         labels_sub = cc_fn(edges, numeric_key=numeric_key,
                            rounds_out=rounds_out)
-    passthrough = (prior.join(bc_comps, "comp", "left_anti")
-                   .select("doc_id", "comp"))
-    if stats is not None:
-        stats["labels_passthrough"] = passthrough.count()
     return labels_sub.select("doc_id", "comp").union(passthrough)
 
 
@@ -1136,12 +1140,40 @@ def dedup_near_incremental(eng, table: str, out: str,
             seeded = seed_map_view_memo(eng.memo, d_ref, s_ref, fkey)
             if seeded:
                 stats["memo_records_rehydrated"] = seeded
-            old = (_load_object_df(eng, old_hash)
-                   .select(F.col(key).alias("doc_id"),
-                           F.col(text_col).alias("text")))
-            d = (diff_tables(KeyedTable(old, ("doc_id",)),
-                             KeyedTable(src, ("doc_id",)))
-                 .select("doc_id", "change", "new_text")
+            # BUCKET-PRUNED delta derivation (r15, guide §2.3/§6 — the
+            # Trie.hs:346-348 move applied to the verb's own diff leg):
+            # when the old snapshot AND the current source are both
+            # bucketed manifests with the same key/fan-out, buckets
+            # whose content hash is equal are provably identical
+            # (write-once CAS) and are never read — the full-outer diff
+            # join runs only over changed buckets, so delta derivation
+            # costs ∝ churn, not corpus. Plain-table sources keep the
+            # full diff (identical output either way).
+            old_ref = load_manifest(eng.objects, old_hash)
+            cur_ref = load_manifest(eng.objects, cur_hash)
+            if (old_ref is not None and cur_ref is not None
+                    and old_ref.key_cols == cur_ref.key_cols
+                    and old_ref.n_buckets == cur_ref.n_buckets):
+                changed_b = [b for b in range(old_ref.n_buckets)
+                             if old_ref.bucket_hashes[b]
+                             != cur_ref.bucket_hashes[b]]
+
+                def _ren(df: DataFrame) -> DataFrame:
+                    return df.select(F.col(key).alias("doc_id"),
+                                     F.col(text_col).alias("text"))
+                o_df = _ren(read_bucketed(spark, eng.objects, old_ref,
+                                          buckets=changed_b).df)
+                n_df = _ren(read_bucketed(spark, eng.objects, cur_ref,
+                                          buckets=changed_b).df)
+                d_frame = diff_tables(KeyedTable(o_df, ("doc_id",)),
+                                      KeyedTable(n_df, ("doc_id",)))
+            else:
+                old = (_load_object_df(eng, old_hash)
+                       .select(F.col(key).alias("doc_id"),
+                               F.col(text_col).alias("text")))
+                d_frame = diff_tables(KeyedTable(old, ("doc_id",)),
+                                      KeyedTable(src, ("doc_id",)))
+            d = (d_frame.select("doc_id", "change", "new_text")
                  .localCheckpoint(eager=True))   # diff runs ONCE
             by_change = {r["change"]: r["n"] for r in
                          d.groupBy("change")
@@ -1266,8 +1298,11 @@ def _near_dedup_stream_core(spark: SparkSession, sf_dir: str,
     import tempfile
 
     from ..engine import Engine
-    from ..operators.core import canonicalize_input, merge_tables
+    from ..operators.core import canonicalize_input
+    from ..plans.incremental import (incremental_upsert, load_manifest,
+                                     write_bucketed)
     from .engine_ops import _replay_shuffle_partitions
+    from .linkage import _xs_auto_buckets
 
     (d,) = load(spark, sf_dir, "documents")
     # a uniform quarter of the corpus: the replay pays 3x (diff + state
@@ -1285,17 +1320,28 @@ def _near_dedup_stream_core(spark: SparkSession, sf_dir: str,
         batches = []
 
         def sink(batch_df, epoch_id):
+            # r15 (guide §2.3/§2.4): the corpus table is maintained as a
+            # BUCKETED catalog entry — batch 1 builds the manifest, later
+            # batches `incremental_upsert` so the ingest commit hashes
+            # and writes only the batch's touched buckets instead of
+            # re-hashing the whole corpus every batch (the r14 profile
+            # showed the full-corpus `save_table` dominating the ingest
+            # leg; the verb consumes the manifest transparently, proven
+            # by test_dedup_near_incremental_over_bucketed_source).
             pinned = (batch_df.select("doc_id", "text")
                       .localCheckpoint(eager=True))
             n_batch = pinned.count()
             with eng.transaction():
-                try:
-                    cur = eng.load_table("docs")
-                    merged = merge_tables(
-                        [cur, canonicalize_input(pinned, ("doc_id",))])
-                except KeyError:
-                    merged = canonicalize_input(pinned, ("doc_id",))
-                eng.save_table("docs", merged)
+                e = eng.catalog.get("docs")
+                ref = (load_manifest(eng.objects, e.table_hash)
+                       if e is not None else None)
+                if ref is None:
+                    ref = write_bucketed(
+                        eng.objects, canonicalize_input(pinned, ("doc_id",)),
+                        n_buckets=_xs_auto_buckets(n_batch))
+                else:
+                    ref = incremental_upsert(spark, eng.objects, ref, pinned)
+                eng.save_bucketed_table("docs", ref)
                 st = dedup_near_incremental(
                     eng, "docs", "docs_dedup",
                     clusters_table="docs_clusters")
@@ -1532,14 +1578,29 @@ def dedup_near_churn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="messdb_ndchurn_")
     try:
         eng = Engine(spark, os.path.join(tmp, "wh"))
+        from ..plans.incremental import incremental_upsert, write_bucketed
+        from .linkage import _xs_auto_buckets
         with eng.transaction():
-            eng.save_table("docs", canonicalize_input(base, ("doc_id",)))
+            # r15 (guide §2.3/§2.4): the corpus commits as a BUCKETED
+            # manifest so run 2's churn touches only edited/deleted
+            # buckets (content hash + write ∝ delta, not corpus) and
+            # the verb's diff leg prunes to changed buckets
+            ref = write_bucketed(eng.objects,
+                                 canonicalize_input(base, ("doc_id",)),
+                                 n_buckets=_xs_auto_buckets(base.count()))
+            eng.save_bucketed_table("docs", ref)
             st1 = dedup_near_incremental(eng, "docs", "docs_dedup",
                                          clusters_table="docs_clusters")
         if st1["mode"] != "build":
             raise AssertionError(f"run 1 mode: {st1['mode']}")
         with eng.transaction():
-            eng.save_table("docs", canonicalize_input(final, ("doc_id",)))
+            # the churn lands as an upsert of the edited docs plus a
+            # delete of the removed keys — content-identical to the old
+            # full re-save of `final`, at touched-bucket cost
+            edits = final.filter(F.col("doc_id") % 64 == 3)
+            ref2 = incremental_upsert(spark, eng.objects, ref, edits,
+                                      deletes=removed.select("doc_id"))
+            eng.save_bucketed_table("docs", ref2)
             st2 = dedup_near_incremental(eng, "docs", "docs_dedup",
                                          clusters_table="docs_clusters")
         if st2["mode"] != "refresh":

@@ -24,9 +24,9 @@ def main() -> None:
         else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     twice = "--twice" in sys.argv
     log_dir = "/tmp/spark-events-profile"
+    import shutil
+    shutil.rmtree(log_dir, ignore_errors=True)
     os.makedirs(log_dir, exist_ok=True)
-    for f in glob.glob(os.path.join(log_dir, "*")):
-        os.remove(f)
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from pyspark.sql import SparkSession
@@ -38,6 +38,8 @@ def main() -> None:
     b = (SparkSession.builder.appName("profile").master(f"local[{cpus}]")
          .config("spark.eventLog.enabled", "true")
          .config("spark.eventLog.dir", log_dir)
+         .config("spark.eventLog.compress", "false")
+         .config("spark.eventLog.rolling.enabled", "false")
          .config("spark.sql.shuffle.partitions", str(cpus))
          .config("spark.driver.memory", "8g"))
     for k, v in _DEFAULTS.items():
@@ -61,13 +63,27 @@ def main() -> None:
         print(f"# run {i}: {dt:.3f}s ({n} rows)")
     spark.stop()
 
-    (log_file,) = [p for p in glob.glob(os.path.join(log_dir, "*"))
-                   if not p.endswith(".inprogress")] or \
+    paths = [p for p in glob.glob(os.path.join(log_dir, "*"))
+             if not p.endswith(".inprogress")] or \
         glob.glob(os.path.join(log_dir, "*"))
+    log_files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):  # Spark 4 rolling event-log directory
+            log_files.extend(sorted(
+                q for q in glob.glob(os.path.join(p, "*"))
+                if os.path.isfile(q) and "appstatus" not in q))
+        else:
+            log_files.append(p)
+
+    def _lines():
+        for lf in log_files:
+            with open(lf) as f:
+                yield from f
+
     jobs: dict[int, dict] = {}
     sql_execs: dict[int, dict] = {}
-    with open(log_file) as f:
-        for line in f:
+    if True:
+        for line in _lines():
             try:
                 ev = json.loads(line)
             except ValueError:
