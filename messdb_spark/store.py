@@ -263,6 +263,52 @@ class ObjectStore:
            .parquet(self.path(table_hash)))
         return self.path(table_hash)
 
+    #: target bytes per output file for key-sorted saves; overridable
+    #: per session via ``spark.messdb_spark.save.targetFileBytes``
+    #: (layout tests shrink it to force multi-file objects — at 100 TB
+    #: the default yields 128 MB range-disjoint files, guide §6)
+    _SAVE_TARGET_BYTES = 128 * 1024 * 1024
+    #: trust the optimizer estimate only while it implies at most this
+    #: many files (8 GB at the default target): small estimates come
+    #: from scans/checkpoints and are reliable; huge ones are usually
+    #: join-bloat (a first cut trusted anything under 2^44 bytes and a
+    #: MERGE INTO save with a ~1e12 B join estimate built a ~7800-
+    #: partition range exchange — 2.5 s → 48 s) or Long.MaxValue
+    #: sentinels from driver-local relations
+    _SAVE_EST_MAX_PARTS = 64
+
+    def _save_partitions(self, df: DataFrame) -> int:
+        """File fan-out for a key-sorted save, WITHOUT running a job
+        when possible (guide §1.2/§6): size the range exchange from the
+        optimizer's size estimate — one file per ~128 MB, so small
+        frames get ONE file and a sample-free single-partition range
+        exchange. The previous ``df.rdd.getNumPartitions()`` probe
+        forced AQE to materialize every exchange in the save plan — a
+        hidden extra evaluation of each content-hashed save of a
+        join/agg plan. The probe remains the fallback when the
+        estimate is missing or implies more than
+        ``_SAVE_EST_MAX_PARTS`` files (unreliable-estimate territory;
+        there the input's own partitioning is already a sane fan-out
+        and the probe's cost is amortized by the real write)."""
+        target = self._SAVE_TARGET_BYTES
+        try:
+            v = df.sparkSession.conf.get(
+                "spark.messdb_spark.save.targetFileBytes", None)
+            if v:
+                target = max(1, int(v))
+        except Exception:  # noqa: BLE001 — conf access must never fail a save
+            pass
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes())
+        except Exception:  # noqa: BLE001 — private API: degrade to the probe
+            size = None
+        if size is not None and size >= 0:
+            n = (size + target - 1) // target
+            if n <= self._SAVE_EST_MAX_PARTS:
+                return max(1, n)
+        return max(1, df.rdd.getNumPartitions())
+
     def put(self, df: DataFrame, content_hash_fn,
             key_cols: tuple = ()) -> str:
         """Stage-write → hash the WRITTEN data → rename into the CAS.
@@ -287,7 +333,7 @@ class ObjectStore:
         import uuid
 
         if key_cols:
-            n = max(1, df.rdd.getNumPartitions())
+            n = self._save_partitions(df)
             df = (df.repartitionByRange(n, *key_cols)
                     .sortWithinPartitions(*key_cols))
         # digest DURING the stage write when the hash fn supports it

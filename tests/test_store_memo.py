@@ -321,9 +321,15 @@ def test_compact_table_preserves_content_hash(spark, warehouse):
     eng = Engine(spark, warehouse)
     df = (spark.range(0, 5000)
           .select(F.col("id").alias("k"),
-                  (F.col("id") % 7).cast("string").alias("v"))
-          .repartition(16))   # force many small files
-    eng.save_table("t", KeyedTable(df, ("k",)))
+                  (F.col("id") % 7).cast("string").alias("v")))
+    # force many small files: since r15 key-sorted saves size their
+    # fan-out from the optimizer estimate (~128 MB/file — one file for
+    # a KB-scale table), so pin a tiny per-file target for this test
+    spark.conf.set("spark.messdb_spark.save.targetFileBytes", "4096")
+    try:
+        eng.save_table("t", KeyedTable(df, ("k",)))
+    finally:
+        spark.conf.unset("spark.messdb_spark.save.targetFileBytes")
     h = eng.table_hash("t")
     stats = eng.compact_table("t", target_bytes=64 * 1024 * 1024)
     assert stats["files_after"] < stats["files_before"]
@@ -435,7 +441,15 @@ def test_cas_objects_are_key_sorted_and_file_prunable(spark, warehouse):
                   (F.col("id") % 97).alias("noise"),
                   F.concat(F.lit("v"), F.col("id")).alias("v"))
           .repartition(8, "noise"))
-    h = eng.save_table("t", KeyedTable(df, ("k",)))
+    # r15: estimate-sized saves put a KB-scale table in ONE file; this
+    # test proves PER-FILE range disjointness, so force a multi-file
+    # layout with a tiny per-file target (the invariant itself —
+    # disjoint sorted ranges — is unchanged at any fan-out)
+    spark.conf.set("spark.messdb_spark.save.targetFileBytes", "16384")
+    try:
+        h = eng.save_table("t", KeyedTable(df, ("k",)))
+    finally:
+        spark.conf.unset("spark.messdb_spark.save.targetFileBytes")
 
     path = eng.objects.path(h)
     files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
