@@ -91,9 +91,17 @@ def _write_tagged_buckets(store: ObjectStore, with_b: DataFrame,
                            hashlib.sha256(os.urandom(16)).hexdigest()[:16])
     # stage-write FIRST, digest the staged bytes second — the plan
     # evaluates once, so a nondeterministic plan can't produce bucket
-    # files that mismatch their content addresses
+    # files that mismatch their content addresses.
+    # repartition by the bucket tag first: a bare partitionBy write
+    # emits one file per (upstream task × bucket) — measured 8x file
+    # amplification at 8 tasks, paid again by the digest read-back AND
+    # by every later read_bucketed/index scan (guide §6 small-files;
+    # the xs refresh re-reads the index three times per delta). Keyed
+    # on the tag, each bucket lands in exactly one task → one file per
+    # bucket; bucket sizing (~64k keys) bounds per-file size at scale.
     with store.lease():       # GC must not sweep mid stage→commit
-        (with_b.write.mode("overwrite").partitionBy(_BUCKET)
+        (with_b.repartition(F.col(_BUCKET))
+               .write.mode("overwrite").partitionBy(_BUCKET)
                .option("compression", store.compression).parquet(staging))
         # explicit schema: an all-empty write leaves no part files to
         # infer from (legitimate since empty outputs memoize)

@@ -944,13 +944,16 @@ def _xs_gate(df: DataFrame, n: int) -> DataFrame:
 
 
 def _xs_replace_docs(spark: SparkSession, store, ref, ids_df: DataFrame,
-                     n_ids: int, new_rows: DataFrame):
+                     n_ids: int, new_rows: DataFrame,
+                     touched: list[int] | None = None):
     """Bucket-granular DOC replacement in a doc-keyed BucketedRef: drop
     every row whose doc_id is in ``ids_df`` (a one-column frame in the
     ref's own key type — ids never materialize on the driver), insert
     ``new_rows`` (docs ⊆ ids), and rewrite ONLY the buckets those docs
     hash to — all other bucket objects pass through by reference.
-    Returns (new_ref, n_rewritten).
+    Returns (new_ref, n_rewritten). ``touched``: the ids' bucket list
+    when the caller already derived it (refresh_for computes the same
+    set for its pruned index read — one fewer job per replace).
 
     This is replace, not upsert: a doc's anchor/span SET shrinks as
     well as grows, so stale rows must go — ``incremental_upsert``'s
@@ -961,8 +964,9 @@ def _xs_replace_docs(spark: SparkSession, store, ref, ids_df: DataFrame,
     if not n_ids:
         return ref, 0
     ids_df = ids_df.select(F.col(ids_df.columns[0]).alias("doc_id"))
-    tb = sorted(r["b"] for r in ids_df.select(
-        _bucket_expr(("doc_id",), ref.n_buckets).alias("b"))
+    tb = touched if touched is not None else sorted(
+        r["b"] for r in ids_df.select(
+            _bucket_expr(("doc_id",), ref.n_buckets).alias("b"))
         .distinct().collect())
     base = read_bucketed(spark, store, ref, buckets=tb).df
     keep = base.join(_xs_gate(ids_df, n_ids), "doc_id", "left_anti")
@@ -1046,16 +1050,23 @@ def exact_substring_refresh_for(spark: SparkSession, store, anchors_ref,
     # explode a plan with giant isin literals
     delta_ids = (delta.select("doc_id").distinct()
                  .localCheckpoint(eager=True))
-    n_delta = delta_ids.count()
+    # ONE delta-sized agg job yields the delta cardinality, the
+    # text-scan stat AND the touched-bucket list together (r15, guide
+    # §1.2: these were three separate driver actions per refresh; the
+    # bucket list is <= n_buckets values, never the ids)
+    from ..plans.incremental import _bucket_expr
+    _b = _bucket_expr(("doc_id",), anchors_ref.n_buckets)
+    drow = (delta.agg(
+        F.countDistinct("doc_id").alias("nd"),
+        F.count("text").alias("nt"),
+        F.array_sort(F.collect_set(_b)).alias("bs")).collect()[0])
+    n_delta, n_text = int(drow["nd"]), int(drow["nt"])
+    tb = [int(b) for b in drow["bs"]]
     # 1. the ONLY text scan: anchor-select the delta's new texts
     new_anchors = anchor_positions_for(
         delta.filter(F.col("text").isNotNull()), "doc_id", "text", L)
     new_anchors = new_anchors.localCheckpoint(eager=True)
     # 2. the delta docs' OLD anchors: bucket-pruned index read
-    from ..plans.incremental import _bucket_expr
-    tb = sorted(r["b"] for r in delta_ids.select(
-        _bucket_expr(("doc_id",), anchors_ref.n_buckets).alias("b"))
-        .distinct().collect())
     old_delta = (read_bucketed(spark, store, anchors_ref, buckets=tb).df
                  .join(_xs_gate(delta_ids, n_delta), "doc_id",
                        "left_semi"))
@@ -1082,7 +1093,8 @@ def exact_substring_refresh_for(spark: SparkSession, store, anchors_ref,
     # 4. replace the delta docs' anchors (bucket-granular), then the
     #    probe grams' NEW status from one scan of the replaced index
     anchors_ref2, idx_rewritten = _xs_replace_docs(
-        spark, store, anchors_ref, delta_ids, n_delta, new_anchors)
+        spark, store, anchors_ref, delta_ids, n_delta, new_anchors,
+        touched=tb)
     idx2 = read_bucketed(spark, store, anchors_ref2).df
     new_stat = (idx2.join(_xs_gate(probe, n_probe), "gram")
                 .groupBy("gram")
@@ -1101,14 +1113,18 @@ def exact_substring_refresh_for(spark: SparkSession, store, anchors_ref,
                 .distinct())
     affected = (delta_ids.unionByName(partners).distinct()
                 .localCheckpoint(eager=True))
-    n_affected = affected.count()
     # 5. recompute spans for the affected docs against the UPDATED
     #    index: their anchors come from pruned buckets; cross-doc
     #    status is a third gram-column scan, restricted to the
-    #    affected docs' grams
-    ab = sorted(r["b"] for r in affected.select(
-        _bucket_expr(("doc_id",), anchors_ref2.n_buckets).alias("b"))
-        .distinct().collect())
+    #    affected docs' grams. Cardinality + bucket list in one agg
+    #    (same fold as the delta's).
+    arow = (affected.agg(
+        F.count(F.lit(1)).alias("na"),
+        F.array_sort(F.collect_set(
+            _bucket_expr(("doc_id",), anchors_ref2.n_buckets)))
+         .alias("bs")).collect()[0])
+    n_affected = int(arow["na"])
+    ab = [int(b) for b in arow["bs"]]
     A = (read_bucketed(spark, store, anchors_ref2, buckets=ab).df
          .join(_xs_gate(affected, n_affected), "doc_id", "left_semi"))
     A = A.persist()
@@ -1121,11 +1137,12 @@ def exact_substring_refresh_for(spark: SparkSession, store, anchors_ref,
     new_spans = _islands_spans(
         A.join(cross, "gram").select("doc_id", "i"), L)
     spans_ref2, spans_rewritten = _xs_replace_docs(
-        spark, store, spans_ref, affected, n_affected, new_spans)
+        spark, store, spans_ref, affected, n_affected, new_spans,
+        touched=(ab if spans_ref.n_buckets == anchors_ref2.n_buckets
+                 else None))
     A.unpersist()
     stats = {"delta_docs": n_delta,
-             "text_docs_scanned": delta.filter(
-                 F.col("text").isNotNull()).count(),
+             "text_docs_scanned": n_text,
              "partners": n_affected - n_delta,
              "affected_docs": n_affected,
              "index_buckets_rewritten": idx_rewritten,
