@@ -128,7 +128,8 @@ def write_adaptive(store: ObjectStore, table: KeyedTable,
     """Materialize with post-write split of oversized buckets."""
     tag = _tag_expr(table.key_cols, n_buckets, fanout, [])
     hashes = _write_tagged_buckets(
-        store, table.df.withColumn(_BUCKET, tag), key_fn=str)
+        store, table.df.withColumn(_BUCKET, tag), key_fn=str,
+        n_parts=n_buckets)
     entries = [hashes.get(str(b), EMPTY) for b in range(n_buckets)]
     ref = AdaptiveRef(key_cols=tuple(table.key_cols), n_buckets=n_buckets,
                       fanout=fanout, entries=tuple(entries),
@@ -155,7 +156,8 @@ def _split_oversized(spark: SparkSession, store: ObjectStore,
           .parquet(*[store.path(ref.entries[b]) for b in to_split]))
     tag = _tag_expr(ref.key_cols, ref.n_buckets, ref.fanout, to_split)
     hashes = _write_tagged_buckets(
-        store, df.withColumn(_BUCKET, tag), key_fn=str)
+        store, df.withColumn(_BUCKET, tag), key_fn=str,
+        n_parts=len(to_split) * ref.fanout)
     entries = list(ref.entries)
     for b in to_split:
         entries[b] = tuple(hashes.get(f"{b}_{c}", EMPTY)
@@ -229,7 +231,8 @@ def upsert_adaptive(spark: SparkSession, store: ObjectStore,
                      how="left_anti")
     merged = keep.unionByName(delta_rows).withColumn(_BUCKET, tag)
     merged = merged.filter(F.col(_BUCKET).isin(*touched))
-    new_hashes = _write_tagged_buckets(store, merged, key_fn=str)
+    new_hashes = _write_tagged_buckets(store, merged, key_fn=str,
+                                       n_parts=len(touched))
     entries = list(ref.entries)
     touched_buckets = set()
     for t in touched:
@@ -275,7 +278,8 @@ def compact_adaptive(spark: SparkSession, store: ObjectStore,
         df = spark.read.schema(schema).parquet(*paths)
         tag = _tag_expr(ref.key_cols, ref.n_buckets, ref.fanout, [])
         hashes = _write_tagged_buckets(
-            store, df.withColumn(_BUCKET, tag), key_fn=str)
+            store, df.withColumn(_BUCKET, tag), key_fn=str,
+            n_parts=len(to_merge))
     else:
         hashes = {}
     for b in to_merge:
@@ -388,7 +392,8 @@ def adaptive_agg_view(spark: SparkSession, store: ObjectStore, memo,
         partials = (base.withColumn(_BUCKET, tag_col)
                         .groupBy(_BUCKET, *group_cols)
                         .agg(*[c.alias(n) for n, (_op, c) in aggs.items()]))
-        new_hashes = _write_tagged_buckets(store, partials, key_fn=str)
+        new_hashes = _write_tagged_buckets(store, partials, key_fn=str,
+                                           n_parts=len(missed))
         for tag, h in missed:
             ph = new_hashes.get(tag, EMPTY)
             memo.put(digest(h), ph)

@@ -77,15 +77,25 @@ def _write_buckets(store: ObjectStore, df: DataFrame, key_cols: tuple[str, ...],
     with_b = df.withColumn(_BUCKET, _bucket_expr(key_cols, n_buckets))
     if bucket_whitelist is not None:
         with_b = with_b.filter(F.col(_BUCKET).isin(*bucket_whitelist))
-    return _write_tagged_buckets(store, with_b)
+    return _write_tagged_buckets(
+        store, with_b,
+        n_parts=(len(bucket_whitelist) if bucket_whitelist is not None
+                 else n_buckets))
 
 
 def _write_tagged_buckets(store: ObjectStore, with_b: DataFrame,
-                          key_fn=int) -> dict:
+                          key_fn=int, n_parts: int | None = None,
+                          pre_arranged: bool = False) -> dict:
     """Write a frame already carrying ``_BUCKET`` into per-bucket CAS
     objects: ONE partitioned write + ONE digest aggregation, then pure
     renames — never a job per bucket. ``key_fn``: tag → returned dict
-    key (int for flat layouts, str for adaptive ``b``/``b_c`` tags)."""
+    key (int for flat layouts, str for adaptive ``b``/``b_c`` tags).
+    ``n_parts``: width of the bucket-keyed exchange — pass the (touched)
+    bucket count when known so a 2-bucket delta write doesn't fan out to
+    ``spark.sql.shuffle.partitions`` near-empty tasks. ``pre_arranged``:
+    the caller already repartitioned by the tag (and possibly sorted
+    within partitions — zorder/range layouts); skip the internal
+    exchange so that arrangement survives."""
     spark = with_b.sparkSession
     staging = os.path.join(store.warehouse, "staging",
                            hashlib.sha256(os.urandom(16)).hexdigest()[:16])
@@ -99,10 +109,15 @@ def _write_tagged_buckets(store: ObjectStore, with_b: DataFrame,
     # the xs refresh re-reads the index three times per delta). Keyed
     # on the tag, each bucket lands in exactly one task → one file per
     # bucket; bucket sizing (~64k keys) bounds per-file size at scale.
+    if pre_arranged:
+        rep = with_b
+    elif n_parts:
+        rep = with_b.repartition(n_parts, F.col(_BUCKET))
+    else:
+        rep = with_b.repartition(F.col(_BUCKET))
     with store.lease():       # GC must not sweep mid stage→commit
-        (with_b.repartition(F.col(_BUCKET))
-               .write.mode("overwrite").partitionBy(_BUCKET)
-               .option("compression", store.compression).parquet(staging))
+        (rep.write.mode("overwrite").partitionBy(_BUCKET)
+            .option("compression", store.compression).parquet(staging))
         # explicit schema: an all-empty write leaves no part files to
         # infer from (legitimate since empty outputs memoize)
         hashes = bucket_content_hashes(
@@ -315,7 +330,8 @@ def incremental_agg_view(spark: SparkSession, store: ObjectStore, memo,
                               _bucket_expr(ref.key_cols, ref.n_buckets)))
         partials = tagged.groupBy(_BUCKET, *group_cols).agg(
             *[c.alias(n) for n, (_op, c) in aggs.items()])
-        new_hashes = _write_tagged_buckets(store, partials)
+        new_hashes = _write_tagged_buckets(store, partials,
+                                           n_parts=len(missed))
         for b in missed:
             h = new_hashes[b]
             memo.put(bucket_digest(ref.bucket_hashes[b]), h)
@@ -539,7 +555,8 @@ def incremental_sort_view(spark: SparkSession, store: ObjectStore, memo,
                     .groupBy(_BUCKET, *new_keys)
                     .agg(*fold.agg(value_cols, F.col(_ORD)),
                          ord_agg(F.col(_ORD)).alias(_ORD)))
-        new_hashes = _write_tagged_buckets(store, partials)
+        new_hashes = _write_tagged_buckets(store, partials,
+                                           n_parts=len(missed))
         for b in missed:
             h = new_hashes.get(b, EMPTY)
             memo.put(bucket_digest(ref.bucket_hashes[b]), h)
@@ -618,7 +635,8 @@ def incremental_join_view(spark: SparkSession, store: ObjectStore, memo,
         b_df = read_bucketed(spark, store, ref_b, buckets=missed).df
         joined = a.join(b_df, on=keys, how="inner")
         out_schema_json = joined.drop(_BUCKET).schema.json()
-        new_hashes = _write_tagged_buckets(store, joined)
+        new_hashes = _write_tagged_buckets(store, joined,
+                                           n_parts=len(missed))
         for b in missed:
             h = new_hashes.get(b, EMPTY)
             out_hashes[b] = h

@@ -157,7 +157,7 @@ def write_range_bucketed(store: ObjectStore, table: KeyedTable,
     with_b = (df.withColumn(_BUCKET, _range_bucket_col(key, kind, boundaries))
                 .repartition(F.col(_BUCKET))
                 .sortWithinPartitions(_BUCKET, key))
-    hashes = _write_tagged_buckets(store, with_b)
+    hashes = _write_tagged_buckets(store, with_b, pre_arranged=True)
     n = len(boundaries) + 1
     return RangeBucketedRef(
         key_cols=table.key_cols, key_kind=kind, boundaries=boundaries,
@@ -289,7 +289,7 @@ def incremental_upsert_range(spark: SparkSession, store: ObjectStore,
                     .filter(F.col(_BUCKET).isin(*touched))
                     .repartition(F.col(_BUCKET))
                     .sortWithinPartitions(_BUCKET, key))
-    new_hashes = _write_tagged_buckets(store, with_b)
+    new_hashes = _write_tagged_buckets(store, with_b, pre_arranged=True)
     bh = list(ref.bucket_hashes)
     for b in touched:
         bh[b] = new_hashes.get(b, EMPTY)

@@ -156,7 +156,7 @@ def write_zclustered(store: ObjectStore, df: DataFrame,
     with_b = (df.withColumn(_BUCKET, bcol)
                 .repartition(F.col(_BUCKET))
                 .sortWithinPartitions(_BUCKET, *cols))
-    hashes = _write_tagged_buckets(store, with_b)
+    hashes = _write_tagged_buckets(store, with_b, pre_arranged=True)
     stat_rows = (with_b
                  .groupBy(_BUCKET)
                  .agg(*[a for c, k in zip(cols, kinds) for a in (

@@ -1576,6 +1576,15 @@ def dedup_near_churn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          F.lit(_ND_CHURN_EDIT_SUFFIX)))
                           .otherwise(F.col("text")).alias("text")))
     tmp = tempfile.mkdtemp(prefix="messdb_ndchurn_")
+    # replay-sized shuffle partitions around the whole engine workflow
+    # (r15, guide §2.2): the sibling stream replays already pin this —
+    # without it every tiny closure/upsert exchange in the three verb
+    # runs fans out to the session's 32 partitions before AQE coalesces
+    # it back. ExitStack-free enter/exit so the 70-line body keeps its
+    # indentation; the finally restores the conf before the tmp sweep.
+    from .engine_ops import _replay_shuffle_partitions
+    _conf = _replay_shuffle_partitions(spark)
+    _conf.__enter__()
     try:
         eng = Engine(spark, os.path.join(tmp, "wh"))
         from ..plans.incremental import incremental_upsert, write_bucketed
@@ -1651,6 +1660,7 @@ def dedup_near_churn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id", "cluster_id", "cluster_size")
                .localCheckpoint(eager=True))
     finally:
+        _conf.__exit__(None, None, None)
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 

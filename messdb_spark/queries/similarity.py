@@ -1882,7 +1882,8 @@ def ivf_store_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the engine's tagged-bucket writer — one partitioned write +
         # one digest agg + renames, never a Spark job per cell
         manifest = _write_tagged_buckets(
-            store, assigned.withColumnRenamed("cid", _BUCKET))
+            store, assigned.withColumnRenamed("cid", _BUCKET),
+            n_parts=_N_CELLS)
         loads0 = store.loads
         cand, n_objects = _probe_read(spark, store, manifest, probed_cells)
         opened = store.loads - loads0
@@ -2032,7 +2033,8 @@ def incremental_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         store = ObjectStore(os.path.join(tmp, "wh"))
         man1 = _write_tagged_buckets(store,
-                                     a1.withColumnRenamed("cid", _BUCKET))
+                                     a1.withColumnRenamed("cid", _BUCKET),
+                                     n_parts=_N_CELLS)
 
         # the delta: drifted vectors, reassigned under the same codebook
         drifted = (base.filter(is_drift)
@@ -2054,7 +2056,8 @@ def incremental_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         v2_touched = (a1.filter(~is_drift).filter(F.col("cid").isin(touched))
                         .unionByName(d2))
         man_delta = _write_tagged_buckets(
-            store, v2_touched.withColumnRenamed("cid", _BUCKET))
+            store, v2_touched.withColumnRenamed("cid", _BUCKET),
+            n_parts=len(touched))
         refreshed = (store.saves + store.save_skips) - saves0
         if refreshed > len(touched):
             raise AssertionError(
