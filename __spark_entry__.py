@@ -57,6 +57,16 @@ _ROTATION_FRONT: list[str] = [
     "ann_recall_eval",
     "stream_near_dedup_replay",
     "dedup_near_churn_replay",
+    # round-15 optimization edits (ExactSubstr family: parallel chunk
+    # scan + single-pass window candidate detection; same relations,
+    # parity re-proven at sf0.001/sf0.01 — see OPTIMIZATION_r15.md #7)
+    "exact_substring_spans",
+    "exact_substring_dedup",
+    "exact_substring_clean",
+    "exact_substring_long_docs",
+    "anchor_sampled_substrings",
+    "exact_substring_refresh",
+    "stream_xs_ingest_replay",
 ]
 
 

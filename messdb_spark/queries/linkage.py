@@ -407,6 +407,23 @@ def _xs_chunks(d: DataFrame, L: int, C: int) -> DataFrame:
 _XS_SHORT = 2048
 
 
+def _spread_chunks(ch: DataFrame, src: DataFrame, *cols: str) -> DataFrame:
+    """Rebalance the chunk frame when the SOURCE scan has too few
+    partitions to keep the per-position gram hashing parallel (guide
+    §2.5 input skew): locally the corpus is ONE small parquet file
+    (one input split), so the ~30x-amplified hashing stage would run
+    on a single core; at scale the same gate catches an unsplittable
+    blob. Chunk granularity additionally fixes giant-document skew —
+    one task owns ~64 Ki grams, never a whole 1 GB document. Skipped
+    whenever the scan is already parallel: text then never moves
+    (the at-scale default)."""
+    sc = ch.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if src.rdd.getNumPartitions() >= max(2, par // 2):
+        return ch
+    return ch.repartition(par, *[F.col(c) for c in cols])
+
+
 def _hybrid_grams(fmt: str, pos_list: str, start: str, L: int) -> str:
     """Array expr mapping each element ``p`` of ``pos_list`` to
     ``fmt`` rendered with ``{g}`` = the L-gram of `ctext` starting at
@@ -451,7 +468,7 @@ def exact_substring_spans_for(doc: DataFrame, key_col: str = "doc_id",
     d = (doc.select(F.col(key_col).alias("doc_id"),
                     F.col(text_col).alias("text"))
             .filter(F.length("text") >= L))
-    ch = _xs_chunks(d, L, C)
+    ch = _spread_chunks(_xs_chunks(d, L, C), d, "doc_id", "cidx")
     # detection-hash projection stays INLINE (whole-stage codegen — a
     # transform() lambda here is interpreted and measured ~35% slower):
     # short chunks read grams via substring (O(position) per call is
@@ -471,13 +488,17 @@ def exact_substring_spans_for(doc: DataFrame, key_col: str = "doc_id",
                          f"substring(ctext, j, {L}), "
                          f"array_join(slice(cs, j, {L}), '')))")
                       .alias("h")))
-    # cross-doc candidate hashes: min!=max is a 2-value partial agg
-    # (map-side combine), vs count_distinct's per-group set state
-    dup_h = (pos.groupBy("h")
-                .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-                .filter(F.col("lo") != F.col("hi"))
-                .select("h"))
-    cand = (pos.join(dup_h, "h")
+    # cross-doc candidate hashes in ONE pass (r15, guide §1.2/§2.4):
+    # the old groupBy(h).agg(min,max) + join-back recomputed the whole
+    # per-position hashing subtree for the join side — a second full
+    # corpus scan per query. A min/max window over h shuffles the same
+    # (doc_id, i, h) rows once and filters in place; group state is
+    # bounded by per-gram duplication (hot grams stream through the
+    # spillable window buffer, no collect_list blowup).
+    wh = W.partitionBy("h")
+    cand = (pos.withColumn("lo", F.min("doc_id").over(wh))
+               .withColumn("hi", F.max("doc_id").over(wh))
+               .filter(F.col("lo") != F.col("hi"))
                .select("doc_id", "i",
                        F.expr(f"CAST((i - 1) div {C} AS INT)")
                         .alias("cidx")))
@@ -497,8 +518,8 @@ def exact_substring_spans_for(doc: DataFrame, key_col: str = "doc_id",
     # pin the candidate set: it feeds BOTH the gram-verify agg and the
     # position join below — without the pin each consumer re-runs the
     # corpus position scan (duplication-bounded rows, so the pin is
-    # small; the corpus itself is scanned exactly twice: once for the
-    # hash agg, once for the candidate semi-join). persist+count, NOT
+    # small; the corpus text is scanned once for the hashing pass and
+    # once for the chunk-text verify join). persist+count, NOT
     # localCheckpoint: DataFrame.unpersist() is a CacheManager call
     # and a no-op on checkpointed frames, so pin_result could never
     # release a checkpoint (its blocks linger until RDD GC — the r4
@@ -700,7 +721,8 @@ _XS_W = 8      # anchor sampling window (consecutive gram positions)
 def anchor_positions_for(doc: DataFrame, key_col: str = "doc_id",
                          text_col: str = "text", min_len: int = _XS_L,
                          window: int = _XS_W,
-                         chunk: int = _XS_CHUNK) -> DataFrame:
+                         chunk: int = _XS_CHUNK,
+                         spread: bool = False) -> DataFrame:
     """Content-defined anchor positions over ANY (key, text) table,
     MAP-SIDE ONLY: per CHUNK row (never per document — r10 fix for the
     r9 scale-killer), the (position, gram, md5) array is built once
@@ -732,6 +754,12 @@ def anchor_positions_for(doc: DataFrame, key_col: str = "doc_id",
         f"{bk} + {ng} + {L - 1})))")
     ch = (d.select("doc_id", F.explode(F.expr(chunks)).alias("ch"))
            .select("doc_id", "ch.back", "ch.base0", "ch.ctext"))
+    if spread:
+        # corpus-scale callers only (initial builds): delta-sized
+        # callers (refresh, per-batch ingest) measured SLOWER with the
+        # rebalance — dozens of downstream delta-sized jobs inherit the
+        # fan-out while the saved compute is milliseconds
+        ch = _spread_chunks(ch, d, "doc_id", "base0")
     # per chunk row: the gram-HASH array only (hybrid gram strategy,
     # `_hybrid_grams` — a materialized gram-STRING array per row
     # measured 4x slower at short-doc scale and is exactly the r9
@@ -760,7 +788,7 @@ def _anchor_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted (anchors feed three consumers); the real detection plan
     rides on ``__pre_pin__``."""
     (doc,) = load(spark, sf_dir, "documents")
-    a = anchor_positions_for(doc)
+    a = anchor_positions_for(doc, spread=True)
     pre_pin = a                          # real detection plan, for tests
     a = a.persist()                      # feeds hit-agg, stats, islands;
     a.count()                            # persist (not checkpoint) so
@@ -997,7 +1025,8 @@ def exact_substring_anchor_state(spark: SparkSession, store,
                                  key_col: str = "doc_id",
                                  text_col: str = "text",
                                  min_len: int = _XS_L,
-                                 n_buckets: int | None = None):
+                                 n_buckets: int | None = None,
+                                 spread: bool = True):
     """Initial build of the refreshable anchor-ExactSubstr state: the
     persisted anchor index and span manifest, both doc-bucketed.
     ``n_buckets`` defaults to corpus-size-proportional (one count job;
@@ -1007,7 +1036,8 @@ def exact_substring_anchor_state(spark: SparkSession, store,
 
     if n_buckets is None:
         n_buckets = _xs_auto_buckets(doc.count())
-    a = anchor_positions_for(doc, key_col, text_col, min_len)
+    a = anchor_positions_for(doc, key_col, text_col, min_len,
+                             spread=spread)
     a = a.persist()
     a.count()
     anchors_ref = write_bucketed(store, KeyedTable(a, ("doc_id",)),
@@ -1356,7 +1386,12 @@ def _xs_long_docs(spark: SparkSession) -> DataFrame:
         after.format("z"),
         _xs_chain("concat('d', CAST(doc_id AS STRING), 'c')", _XS_LD["c"]),
     ]) + ")"
-    return (spark.range(1, 5).select(F.col("id").alias("doc_id"))
+    # 4 explicit slices (one doc per partition): the default range
+    # parallelism spreads 4 rows over ~32 mostly-empty partitions,
+    # which defeats the _spread_chunks few-splits gate downstream —
+    # with 4 real slices the gate fires and the 8-chunks-per-doc
+    # hashing fans out chunk-per-task instead of doc-per-task
+    return (spark.range(1, 5, 1, 4).select(F.col("id").alias("doc_id"))
             .select("doc_id", F.expr(text).alias("text")))
 
 
@@ -1391,8 +1426,13 @@ def exact_substring_long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if got != want:
         raise AssertionError(
             f"long-doc spans drifted from the plant: {sorted(got)[:6]}")
-    # anchor path on the same frame: sound subset, nonzero recall
-    a = anchor_positions_for(docs).persist()
+    # anchor path on the same frame: sound subset, nonzero recall.
+    # spread=True (8 chunks/doc fan out chunk-per-task) and an EAGER
+    # cache fill: without the count, AQE submits the hit-agg and join
+    # map stages concurrently and BOTH recompute the anchor scan
+    # (measured 2x 4.5 s single-job here)
+    a = anchor_positions_for(docs, spread=True).persist()
+    a.count()
     hit = (a.groupBy("gram")
             .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
             .filter(F.col("lo") != F.col("hi")).select("gram"))
@@ -1606,8 +1646,12 @@ def stream_xs_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             with eng.transaction():
                 a_e = eng.catalog.get("xs_anchors")
                 if a_e is None:
+                    # spread=False: the batch is a pinned ~1/12-corpus
+                    # slice under the replay's narrow shuffle width —
+                    # the rebalance measured as pure overhead here
                     a2, s2 = exact_substring_anchor_state(
-                        spark, eng.objects, pinned, n_buckets=8)
+                        spark, eng.objects, pinned, n_buckets=8,
+                        spread=False)
                     scanned = n_batch
                 else:
                     a_ref = load_manifest(eng.objects, a_e.table_hash)

@@ -634,14 +634,26 @@ def test_exact_substring_plan_shape(spark, sf_dir):
 
 def test_anchor_sampling_plan_shape(spark, sf_dir):
     """Anchor-sampled ExactSubstr (round 9): anchor selection must be
-    MAP-SIDE — built/filtered inside the row via array lambdas, so the
-    detection plan has NO Exchange, NO Window, no join: nothing
-    shuffles until the (already 1/w-sampled) anchors leave the stage."""
+    MAP-SIDE — built/filtered inside the row via array lambdas: no
+    corpus-wide Window shuffle, no join; nothing position-sized leaves
+    the stage until the (already 1/w-sampled) anchors do. The ONE
+    exchange allowed is the r15 few-splits input rebalance
+    (_spread_chunks — chunk rows, keyed by doc), which exists so the
+    hashing stage is parallel when the scan is a single small file."""
     from messdb_spark.queries.linkage import _anchor_positions
+
+    import re
 
     det = plan_str(_anchor_positions(spark, sf_dir))
     assert "Generate" in det                  # the anchor explode
-    assert "Exchange" not in det
+    # every exchange must be the doc-keyed rebalance (it can print
+    # twice: once live, once inside the InMemoryRelation's cached
+    # plan); anything else — range/single-partition, or a partitioning
+    # on a position-sized key — would be a real detection shuffle
+    assert "rangepartitioning" not in det
+    assert "SinglePartition" not in det
+    keys = re.findall(r"hashpartitioning\((\w+)", det)
+    assert all(k == "doc_id" for k in keys), keys
     assert "Window" not in det
     assert "Join" not in det
     assert "CartesianProduct" not in det
