@@ -109,13 +109,17 @@ def _write_tagged_buckets(store: ObjectStore, with_b: DataFrame,
     # the xs refresh re-reads the index three times per delta). Keyed
     # on the tag, each bucket lands in exactly one task → one file per
     # bucket; bucket sizing (~64k keys) bounds per-file size at scale.
+    from ..session import job_desc
+
     if pre_arranged:
         rep = with_b
     elif n_parts:
         rep = with_b.repartition(n_parts, F.col(_BUCKET))
     else:
         rep = with_b.repartition(F.col(_BUCKET))
-    with store.lease():       # GC must not sweep mid stage→commit
+    with store.lease(), \
+            job_desc(spark, f"cas.bucket_write[{n_parts or '?'}p]"):
+        # lease: GC must not sweep mid stage→commit
         (rep.write.mode("overwrite").partitionBy(_BUCKET)
             .option("compression", store.compression).parquet(staging))
         # explicit schema: an all-empty write leaves no part files to

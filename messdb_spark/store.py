@@ -332,6 +332,8 @@ class ObjectStore:
         hash is order-insensitive, so the address is unchanged."""
         import uuid
 
+        from .session import job_desc
+
         if key_cols:
             n = self._save_partitions(df)
             df = (df.repartitionByRange(n, *key_cols)
@@ -348,7 +350,8 @@ class ObjectStore:
         if observed is not None:
             df, finish = observed(df)
         staging = os.path.join(self.warehouse, "staging", uuid.uuid4().hex)
-        with self.lease():        # GC must not sweep mid stage→commit
+        with self.lease(), job_desc(df.sparkSession, "cas.put"):
+            # lease: GC must not sweep mid stage→commit
             try:
                 (df.write.mode("overwrite")
                    .option("compression", self.compression).parquet(staging))

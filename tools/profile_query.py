@@ -123,7 +123,7 @@ def main() -> None:
     # top call sites aggregated
     agg: dict[str, list[float]] = {}
     for _jid, dur, j in rows:
-        agg.setdefault(j["site"], []).append(dur)
+        agg.setdefault(j["desc"] or j["site"], []).append(dur)
     print("\n== by call site ==")
     for site, ds in sorted(agg.items(), key=lambda kv: -sum(kv[1])):
         print(f"{sum(ds):8.3f}s  n={len(ds):3d}  {site[:90]}")
