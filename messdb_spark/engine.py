@@ -100,7 +100,9 @@ class Engine:
         # the root swap the object is referenced by nothing, and a
         # concurrent gc would sweep it out from under the registration
         # (caught by tests/test_gc_writer_race.py before this guard)
-        with self.objects.lease():
+        from .session import job_desc
+        with self.objects.lease(), \
+                job_desc(self.spark, f"save_table:{name}"):
             h = self.objects.put(table.df, table_content_hash,
                                  key_cols=tuple(table.key_cols))
             self._register(name, CatalogEntry(
@@ -165,8 +167,13 @@ class Engine:
         with self.objects.lease():
             if not self.objects.exists(table_hash):
                 raise KeyError(f"object {table_hash} not in store")
-            schema_json = self.objects.load(self.spark,
-                                            table_hash).schema.json()
+            from .plans.incremental import load_manifest
+            ref = load_manifest(self.objects, table_hash)
+            if ref is not None:       # bucketed table: schema rides the
+                schema_json = ref.schema_json      # manifest, zero jobs
+            else:
+                schema_json = self.objects.load(self.spark,
+                                                table_hash).schema.json()
             self._register(name, CatalogEntry(
                 table_hash=table_hash, schema_json=schema_json,
                 key_cols=list(key_cols)))

@@ -557,20 +557,75 @@ def _label_stats(labels: DataFrame) -> tuple[int, int]:
 def _commit_dedup_outputs(eng, src_df: DataFrame, key: str,
                           labels: DataFrame, out: str,
                           clusters_table: str | None,
-                          stats: dict) -> str | None:
+                          stats: dict, n_buckets: int,
+                          old_out_ref=None, changed_keys: DataFrame | None = None,
+                          src_ref=None) -> str | None:
     """Survivor-table + cluster-table construction and save — the
     block both ``dedup-near`` verb bodies share (VERDICT r11
     what's-wrong #4), so the output contract lives in one place. Every
     clustered non-representative is a drop; docs with no edges never
     enter ``labels`` and survive untouched. MUST run inside the
     caller's transaction; returns the clusters-table hash (None when
-    not requested)."""
+    not requested).
+
+    r15 (guide §2.3/§2.4 — the last O(corpus) term per refresh): the
+    survivor table commits as a BUCKETED manifest keyed like the docs
+    state. When the caller knows the keys whose output membership can
+    change (``changed_keys`` = delta ∪ drop-status flips) and the old
+    out manifest is intact with the same fan-out, ONLY those keys'
+    buckets are rewritten — every other bucket passes through by
+    reference, so the output commit costs ∝ churn, not corpus. The
+    bucketing is deterministic in (key, n_buckets), so a from-scratch
+    rebuild over the same corpus produces the IDENTICAL manifest hash —
+    the gold equality proofs compare unchanged. ``src_ref``: the
+    current source's own manifest when bucket-aligned, for physically
+    pruned touched-bucket reads; a plain source falls back to a
+    predicate scan (read stays full, write stays ∝ churn). The
+    clusters table is label-frame-sized and stays a plain save."""
     from ..operators.core import KeyedTable
+    from ..plans.incremental import (EMPTY, BucketedRef, _bucket_expr,
+                                     _write_buckets, read_bucketed)
 
     drop = (labels.filter(F.col("doc_id") != F.col("comp"))
                   .select(F.col("doc_id").alias(key)))
-    out_df = src_df.join(drop, key, "left_anti")
-    stats["table_hash"] = eng.save_table(out, KeyedTable(out_df, (key,)))
+    if (old_out_ref is not None and changed_keys is not None
+            and old_out_ref.n_buckets == n_buckets
+            and tuple(old_out_ref.key_cols) == (key,)):
+        # touched-bucket rewrite: bucket ids only (<= n_buckets values)
+        # ever reach the driver, never keys
+        tb = sorted(r["b"] for r in changed_keys
+                    .select(_bucket_expr((key,), n_buckets).alias("b"))
+                    .distinct().collect())
+        if tb:
+            if (src_ref is not None and src_ref.n_buckets == n_buckets
+                    and tuple(src_ref.key_cols) == (key,)):
+                base = read_bucketed(eng.spark, eng.objects, src_ref,
+                                     buckets=tb).df
+            else:
+                base = src_df.filter(
+                    _bucket_expr((key,), n_buckets).isin(*tb))
+            out_rows = base.join(drop, key, "left_anti")
+            hashes = _write_buckets(eng.objects, out_rows, (key,),
+                                    n_buckets, bucket_whitelist=set(tb))
+            bh = list(old_out_ref.bucket_hashes)
+            for b in tb:
+                bh[b] = hashes.get(b, EMPTY)
+        else:
+            bh = list(old_out_ref.bucket_hashes)
+        ref = BucketedRef(key_cols=(key,), n_buckets=n_buckets,
+                          bucket_hashes=tuple(bh),
+                          schema_json=old_out_ref.schema_json)
+        stats["out_buckets_rewritten"] = len(tb)
+    else:
+        out_df = src_df.join(drop, key, "left_anti")
+        hashes = _write_buckets(eng.objects, out_df, (key,), n_buckets)
+        ref = BucketedRef(
+            key_cols=(key,), n_buckets=n_buckets,
+            bucket_hashes=tuple(hashes.get(b, EMPTY)
+                                for b in range(n_buckets)),
+            schema_json=src_df.schema.json())
+        stats["out_buckets_rewritten"] = n_buckets
+    stats["table_hash"] = eng.save_bucketed_table(out, ref)
     cl_hash = None
     if clusters_table:
         wc = W.partitionBy("cluster_id")
@@ -631,9 +686,21 @@ def dedup_near(eng, table: str, out: str, text_col: str = "text",
         stats["dups_removed"] = dups
         stats["rows_out"] = stats["rows_in"] - dups
         stats["clusters"] = clusters
+        # survivor-table fan-out: inherit the source manifest's bucket
+        # count when it is key-aligned (so gold rebuilds over the same
+        # corpus hash-match the maintained manifests bucket for
+        # bucket); size from the corpus otherwise
+        from ..plans.incremental import load_manifest
+        from .linkage import _xs_auto_buckets
+        src_ref = load_manifest(eng.objects, eng.table_hash(table))
+        if src_ref is not None and tuple(src_ref.key_cols) != (key,):
+            src_ref = None
+        n_out = (src_ref.n_buckets if src_ref is not None
+                 else _xs_auto_buckets(stats["rows_in"]))
         with eng.transaction():  # save-only work inside the atomic scope
             _commit_dedup_outputs(eng, t.df, key, labels, out,
-                                  clusters_table, stats)
+                                  clusters_table, stats,
+                                  n_buckets=n_out, src_ref=src_ref)
     finally:
         edges.unpersist()
         sig.unpersist()
@@ -1096,8 +1163,11 @@ def dedup_near_incremental(eng, table: str, out: str,
     # delta-local re-clustering inputs: upserted keys (+count), the
     # removed/edited keys whose prior components may split, and the
     # hash-verified prior labels. An empty new_ids frame = the restore
-    # path's pure-passthrough re-derive.
+    # path's pure-passthrough re-derive. delta_keys additionally
+    # carries EVERY delta key (removed included) for the output
+    # manifest's touched-bucket derivation.
     new_ids, n_new_ids, extra_affected, prior = None, 0, None, None
+    delta_keys = None
     with eng.transaction():
         if d_ref is None or s_ref is None:
             stats["mode"] = "build"
@@ -1123,6 +1193,7 @@ def dedup_near_incremental(eng, table: str, out: str,
             prior = _prior_labels(eng, labels_name, md)
             if prior is not None:
                 new_ids, n_new_ids = src.select("doc_id").limit(0), 0
+                delta_keys = new_ids
                 if cc_algorithm == "minlabel":
                     # largestar's sub-closure ignores any seed and runs
                     # cold — leaving seed unset keeps cc_mode honest
@@ -1190,6 +1261,7 @@ def dedup_near_incremental(eng, table: str, out: str,
             prior = _prior_labels(eng, labels_name, md)
             adds_only = set(by_change) <= {"added"}
             if prior is not None:
+                delta_keys = d.select("doc_id")   # removed included
                 new_ids = (d.filter(F.col("change") != "removed")
                             .select("doc_id"))
                 n_new_ids = (by_change.get("added", 0)
@@ -1259,8 +1331,42 @@ def dedup_near_incremental(eng, table: str, out: str,
             stats["dups_removed"] = dups
             stats["rows_out"] = rows_in - dups
             stats["clusters"] = clusters
-            cl_hash = _commit_dedup_outputs(eng, t.df, key, labels, out,
-                                            clusters_table, stats)
+            # output-manifest touched set = delta keys ∪ drop-status
+            # FLIPS (a doc enters/leaves the survivor table only when
+            # its delta membership or its dropped-bit changes; both
+            # drop sets are label-frame-scale). Needs trusted prior
+            # labels AND an intact old out manifest of the same
+            # fan-out — anything else takes the full bucket write.
+            old_out_ref = None
+            changed_keys = None
+            if delta_keys is not None and prior is not None \
+                    and md.get("out_hash"):
+                old_out_ref = load_manifest(eng.objects, md["out_hash"])
+                if old_out_ref is not None:
+                    dn = (labels.filter(F.col("doc_id") != F.col("comp"))
+                                .select("doc_id"))
+                    do = (prior.filter(F.col("doc_id") != F.col("comp"))
+                                .select("doc_id"))
+                    flips = (dn.join(do, "doc_id", "left_anti")
+                             .unionByName(do.join(dn, "doc_id",
+                                                  "left_anti")))
+                    changed_keys = (delta_keys.unionByName(flips)
+                                    .select(F.col("doc_id").alias(key)))
+            # out fan-out follows the SAME rule as dedup_near (source
+            # manifest's bucket count when key-aligned, corpus-sized
+            # otherwise) so gold rebuilds produce the identical
+            # manifest hash; a fan-out drift vs the old out manifest
+            # falls back to the full bucket write inside _commit
+            src_out_ref = load_manifest(eng.objects, cur_hash)
+            if src_out_ref is not None \
+                    and tuple(src_out_ref.key_cols) != (key,):
+                src_out_ref = None
+            n_out = (src_out_ref.n_buckets if src_out_ref is not None
+                     else _xs_auto_buckets(rows_in))
+            cl_hash = _commit_dedup_outputs(
+                eng, t.df, key, labels, out, clusters_table, stats,
+                n_buckets=n_out, old_out_ref=old_out_ref,
+                changed_keys=changed_keys, src_ref=src_out_ref)
             # persist the labels beside the signature state so the NEXT
             # adds-only refresh can warm-start; label-frame-sized
             labels_hash = eng.save_table(labels_name, KeyedTable(

@@ -57,6 +57,10 @@ ALLOWED = {
         "one threshold row per priority (≤ distinct priorities)",
     "queries/graph.py::dedup_near_incremental":
         "1-row meta record + per-change-kind delta counts (≤3 rows)",
+    "queries/graph.py::_commit_dedup_outputs":
+        "distinct touched OUTPUT bucket ids — ≤ n_buckets values "
+        "(manifest constant), derived from the delta∪flip key frame; "
+        "keys themselves never reach the driver",
     "queries/graph.py::_delta_local_labels_body":
         "1-row edge-bound aggregate (r14 edge-level delta-locality "
         "witness; r15: body split out so delta_local_labels can "
