@@ -512,6 +512,15 @@ def kmeans_fit(vecs: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS,
         "vec_id",
         F.expr(f"transform(v, x -> CAST(floor(CAST(x AS DOUBLE) "
                f"* {scale}.0D + 0.5D) AS BIGINT))").alias("v"))
+    # r15 (guide §2.5 input skew): the testdata corpus is ONE parquet
+    # row group, so every Lloyd iteration (assign + posexplode + sum)
+    # ran as a single task. Rebalance by vec_id when the scan has too
+    # few splits — SAFE for parity because every per-iteration
+    # aggregate here is a BIGINT sum (order-independent), unlike a
+    # float mean. At scale the input has many splits and nothing moves.
+    par = vecs.sparkSession.sparkContext.defaultParallelism
+    if iv.rdd.getNumPartitions() < max(2, par // 2):
+        iv = iv.repartition(par, "vec_id")
     init = iv.orderBy("vec_id").limit(k).select("v").collect()
     cents = [list(r["v"]) for r in init]
     assigned = None
