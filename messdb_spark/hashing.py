@@ -161,6 +161,67 @@ def observed_content_hash(df: DataFrame):
 table_content_hash.observed = observed_content_hash
 
 
+def observed_bucket_hashes(df: DataFrame, bucket_col: str, tags: list):
+    """Per-bucket analog of :func:`observed_content_hash` — digest ALL
+    buckets of a tagged frame DURING the write action instead of
+    re-scanning the staged bytes afterwards (guide §1.2: one job per
+    bucket write instead of two). ``tags`` is the closed set of values
+    ``bucket_col`` can take (the callers all know it: a whitelist, a
+    touched list, or ``range(n_buckets)``); each tag gets the same five
+    aggregates the groupBy path computes, in ONE Observation, so
+    ``finish(key_fn)`` returns exactly the dict
+    :func:`bucket_content_hashes` would have (pinned by
+    ``tests/test_observed_digest.py``). Rows stream through the parquet
+    writer once and are digested in the same pass — the
+    single-evaluation guarantee of :func:`observed_content_hash` holds
+    per bucket.
+
+    Performance shape: ``CollectMetrics`` evaluates its aggregate
+    inputs with an INTERPRETED projection, per row — putting
+    ``xxhash64(canon)`` inside the aggregates made the write stage ~8x
+    slower, and expanding it into per-tag ``when`` COLUMNS embedded the
+    canon expression 2x|tags| times in one Project, blowing codegen
+    past the huge-method limit and de-optimizing the whole write stage
+    (both measured). So: the two canonical row hashes are computed
+    exactly ONCE per row as real columns in a small codegen'd Project
+    BELOW the observation, the observed aggregates wrap them in cheap
+    per-tag conditionals (a tag compare + a column ref — fine to run
+    interpreted), and the helper columns are dropped ABOVE the observe
+    so the written files never carry them."""
+    from pyspark.sql import Observation
+
+    schema_fp = schema_fingerprint(df.drop(bucket_col))
+    c = canon_column(df, exclude=(bucket_col,))
+    H1, H2 = "__messdb_dg_h1", "__messdb_dg_h2"
+    h1, h2 = F.col(H1), F.col(H2)
+    aggs = []
+    for i, t in enumerate(tags):
+        cond = F.col(bucket_col) == F.lit(t)
+        aggs += [
+            F.count(F.when(cond, h1)).alias(f"n{i}"),   # h is never null
+            F.sum(F.when(cond, h1).cast("decimal(38,0)")).alias(f"a{i}"),
+            F.bit_xor(F.when(cond, h1)).alias(f"x{i}"),
+            F.sum(F.when(cond, h2).cast("decimal(38,0)")).alias(f"b{i}"),
+            F.bit_xor(F.when(cond, h2)).alias(f"y{i}"),
+        ]
+    obs = Observation()
+    odf = (df.select("*", F.xxhash64(c).alias(H1),
+                     F.xxhash64(c, F.lit(1)).alias(H2))
+             .observe(obs, *aggs).drop(H1, H2))
+
+    def finish(key_fn=int) -> dict:
+        row = obs.get
+        out = {}
+        for i, t in enumerate(tags):
+            if not row[f"n{i}"]:
+                continue          # empty bucket: no object, like groupBy
+            out[key_fn(t)] = _digest_of_row(
+                {"n": row[f"n{i}"], "s1": row[f"a{i}"], "x1": row[f"x{i}"],
+                 "s2": row[f"b{i}"], "x2": row[f"y{i}"]}, schema_fp)
+        return out
+    return odf, finish
+
+
 def bucket_content_hashes(df: DataFrame, bucket_col: str,
                           key_fn=int) -> dict:
     """Per-bucket content digests in ONE aggregation job (groupBy the

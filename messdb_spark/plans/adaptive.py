@@ -232,7 +232,8 @@ def upsert_adaptive(spark: SparkSession, store: ObjectStore,
     merged = keep.unionByName(delta_rows).withColumn(_BUCKET, tag)
     merged = merged.filter(F.col(_BUCKET).isin(*touched))
     new_hashes = _write_tagged_buckets(store, merged, key_fn=str,
-                                       n_parts=len(touched))
+                                       n_parts=len(touched),
+                                       tag_domain=touched)
     entries = list(ref.entries)
     touched_buckets = set()
     for t in touched:
@@ -279,7 +280,8 @@ def compact_adaptive(spark: SparkSession, store: ObjectStore,
         tag = _tag_expr(ref.key_cols, ref.n_buckets, ref.fanout, [])
         hashes = _write_tagged_buckets(
             store, df.withColumn(_BUCKET, tag), key_fn=str,
-            n_parts=len(to_merge))
+            n_parts=len(to_merge),
+            tag_domain=[str(b) for b in to_merge])
     else:
         hashes = {}
     for b in to_merge:
@@ -393,7 +395,8 @@ def adaptive_agg_view(spark: SparkSession, store: ObjectStore, memo,
                         .groupBy(_BUCKET, *group_cols)
                         .agg(*[c.alias(n) for n, (_op, c) in aggs.items()]))
         new_hashes = _write_tagged_buckets(store, partials, key_fn=str,
-                                           n_parts=len(missed))
+                                           n_parts=len(missed),
+                                           tag_domain=[t for t, _h in missed])
         for tag, h in missed:
             ph = new_hashes.get(tag, EMPTY)
             memo.put(digest(h), ph)

@@ -77,30 +77,67 @@ def _write_buckets(store: ObjectStore, df: DataFrame, key_cols: tuple[str, ...],
     with_b = df.withColumn(_BUCKET, _bucket_expr(key_cols, n_buckets))
     if bucket_whitelist is not None:
         with_b = with_b.filter(F.col(_BUCKET).isin(*bucket_whitelist))
+    # tag_domain (the digest fold) only on the whitelisted DELTA path:
+    # a full materialization is data-bound and keeps the read-back
     return _write_tagged_buckets(
         store, with_b,
         n_parts=(len(bucket_whitelist) if bucket_whitelist is not None
-                 else n_buckets))
+                 else n_buckets),
+        tag_domain=(sorted(bucket_whitelist)
+                    if bucket_whitelist is not None else None))
+
+
+#: fold the per-bucket digest into the write job only while the tag
+#: domain keeps the observation buffer this narrow (5 aggregates per
+#: tag); wider writes — e.g. a 4096-bucket full materialization at
+#: scale — keep the staged read-back, whose cost is data-proportional
+#: there, not job-overhead-bound
+_OBSERVE_TAG_MAX = 64
+#: ... and only while estimated bytes x tag count stays under this
+#: bound: the fold's CollectMetrics updates run INTERPRETED per row
+#: at ~5 x |tags| expression evaluations each (measured: a 100k-row
+#: x 32-tag fold tripled the write stage), so it pays off exactly on
+#: the job-overhead-bound regime — small delta/partial writes — while
+#: row-heavy rewrites keep the codegen'd read-back scan. Callers only
+#: pass ``tag_domain`` on delta paths (full builds are data-bound by
+#: definition), whose inputs are scans of stored bucket objects with
+#: trustworthy size estimates; a missing estimate skips the fold.
+_OBSERVE_WORK_MAX = 32 * 1024 * 1024
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — private API: degrade to read-back
+        return None
 
 
 def _write_tagged_buckets(store: ObjectStore, with_b: DataFrame,
                           key_fn=int, n_parts: int | None = None,
-                          pre_arranged: bool = False) -> dict:
+                          pre_arranged: bool = False,
+                          tag_domain: list | None = None) -> dict:
     """Write a frame already carrying ``_BUCKET`` into per-bucket CAS
-    objects: ONE partitioned write + ONE digest aggregation, then pure
-    renames — never a job per bucket. ``key_fn``: tag → returned dict
-    key (int for flat layouts, str for adaptive ``b``/``b_c`` tags).
-    ``n_parts``: width of the bucket-keyed exchange — pass the (touched)
-    bucket count when known so a 2-bucket delta write doesn't fan out to
+    objects: ONE partitioned write (+ a digest read-back only when the
+    digest could not be folded into it), then pure renames — never a
+    job per bucket. ``key_fn``: tag → returned dict key (int for flat
+    layouts, str for adaptive ``b``/``b_c`` tags). ``n_parts``: width
+    of the bucket-keyed exchange — pass the (touched) bucket count when
+    known so a 2-bucket delta write doesn't fan out to
     ``spark.sql.shuffle.partitions`` near-empty tasks. ``pre_arranged``:
     the caller already repartitioned by the tag (and possibly sorted
     within partitions — zorder/range layouts); skip the internal
-    exchange so that arrangement survives."""
+    exchange so that arrangement survives. ``tag_domain``: the CLOSED
+    set of values ``_BUCKET`` can take — when given (and small, see
+    ``_OBSERVE_TAG_MAX``), the per-bucket digests ride the write job as
+    an Observation (guide §1.2: one job per bucket write instead of
+    two; r16, the ``cas.put`` digest fold extended to bucket writes)."""
     spark = with_b.sparkSession
     staging = os.path.join(store.warehouse, "staging",
                            hashlib.sha256(os.urandom(16)).hexdigest()[:16])
-    # stage-write FIRST, digest the staged bytes second — the plan
-    # evaluates once, so a nondeterministic plan can't produce bucket
+    # stage-write FIRST, digest the same single evaluation — either
+    # folded into the write job (tag_domain path) or by re-scanning the
+    # staged bytes — so a nondeterministic plan can't produce bucket
     # files that mismatch their content addresses.
     # repartition by the bucket tag first: a bare partitionBy write
     # emits one file per (upstream task × bucket) — measured 8x file
@@ -109,6 +146,7 @@ def _write_tagged_buckets(store: ObjectStore, with_b: DataFrame,
     # the xs refresh re-reads the index three times per delta). Keyed
     # on the tag, each bucket lands in exactly one task → one file per
     # bucket; bucket sizing (~64k keys) bounds per-file size at scale.
+    from ..hashing import observed_bucket_hashes
     from ..session import job_desc
 
     if pre_arranged:
@@ -117,16 +155,40 @@ def _write_tagged_buckets(store: ObjectStore, with_b: DataFrame,
         rep = with_b.repartition(n_parts, F.col(_BUCKET))
     else:
         rep = with_b.repartition(F.col(_BUCKET))
+    finish = None
+    if tag_domain is not None and 0 < len(tag_domain) <= _OBSERVE_TAG_MAX:
+        est = _estimated_bytes(with_b)
+        if est is not None and 0 <= est * len(tag_domain) \
+                <= _OBSERVE_WORK_MAX:
+            # observe ON TOP of the exchange: the CollectMetrics node
+            # then evaluates in the result (write) stage, whose
+            # exactly-once accumulator contract observed_content_hash
+            # already relies on
+            rep, finish = observed_bucket_hashes(rep, _BUCKET,
+                                                 list(tag_domain))
     with store.lease(), \
             job_desc(spark, f"cas.bucket_write[{n_parts or '?'}p]"):
         # lease: GC must not sweep mid stage→commit
         (rep.write.mode("overwrite").partitionBy(_BUCKET)
             .option("compression", store.compression).parquet(staging))
-        # explicit schema: an all-empty write leaves no part files to
-        # infer from (legitimate since empty outputs memoize)
-        hashes = bucket_content_hashes(
-            spark.read.schema(with_b.schema).parquet(staging), _BUCKET,
-            key_fn=key_fn)
+        if finish is not None:
+            hashes = finish(key_fn)
+            # a tag outside the declared domain would have been written
+            # but never digested/registered — catch the caller bug
+            # loudly (one listdir) instead of silently dropping data
+            staged = {d.split("=", 1)[1] for d in os.listdir(staging)
+                      if d.startswith(f"{_BUCKET}=")}
+            extra = staged - {str(t) for t in tag_domain}
+            if extra:
+                raise AssertionError(
+                    f"bucket write produced tags outside the declared "
+                    f"domain: {sorted(extra)[:8]}")
+        else:
+            # explicit schema: an all-empty write leaves no part files
+            # to infer from (legitimate since empty outputs memoize)
+            hashes = bucket_content_hashes(
+                spark.read.schema(with_b.schema).parquet(staging), _BUCKET,
+                key_fn=key_fn)
         for b, h in hashes.items():
             src = os.path.join(staging, f"{_BUCKET}={b}")
             dst = store.path(h)
@@ -335,7 +397,8 @@ def incremental_agg_view(spark: SparkSession, store: ObjectStore, memo,
         partials = tagged.groupBy(_BUCKET, *group_cols).agg(
             *[c.alias(n) for n, (_op, c) in aggs.items()])
         new_hashes = _write_tagged_buckets(store, partials,
-                                           n_parts=len(missed))
+                                           n_parts=len(missed),
+                                           tag_domain=missed)
         for b in missed:
             h = new_hashes[b]
             memo.put(bucket_digest(ref.bucket_hashes[b]), h)
@@ -560,7 +623,8 @@ def incremental_sort_view(spark: SparkSession, store: ObjectStore, memo,
                     .agg(*fold.agg(value_cols, F.col(_ORD)),
                          ord_agg(F.col(_ORD)).alias(_ORD)))
         new_hashes = _write_tagged_buckets(store, partials,
-                                           n_parts=len(missed))
+                                           n_parts=len(missed),
+                                           tag_domain=missed)
         for b in missed:
             h = new_hashes.get(b, EMPTY)
             memo.put(bucket_digest(ref.bucket_hashes[b]), h)
@@ -640,7 +704,8 @@ def incremental_join_view(spark: SparkSession, store: ObjectStore, memo,
         joined = a.join(b_df, on=keys, how="inner")
         out_schema_json = joined.drop(_BUCKET).schema.json()
         new_hashes = _write_tagged_buckets(store, joined,
-                                           n_parts=len(missed))
+                                           n_parts=len(missed),
+                                           tag_domain=missed)
         for b in missed:
             h = new_hashes.get(b, EMPTY)
             out_hashes[b] = h

@@ -289,7 +289,8 @@ def incremental_upsert_range(spark: SparkSession, store: ObjectStore,
                     .filter(F.col(_BUCKET).isin(*touched))
                     .repartition(F.col(_BUCKET))
                     .sortWithinPartitions(_BUCKET, key))
-    new_hashes = _write_tagged_buckets(store, with_b, pre_arranged=True)
+    new_hashes = _write_tagged_buckets(store, with_b, pre_arranged=True,
+                                       tag_domain=touched)
     bh = list(ref.bucket_hashes)
     for b in touched:
         bh[b] = new_hashes.get(b, EMPTY)

@@ -2066,7 +2066,7 @@ def incremental_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .unionByName(d2))
         man_delta = _write_tagged_buckets(
             store, v2_touched.withColumnRenamed("cid", _BUCKET),
-            n_parts=len(touched))
+            n_parts=len(touched), tag_domain=touched)
         refreshed = (store.saves + store.save_skips) - saves0
         if refreshed > len(touched):
             raise AssertionError(

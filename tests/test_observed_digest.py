@@ -119,3 +119,69 @@ def test_custom_hash_fn_keeps_rescan_path(spark, tmp_path):
     h = store.put(df, fn)
     assert h == "fixed2" and len(calls) == 1
     assert store.exists(h)
+
+
+# ---------------------------------------------------------------------------
+# r16: per-bucket digest folded into the bucket-write job
+# ---------------------------------------------------------------------------
+
+def test_observed_bucket_hashes_equals_groupby(spark):
+    """``observed_bucket_hashes`` (the digest-during-write fold of
+    ``_write_tagged_buckets``) must produce exactly the dict the
+    groupBy read-back ``bucket_content_hashes`` computes — including
+    absent keys for empty buckets — across the tricky-type matrix."""
+    from messdb_spark.hashing import (bucket_content_hashes,
+                                      observed_bucket_hashes)
+
+    rows = [(i, i % 5, float("nan") if i % 7 == 0 else i / 3.0,
+             None if i % 11 == 0 else f"s\x00{i}")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, b long, d double, s string")
+    # bucket 9 is in the domain but empty; buckets 0..4 populated
+    tags = [0, 1, 2, 3, 4, 9]
+    expect = bucket_content_hashes(df.withColumnRenamed("b", "__b"), "__b")
+
+    odf, finish = observed_bucket_hashes(
+        df.withColumnRenamed("b", "__b"), "__b", tags)
+    odf.write.format("noop").mode("overwrite").save()
+    got = finish(int)
+    assert got == expect
+    assert 9 not in got
+
+
+def test_observed_bucket_hashes_all_empty(spark):
+    """An all-empty tagged frame folds to an empty dict (the
+    memoized-empty-output path) without hanging on the observation."""
+    from messdb_spark.hashing import observed_bucket_hashes
+
+    df = spark.createDataFrame([], "k long, b long, v string")
+    odf, finish = observed_bucket_hashes(df, "b", [0, 1])
+    odf.write.format("noop").mode("overwrite").save()
+    assert finish(int) == {}
+
+
+def test_write_tagged_buckets_fold_matches_readback(spark, tmp_path):
+    """End-to-end: a whitelisted ``_write_buckets`` call (the
+    tag_domain fold path — the delta regime) must store objects at the
+    SAME addresses the read-back path computes — CAS dedup across the
+    two write paths depends on it — and the stored files must NOT
+    carry the fold's helper hash columns."""
+    from messdb_spark.plans.incremental import (_write_buckets,
+                                                _write_tagged_buckets,
+                                                _bucket_expr, _BUCKET)
+    from messdb_spark.store import ObjectStore
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i * 1.5) for i in range(300)],
+        "k long, s string, x double")
+    wl = set(range(8))          # whitelist → tag_domain → fold path
+    s1 = ObjectStore(str(tmp_path / "wh1"))
+    folded = _write_buckets(s1, df, ("k",), 8, bucket_whitelist=wl)
+    s2 = ObjectStore(str(tmp_path / "wh2"))
+    with_b = df.withColumn(_BUCKET, _bucket_expr(("k",), 8))
+    readback = _write_tagged_buckets(s2, with_b, n_parts=8)  # no domain
+    assert folded == readback and len(folded) > 1
+    for h in folded.values():
+        assert s1.exists(h) and s2.exists(h)
+        cols = set(spark.read.parquet(s1.path(h)).columns)
+        assert cols == {"k", "s", "x"}, cols
